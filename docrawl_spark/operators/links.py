@@ -1,0 +1,96 @@
+"""Link discovery: cleaned span documents → canonical next-wave
+candidate URLs (the reference's link-extraction semantics, SURVEY.md
+§2.3-2.4, as one declarative pipeline).
+
+Stages (all columnar; the only Python is the Arrow-batched
+canonicalization UDF, and its fast paths keep the per-row fallback to
+a sliver):
+
+1. in-array kind filter + RAW media_ref filter: drop refs containing
+   'javascript' or 'mailto' BEFORE canonicalization (reference filters
+   the href attribute, elements.py:61-71) — pushed inside the array so
+   the explode generates only real candidates;
+2. explode → (parent doc, parent visit_rank, offset, media_ref);
+3. canonicalize against the parent doc_id (build_abs_url UDF);
+4. split: canonicalization errors → quarantine rows; good rows get
+   host / host_hash / url_hash columns (JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import (
+    host_of_col,
+    url_hash_col,
+    with_abs_url,
+)
+
+
+def discover_links(
+    fetched: DataFrame,
+    doc_col: str = "doc_id",
+    spans_col: str = "spans",
+    parent_rank_col: str = "visit_rank",
+    depth_col: str = "depth",
+) -> DataFrame:
+    """fetched docs (doc_id, spans, visit_rank, depth) → candidate rows
+    (url, canon_error, discovered_by, parent_rank, offset, depth,
+    host, host_hash, url_hash). Rows with canon_error != null are the
+    quarantine stream (filter on it downstream)."""
+    links = F.filter(
+        F.col(spans_col),
+        lambda s: (s["kind"] == "link")
+        & ~F.coalesce(s["media_ref"], F.lit("")).contains("javascript")
+        & ~F.coalesce(s["media_ref"], F.lit("")).contains("mailto"),
+    )
+    exploded = fetched.select(
+        F.col(doc_col).alias("discovered_by"),
+        F.col(parent_rank_col).alias("parent_rank"),
+        (F.col(depth_col) + F.lit(1)).alias("depth"),
+        F.explode(links).alias("span"),
+    ).select(
+        "discovered_by",
+        "parent_rank",
+        "depth",
+        F.col("span.offset").alias("offset"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+    canon = with_abs_url(exploded, "media_ref", "discovered_by")
+    return canon.select(
+        "url",
+        "canon_error",
+        "media_ref",
+        "discovered_by",
+        "parent_rank",
+        "offset",
+        "depth",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
+        url_hash_col("url").alias("url_hash"),
+    )
+
+
+def dedup_within_wave(candidates: DataFrame) -> DataFrame:
+    """Keep-first within-wave dedup: one row per canonical url, the one
+    with the smallest (parent_rank, offset) — a plain groupBy
+    (map-side combinable), no window."""
+    candidates = candidates.drop("media_ref", "canon_error")
+    first = F.min(
+        F.struct("parent_rank", "offset", "depth", "discovered_by")
+    ).alias("f")
+    return (
+        candidates.groupBy("url_hash", "url", "host", "host_hash")
+        .agg(first)
+        .select(
+            "url_hash",
+            "url",
+            "host",
+            "host_hash",
+            F.col("f.parent_rank").alias("parent_rank"),
+            F.col("f.offset").alias("offset"),
+            F.col("f.depth").alias("depth"),
+            F.col("f.discovered_by").alias("discovered_by"),
+        )
+    )

@@ -1,0 +1,215 @@
+"""The crawl wave loop — the engine's `parse()` analogue.
+
+The reference's only control flow is a sequential poll loop
+(docrawl_core.py:1039-1123) executing one command at a time. Here one
+**wave** is one declarative DataFrame pipeline (SURVEY.md §3.5):
+
+    pending candidates
+      → robots gate + salted per-host budget selection   [politeness]
+      → scalable global rank = deterministic visit order [ranking]
+      → fetch join against the corpus                    [fetch]
+      → commit fetch_log + url_seen                      [checkpoint]
+      → link discovery (array-filtered explode + canon)  [extract]
+      → within-wave keep-first dedup (groupBy)           [dedup]
+      → Bloom prefilter + exact anti-join vs url_seen    [dedup]
+      → commit next frontier + crawl_state               [checkpoint]
+
+and the driver iterates waves. Every wave ends in warehouse commits
+(Iceberg-snapshot semantics — see sources/storage.py), which are the
+resume points; `resume=True` continues an interrupted crawl from the
+last committed wave with identical results (tested).
+
+Determinism: visit order is the total order (wave, parent_rank, offset,
+url_hash) — task timing can never change results (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import (
+    host_of_col,
+    normalize_seed_url_col,
+    url_hash_col,
+)
+from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom
+from docrawl_spark.operators.fetch import synthetic_fetch
+from docrawl_spark.operators.links import dedup_within_wave, discover_links
+from docrawl_spark.operators.politeness import gate_and_select
+from docrawl_spark.operators.ranking import with_global_rank
+from docrawl_spark.operators.scan import scan_documents
+from docrawl_spark.sources.schemas import URL_SEEN_SCHEMA
+from docrawl_spark.sources.storage import Warehouse
+
+CANDIDATE_COLS = [
+    "url_hash",
+    "url",
+    "host",
+    "host_hash",
+    "depth",
+    "parent_rank",
+    "offset",
+    "discovered_by",
+]
+
+
+@dataclass
+class CrawlResult:
+    visits: list[tuple[int, str]]
+    seen_urls: set[str]
+    fetch_log: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+
+def seeds_to_candidates(seeds: DataFrame) -> DataFrame:
+    """seeds(url, seed_order) → wave-0 candidate rows. Applies the
+    reference's 'http' substring prepend quirk, dedups keeping the
+    lowest seed_order, and encodes seed order as (parent_rank=-1,
+    offset=seed_order) so one ordering rule covers all waves."""
+    normalized = seeds.select(
+        normalize_seed_url_col("url").alias("url"),
+        F.col("seed_order").cast("int").alias("seed_order"),
+    )
+    first = normalized.groupBy("url").agg(F.min("seed_order").alias("seed_order"))
+    return first.select(
+        url_hash_col("url").alias("url_hash"),
+        "url",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
+        F.lit(0).alias("depth"),
+        F.lit(-1).cast("long").alias("parent_rank"),
+        F.col("seed_order").alias("offset"),
+        F.lit(None).cast("string").alias("discovered_by"),
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    documents_raw: DataFrame,
+    hosts: DataFrame,
+    seeds: DataFrame,
+    max_waves: int = 10,
+    warehouse: Warehouse | None = None,
+    use_bloom: bool = True,
+    n_salts: int = 8,
+    resume: bool = False,
+    collect_visits: bool = True,
+) -> CrawlResult:
+    """Run (or resume) a crawl to completion or ``max_waves``."""
+    docs_clean = scan_documents(documents_raw).persist()
+    hosts_dim = hosts.select("host", "budget", "robots_blob")
+
+    metrics: list[dict] = []
+    if resume:
+        if warehouse is None or not warehouse.exists("crawl_state"):
+            raise ValueError("resume requested but no committed crawl_state")
+        state = warehouse.read("crawl_state").orderBy("wave").collect()
+        last = state[-1]
+        start_wave = int(last["wave"]) + 1
+        visit_base = int(last["metrics"]["visit_base_next"])
+        candidates = warehouse.read("frontier_pending")
+    else:
+        start_wave = 0
+        visit_base = 0
+        candidates = seeds_to_candidates(seeds)
+
+    for wave in range(start_wave, max_waves):
+        selected = gate_and_select(candidates, hosts_dim, n_salts=n_salts)
+        ranked = with_global_rank(
+            selected, ["parent_rank", "offset", "url_hash"], rank_col="_wave_rank"
+        ).withColumn("visit_rank", (F.lit(visit_base) + F.col("_wave_rank")))
+        fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
+
+        # ---- commit visits (checkpoint #1) --------------------------------
+        fetch_log_delta = fetched.select(
+            "url_hash",
+            "url",
+            "host",
+            F.lit(wave).alias("wave"),
+            "visit_rank",
+            "status",
+            "n_spans",
+        )
+        seen_delta = fetched.select(
+            "url_hash", "url", F.lit(wave).alias("first_wave")
+        )
+        if warehouse is not None:
+            warehouse.append("fetch_log", fetch_log_delta)
+            warehouse.append("url_seen", seen_delta)
+            warehouse.overwrite("wave_fetched", fetched)
+            fetched = warehouse.read("wave_fetched")  # truncate lineage
+            url_seen = warehouse.read("url_seen", empty_schema=URL_SEEN_SCHEMA)
+            # everything live is now on disk — drop wave-local caches
+            # (incl. the ranking operator's internal persist), then
+            # re-pin the corpus, which IS reused across waves.
+            spark.catalog.clearCache()
+            docs_clean.persist()
+        else:
+            fetched = fetched.persist()
+            url_seen = (
+                url_seen.unionByName(seen_delta) if wave > start_wave else seen_delta
+            ).persist()
+
+        stats = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("status") == 404).cast("long")).alias("n404"),
+        ).first()
+        n_visited = int(stats["n"] or 0)
+        if n_visited == 0:
+            break
+        visit_base += n_visited
+
+        # ---- discover next wave -------------------------------------------
+        discovered = discover_links(fetched, doc_col="url")
+        quarantine = discovered.where(F.col("canon_error").isNotNull())
+        good = discovered.where(F.col("canon_error").isNull()).drop("canon_error")
+        deduped = dedup_within_wave(good)
+        bloom = build_seen_bloom(url_seen, expected_items=visit_base) if use_bloom else None
+        nxt = anti_join_seen(deduped, url_seen, bloom).select(*CANDIDATE_COLS)
+
+        # ---- commit next frontier (checkpoint #2 = the resume point) ------
+        wave_metrics = {
+            "n_visited": float(n_visited),
+            "n_404": float(stats["n404"] or 0),
+            "visit_base_next": float(visit_base),
+        }
+        if warehouse is not None:
+            warehouse.append(
+                "quarantine",
+                quarantine.select(
+                    "discovered_by",
+                    F.col("media_ref").alias("bad_ref"),
+                    "canon_error",
+                    F.lit(wave).alias("wave"),
+                ),
+            )
+            warehouse.overwrite("frontier_pending", nxt)
+            candidates = warehouse.read("frontier_pending")
+            warehouse.append(
+                "crawl_state",
+                spark.createDataFrame(
+                    [(wave, "snap", wave_metrics)],
+                    "wave int, checkpoint_id string, metrics map<string,double>",
+                ),
+            )
+        else:
+            candidates = nxt.persist()
+        metrics.append({"wave": wave, **wave_metrics})
+
+    # ---- final artifacts ---------------------------------------------------
+    if warehouse is not None:
+        fetch_log = warehouse.read("fetch_log")
+    else:
+        fetch_log = None
+    visits: list[tuple[int, str]] = []
+    seen_urls: set[str] = set()
+    if collect_visits and fetch_log is not None:
+        rows = fetch_log.orderBy("wave", "visit_rank").collect()
+        visits = [(int(r["wave"]), r["url"]) for r in rows]
+        seen_urls = {r["url"] for r in rows}
+    return CrawlResult(
+        visits=visits, seen_urls=seen_urls, fetch_log=fetch_log, metrics=metrics
+    )

@@ -1,0 +1,61 @@
+"""Bloom seen-set prefilter: soundness (NO false negatives, ever) and
+usefulness (fpp in the expected ballpark)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docrawl_spark.functions.bloom import Bloom, build_bloom
+from docrawl_spark.operators.dedup import anti_join_seen
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200),
+    probes=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=50),
+)
+def test_no_false_negatives(keys, probes):
+    bloom = Bloom.for_items(max(len(keys), 1))
+    if keys:
+        bloom.add(np.array(keys, dtype=np.int64))
+    got = bloom.contains(np.array(keys + probes, dtype=np.int64))
+    # every inserted key must be reported present
+    assert got[: len(keys)].all() or not keys
+
+
+def test_fpp_reasonable():
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+    other = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64) + 2**62
+    bloom = Bloom.for_items(len(inserted), fpp=0.03)
+    bloom.add(inserted)
+    assert bloom.contains(inserted).all()
+    fp = bloom.contains(other).mean()
+    assert fp < 0.06, fp  # ~2x slack over nominal 3%
+
+
+def test_roundtrip_bytes():
+    bloom = Bloom.for_items(1000)
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    bloom.add(keys)
+    again = Bloom.from_bytes(bloom.to_bytes())
+    assert again.contains(keys).all()
+    assert (again.words == bloom.words).all()
+
+
+def test_distributed_build_and_anti_join(spark):
+    seen = spark.range(0, 5000).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash", "cast(id as string) as url",
+        "0 as first_wave",
+    ).repartition(8)
+    cand = spark.range(2500, 7500).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash", "cast(id as string) as url"
+    )
+    blob = build_bloom(seen, "url_hash", expected_items=5000)
+    with_bloom = anti_join_seen(cand, seen, blob)
+    without = anti_join_seen(cand, seen, None)
+    a = {r["url"] for r in with_bloom.collect()}
+    b = {r["url"] for r in without.collect()}
+    assert a == b == {str(i) for i in range(5000, 7500)}

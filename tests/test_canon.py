@@ -1,0 +1,157 @@
+"""Canonicalization parity with the reference.
+
+Every assertion of docrawl/tests/test_utils.py:6-29 runs through all
+three layers: the exact scalar, the vectorized batch, and the Spark
+pandas UDF. Errors map to null url + error string in the vector paths
+(vector UDFs can't raise per-row).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import (
+    build_abs_url,
+    canonicalize_batch,
+    host_of_col,
+    normalize_seed_url_col,
+    path_of_col,
+    with_abs_url,
+)
+
+# (scraped, base, expected) — verbatim from the reference test file.
+REFERENCE_CASES = [
+    ("/test", "https://example.com", "https://example.com/test"),
+    ("/aaa/bbb/ccc/ddd", "https://example.com", "https://example.com/aaa/bbb/ccc/ddd"),
+    ("/ddd/www", "https://example.com/aaa/bbb/ccc", "https://example.com/ddd/www"),
+    ("/www/ddd", "https://example.com/aaa/", "https://example.com/www/ddd"),
+    ("https://aaaa.com/test", "https://bbb.com", "https://aaaa.com/test"),
+    ("test", "https://example.com", "https://example.com/test"),
+    ("https://example.com/test", None, "https://example.com/test"),
+    ("aaa/../bbb/ccc/./ddd", "https://example.com", "https://example.com/bbb/ccc/ddd"),
+    # Non-RFC deviation: base's last segment treated as a directory.
+    ("../ddd/www", "https://example.com/aaa/bbb/ccc", "https://example.com/aaa/bbb/ddd/www"),
+    ("../www/../ddd", "https://example.com/aaa/bbb/ccc", "https://example.com/aaa/bbb/ddd"),
+    ("https://example.com/test", "https://whatever.org", "https://example.com/test"),
+    ("https://example.com/aaa/bbb/ccc/ddd", None, "https://example.com/aaa/bbb/ccc/ddd"),
+]
+
+ERROR_CASES = [
+    ("/test/api/d1", None),
+    ("test/qwaf/werq", None),
+    ("../../..", "https://example.com/aaa/bbb"),
+]
+
+
+def test_scalar_reference_cases():
+    for scraped, base, expected in REFERENCE_CASES:
+        assert build_abs_url(scraped, base) == expected, (scraped, base)
+    for scraped, base in ERROR_CASES:
+        with pytest.raises(ValueError):
+            build_abs_url(scraped, base)
+
+
+def test_batch_reference_cases():
+    scraped = pd.Series([c[0] for c in REFERENCE_CASES] + [c[0] for c in ERROR_CASES])
+    base = pd.Series([c[1] for c in REFERENCE_CASES] + [c[1] for c in ERROR_CASES])
+    out = canonicalize_batch(scraped, base)
+    for i, (_, _, expected) in enumerate(REFERENCE_CASES):
+        assert out["url"][i] == expected
+        assert out["error"][i] is None
+    for j in range(len(ERROR_CASES)):
+        i = len(REFERENCE_CASES) + j
+        assert out["url"][i] is None
+        assert out["error"][i] is not None
+
+
+def test_batch_edge_cases():
+    # protocol-relative, query/fragment dropping, params, null input
+    out = canonicalize_batch(
+        pd.Series(["//h.com/p", "/a/b?q=1#f", "/a;p", None, ""]),
+        pd.Series(["https://e.com/x", "https://e.com", "https://e.com", "https://e.com", "https://e.com/base"]),
+    )
+    assert out["url"][0] == build_abs_url("//h.com/p", "https://e.com/x")
+    assert out["url"][1] == "https://e.com/a/b"  # query+fragment dropped
+    assert out["url"][2] == build_abs_url("/a;p", "https://e.com")
+    assert out["url"][3] is None and out["error"][3] == "null url"
+    assert out["url"][4] == build_abs_url("", "https://e.com/base")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scraped=st.one_of(
+        st.sampled_from(
+            ["/a/b", "a/b", "../x", "./y", "https://z.org/q?a=1", "//cdn.z.org/i.png",
+             "", ".", "..", "a/../b", "/p?q#f", "x;y", "HTTPS://UP.com/A"]
+        ),
+        st.text(alphabet="abc/.?#:&=%", max_size=24),
+    ),
+    base=st.one_of(
+        st.none(),
+        st.sampled_from(
+            ["https://example.com", "https://example.com/aaa/bbb", "http://h.io/p/",
+             "ftp://f.net/d/e", "example.com/noscheme"]
+        ),
+    ),
+)
+def test_batch_matches_scalar(scraped, base):
+    """Property: the vectorized batch == the exact scalar, always."""
+    try:
+        expected_url, expected_err = build_abs_url(scraped, base), None
+    except ValueError:
+        expected_url, expected_err = None, "err"
+    except Exception:
+        expected_url, expected_err = None, "err"
+    out = canonicalize_batch(pd.Series([scraped]), pd.Series([base]))
+    assert out["url"][0] == expected_url
+    assert (out["error"][0] is None) == (expected_err is None)
+
+
+def test_spark_udf_and_column_helpers(spark):
+    rows = [(s, b) for s, b, _ in REFERENCE_CASES] + ERROR_CASES
+    df = spark.createDataFrame(rows, "scraped string, base string")
+    got = (
+        with_abs_url(df, "scraped", "base")
+        .select("scraped", "base", "url", "canon_error")
+        .collect()
+    )
+    by_key = {(r["scraped"], r["base"]): r for r in got}
+    for s, b, expected in REFERENCE_CASES:
+        r = by_key[(s, b)]
+        assert r["url"] == expected and r["canon_error"] is None
+    for s, b in ERROR_CASES:
+        r = by_key[(s, b)]
+        assert r["url"] is None and r["canon_error"] is not None
+
+    helpers = (
+        spark.createDataFrame(
+            [("HTTPS://Ex.COM:8080/a/b?q=1", ), ("https://h.io", ), ("example.com/x", )],
+            "u string",
+        )
+        .select(
+            host_of_col("u").alias("host"),
+            path_of_col("u").alias("path"),
+            normalize_seed_url_col("u").alias("seed"),
+        )
+        .collect()
+    )
+    assert helpers[0]["host"] == "ex.com:8080"
+    assert helpers[0]["path"] == "/a/b"
+    assert helpers[1]["host"] == "h.io" and helpers[1]["path"] == ""
+    # 'http' substring quirk (docrawl_client.py:200-201): prepend only
+    # when 'http' appears nowhere; note 'nohttp.com' would NOT get it.
+    assert helpers[2]["seed"] == "http://example.com/x"
+
+
+def test_seed_quirk_case_sensitivity(spark):
+    # 'http' must appear as an exact substring; 'HTTP' does not count
+    # (reference check is case-sensitive, docrawl_client.py:200-201).
+    df = spark.createDataFrame(
+        [("HTTP://x.com",), ("https://x.com",), ("x.com/http-page",)], "u string"
+    )
+    got = [r[0] for r in df.select(normalize_seed_url_col("u")).collect()]
+    assert got == ["http://HTTP://x.com", "https://x.com", "x.com/http-page"]

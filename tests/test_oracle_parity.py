@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet, compare row counts + sorted values (column names
+sorted, rows sorted by all columns) — catching naming or value drift
+before the driver does."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str):
+    assert len(spark_df) == len(duck_df), f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: columns {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    )
+    a, b = _normalize(spark_df), _normalize(duck_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            for i, (x, y) in enumerate(zip(av, bv)):
+                ok = (pd.isna(x) and pd.isna(y)) or (
+                    not pd.isna(x) and not pd.isna(y) and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                )
+                assert ok, f"{name}.{col}[{i}]: {x} vs {y}"
+        else:
+            av2 = av.astype(str) if av.dtype != bv.dtype else av
+            bv2 = bv.astype(str) if av.dtype != bv.dtype else bv
+            mism = (av2 != bv2)
+            assert not mism.any(), (
+                f"{name}.{col}: first mismatch at {mism.idxmax()}: "
+                f"{av2[mism.idxmax()]!r} vs {bv2[mism.idxmax()]!r}"
+            )
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    if name not in oracles:
+        assert len(spark_pdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    duck_pdf = _duck(oracles[name])
+    _assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["visit_rank", "url", "host", "depth"]
+    assert len(rows) > 0
