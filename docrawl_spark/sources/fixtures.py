@@ -150,14 +150,26 @@ def generate_web(
             # -- table (with/without th, ragged, all-empty rows)
             if rng.random() < 0.5:
                 variant = rng.randrange(4)
-                if variant == 0:
-                    payload = {"th": ["colA", "colB"], "rows": [["1", "x"], ["2", "y"]]}
-                elif variant == 1:  # no th: first row promoted to titles
-                    payload = {"th": None, "rows": [["hA", "hB"], ["3", "z"], ["4", "w"]]}
-                elif variant == 2:  # ragged: titles-mismatch fallback
-                    payload = {"th": ["only1"], "rows": [["a", "b", "c"], ["d", "e", "f"]]}
-                else:  # all-empty row → dropna
-                    payload = {"th": ["cA", "cB"], "rows": [["", ""], ["5", "v"]]}
+                if variant == 0:  # th titles (with \n\t removal + cleaner work)
+                    payload = {
+                        "th": [["col", "A\n"], ["\tcol", "B"]],
+                        "rows": [[["1 "], [" x\\q"]], [["2"], ["y", "z"]]],
+                    }
+                elif variant == 1:  # no th: first non-empty row promoted
+                    payload = {
+                        "th": None,
+                        "rows": [[["hA"], ["hB"]], [["3"], ["z"]], [["4"], ["w"]]],
+                    }
+                elif variant == 2:  # ragged longer than titles: fallback
+                    payload = {
+                        "th": [["only1"]],
+                        "rows": [[["a"], ["b"], ["c"]], [["d"], ["e"], ["f"]]],
+                    }
+                else:  # empty row in the middle → all-NaN → dropna
+                    payload = {
+                        "th": [["cA"], ["cB"]],
+                        "rows": [[["h1"], ["h2"]], [], [["5"], ["v"]]],
+                    }
                 add("table", json.dumps(payload))
             # -- bullet (fragments incl. \xa0 and empties)
             if rng.random() < 0.5:

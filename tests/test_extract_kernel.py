@@ -1,0 +1,200 @@
+"""Extraction-kernel parity (SURVEY.md §5.2 item 4): each kernel rule
+checked against a literal pandas mirror of the reference code
+(docrawl_core.py:422-541, 878-918)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import build_abs_url
+from docrawl_spark.operators.extract import (
+    extract_bullets,
+    extract_kind,
+    extract_tables,
+    string_cleaner_col,
+    tables_to_json,
+)
+from docrawl_spark.sources.schemas import DOCUMENTS_SCHEMA
+
+# ---------------------------------------------------------------------------
+# Reference mirrors (straight transliterations, used only as oracles)
+# ---------------------------------------------------------------------------
+
+
+def ref_string_cleaner(s: str) -> str:
+    return "".join(s.strip()).replace("\\", "")
+
+
+def ref_process_bullet(lis: list[list[str]]) -> list[str]:
+    result = []
+    for li in lis:
+        data = [ref_string_cleaner(x) for x in li]
+        data = list(filter(None, data))
+        result.append(" ".join(data).replace("\xa0", " ") + "\n")
+    return result
+
+
+def ref_table_df(payload: dict) -> pd.DataFrame:
+    """The scan-path table extraction (docrawl_core.py:479-541)."""
+    titles = []
+    for th in payload["th"] or []:
+        titles.append("".join(th).replace("\n", "").replace("\t", ""))
+    result = []
+    for tr in payload["rows"]:
+        row = ["\n".join(ref_string_cleaner(x) for x in td) for td in tr]
+        result.append(row)
+        if not titles:
+            titles = row
+    try:
+        df = pd.DataFrame(result, columns=titles)
+    except Exception:
+        df = pd.DataFrame(result)
+    df = df.iloc[1:, :]
+    df.dropna(axis=0, how="all", inplace=True)
+    return df
+
+
+def _docs(spark, spans_payloads: list[tuple[str, str]]):
+    """[(kind, text)] → single-doc documents DataFrame."""
+    rows = [
+        (
+            "https://fixture.test/p",
+            [(k, t, "", i) for i, (k, t) in enumerate(spans_payloads)],
+        )
+    ]
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# string_cleaner
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(
+        alphabet=" \t\n\xa0\\abcXYZ0交9é.-", min_size=0, max_size=30
+    )
+)
+def test_string_cleaner_matches_python(s, spark):
+    got = (
+        spark.createDataFrame([(s,)], "v string")
+        .select(string_cleaner_col(F.col("v")).alias("c"))
+        .first()["c"]
+    )
+    assert got == ref_string_cleaner(s), repr(s)
+
+
+# ---------------------------------------------------------------------------
+# bullets
+# ---------------------------------------------------------------------------
+
+BULLET_CASES = [
+    [["item ", "one\xa0a"], ["", "  "], ["x\\y"]],
+    [],
+    [["\xa0"], ["a"]],
+    [["  lead", "trail  ", "\\"]],
+]
+
+
+@pytest.mark.parametrize("lis", BULLET_CASES)
+def test_bullets_match_reference(spark, lis):
+    docs = _docs(spark, [("bullet", json.dumps(lis))])
+    got = extract_bullets(docs).first()["items"]
+    assert list(got) == ref_process_bullet(lis)
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+TABLE_CASES = [
+    # th present
+    {"th": [["col", "A\n"], ["\tcol", "B"]],
+     "rows": [[["1 "], [" x\\q"]], [["2"], ["y", "z"]]]},
+    # no th → first row promoted
+    {"th": None, "rows": [[["hA"], ["hB"]], [["3"], ["z"]], [["4"], ["w"]]]},
+    # ragged longer than titles → positional fallback + NaN padding
+    {"th": [["only1"]], "rows": [[["a"], ["b"], ["c"]], [["d"], ["e"]]]},
+    # empty row in the middle → all-NaN → dropna
+    {"th": [["cA"], ["cB"]], "rows": [[["h1"], ["h2"]], [], [["5"], ["v"]]]},
+    # shorter rows than titles → NaN-padded, titles kept
+    {"th": [["a"], ["b"], ["c"]], "rows": [[["x"], ["y"], ["z"]], [["1"]]]},
+    # no th, first row empty → SECOND row becomes titles
+    {"th": None, "rows": [[], [["t1"], ["t2"]], [["9"], ["8"]]]},
+    # empty table
+    {"th": None, "rows": []},
+]
+
+
+@pytest.mark.parametrize("payload", TABLE_CASES)
+def test_tables_match_reference(spark, payload):
+    docs = _docs(spark, [("table", json.dumps(payload))])
+    long_rows = extract_tables(docs).collect()
+    ref = ref_table_df(payload)
+    # rebuild a {col_pos: {row_id: cell}} view from both sides
+    got: dict[int, dict[int, object]] = {}
+    titles_got: dict[int, object] = {}
+    for r in long_rows:
+        got.setdefault(r["col_id"], {})[r["row_id"]] = r["cell"]
+        titles_got[r["col_id"]] = r["title"]
+    exp: dict[int, dict[int, object]] = {}
+    titles_exp: dict[int, object] = {}
+    for pos, col in enumerate(ref.columns):
+        titles_exp[pos] = col if isinstance(col, str) else None
+        for idx, v in ref[col].items():
+            if pd.isna(v):
+                continue
+            exp.setdefault(pos, {})[int(idx)] = v
+    # pandas keeps all-NaN COLUMNS; the long form only emits non-null
+    # cells, so compare non-null cell maps + titles for emitted cols
+    exp = {k: v for k, v in exp.items() if v}
+    assert got == exp, (got, exp)
+    for pos in got:
+        assert titles_got[pos] == titles_exp[pos], (pos, titles_got, titles_exp)
+
+
+def test_tables_to_json_matches_reference(spark):
+    payload = TABLE_CASES[1]  # promote-first-row case, clean shape
+    docs = _docs(spark, [("table", json.dumps(payload))])
+    got = tables_to_json(extract_tables(docs)).first()["table_json"]
+    exp = ref_table_df(payload).to_json()
+    assert json.loads(got) == json.loads(exp)
+
+
+# ---------------------------------------------------------------------------
+# extract_kind (O4)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_kind_text_and_none(spark):
+    docs = _docs(
+        spark,
+        [("text", "  hello  "), ("text", "   "), ("headline", "H"), ("text", "world")],
+    )
+    got = [
+        (r["line_no"], r["line"])
+        for r in extract_kind(docs, "text").orderBy("line_no").collect()
+    ]
+    assert got == [(0, "hello"), (2, "world")]
+    # a doc with no bullet spans yields the literal 'None'
+    got_none = extract_kind(docs, "bullet").collect()
+    assert [(r["line_no"], r["line"]) for r in got_none] == [(0, "None")]
+
+
+def test_extract_kind_links_absolutized(spark):
+    docs = _docs(spark, [("link", ""), ("text", "x")])
+    # patch media_ref by rebuilding rows directly
+    rows = [("https://e.com/a/b", [("link", "t", "../z", 0), ("link", "t2", "/q", 1)])]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = [r["line"] for r in extract_kind(df, "link").orderBy("line_no").collect()]
+    assert got == [
+        build_abs_url("../z", "https://e.com/a/b"),
+        build_abs_url("/q", "https://e.com/a/b"),
+    ]
