@@ -1,0 +1,212 @@
+"""Benchmark harness (run: ``python bench.py``).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...,
+   "frontier": {"urls_per_sec_8": ..., "urls_per_sec_32": ...,
+                 "scaling_efficiency": ...}}
+
+Three sections:
+1. **Headline queries** at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — per-query wall seconds (forced with a
+   noop write so nothing is skipped by pruning).
+2. **Frontier wave throughput**: the full scheduling pipeline (robots
+   gate → salted politeness → global rank → within-wave dedup → Bloom +
+   anti-join vs a pre-seeded 25% seen-set) over a deterministic
+   synthetic frontier generated JVM-side — URLs scheduled+deduped/sec.
+3. **Scaling evidence** (BASELINE.md protocol): the same wave job at
+   local[8] and local[32] on the same input;
+   efficiency = (urls/sec@32) / (urls/sec@8) / 4, target ≥ 0.8 —
+   the sandbox substitute for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom  # noqa: E402
+from docrawl_spark.operators.links import dedup_within_wave  # noqa: E402
+from docrawl_spark.operators.politeness import gate_and_select  # noqa: E402
+from docrawl_spark.operators.ranking import with_global_rank  # noqa: E402
+from docrawl_spark.plans import driver_queries  # noqa: E402
+from docrawl_spark.session import get_spark, stop_spark  # noqa: E402
+from docrawl_spark.sources.fixtures import generate_frontier_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS") or 4_000_000)
+N_HOSTS = int(os.environ.get("BENCH_FRONTIER_HOSTS") or 20_000)
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "frontier_politeness_topk",
+    "frontier_seen_antijoin",
+    "frontier_host_metrics",
+    "top_parts_per_brand",
+    "events_hourly",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan (noop sink exercises every column)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_headline_queries(spark) -> dict[str, float]:
+    out: dict[str, float] = {}
+    qs = driver_queries.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _synthetic_links(spark, n_urls: int, n_hosts: int):
+    """Deterministic discovered-link stream: (discovered_by, media_ref,
+    parent_rank, offset, depth) with hot-host skew and a mix of
+    path-relative / domain-relative / absolute refs — the shape
+    discover_links emits, generated entirely JVM-side."""
+    n_hot = max(1, n_hosts // 100)
+    base = spark.range(n_urls)
+    sid = F.col("id").cast("string")
+    u01 = F.abs(F.xxhash64(sid)) / F.lit(float(2**63))
+    host_idx = F.when(
+        u01 < 0.5, F.pmod(F.xxhash64(sid, F.lit("hot")), F.lit(n_hot))
+    ).otherwise(
+        n_hot + F.pmod(F.xxhash64(sid, F.lit("cold")), F.lit(max(1, n_hosts - n_hot)))
+    )
+    host = F.concat(F.lit("site"), host_idx, F.lit(".test"))
+    parent = F.concat(F.lit("https://"), host, F.lit("/a/parent"), F.pmod(F.col("id"), F.lit(977)).cast("string"))
+    form = F.pmod(F.abs(F.xxhash64(sid, F.lit("form"))), F.lit(10))
+    target = F.concat(F.lit("p"), F.pmod(F.abs(F.xxhash64(sid, F.lit("t"))), F.lit(n_urls)).cast("string"))
+    ref = (
+        F.when(form < 6, target)                                    # plain path-relative
+        .when(form < 7, F.concat(F.lit("../"), target))             # ../-relative (slow path)
+        .when(form < 9, F.concat(F.lit("/"), target))               # domain-relative
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/"), target))  # absolute
+    )
+    return base.select(
+        parent.alias("discovered_by"),
+        ref.alias("media_ref"),
+        F.col("id").alias("parent_rank"),
+        F.pmod(F.col("id"), F.lit(31)).cast("int").alias("offset"),
+        F.lit(1).alias("depth"),
+    )
+
+
+def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
+    """One full wave pipeline in the engine's real stage order:
+    discovered links → canonicalize (Arrow UDF) → within-wave dedup →
+    Bloom + anti-join vs seen → robots gate + salted politeness →
+    deterministic global rank. Returns elapsed seconds."""
+    from docrawl_spark.functions.canon import host_of_col, url_hash_col, with_abs_url
+
+    links = _synthetic_links(spark, n_urls, n_hosts)
+    hosts = (
+        spark.range(n_hosts)
+        .select(
+            F.concat(F.lit("site"), F.col("id"), F.lit(".test")).alias("host"),
+            F.lit(100).alias("budget"),
+            F.when(F.col("id") % 10 == 0, F.lit("/p1\n/p3")).otherwise(F.lit("")).alias(
+                "robots_blob"
+            ),
+        )
+    )
+    # pre-seeded seen set: ~25% of the target url space
+    seen = spark.range(n_urls // 4).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string"))).alias("url_hash")
+    )
+    t0 = time.perf_counter()
+    canon = with_abs_url(links, "media_ref", "discovered_by")
+    good = canon.where(F.col("canon_error").isNull()).select(
+        "url",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
+        url_hash_col("url").alias("url_hash"),
+        "parent_rank",
+        "offset",
+        "depth",
+        "discovered_by",
+    )
+    deduped = dedup_within_wave(good)
+    bloom = build_seen_bloom(seen, expected_items=n_urls // 4)
+    fresh = anti_join_seen(deduped, seen, bloom)
+    selected = gate_and_select(fresh, hosts, n_salts=8)
+    ranked = with_global_rank(
+        selected, ["parent_rank", "offset", "url_hash"], rank_col="visit_rank"
+    )
+    _force(ranked)
+    return time.perf_counter() - t0
+
+
+N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 3)
+BENCH_CONF = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g")}
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+
+    # -- scaling runs: INTERLEAVED trials (this sandbox VM has bursty
+    # CPU steal — single-thread timings vary up to 6x — so trials at
+    # the two parallelism levels alternate and the MIN per level
+    # approximates unthrottled capability; all trials are reported).
+    trials: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(N_TRIALS):
+        for cpus in (8, 32):
+            stop_spark()
+            spark = get_spark(
+                app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
+            )
+            frontier_wave(spark, max(N_URLS // 8, 50_000), max(N_HOSTS // 4, 500))
+            spark.catalog.clearCache()
+            elapsed = frontier_wave(spark, N_URLS, N_HOSTS)
+            spark.catalog.clearCache()
+            trials[cpus].append(round(elapsed, 3))
+    best = {c: min(v) for c, v in trials.items()}
+    ups = {c: round(N_URLS / best[c], 1) for c in best}
+    eff = ups[32] / ups[8] / 4.0
+    queries["frontier_wave_local8"] = best[8]
+    queries["frontier_wave_local32"] = best[32]
+
+    # -- headline queries at the full CPU count (min of N_TRIALS passes)
+    stop_spark()
+    spark = get_spark(app_name="bench_queries", cpus=CPUS, extra_conf=BENCH_CONF)
+    run_headline_queries(spark)  # warm io/codegen
+    passes = [run_headline_queries(spark) for _ in range(N_TRIALS)]
+    for name in HEADLINE:
+        queries[name] = min(p[name] for p in passes)
+
+    total = round(sum(queries.values()), 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    result = {
+        "metric": "frontier_urls_scheduled_deduped_per_sec",
+        "value": ups[32],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "total_sec": total,
+        "frontier": {
+            "n_urls": N_URLS,
+            "n_hosts": N_HOSTS,
+            "urls_per_sec_8": ups[8],
+            "urls_per_sec_32": ups[32],
+            "scaling_efficiency": round(eff, 3),
+            "trials_sec_8": trials[8],
+            "trials_sec_32": trials[32],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Document deduplication at corpus scale.
+
+Five operators, ordered by cost:
+
+- ``exact_dedup`` — hash-groupBy on normalized text; one shuffle of
+  (hash, id), map-side combinable. The 100 TB workhorse.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — shingle → MinHash →
+  band-bucket join. Only bucket collisions shuffle as pairs; the
+  corpus never self-joins. Band/row parameters trade recall for
+  candidate volume (s-curve: P(candidate) = 1-(1-s^r)^b).
+- ``simhash64`` — 64-bit SimHash via bit-count aggregation, all
+  built-in expressions (no UDF): near-dup = small hamming distance.
+- ``ngram_jaccard_pairs`` — exact Jaccard verification over n-gram
+  sets for a candidate pair set (the verify stage after LSH).
+- ``embedding_neardup_pairs`` — cosine-threshold pairs over an
+  embedding column; brute within blocking buckets at test scale, the
+  same verify shape downstream of ANN at cluster scale.
+
+Hash note: engine-side hashing uses xxhash64 (JVM, codegen). Where a
+DuckDB oracle needs to reproduce signatures bit-for-bit, the
+``hash_mode='md5'`` variant derives 64-bit values from md5 hex — both
+engines compute identical strings (see plans/driver_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Whitespace-collapse + lowercase — the usual exact-dup key."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per normalized-text value (the smallest id — i.e.
+    keep-first under a deterministic order). Returns the kept rows."""
+    key = F.xxhash64(normalized_text_col(F.col(text_col))).alias("_dup_key")
+    with_key = df.withColumn("_dup_key", key)
+    keep = with_key.groupBy("_dup_key").agg(F.min(id_col).alias(id_col))
+    return (
+        with_key.join(keep, ["_dup_key", id_col], "left_semi").drop("_dup_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles & MinHash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles (space-joined) of normalized text."""
+    tokens = F.split(normalized_text_col(text), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    )
+
+
+def _shingle_hash(shingle: Column, seed: int, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        # first 15 hex chars of md5('<seed>|'||shingle) as a positive
+        # int64 — reproducible in DuckDB for the oracle
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), shingle)), 1, 15), 16, 10
+        ).cast("long")
+    return F.xxhash64(F.lit(seed), shingle)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, signature: array<long>) — per-seed minimum of shingle
+    hashes. One pass, no shuffle (signatures are per-row)."""
+    shingles = word_shingles_col(F.col(text_col), shingle_k)
+
+    def _hasher(seed: int):
+        # NB: must stay a 1-arg lambda — F.transform passes the array
+        # INDEX to 2-arg lambdas, which would silently override a
+        # `seed=i` default argument.
+        return lambda s: _shingle_hash(s, seed, hash_mode)
+
+    sig = F.array(
+        *[F.array_min(F.transform(shingles, _hasher(i))) for i in range(n_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from band-bucket
+    collisions. Shuffles only (band_key, id) rows and the colliding
+    pairs — the scale-safe shape of MinHash LSH."""
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, hash_mode)
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(
+        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, pure built-ins)
+# ---------------------------------------------------------------------------
+
+
+def simhash64_col(text: Column) -> Column:
+    """64-bit SimHash of the token set: bit i set iff the sum over
+    tokens of (bit i of xxhash64(token) ? +1 : -1) is positive. The
+    per-row aggregation runs over a 64-wide count array via zip_with —
+    whole-stage-codegen, no UDF."""
+    tokens = F.array_distinct(F.split(normalized_text_col(text), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    # shift amounts must be Python ints (shiftleft/shiftright take a
+    # literal), so the 64 bit positions are unrolled
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    powers = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    bits = F.zip_with(
+        counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
+    the standard block-permutation trick: split the 64-bit hash into
+    n_blocks chunks; any pair within distance max_hamming < n_blocks
+    agrees exactly on ≥1 chunk, so chunk-equality is the join key —
+    never a cross join."""
+    assert max_hamming < n_blocks
+    bits_per = 64 // n_blocks
+    sh = df.select(F.col(id_col), simhash64_col(F.col(text_col)).alias("simhash"))
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(
+                F.lit((1 << bits_per) - 1)
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    chunks = sh.select(
+        id_col, "simhash", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
+    )
+    a = chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(hamming64_col(F.col("sh_a"), F.col("sh_b")) <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard verification + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs by exact n-gram Jaccard.
+    Joins shingle sets onto the (small) candidate set — the corpus
+    itself never pairs up."""
+    sets = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        candidate_pairs.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs. With ``block_col`` (e.g. an LSH bucket
+    or cluster id) the self-join runs within blocks; without it this is
+    the brute verify stage — only for bounded candidate sets."""
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm.alias("_n"),
+        (block_col if block_col is not None else F.lit(0)).alias("_blk"),
+    )
+    a = v.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"), F.col("_n").alias("n_a"),
+    )
+    b = v.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"), F.col("_n").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,159 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The decode/resize/feature kernels themselves are STUBS in this sandbox
+(no image/audio libs in the container): each has (a) a
+``NotImplementedError`` real path clearly marked for cluster use and
+(b) a deterministic fake (hash-derived) used by tests so the
+Spark-side plumbing — schemas, batch iteration, partition sizing — is
+real and tested end-to-end.
+
+Scale notes baked into the operators:
+- media rows are WIDE (MBs): ``repartition_for_media`` sizes
+  partitions by byte budget, not row count, so one task never holds
+  gigabytes of frames;
+- decode stages stream batch-by-batch (mapInPandas iterator), bounded
+  by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- metadata-only transforms never touch the binary column (column
+  pruning keeps the bytes on disk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_FEATURES_DDL = (
+    "media_id string, width int, height int, mean_luma double, sha256 string"
+)
+
+FRAME_SAMPLE_DDL = "media_id string, frame_idx int, ts_ms long, frame_sha256 string"
+
+
+def repartition_for_media(
+    df: DataFrame, bytes_col: str = "n_bytes", target_partition_bytes: int = 256 << 20
+) -> DataFrame:
+    """Repartition so each task sees ~target bytes of media, not a row
+    count — the knob that keeps decode tasks memory-bounded."""
+    total = df.agg(F.sum(bytes_col)).first()[0] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def _fake_decode(content: bytes | None, media_id: str) -> tuple[int, int, float, str]:
+    """Deterministic fake: dimensions/luma derived from the content
+    hash, so tests exercise real plumbing with stable values."""
+    h = hashlib.sha256(content if content is not None else media_id.encode()).hexdigest()
+    width = 64 + int(h[:4], 16) % 1984
+    height = 64 + int(h[4:8], 16) % 1016
+    mean_luma = round(int(h[8:12], 16) / 65535.0, 6)
+    return width, height, mean_luma, h
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media rows → (media_id, width, height, mean_luma, sha256).
+
+    Real path: decode via PIL/turbojpeg on the cluster —
+    NotImplementedError here (libs not in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/libjpeg on the cluster; "
+                    "use fake=True for plumbing tests"
+                )
+            rows = [
+                _fake_decode(c, m)
+                for c, m in zip(pdf["content"], pdf["media_id"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "mean_luma": [r[2] for r in rows],
+                    "sha256": [r[3] for r in rows],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, IMAGE_FEATURES_DDL)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """media rows → sampled frame fingerprints (one row per frame).
+
+    Real path: ffmpeg/pyav frame iteration — NotImplementedError here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg/pyav on the cluster; "
+                    "use fake=True for plumbing tests"
+                )
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_sha256": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(
+                    content if content is not None else mid.encode()
+                ).hexdigest()
+                n = 1 + int(h[:2], 16) % max_frames
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_sha256"].append(
+                        hashlib.sha256(f"{h}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(run, FRAME_SAMPLE_DDL)
+
+
+def media_from_spans(docs: DataFrame) -> DataFrame:
+    """documents → media queue rows (the O17 download_images analogue:
+    discover media_refs from image spans; bytes arrive via the fetch
+    stage). Extension parsing strips '?query' exactly like the
+    reference (docrawl_core.py:809, 829)."""
+    images = F.filter(
+        F.col("spans"),
+        lambda s: (s["kind"] == "image") & (F.coalesce(s["media_ref"], F.lit("")) != ""),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(images).alias("i", "s")
+    ).select(
+        F.concat_ws("#", "doc_id", F.col("i").cast("string")).alias("media_id"),
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    ext = F.regexp_extract(
+        F.element_at(F.split(F.col("media_ref"), r"\?"), 1), r"\.([A-Za-z0-9]+)$", 1
+    )
+    return exploded.withColumn(
+        "mime",
+        F.when(F.lower(ext).isin("jpg", "jpeg"), "image/jpeg")
+        .when(F.lower(ext) == "png", "image/png")
+        .when(F.lower(ext) == "gif", "image/gif")
+        .when(F.lower(ext) == "webp", "image/webp")
+        .otherwise("application/octet-stream"),
+    ).withColumn("n_bytes", F.lit(None).cast("long")).withColumn(
+        "content", F.lit(None).cast("binary")
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k against a query vector:
+  one scan, JVM-side zip_with dot product, no shuffle until the final
+  k-row ordering. The correctness baseline.
+- ``lsh_bucketed_topk`` — the scale path: sign-random-projection LSH
+  buckets (deterministic hyperplanes derived from a seed), probe the
+  query's bucket plus all hamming-1 neighbor buckets, exact cosine only
+  within candidates. At 10^10 vectors the bucket join prunes ~2^planes
+  of the corpus; recall is tunable via n_planes / probes.
+- ``knn_pairs_blocked`` — all-pairs k-NN within blocking keys (for
+  near-dup mining downstream of clustering).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_scores(
+    emb: DataFrame, query: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cosine) for every vector vs the query — the scan stage."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = F.when(
+        _norm(v) > 0, _dot(v, q) / (_norm(v) * F.lit(qn))
+    ).otherwise(F.lit(0.0))
+    return emb.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (ties broken by id for determinism).
+    orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    top-k then a k-row merge, NOT a global sort."""
+    return (
+        cosine_scores(emb, query, id_col, vec_col)
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state —
+    hash-derived so executors/driver always agree)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id (one bit per plane)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pcol = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.transform(vec, lambda x: x.cast("double")), pcol) > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine scan to vectors whose SRP
+    bucket is within ``probe_hamming`` bits of the query's bucket."""
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) > 0:
+            q_bucket |= 1 << i
+    probes = {q_bucket}
+    if probe_hamming >= 1:
+        for i in range(n_planes):
+            probes.add(q_bucket ^ (1 << i))
+    bucketed = emb.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
+    cands = bucketed.where(F.col("_bucket").isin(*[int(x) for x in probes]))
+    return cosine_topk(cands.drop("_bucket"), query, k, id_col, vec_col)
+
+
+def knn_pairs_blocked(
+    emb: DataFrame,
+    block_col: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per vector within blocks (window over the
+    blocked pair set)."""
+    from pyspark.sql import Window
+
+    v = emb.select(
+        F.col(id_col), F.col(vec_col), block_col.alias("_blk"), _norm(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_n")
+    )
+    a = v.select(F.col("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("_n").alias("n_a"))
+    b = v.select(F.col("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("_n").alias("n_b"))
+    va = F.transform(F.col("v_a"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("v_b"), lambda x: x.cast("double"))
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), _dot(va, vb) / (F.col("n_a") * F.col("n_b"))
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(b, "_blk")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -1,0 +1,145 @@
+"""Text analysis over the documents table — all pure built-in
+expressions (whole-stage codegen; zero Python in the hot path).
+
+- token counting: whitespace tokens + a BPE-ish sub-word estimate;
+- language ID: stopword-hit scoring over small per-language marker
+  sets (a deterministic n-gram-free heuristic that both Spark and a
+  SQL oracle can compute identically);
+- quality scoring: length / punctuation / stopword / repetition
+  signals combined into one bounded score;
+- fingerprinting: whole-doc content hash + winnowing-style rolling
+  window minimum over token hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker words per language — tiny on purpose (broadcast as literals
+# into the expression; at 100 TB nothing is shipped per-row).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count ('' → 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def subword_estimate_col(text: Column, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token estimate: ceil(chars/4) blended with word count —
+    the standard cheap proxy when no tokenizer ships with the job."""
+    words = token_count_col(text)
+    chars = F.length(F.trim(text))
+    return F.greatest(
+        words, F.ceil(chars / F.lit(chars_per_token)).cast("int")
+    ).cast("int")
+
+
+def lang_scores_col(text: Column) -> Column:
+    """Map lang → marker-hit count among the doc's distinct tokens."""
+    toks = F.array_distinct(tokens_col(text))
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).cast("long").alias("hits"),
+        )
+        for lang, words in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def langid_col(text: Column) -> Column:
+    """argmax language by marker hits; ties and zero-hit docs → 'und'.
+    Deterministic tie-break: higher hits, then lexicographic lang."""
+    scores = lang_scores_col(text)
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).cast("long").alias("hits")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"])
+            | ((s["hits"] == acc["hits"]) & (s["hits"] > 0) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def quality_score_col(text: Column) -> Column:
+    """Bounded [0, 1000] integer quality score:
+    + length in a healthy band (≤350), + low token repetition (≤250),
+    + stopword presence (≤250), + low punctuation density (≤150).
+
+    INTEGER arithmetic throughout (floor division on exact ints) so the
+    score is bit-identical across engines — float weight sums land on
+    round-half boundaries and flake value-hash comparisons."""
+    t = F.trim(text)
+    n_chars = F.length(t).cast("long")
+    toks = tokens_col(t)
+    n_tok = token_count_col(t).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]),
+        )
+    ).cast("long")
+    len_part = F.floor(F.lit(350) * F.least(n_chars, F.lit(500)) / F.lit(500))
+    rep_part = F.when(
+        n_tok > 0, F.floor(F.lit(250) * n_distinct / n_tok)
+    ).otherwise(F.lit(0))
+    stop_part = F.floor(F.lit(250) * F.least(stop_hits, F.lit(4)) / F.lit(4))
+    punct_part = F.when(
+        n_chars > 0,
+        F.floor(
+            F.lit(150)
+            * F.greatest(n_chars - F.least(punct * 5, n_chars), F.lit(0))
+            / n_chars
+        ),
+    ).otherwise(F.lit(0))
+    return (len_part + rep_part + stop_part + punct_part).cast("int")
+
+
+def doc_fingerprint_col(text: Column) -> Column:
+    """Whole-doc content fingerprint over normalized text (exact-dup
+    key; xxhash64 — JVM-side)."""
+    return F.xxhash64(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def winnow_fingerprints_col(text: Column, window: int = 4) -> Column:
+    """Winnowing-style fingerprint set: rolling minimum of token-hash
+    windows — robust to local edits, used for partial-overlap detection
+    (Schleimer et al., SIGMOD'03). Pure array expressions."""
+    hashes = F.transform(tokens_col(text), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-doc profile with every signal above."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_col(t).alias("n_tokens"),
+        subword_estimate_col(t).alias("n_subword_est"),
+        langid_col(t).alias("lang_pred"),
+        quality_score_col(t).alias("quality"),
+        doc_fingerprint_col(t).alias("fingerprint"),
+    )

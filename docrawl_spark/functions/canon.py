@@ -82,6 +82,13 @@ def build_abs_url(scraped_url: str, domain_url: str | None = None) -> str:
 _ABS_FAST = re.compile(r"^[a-z][a-z0-9+.\-]*://[^/?#]")
 # Extract scheme://netloc from the base url.
 _BASE_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)")
+# Same plus the path (for the path-relative fast path).
+_BASE_FULL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]*)([^?#;]*)$")
+# Plain path-relative ref: non-empty '/'-separated segments, no
+# scheme/query/fragment/';', no leading/trailing '/', no '//'.
+_REL_FAST = re.compile(r"^[^/?#;:\s]+(/[^/?#;:\s]+)*$")
+# A '.' or '..' segment anywhere.
+_DOT_SEG = r"(?:^|/)\.\.?(?:/|$)"
 
 _ERR_NO_BASE = "relative url without base"
 _ERR_UNDERFLOW = "relative path underflow"
@@ -156,7 +163,44 @@ def canonicalize_batch(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
         # base present but unparseable by the regex → slow path
         dom_mask = hit | no_base
 
-    slow = ~abs_mask & ~dom_mask & ~is_null
+    # Fast path 3: plain path-relative — no leading '/', no '.'/'..'
+    # segments, no empty segments ('//' or trailing '/'), no query/
+    # fragment/';'. Reference semantics append the ref's segments to ALL
+    # of the base path's segments (the non-RFC "last segment is a
+    # directory" rule), which for clean refs is pure concatenation.
+    rel_mask = (
+        s.str.match(_REL_FAST).to_numpy()
+        & ~s.str.contains(_DOT_SEG, regex=True).to_numpy()
+        & ~abs_mask
+        & ~dom_mask
+        & ~is_null
+    )
+    if rel_mask.any():
+        b = base.fillna("")
+        bparts = b.str.extract(_BASE_FULL_RE)  # 0=scheme 1=netloc 2=path
+        base_ok = (
+            bparts[0].notna()
+            & ~bparts[2].fillna("").str.contains("//", regex=False)
+        ).to_numpy()
+        hit = rel_mask & base_ok
+        if hit.any():
+            # base path '' or '/a/b' → tail '' or 'a/b'; join with ref
+            tail = bparts[2].fillna("").str.replace(r"^/", "", regex=True)
+            joined = np.where(
+                tail.to_numpy() == "", s.to_numpy(), (tail + "/" + s).to_numpy()
+            )
+            out_url[hit] = (
+                bparts[0].str.lower().to_numpy()[hit]
+                + "://"
+                + bparts[1].to_numpy()[hit]
+                + "/"
+                + joined[hit]
+            )
+        no_base = rel_mask & base.isna().to_numpy()
+        out_err[no_base] = _ERR_NO_BASE
+        rel_mask = hit | no_base  # unparseable/odd base → slow path
+
+    slow = ~abs_mask & ~dom_mask & ~rel_mask & ~is_null
     if slow.any():
         sv = scraped.to_numpy()
         bv = base.to_numpy()

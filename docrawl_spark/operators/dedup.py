@@ -44,9 +44,12 @@ def anti_join_seen(
     """Rows of ``candidates`` whose url_hash is not in ``url_seen``."""
     if bloom is None:
         return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    # Persist before splitting: the union of two filters over the same
+    # parent would otherwise execute the parent (e.g. the within-wave
+    # dedup groupBy) twice.
     flagged = candidates.withColumn(
         "_maybe", might_contain_col(candidates, bloom, "url_hash")
-    )
+    ).persist()
     new_for_sure = flagged.where(~F.col("_maybe")).drop("_maybe")
     resolved = (
         flagged.where(F.col("_maybe"))

@@ -32,6 +32,11 @@ def with_global_rank(
     """Append ``rank_col`` = dense global 0-based position of each row in
     the total order of ``order_cols`` (+ ``start``)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Persist the input FIRST: repartitionByRange runs a sampling job to
+    # pick range boundaries, and without a cache that sampling pass
+    # re-executes the entire upstream plan (e.g. the politeness windows)
+    # a second time.
+    df = df.persist()
     ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
     local = ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrn",
@@ -46,7 +51,8 @@ def with_global_rank(
     local = local.persist()
     counts = (
         local.groupBy("_pid").count().orderBy("_pid").collect()
-    )  # one row per partition — tiny
+    )  # one row per partition — tiny; also materializes `local`
+    df.unpersist()  # the range-partitioned copy supersedes the input cache
     offsets: dict[int, int] = {}
     acc = start
     for r in counts:

@@ -156,20 +156,31 @@ def q_within_wave_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _dec(col: str) -> "F.Column":
+    """Exact decimal view of a money/quantity double: large SUMs of
+    doubles drift with summation order across engines (error envelope
+    ~n·eps·sum exceeds any rounding), so cross-engine-comparable sums
+    run in decimal and convert back after rounding."""
+    return F.col(col).cast("decimal(18,6)")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: big scan + groupBy + many aggregates."""
     li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,6)") - _dec("l_discount")
+    )
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 4)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(_dec("l_quantity")), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg(_dec("l_discount")), 4).cast("double").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -189,8 +200,14 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -226,6 +243,143 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline operators (datapipe/)
+# --------------------------------------------------------------------------
+
+_QUERY_VEC = [1.0] + [0.0] * 63  # embeddings are 64-dim
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors (datapipe/dedup.exact_dedup)."""
+    from docrawl_spark.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docrawl_spark.datapipe.text import subword_estimate_col, token_count_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        subword_estimate_col(F.col("text")).alias("n_subword_est"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docrawl_spark.datapipe.text import langid_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", langid_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docrawl_spark.datapipe.text import quality_score_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash_hex) in the
+    md5-hex mode both engines can compute bit-for-bit."""
+    from docrawl_spark.datapipe.dedup import word_shingles_col
+
+    docs = _t(spark, sf_dir, "documents")
+    shingles = word_shingles_col(F.col("text"), 3)
+    seeds = F.sequence(F.lit(0), F.lit(7))
+    sig = F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.substring(
+                    F.md5(F.concat(seed.cast("string"), F.lit("|"), s)), 1, 15
+                ),
+            )
+        ),
+    )
+    return (
+        docs.where(F.size(shingles) > 0)  # shingle-less docs emit nothing
+        .select("doc_id", F.posexplode(sig).alias("seed", "minhash_hex"))
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docrawl_spark.datapipe.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docrawl_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — xxhash64-based, no SQL oracle (driver
+    records a rows-only check)."""
+    from docrawl_spark.datapipe.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, n_blocks=16
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — xxhash64-based, rows-only check."""
+    from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=32, n_bands=16
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative
+    sum of session-start flags), then session stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -243,6 +397,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_per_brand": q_top_parts_per_brand,
         "events_hourly": q_events_hourly,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_counts": q_token_counts,
+        "langid": q_langid,
+        "quality_scores": q_quality_scores,
+        "minhash_band_minima": q_minhash_band_minima,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "events_sessionize": q_events_sessionize,
+        "revenue_rollup": q_revenue_rollup,
     }
 
 
@@ -302,18 +467,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 4) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS sum_disc_price,
+                   CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_qty,
+                   CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -333,5 +500,123 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup_docs": r"""
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   CAST(GREATEST(
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END,
+                     CEIL(length(trim(text)) / 4.0)) AS INT) AS n_subword_est
+            FROM documents
+        """,
+        "langid": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                len(list_intersect(toks, ['the','and','of','to','a','in','is','that'])) AS en,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS de,
+                len(list_intersect(toks, ['le','la','les','et','est','un','une','que'])) AS fr,
+                len(list_intersect(toks, ['el','la','los','de','que','es','un','una'])) AS es,
+                len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS zh
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(en,de,fr,es,zh) = 0 THEN 'und'
+                        WHEN de = GREATEST(en,de,fr,es,zh) THEN 'de'
+                        WHEN en = GREATEST(en,de,fr,es,zh) THEN 'en'
+                        WHEN es = GREATEST(en,de,fr,es,zh) THEN 'es'
+                        WHEN fr = GREATEST(en,de,fr,es,zh) THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM h
+        """,
+        "quality_scores": r"""
+            WITH b AS (
+              SELECT doc_id, trim(text) AS t,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     length(t) AS n_chars,
+                     CASE WHEN t = '' THEN 0 ELSE len(toks) END AS n_tok,
+                     len(list_distinct(toks)) AS n_distinct,
+                     length(regexp_replace(t, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','and','of','to','a','in','is','that'])) AS stop_hits
+              FROM b)
+            SELECT doc_id, CAST(
+                     FLOOR(350 * LEAST(n_chars, 500) / 500.0)
+                   + (CASE WHEN n_tok > 0 THEN FLOOR(250.0 * n_distinct / n_tok) ELSE 0 END)
+                   + FLOOR(250 * LEAST(stop_hits, 4) / 4.0)
+                   + (CASE WHEN n_chars > 0
+                           THEN FLOOR(150.0 * GREATEST(n_chars - LEAST(punct * 5, n_chars), 0) / n_chars)
+                           ELSE 0 END)
+                   AS INT) AS quality
+            FROM m
+        """,
+        "minhash_band_minima": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed)
+            SELECT doc_id, CAST(seed AS INT) AS seed,
+                   MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS minhash_hex
+            FROM sh, seeds GROUP BY doc_id, seed
+        """,
+        "embedding_topk": f"""
+            WITH c AS (
+              SELECT vec_id,
+                     ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           CAST({_QUERY_VEC} AS DOUBLE[])), 6) AS cosine
+              FROM embeddings)
+            SELECT vec_id, cosine FROM c
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "events_sessionize": """
+            WITH x AS (
+              SELECT user_id, value, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+              SELECT user_id, value,
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM x)
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM y GROUP BY user_id, session_id
+        """,
+        "revenue_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }

@@ -1,0 +1,184 @@
+"""Training-data pipeline operators: semantics at small scale."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from docrawl_spark.datapipe.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64_col,
+    simhash_neardup_pairs,
+    word_shingles_col,
+)
+from docrawl_spark.datapipe.multimodal import (
+    decode_image_features,
+    media_from_spans,
+    sample_video_frames,
+)
+from docrawl_spark.datapipe.similarity import cosine_topk, lsh_bucketed_topk
+from docrawl_spark.datapipe.text import text_profile
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "The quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+    (3, "The quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different text about spark dataframes and shuffles"),
+    (5, "der hund und die katze sind nicht da und das ist gut"),
+    (6, "le chat est sur la table et le chien est dans le jardin"),
+    (7, "  The   quick brown fox jumps over the lazy dog near the river bank today  "),  # ws dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    kept = exact_dedup(docs_df).select("doc_id").orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in kept]
+    # 2 and 7 are dups of 1 (whitespace-normalized); keep-first = min id
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_minhash_identical_signatures(spark, docs_df):
+    sigs = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs_df, n_hashes=16).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[7]
+    assert sigs[1] != sigs[4]
+    # near-dup docs share most minima
+    same = sum(1 for a, b in zip(sigs[1], sigs[3]) if a == b)
+    assert same >= 8
+
+
+def test_minhash_lsh_pairs_and_jaccard_verify(spark, docs_df):
+    pairs = minhash_lsh_pairs(docs_df, n_hashes=16, n_bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 7) in got and (2, 7) in got
+    assert (1, 4) not in got
+    verified = ngram_jaccard_pairs(docs_df, pairs, threshold=0.5)
+    v = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == 1.0
+    assert 0.5 <= v.get((1, 3), v.get((1, 3), 0.0)) < 1.0 or (1, 3) not in v
+
+
+def test_simhash_neardup(spark, docs_df):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs_df.select("doc_id", simhash64_col(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[1] == sh[2] == sh[7]
+    # hamming(1,3) small; hamming(1,4) large
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 7) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(word_shingles_col(F.col("text"), 2).alias("s")).first()["s"]
+    assert list(got) == ["a b", "b c", "c d"]
+
+
+def test_embedding_neardup_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    topk = [r["vec_id"] for r in cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()]
+    assert topk == [1, 2, 5]
+    # LSH ANN finds the same top-1 with enough probes
+    ann = lsh_bucketed_topk(emb, [1.0, 0.0, 0.0], k=1, n_planes=4)
+    assert [r["vec_id"] for r in ann.collect()] == [1]
+
+
+def test_text_profile(spark, docs_df):
+    prof = {r["doc_id"]: r for r in text_profile(docs_df).collect()}
+    assert prof[1]["n_tokens"] == 14
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "de"
+    assert prof[6]["lang_pred"] == "fr"
+    assert prof[1]["fingerprint"] == prof[7]["fingerprint"]  # ws-normalized
+    assert 0 <= prof[4]["quality"] <= 1000
+
+
+def test_multimodal_plumbing(spark):
+    from docrawl_spark.sources.schemas import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://m.test/p",
+                [
+                    ("image", "alt", "/static/a.png?w=1", 0),
+                    ("image", "alt2", "/static/b.jpg", 1),
+                    ("text", "body", "", 2),
+                ],
+            )
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    media = media_from_spans(docs)
+    rows = {r["media_ref"]: r["mime"] for r in media.collect()}
+    assert rows["/static/a.png?w=1"] == "image/png"  # ?query stripped for ext
+    assert rows["/static/b.jpg"] == "image/jpeg"
+
+    with_bytes = media.withColumn("content", F.encode(F.col("media_ref"), "utf-8"))
+    feats = decode_image_features(with_bytes, fake=True).collect()
+    assert len(feats) == 2
+    assert all(64 <= r["width"] <= 2048 and 64 <= r["height"] <= 1080 for r in feats)
+    # deterministic: same input → same features
+    feats2 = decode_image_features(with_bytes, fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    frames = sample_video_frames(with_bytes, fake=True).collect()
+    assert len(frames) >= 2
+
+    # real path is explicitly not implemented in this container
+    with pytest.raises(Exception) as e:
+        decode_image_features(with_bytes, fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_lsh_recall_at_scale(spark):
+    """ANN recall sanity: on 200 deterministic vectors, bucketed top-10
+    finds ≥60% of brute-force top-10 with 8 planes + hamming-1 probes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[0]]
+    brute = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    # 4 planes over 200 points → ~12 points/bucket, 5 probe buckets
+    ann = {r["vec_id"] for r in lsh_bucketed_topk(emb, q, k=10, n_planes=4).collect()}
+    assert len(brute & ann) >= 6

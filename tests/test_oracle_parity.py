@@ -52,8 +52,9 @@ def _assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: st
                 )
                 assert ok, f"{name}.{col}[{i}]: {x} vs {y}"
         else:
-            av2 = av.astype(str) if av.dtype != bv.dtype else av
-            bv2 = bv.astype(str) if av.dtype != bv.dtype else bv
+            # normalize None/NaN and dtype differences to strings
+            av2 = av.where(av.notna(), "__null__").astype(str)
+            bv2 = bv.where(bv.notna(), "__null__").astype(str)
             mism = (av2 != bv2)
             assert not mism.any(), (
                 f"{name}.{col}: first mismatch at {mism.idxmax()}: "
