@@ -1,0 +1,134 @@
+"""Streaming frontier: the batch wave loop (plans/crawl.py) re-expressed
+incrementally (SURVEY.md §7 stretch goal).
+
+- ``streaming_candidates``: readStream(documents) → link discovery →
+  **streaming dedup** (``dropDuplicates("url_hash")``) → candidate
+  stream. The dropDuplicates state store IS the URL-seen set in the
+  streaming formulation — exactly-once per canonical url across all
+  micro-batches, checkpointed by the engine. At 10^10 scale the state
+  is RocksDB-backed (`spark.sql.streaming.stateStore.providerClass`);
+  key size = 8-byte url_hash, so 10^10 keys ≈ bounded by the store,
+  not the JVM heap.
+
+- ``run_streaming_crawl``: a self-feeding incremental crawl driver —
+  ``foreachBatch`` applies the batch politeness/fetch pipeline to each
+  discovered micro-batch and writes newly fetched documents back into
+  the watched directory, so discovery cascades until the frontier is
+  exhausted. One code path (the batch operators) serves both engines,
+  which is the point: streaming is an execution mode, not a fork.
+
+- ``streaming_fetch_rollup``: event-time windowed crawl telemetry with
+  watermarking (late fetch records beyond the watermark are dropped —
+  the standard correctness/ state-size trade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docrawl_spark.operators.links import discover_links
+from docrawl_spark.sources.schemas import DOCUMENTS_SCHEMA
+
+
+def streaming_candidates(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source documents stream → deduped candidate url stream."""
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(docs_dir)
+    )
+    with_meta = docs.select(
+        "doc_id",
+        "spans",
+        F.lit(0).cast("long").alias("visit_rank"),
+        F.lit(0).alias("depth"),
+    )
+    discovered = discover_links(with_meta, doc_col="doc_id")
+    good = discovered.where(F.col("canon_error").isNull())
+    # streaming state = the url-seen set; exactly-once per url_hash
+    return good.select(
+        "url_hash", "url", "host", "host_hash", "discovered_by", "offset", "depth"
+    ).dropDuplicates(["url_hash"])
+
+
+def streaming_fetch_rollup(
+    spark: SparkSession,
+    fetch_log_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed per-host fetch telemetry with late-data
+    handling: counts + error rate per (window, host)."""
+    return (
+        fetch_log_stream.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum((F.col("status") >= 400).cast("long")).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_fetches",
+            "n_errors",
+        )
+    )
+
+
+def run_streaming_crawl(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seeds_docs: DataFrame,
+    watch_dir: str,
+    checkpoint_dir: str,
+    hosts: DataFrame | None = None,
+    max_batches: int = 16,
+) -> list[str]:
+    """Self-feeding incremental crawl: seed documents land in
+    ``watch_dir``; each micro-batch discovers links, joins the corpus
+    (synthetic fetch), and writes newly fetched documents back into
+    ``watch_dir`` — cascading until no new urls remain. Returns the
+    visited doc_ids in completion order of discovery batches.
+
+    This is the demonstration harness for the streaming mode (file
+    source + foreachBatch); the production shape swaps the file source
+    for the frontier table's CDC feed."""
+    visited: list[str] = []
+
+    seeds_docs.write.mode("append").parquet(watch_dir)
+    stream = streaming_candidates(spark, watch_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = batch_df
+        if hosts is not None:
+            from docrawl_spark.operators.politeness import robots_allowed_col
+
+            dim = hosts.select("host", F.col("robots_blob").alias("_robots"))
+            gated = (
+                batch_df.join(F.broadcast(dim), "host", "left")
+                .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+                .drop("_robots")
+            )
+        new_docs = (
+            gated.join(corpus, gated["url"] == corpus["doc_id"], "inner")
+            .select(corpus["doc_id"], corpus["spans"])
+        )
+        rows = new_docs.select("doc_id").collect()
+        if rows:
+            for r in sorted(rows, key=lambda x: x["doc_id"]):
+                visited.append(r["doc_id"])
+            new_docs.write.mode("append").parquet(watch_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for _ in range(max_batches):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return visited

@@ -1,0 +1,121 @@
+"""Determinism under parallelism (SURVEY.md §5.2 item 5) and
+physical-plan shape assertions — the 100 TB questions: does the filter
+reach the scan, did the small side broadcast, is the kernel
+shuffle-free, is top-k a TakeOrdered not a global sort."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from docrawl_spark.operators.ranking import with_global_rank
+from docrawl_spark.operators.scan import scan_documents
+from docrawl_spark.plans import driver_queries as dq
+from docrawl_spark.plans.crawl import run_crawl
+from docrawl_spark.sources.fixtures import fixture_to_dfs, generate_web
+from docrawl_spark.sources.storage import Warehouse
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Determinism
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_invariant_to_salts_and_partitions(spark, tmp_path):
+    fx = generate_web(seed=5)
+    docs_raw, hosts, seeds = fixture_to_dfs(spark, fx)
+    results = []
+    for i, (salts, parts) in enumerate([(1, 2), (8, 16)]):
+        wh = Warehouse(str(tmp_path / f"wh{i}"), spark)
+        docs_rp = docs_raw.repartition(parts)
+        res = run_crawl(
+            spark, docs_rp, hosts, seeds, max_waves=4, warehouse=wh,
+            use_bloom=False, n_salts=salts,
+        )
+        results.append((res.visits, res.seen_urls))
+    assert results[0] == results[1]
+
+
+def test_global_rank_invariant_to_partitioning(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("v")
+    )
+    a = {
+        (r["k"], r["rank"])
+        for r in with_global_rank(df.repartition(3), ["k"], num_partitions=4).collect()
+    }
+    b = {
+        (r["k"], r["rank"])
+        for r in with_global_rank(df.repartition(17), ["k"], num_partitions=11).collect()
+    }
+    assert a == b
+    ranks = sorted(r for _, r in a)
+    assert ranks == list(range(1000))
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(dq.q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns don't reach the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = plan_of(dq.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    from docrawl_spark.datapipe.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(cosine_topk(emb, [1.0] + [0.0] * 63, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_kernel_is_shuffle_free(spark):
+    fx = generate_web(seed=5)
+    docs_raw, _, _ = fixture_to_dfs(spark, fx)
+    plan = plan_of(scan_documents(docs_raw))
+    assert "Exchange" not in plan
+
+
+def test_politeness_uses_broadcast_for_hosts(spark):
+    from docrawl_spark.operators.politeness import gate_and_select
+
+    fx = generate_web(seed=5)
+    docs_raw, hosts, seeds = fixture_to_dfs(spark, fx)
+    from docrawl_spark.plans.crawl import seeds_to_candidates
+
+    cands = seeds_to_candidates(seeds)
+    plan = plan_of(gate_and_select(cands, hosts.select("host", "budget", "robots_blob")))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_spans_kind_filter_stays_inside_generator(spark):
+    """The kind filter must run inside the array BEFORE the explode —
+    the generate node's input is the filtered lambda, so non-matching
+    spans never become rows."""
+    from docrawl_spark.operators.scan import spans_of_kind
+
+    fx = generate_web(seed=5)
+    docs_raw, _, _ = fixture_to_dfs(spark, fx)
+    plan = plan_of(spans_of_kind(docs_raw, "link"), mode="simple")
+    assert "Generate posexplode" in plan or "Generate explode(filter(" in plan
