@@ -127,6 +127,18 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
         F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string"))).alias("url_hash")
     )
     t0 = time.perf_counter()
+    # the Bloom build only needs `seen` — overlap it with the
+    # canonicalize/dedup stages (concurrent Spark jobs from a thread)
+    import threading
+
+    bloom_box: dict = {}
+
+    def _build():
+        bloom_box["blob"] = build_seen_bloom(seen, expected_items=n_urls // 4)
+
+    bloom_thread = threading.Thread(target=_build)
+    bloom_thread.start()
+
     canon = with_abs_url(links, "media_ref", "discovered_by")
     good = canon.where(F.col("canon_error").isNull()).select(
         "url",
@@ -139,8 +151,8 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
         "discovered_by",
     )
     deduped = dedup_within_wave(good)
-    bloom = build_seen_bloom(seen, expected_items=n_urls // 4)
-    fresh = anti_join_seen(deduped, seen, bloom)
+    bloom_thread.join()
+    fresh = anti_join_seen(deduped, seen, bloom_box["blob"])
     selected = gate_and_select(fresh, hosts, n_salts=8)
     ranked = with_global_rank(
         selected, ["parent_rank", "offset", "url_hash"], rank_col="visit_rank"

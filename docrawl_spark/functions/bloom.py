@@ -107,13 +107,21 @@ class Bloom:
         return cls(m_bits, k, words)
 
 
-def build_bloom(df: DataFrame, key_col: str, expected_items: int, fpp: float = 0.03) -> bytes:
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.03,
+    params: tuple[int, int] | None = None,
+) -> bytes:
     """Aggregate ``df[key_col]`` (long) into one Bloom blob.
 
     One partial bitmap per partition (vectorized), OR-reduced on the
     driver: ``num_partitions`` rows of a few MB each — the same shape
-    as any sketch aggregation."""
-    m_bits, k = _optimal_params(expected_items, fpp)
+    as any sketch aggregation. Pass ``params=(m_bits, k)`` to build a
+    delta compatible with an existing Bloom for incremental union
+    (the crawl loop adds only each wave's newly-seen keys)."""
+    m_bits, k = params if params is not None else _optimal_params(expected_items, fpp)
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bloom = Bloom(m_bits, k)

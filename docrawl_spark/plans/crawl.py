@@ -35,7 +35,7 @@ from docrawl_spark.functions.canon import (
     normalize_seed_url_col,
     url_hash_col,
 )
-from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom
+from docrawl_spark.operators.dedup import anti_join_seen
 from docrawl_spark.operators.fetch import synthetic_fetch
 from docrawl_spark.operators.links import dedup_within_wave, discover_links
 from docrawl_spark.operators.politeness import gate_and_select
@@ -97,10 +97,19 @@ def run_crawl(
     n_salts: int = 8,
     resume: bool = False,
     collect_visits: bool = True,
+    expected_total_urls: int = 1 << 20,
 ) -> CrawlResult:
-    """Run (or resume) a crawl to completion or ``max_waves``."""
+    """Run (or resume) a crawl to completion or ``max_waves``.
+
+    ``expected_total_urls`` sizes the incremental seen-set Bloom; an
+    overshoot only degrades the prefilter's fpp (the exact anti-join
+    stays the source of truth)."""
+    from docrawl_spark.functions.bloom import Bloom, _optimal_params, build_bloom
+
     docs_clean = scan_documents(documents_raw).persist()
     hosts_dim = hosts.select("host", "budget", "robots_blob")
+    bloom_params = _optimal_params(expected_total_urls, 0.03)
+    bloom_acc: Bloom | None = None
 
     metrics: list[dict] = []
     if resume:
@@ -111,6 +120,13 @@ def run_crawl(
         start_wave = int(last["wave"]) + 1
         visit_base = int(last["metrics"]["visit_base_next"])
         candidates = warehouse.read("frontier_pending")
+        if use_bloom and warehouse.exists("url_seen"):
+            bloom_acc = Bloom.from_bytes(
+                build_bloom(
+                    warehouse.read("url_seen"), "url_hash",
+                    expected_items=expected_total_urls, params=bloom_params,
+                )
+            )
     else:
         start_wave = 0
         visit_base = 0
@@ -153,6 +169,18 @@ def run_crawl(
                 url_seen.unionByName(seen_delta) if wave > start_wave else seen_delta
             ).persist()
 
+        # incremental seen-set Bloom: add only this wave's keys, union
+        # into the accumulated filter (vs. rebuilding over all of
+        # url_seen every wave — O(total) per wave at 10^10 scale)
+        if use_bloom:
+            delta = Bloom.from_bytes(
+                build_bloom(
+                    fetched.select("url_hash"), "url_hash",
+                    expected_items=expected_total_urls, params=bloom_params,
+                )
+            )
+            bloom_acc = delta if bloom_acc is None else bloom_acc.union(delta)
+
         stats = fetched.agg(
             F.count("*").alias("n"),
             F.sum((F.col("status") == 404).cast("long")).alias("n404"),
@@ -167,7 +195,7 @@ def run_crawl(
         quarantine = discovered.where(F.col("canon_error").isNotNull())
         good = discovered.where(F.col("canon_error").isNull()).drop("canon_error")
         deduped = dedup_within_wave(good)
-        bloom = build_seen_bloom(url_seen, expected_items=visit_base) if use_bloom else None
+        bloom = bloom_acc.to_bytes() if (use_bloom and bloom_acc is not None) else None
         nxt = anti_join_seen(deduped, url_seen, bloom).select(*CANDIDATE_COLS)
 
         # ---- commit next frontier (checkpoint #2 = the resume point) ------

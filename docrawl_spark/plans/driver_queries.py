@@ -359,6 +359,60 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each event, the total price
+    of the user's latest order at or before the event time."""
+    from docrawl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_price"))
+    )
+    joined = asof_join(
+        ev, orders,
+        on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        value_cols=["last_price"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("last_price", 4).alias("last_price")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers with open orders EXCEPT those with any
+    finished order."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.exceptAll(done_c).select(F.col("o_custkey").alias("custkey"))
+
+
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per event_type (p50/p90)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over lineitem."""
     li = _t(spark, sf_dir, "lineitem")
@@ -407,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "events_sessionize": q_events_sessionize,
+        "events_asof_order": q_events_asof_order,
+        "events_type_pivot": q_events_type_pivot,
+        "customer_set_ops": q_customer_set_ops,
+        "events_value_quantiles": q_events_value_quantiles,
         "revenue_rollup": q_revenue_rollup,
     }
 
@@ -610,6 +668,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM y GROUP BY user_id, session_id
+        """,
+        "events_asof_order": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_price
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, ROUND(o.last_price, 4) AS last_price
+            FROM events e
+            ASOF LEFT JOIN o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "events_type_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+                   SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+                   SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY 1
+        """,
+        "customer_set_ops": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type
         """,
         "revenue_rollup": """
             SELECT l_returnflag, l_linestatus,
