@@ -110,6 +110,81 @@ def lsh_bucketed_topk(
     return cosine_topk(cands.drop("_bucket"), query, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Pick ``n_cells`` deterministic centroids (the vectors whose id
+    hashes smallest — reproducible with no RNG state) and assign every
+    vector to its nearest centroid by cosine.
+
+    Assignment is one Arrow-batched matmul per batch (numpy
+    ``emb @ centroids.T``) — the vectorized slow-path done right; at
+    10^10 vectors this is one scan, no shuffle. Returns (emb + _cell,
+    centroids)."""
+    import numpy as np
+
+    centroid_rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in centroid_rows]
+    cmat = np.array(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve 'pd.Series' in a nested scope
+    @pandas_udf(T.IntegerType())
+    def assign(vecs):
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (m @ cmat.T) / (vn[:, None] * cnorm[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return emb.withColumn("_cell", assign(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    emb_with_cell: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` cells nearest the query, exact cosine
+    within — the IVF search path (cell filter prunes the scan; at
+    cluster scale the table is partitioned by _cell so pruning is
+    partition pruning)."""
+    import numpy as np
+
+    cmat = np.array(centroids, dtype=np.float64)
+    q = np.array(query, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0] = 1.0
+    sims = (cmat @ q) / (cn * qn)
+    probe_cells = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cands = emb_with_cell.where(F.col("_cell").isin(probe_cells)).drop("_cell")
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
 def knn_pairs_blocked(
     emb: DataFrame,
     block_col: Column,

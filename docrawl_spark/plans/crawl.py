@@ -108,7 +108,8 @@ def run_crawl(
 
     docs_clean = scan_documents(documents_raw).persist()
     hosts_dim = hosts.select("host", "budget", "robots_blob")
-    bloom_params = _optimal_params(expected_total_urls, 0.03)
+    bloom_capacity = expected_total_urls
+    bloom_params = _optimal_params(bloom_capacity, 0.03)
     bloom_acc: Bloom | None = None
 
     metrics: list[dict] = []
@@ -176,7 +177,7 @@ def run_crawl(
             delta = Bloom.from_bytes(
                 build_bloom(
                     fetched.select("url_hash"), "url_hash",
-                    expected_items=expected_total_urls, params=bloom_params,
+                    expected_items=bloom_capacity, params=bloom_params,
                 )
             )
             bloom_acc = delta if bloom_acc is None else bloom_acc.union(delta)
@@ -189,6 +190,19 @@ def run_crawl(
         if n_visited == 0:
             break
         visit_base += n_visited
+
+        # grow the Bloom before fpp degrades: rebuild from the full
+        # committed seen-set at 4x capacity (under-sizing costs a
+        # rebuild pass, never correctness — the anti-join is the truth)
+        if use_bloom and visit_base > 0.8 * bloom_capacity:
+            bloom_capacity *= 4
+            bloom_params = _optimal_params(bloom_capacity, 0.03)
+            bloom_acc = Bloom.from_bytes(
+                build_bloom(
+                    url_seen, "url_hash",
+                    expected_items=bloom_capacity, params=bloom_params,
+                )
+            )
 
         # ---- discover next wave -------------------------------------------
         discovered = discover_links(fetched, doc_col="url")

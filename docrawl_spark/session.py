@@ -18,6 +18,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = "local",
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -25,6 +26,10 @@ def get_spark(
     ``$SPARK_GRAFT_CPUS`` else all cores. ``shuffle_partitions``
     defaults to the same N — at cluster scale this is instead set to
     ~2-3x total cores and AQE coalesces down.
+
+    ``master=None`` leaves the master to spark-submit (the cluster
+    launch path, scripts/submit_crawl.py); the default builds a
+    ``local[cpus]`` session for tests/bench.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
@@ -43,9 +48,11 @@ def get_spark(
             pkg_root + (os.pathsep + existing if existing else "")
         )
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -166,6 +166,29 @@ def test_multimodal_plumbing(spark):
     )
 
 
+def test_ivf_recall(spark):
+    """IVF ANN: with 8 cells and 3 probes on 200 vectors, top-10
+    recall vs brute force ≥ 60%; with n_probe = n_cells it is exact."""
+    import numpy as np
+
+    from docrawl_spark.datapipe.similarity import ivf_assign, ivf_topk
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[7]]
+    with_cell, centroids = ivf_assign(emb, n_cells=8)
+    with_cell = with_cell.persist()
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    ann = {r["vec_id"] for r in ivf_topk(with_cell, centroids, q, k=10, n_probe=3).collect()}
+    assert len(set(brute) & ann) >= 6
+    exact = [r["vec_id"] for r in ivf_topk(with_cell, centroids, q, k=10, n_probe=8).collect()]
+    assert exact == brute
+
+
 def test_lsh_recall_at_scale(spark):
     """ANN recall sanity: on 200 deterministic vectors, bucketed top-10
     finds ≥60% of brute-force top-10 with 8 planes + hamming-1 probes."""
