@@ -72,25 +72,45 @@ def discover_links(
     )
 
 
+# pack layout: (parent_rank+1) in the top 38 bits, offset (≤2^20-1) in
+# the middle, depth (≤31) in the low 5 — so min(pack) == lexicographic
+# min of (parent_rank, offset). A single BIGINT buffer keeps the
+# aggregate a HashAggregate with map-side combine (a struct-min buffer
+# demotes to SortAggregate — measured ~2x slower at 8M rows).
+_OFF_BITS, _DEPTH_BITS = 20, 5
+_PACK_SHIFT = _OFF_BITS + _DEPTH_BITS
+
+
 def dedup_within_wave(candidates: DataFrame) -> DataFrame:
     """Keep-first within-wave dedup: one row per canonical url, the one
     with the smallest (parent_rank, offset) — a plain groupBy
-    (map-side combinable), no window."""
-    candidates = candidates.drop("media_ref", "canon_error")
-    first = F.min(
-        F.struct("parent_rank", "offset", "depth", "discovered_by")
-    ).alias("f")
-    return (
-        candidates.groupBy("url_hash", "url", "host", "host_hash")
-        .agg(first)
-        .select(
-            "url_hash",
-            "url",
-            "host",
-            "host_hash",
-            F.col("f.parent_rank").alias("parent_rank"),
-            F.col("f.offset").alias("offset"),
-            F.col("f.depth").alias("depth"),
-            F.col("f.discovered_by").alias("discovered_by"),
-        )
+    (map-side combinable), no window.
+
+    ``discovered_by`` is NOT carried through (a string in the agg
+    buffer would demote the aggregate); lineage is relational —
+    parent_rank IS the parent's fetch_log.visit_rank (see
+    plans/crawl.py's lineage restore)."""
+    pack = (
+        (F.col("parent_rank") + 1) * F.lit(1 << _PACK_SHIFT)
+        + F.least(F.col("offset").cast("long"), F.lit((1 << _OFF_BITS) - 1))
+        * F.lit(1 << _DEPTH_BITS)
+        + F.least(F.col("depth").cast("long"), F.lit((1 << _DEPTH_BITS) - 1))
+    )
+    packed = candidates.select(
+        "url_hash", "url", "host", "host_hash", pack.alias("_pack")
+    )
+    agg = packed.groupBy("url_hash", "url", "host", "host_hash").agg(
+        F.min("_pack").alias("_p")
+    )
+    return agg.select(
+        "url_hash",
+        "url",
+        "host",
+        "host_hash",
+        (F.shiftright(F.col("_p"), _PACK_SHIFT) - 1).alias("parent_rank"),
+        F.shiftright(F.col("_p"), _DEPTH_BITS)
+        .bitwiseAND(F.lit((1 << _OFF_BITS) - 1))
+        .cast("int")
+        .alias("offset"),
+        F.col("_p").bitwiseAND(F.lit((1 << _DEPTH_BITS) - 1)).cast("int").alias("depth"),
     )

@@ -210,7 +210,15 @@ def run_crawl(
         good = discovered.where(F.col("canon_error").isNull()).drop("canon_error")
         deduped = dedup_within_wave(good)
         bloom = bloom_acc.to_bytes() if (use_bloom and bloom_acc is not None) else None
-        nxt = anti_join_seen(deduped, url_seen, bloom).select(*CANDIDATE_COLS)
+        fresh = anti_join_seen(deduped, url_seen, bloom)
+        # lineage restore: parent_rank IS the parent's visit_rank, so
+        # discovered_by comes back from this wave's fetch log (dedup
+        # dropped the string to keep its aggregate hash-based)
+        lineage = fetched.select(
+            F.col("visit_rank").alias("parent_rank"),
+            F.col("url").alias("discovered_by"),
+        )
+        nxt = fresh.join(lineage, "parent_rank", "left").select(*CANDIDATE_COLS)
 
         # ---- commit next frontier (checkpoint #2 = the resume point) ------
         wave_metrics = {

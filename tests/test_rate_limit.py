@@ -1,0 +1,47 @@
+"""Stateful streaming politeness: per-host budget enforced ACROSS
+micro-batches via applyInPandasWithState."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docrawl_spark.streaming.rate_limit import rate_limited_release
+
+
+def test_rate_limit_across_batches(spark, tmp_path):
+    src = str(tmp_path / "cands")
+    schema = "host string, url string, priority long"
+    # batch 1: 5 urls for h1, 1 for h2
+    spark.createDataFrame(
+        [("h1", f"u{i}", i) for i in range(5)] + [("h2", "v0", 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    released = rate_limited_release(stream, budget=3, window_s=10_000, clock=lambda: 0.0)
+    q = (
+        released.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("released")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT * FROM released").collect()
+        # per-host budget within batch 1: 3 of h1's 5, lowest priority first
+        h1 = sorted(r["url"] for r in got1 if r["host"] == "h1")
+        assert h1 == ["u0", "u1", "u2"]
+        assert [r["url"] for r in got1 if r["host"] == "h2"] == ["v0"]
+
+        # batch 2: 3 more h1 urls — budget for the window is EXHAUSTED
+        # by prior batches (state), so none are released
+        spark.createDataFrame(
+            [("h1", f"w{i}", i) for i in range(3)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = spark.sql("SELECT * FROM released").collect()
+        assert len(got2) == len(got1)  # nothing new released
+    finally:
+        q.stop()
