@@ -161,26 +161,40 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
     return time.perf_counter() - t0
 
 
-N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 3)
+N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 4)
 BENCH_CONF = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g")}
+
+
+def _cpu_probe() -> float:
+    """Single-thread busy-loop seconds — calibrates the VM's bursty CPU
+    steal so each trial's weather is visible in the output."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     queries: dict[str, float] = {}
 
-    # -- scaling runs: INTERLEAVED trials (this sandbox VM has bursty
-    # CPU steal — single-thread timings vary up to 6x — so trials at
-    # the two parallelism levels alternate and the MIN per level
-    # approximates unthrottled capability; all trials are reported).
+    # -- scaling runs: INTERLEAVED trials in alternating order (this
+    # sandbox VM has bursty CPU steal — single-thread timings vary up
+    # to 6x — so trials at the two parallelism levels alternate and the
+    # MIN per level approximates unthrottled capability; all trials and
+    # per-trial CPU probes are reported).
     trials: dict[int, list[float]] = {8: [], 32: []}
-    for _ in range(N_TRIALS):
-        for cpus in (8, 32):
+    probes: list[float] = []
+    for rnd in range(N_TRIALS):
+        order = (8, 32) if rnd % 2 == 0 else (32, 8)
+        for cpus in order:
             stop_spark()
             spark = get_spark(
                 app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
             )
             frontier_wave(spark, max(N_URLS // 8, 50_000), max(N_HOSTS // 4, 500))
             spark.catalog.clearCache()
+            probes.append(_cpu_probe())
             elapsed = frontier_wave(spark, N_URLS, N_HOSTS)
             spark.catalog.clearCache()
             trials[cpus].append(round(elapsed, 3))
@@ -215,6 +229,7 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "trials_sec_8": trials[8],
             "trials_sec_32": trials[32],
+            "cpu_probe_sec": probes,
         },
     }
     print(json.dumps(result))

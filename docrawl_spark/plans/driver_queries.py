@@ -341,6 +341,44 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard over blocked doc pairs (the verify stage of
+    near-dup mining, datapipe/dedup.ngram_jaccard_pairs shape) —
+    blocking on doc_id%25 keeps the pair set bounded on both engines."""
+    from docrawl_spark.datapipe.dedup import word_shingles_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 25).alias("blk"),
+        word_shingles_col(F.col("text"), 2).alias("sh"),
+    )
+    a = docs.select(
+        "blk", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        "blk", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.05)
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (xxhash64-based — rows-only check)."""
+    from docrawl_spark.datapipe.text import winnow_fingerprints_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(winnow_fingerprints_col(F.col("text"))).alias("fingerprint"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumulative
     sum of session-start flags), then session stats."""
@@ -486,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "events_sessionize": q_events_sessionize,
         "events_asof_order": q_events_asof_order,
         "events_type_pivot": q_events_type_pivot,
@@ -678,6 +718,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 25 AS blk,
+                     list_distinct(list_transform(
+                       range(1, GREATEST(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) - 1, 0) + 1),
+                       i -> array_to_string(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')[i:i+1], ' ')
+                     )) AS sh
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
         """,
         "events_sessionize": """
             WITH x AS (
