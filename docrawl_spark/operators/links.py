@@ -96,17 +96,18 @@ def dedup_within_wave(candidates: DataFrame) -> DataFrame:
         * F.lit(1 << _DEPTH_BITS)
         + F.least(F.col("depth").cast("long"), F.lit((1 << _DEPTH_BITS) - 1))
     )
-    packed = candidates.select(
-        "url_hash", "url", "host", "host_hash", pack.alias("_pack")
-    )
-    agg = packed.groupBy("url_hash", "url", "host", "host_hash").agg(
-        F.min("_pack").alias("_p")
-    )
+    # shuffle only (url, pack): host/host_hash/url_hash are pure
+    # functions of url, cheaper to recompute on the (smaller) survivor
+    # set than to ship through the shuffle
+    from docrawl_spark.functions.canon import host_of_col, url_hash_col
+
+    packed = candidates.select("url", pack.alias("_pack"))
+    agg = packed.groupBy("url").agg(F.min("_pack").alias("_p"))
     return agg.select(
-        "url_hash",
+        url_hash_col("url").alias("url_hash"),
         "url",
-        "host",
-        "host_hash",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
         (F.shiftright(F.col("_p"), _PACK_SHIFT) - 1).alias("parent_rank"),
         F.shiftright(F.col("_p"), _DEPTH_BITS)
         .bitwiseAND(F.lit((1 << _OFF_BITS) - 1))

@@ -55,7 +55,11 @@ def gate_and_select(
     joined = candidates.join(F.broadcast(dim), "host", "left").withColumn(
         "_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET))
     )
-    gated = joined.where(robots_allowed_col(F.col("url"), F.col("_robots")))
+    # drop the robots blob BEFORE the windows — it can be KBs per row
+    # and would otherwise ride both politeness shuffles
+    gated = joined.where(robots_allowed_col(F.col("url"), F.col("_robots"))).drop(
+        "_robots"
+    )
 
     ordering = [F.col(c).asc() for c in order_cols]
     # phase 1: per-(host, salt) prefilter — bounds any single window
@@ -72,5 +76,5 @@ def gate_and_select(
     return (
         phase1.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= F.col("_budget"))
-        .drop("_rn", "_budget", "_robots")
+        .drop("_rn", "_budget")
     )

@@ -141,6 +141,9 @@ def run_crawl(
         fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
 
         # ---- commit visits (checkpoint #1) --------------------------------
+        # partition_id records which task materialized each row — the
+        # per-partition lineage half of the north_rule's
+        # "per-partition lineage + metrics"
         fetch_log_delta = fetched.select(
             "url_hash",
             "url",
@@ -149,6 +152,7 @@ def run_crawl(
             "visit_rank",
             "status",
             "n_spans",
+            F.spark_partition_id().alias("partition_id"),
         )
         seen_delta = fetched.select(
             "url_hash", "url", F.lit(wave).alias("first_wave")
@@ -238,6 +242,20 @@ def run_crawl(
             )
             warehouse.overwrite("frontier_pending", nxt)
             candidates = warehouse.read("frontier_pending")
+            # per-partition metrics: rows fetched / 404s per task
+            warehouse.append(
+                "partition_metrics",
+                warehouse.read("fetch_log")
+                .where(F.col("wave") == wave)
+                .groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("n_fetched"),
+                    F.sum((F.col("status") == 404).cast("long")).alias("n_404"),
+                )
+                .select(
+                    F.lit(wave).alias("wave"), "partition_id", "n_fetched", "n_404"
+                ),
+            )
             warehouse.append(
                 "crawl_state",
                 spark.createDataFrame(

@@ -160,6 +160,53 @@ def test_tables_match_reference(spark, payload):
         assert titles_got[pos] == titles_exp[pos], (pos, titles_got, titles_exp)
 
 
+def ref_table_df_o6(payload: dict, first_row_header: bool) -> pd.DataFrame:
+    """The O6 extract_table_xpath path (docrawl_core.py:949-1009):
+    header row is CONSUMED (not in result), cells stripped, no iloc."""
+    headers = []
+    for th in payload["th"] or []:
+        headers.append("".join(th).replace("\n", "").replace("\t", ""))
+    result = []
+    for tr in payload["rows"]:
+        row = ["\n".join(ref_string_cleaner(x) for x in td).strip() for td in tr]
+        if first_row_header and not headers:
+            headers = row
+        else:
+            result.append(row)
+    if headers:
+        try:
+            df = pd.DataFrame(result, columns=headers)
+        except Exception:
+            df = pd.DataFrame(result)
+    else:
+        df = pd.DataFrame(result)
+    df.dropna(axis=0, how="all", inplace=True)
+    return df
+
+
+@pytest.mark.parametrize("first_row_header", [True, False])
+@pytest.mark.parametrize("payload", [TABLE_CASES[0], TABLE_CASES[1], TABLE_CASES[4]])
+def test_tables_o6_path(spark, payload, first_row_header):
+    from docrawl_spark.operators.extract import extract_tables as et
+
+    docs = _docs(spark, [("table", json.dumps(payload))])
+    long_rows = et(
+        docs, first_row_header=first_row_header,
+        drop_first_row=False, strip_cells=True,
+    ).collect()
+    ref = ref_table_df_o6(payload, first_row_header)
+    got: dict[tuple, object] = {}
+    for r in long_rows:
+        got[(r["col_id"], r["row_id"])] = r["cell"]
+    exp: dict[tuple, object] = {}
+    for pos, col in enumerate(ref.columns):
+        for row_pos, v in enumerate(ref[col]):
+            if pd.isna(v):
+                continue
+            exp[(pos, row_pos + 1)] = v  # O6 row_id = 1-based position
+    assert got == exp, (got, exp)
+
+
 def test_tables_to_json_matches_reference(spark):
     payload = TABLE_CASES[1]  # promote-first-row case, clean shape
     docs = _docs(spark, [("table", json.dumps(payload))])
