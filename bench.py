@@ -41,7 +41,11 @@ from docrawl_spark.sources.fixtures import generate_frontier_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
-N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS") or 4_000_000)
+# 8M: big enough that per-wave barrier overhead (~5-8 s of sequential
+# driver work) is a minority of the wave, small enough that a full
+# bench finishes in minutes even when the VM throttles (see BENCH.md
+# for the measured noise envelope).
+N_URLS = int(os.environ.get("BENCH_FRONTIER_URLS") or 8_000_000)
 N_HOSTS = int(os.environ.get("BENCH_FRONTIER_HOSTS") or 20_000)
 
 HEADLINE = [
@@ -161,7 +165,7 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
     return time.perf_counter() - t0
 
 
-N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 4)
+N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 3)
 BENCH_CONF = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g")}
 
 
@@ -184,7 +188,7 @@ def main() -> None:
     # MIN per level approximates unthrottled capability; all trials and
     # per-trial CPU probes are reported).
     trials: dict[int, list[float]] = {8: [], 32: []}
-    probes: list[float] = []
+    probes: dict[int, list[float]] = {8: [], 32: []}
     for rnd in range(N_TRIALS):
         order = (8, 32) if rnd % 2 == 0 else (32, 8)
         for cpus in order:
@@ -192,13 +196,22 @@ def main() -> None:
             spark = get_spark(
                 app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
             )
-            frontier_wave(spark, max(N_URLS // 8, 50_000), max(N_HOSTS // 4, 500))
+            frontier_wave(spark, max(N_URLS // 16, 50_000), max(N_HOSTS // 4, 500))
             spark.catalog.clearCache()
-            probes.append(_cpu_probe())
+            probes[cpus].append(_cpu_probe())
             elapsed = frontier_wave(spark, N_URLS, N_HOSTS)
             spark.catalog.clearCache()
             trials[cpus].append(round(elapsed, 3))
     best = {c: min(v) for c, v in trials.items()}
+    # supplementary: weather-normalized trials — each wall time scaled
+    # by (best observed probe / trial's probe) so a throttled trial's
+    # unthrottled estimate is visible next to the raw numbers
+    pmin = min(probes[8] + probes[32])
+    norm = {
+        c: [round(t * (pmin / p), 3) for t, p in zip(trials[c], probes[c])]
+        for c in trials
+    }
+    best_norm = {c: min(v) for c, v in norm.items()}
     ups = {c: round(N_URLS / best[c], 1) for c in best}
     eff = ups[32] / ups[8] / 4.0
     queries["frontier_wave_local8"] = best[8]
@@ -227,9 +240,13 @@ def main() -> None:
             "urls_per_sec_8": ups[8],
             "urls_per_sec_32": ups[32],
             "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_weather_normalized": round(
+                best_norm[8] / best_norm[32] / 4.0, 3
+            ),
             "trials_sec_8": trials[8],
             "trials_sec_32": trials[32],
-            "cpu_probe_sec": probes,
+            "cpu_probe_sec_8": probes[8],
+            "cpu_probe_sec_32": probes[32],
         },
     }
     print(json.dumps(result))

@@ -397,6 +397,21 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window (30-min gap) in batch mode — the same
+    sessions as q_events_sessionize, shaped as (user, start, n)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
 def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for each event, the total price
     of the user's latest order at or before the event time."""
@@ -527,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "events_asof_order": q_events_asof_order,
         "events_type_pivot": q_events_type_pivot,
         "customer_set_ops": q_customer_set_ops,
@@ -750,6 +766,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM y GROUP BY user_id, session_id
+        """,
+        "events_session_window": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM y GROUP BY user_id, sid
         """,
         "events_asof_order": """
             WITH o AS (

@@ -111,6 +111,23 @@ def test_batch_matches_scalar(scraped, base):
     assert (out["error"][0] is None) == (expected_err is None)
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    scraped=st.text(alphabet="abc/.?#:&=%-", max_size=24),
+    base=st.sampled_from(
+        ["https://example.com", "https://example.com/aaa/bbb", "http://h.io/p/"]
+    ),
+)
+def test_canonicalization_idempotent(scraped, base):
+    """Property (SURVEY.md §5.2): canon(canon(u)) == canon(u) — the
+    canonical form is a fixed point (absolute urls pass through)."""
+    try:
+        once = build_abs_url(scraped, base)
+    except Exception:
+        return  # error rows are quarantined, nothing to iterate
+    assert build_abs_url(once, base) == once
+
+
 def test_spark_udf_and_column_helpers(spark):
     rows = [(s, b) for s, b, _ in REFERENCE_CASES] + ERROR_CASES
     df = spark.createDataFrame(rows, "scraped string, base string")
