@@ -37,7 +37,6 @@ from docrawl_spark.operators.politeness import gate_and_select  # noqa: E402
 from docrawl_spark.operators.ranking import with_global_rank  # noqa: E402
 from docrawl_spark.plans import driver_queries  # noqa: E402
 from docrawl_spark.session import get_spark, stop_spark  # noqa: E402
-from docrawl_spark.sources.fixtures import generate_frontier_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
@@ -56,6 +55,10 @@ HEADLINE = [
     "frontier_host_metrics",
     "top_parts_per_brand",
     "events_hourly",
+    "exact_dedup_docs",
+    "minhash_band_minima",
+    "embedding_topk",
+    "events_asof_order",
 ]
 
 
