@@ -56,10 +56,16 @@ def exact_dedup(
 
 
 def word_shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles (space-joined) of normalized text."""
+    """Distinct word k-shingles (space-joined) of normalized text.
+
+    Docs with fewer than k tokens yield an empty array — the n >= k
+    guard matters because ``sequence(1, 0)`` DESCENDS ([1, 0]) and a
+    0 start index would make ``slice`` raise."""
     tokens = F.split(normalized_text_col(text), " ")
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
     )
@@ -72,6 +78,11 @@ def _shingle_hash(shingle: Column, seed: int, hash_mode: str) -> Column:
         return F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{seed}|"), shingle)), 1, 15), 16, 10
         ).cast("long")
+    if hash_mode == "md5hex":
+        # the hex string itself: lexicographic MIN over hex strings is
+        # identical in Spark and DuckDB (ASCII byte compare), so the
+        # whole signature is oracle-reproducible without int conversion
+        return F.substring(F.md5(F.concat(F.lit(f"{seed}|"), shingle)), 1, 15)
     return F.xxhash64(F.lit(seed), shingle)
 
 
@@ -114,25 +125,27 @@ def minhash_lsh_pairs(
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, hash_mode)
+    # Shingle-less docs (fewer than k tokens) have all-null signatures:
+    # they carry no similarity evidence and would otherwise all collide
+    # on the empty band key. Drop them before banding.
+    sigs = sigs.where(F.col("signature")[0].isNotNull())
+
+    def _band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # xxhash64 compresses the shuffle key on the scale path; the
+        # md5hex oracle mode keeps the raw string (DuckDB-reproducible)
+        return F.xxhash64(joined) if hash_mode == "xxhash64" else joined
+
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.array(*[_band_key(b) for b in range(n_bands)])
         ).alias("band_idx", "band_key"),
     )
     a = bands.select(
@@ -154,16 +167,30 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64_col(text: Column) -> Column:
-    """64-bit SimHash of the token set: bit i set iff the sum over
-    tokens of (bit i of xxhash64(token) ? +1 : -1) is positive. The
-    per-row aggregation runs over a 64-wide count array via zip_with —
+def _simhash_bits(hash_mode: str) -> int:
+    """xxhash64 → 64 bits (scale path); md5hex → 60 bits (15 hex chars
+    of md5, the widest slice both Spark's conv() and DuckDB's
+    '0x'-cast convert to int64 losslessly — oracle path)."""
+    return 60 if hash_mode == "md5hex" else 64
+
+
+def simhash64_col(text: Column, hash_mode: str = "xxhash64") -> Column:
+    """SimHash of the token set: bit i set iff the sum over tokens of
+    (bit i of hash(token) ? +1 : -1) is positive. The per-row
+    aggregation runs over an n_bits-wide count array via zip_with —
     whole-stage-codegen, no UDF."""
+    n_bits = _simhash_bits(hash_mode)
     tokens = F.array_distinct(F.split(normalized_text_col(text), " "))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    if hash_mode == "md5hex":
+        hashes = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
     # shift amounts must be Python ints (shiftleft/shiftright take a
-    # literal), so the 64 bit positions are unrolled
+    # literal), so the bit positions are unrolled
     counts = F.aggregate(
         hashes,
         zeros,
@@ -172,14 +199,17 @@ def simhash64_col(text: Column) -> Column:
             F.array(
                 *[
                     (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                    for i in range(64)
+                    for i in range(n_bits)
                 ]
             ),
             lambda a, b: a + b,
         ),
     )
     powers = F.array(
-        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            for i in range(n_bits)
+        ]
     )
     bits = F.zip_with(
         counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
@@ -197,15 +227,20 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
-    the standard block-permutation trick: split the 64-bit hash into
-    n_blocks chunks; any pair within distance max_hamming < n_blocks
-    agrees exactly on ≥1 chunk, so chunk-equality is the join key —
-    never a cross join."""
+    the standard block-permutation trick: split the hash into n_blocks
+    chunks; any pair within distance max_hamming < n_blocks agrees
+    exactly on ≥1 chunk, so chunk-equality is the join key — never a
+    cross join."""
     assert max_hamming < n_blocks
-    bits_per = 64 // n_blocks
-    sh = df.select(F.col(id_col), simhash64_col(F.col(text_col)).alias("simhash"))
+    n_bits = _simhash_bits(hash_mode)
+    assert n_bits % n_blocks == 0
+    bits_per = n_bits // n_blocks
+    sh = df.select(
+        F.col(id_col), simhash64_col(F.col(text_col), hash_mode).alias("simhash")
+    )
     chunk_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(

@@ -120,13 +120,28 @@ def doc_fingerprint_col(text: Column) -> Column:
     return F.xxhash64(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
-def winnow_fingerprints_col(text: Column, window: int = 4) -> Column:
+def winnow_fingerprints_col(
+    text: Column, window: int = 4, hash_mode: str = "xxhash64"
+) -> Column:
     """Winnowing-style fingerprint set: rolling minimum of token-hash
     windows — robust to local edits, used for partial-overlap detection
-    (Schleimer et al., SIGMOD'03). Pure array expressions."""
-    hashes = F.transform(tokens_col(text), lambda t: F.xxhash64(t))
+    (Schleimer et al., SIGMOD'03). Pure array expressions.
+
+    hash_mode 'md5hex' hashes tokens to 15-hex-char strings instead of
+    xxhash64 longs — lexicographic minima match DuckDB byte-for-byte,
+    making the fingerprint set oracle-checkable."""
+    if hash_mode == "md5hex":
+        hashes = F.transform(
+            tokens_col(text), lambda t: F.substring(F.md5(t), 1, 15)
+        )
+    else:
+        hashes = F.transform(tokens_col(text), lambda t: F.xxhash64(t))
     n = F.size(hashes)
-    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(0)))
+    # n >= window guard: sequence(1, 0) descends and slice(…, 0, …)
+    # raises — short docs must yield an empty fingerprint set instead
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
     )

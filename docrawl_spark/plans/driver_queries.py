@@ -379,6 +379,100 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs in the md5hex oracle mode (8 hashes,
+    4 bands × 2 rows) — the full LSH shape (sign → band → bucket-join)
+    hash-matched against DuckDB, validating the banding itself."""
+    from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=8, n_bands=4, hash_mode="md5hex"
+    )
+
+
+def q_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in the 60-bit md5hex oracle mode. The
+    engine runs the block-permutation join (12 blocks, hamming ≤ 8);
+    the oracle brute-forces all pairs — equality validates the block
+    trick end-to-end, not just the hash."""
+    from docrawl_spark.datapipe.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        n_blocks=12,
+        hash_mode="md5hex",
+    )
+
+
+def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints in md5hex oracle mode (window=4 rolling
+    minima over token hashes, Schleimer et al. SIGMOD'03)."""
+    from docrawl_spark.datapipe.text import winnow_fingerprints_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            winnow_fingerprints_col(F.col("text"), window=4, hash_mode="md5hex")
+        ).alias("fingerprint"),
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (day, event_type) — decimal sums for
+    cross-engine-exact totals (the grand-total row sums every value)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return ev.cube("day", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("v"), 4).cast("double").alias("sum_value"),
+    )
+
+
+def q_source_lang_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-source lang→count map built with
+    map_from_entries, then exploded back to rows (fetch_log
+    headers-map shape, SURVEY.md §1.2 D7)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    maps = counts.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "n")))
+        ).alias("m")
+    )
+    return maps.select("source", F.explode("m").alias("lang", "n_docs"))
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction: pull props.$.k out of the events JSON column
+    and aggregate it per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_orders_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function family over o_orderdate (year/quarter/month/day +
+    formatted month bucket)."""
+    d = F.col("o_orderdate")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumulative
     sum of session-start flags), then session stats."""
@@ -538,9 +632,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_md5": q_simhash_neardup_md5,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_fingerprints_md5": q_winnow_fingerprints_md5,
+        "events_cube": q_events_cube,
+        "source_lang_map": q_source_lang_map,
+        "events_json_props": q_events_json_props,
+        "orders_date_parts": q_orders_date_parts,
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
         "events_asof_order": q_events_asof_order,
@@ -716,6 +817,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(seed AS INT) AS seed,
                    MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS minhash_hex
             FROM sh, seeds GROUP BY doc_id, seed
+        """,
+        "minhash_lsh_pairs_md5": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_idx, band_key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash_neardup_md5": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+              FROM t, UNNEST(toks) AS u(tok)),
+            bits AS (
+              SELECT doc_id, b, SUM(((hv >> CAST(b AS INT)) & 1) * 2 - 1) AS cnt
+              FROM h, (SELECT UNNEST(range(0, 60)) AS b) GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        """,
+        "winnow_fingerprints_md5": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> substr(md5(x), 1, 15)) AS hs
+              FROM documents)
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+                     range(1, GREATEST(len(hs) - 3, 0) + 1),
+                     i -> list_min(hs[i:i+3])))) AS fingerprint
+            FROM h WHERE len(hs) >= 4
+        """,
+        "events_cube": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY CUBE (date_trunc('day', ts), event_type)
+        """,
+        "source_lang_map": """
+            SELECT source, lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY source, lang
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+                   MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "orders_date_parts": """
+            SELECT o_orderkey,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+                   CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+                   CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+                   CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+            FROM orders
         """,
         "embedding_topk": f"""
             WITH c AS (

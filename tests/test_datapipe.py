@@ -95,6 +95,34 @@ def test_shingles(spark):
     assert list(got) == ["a b", "b c", "c d"]
 
 
+def test_short_docs_do_not_crash(spark):
+    """Docs with fewer tokens than the shingle/window width must yield
+    empty sets, not a slice(…, 0, …) error (sequence(1, 0) DESCENDS)."""
+    from docrawl_spark.datapipe.text import winnow_fingerprints_col
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three words")],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select(
+            "doc_id", word_shingles_col(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["now three words"]
+    wf = {
+        r["doc_id"]: list(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints_col(F.col("text"), window=4).alias("f")
+        ).collect()
+    }
+    assert all(wf[i] == [] for i in (1, 2, 3, 4))  # all < 4 tokens
+    # LSH drops shingle-less docs entirely (no empty-band collisions)
+    assert minhash_lsh_pairs(df, n_hashes=8, n_bands=4).count() == 0
+
+
 def test_embedding_neardup_and_topk(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
