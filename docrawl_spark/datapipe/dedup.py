@@ -94,20 +94,28 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature: array<long>) — per-seed minimum of shingle
-    hashes. One pass, no shuffle (signatures are per-row)."""
-    shingles = word_shingles_col(F.col(text_col), shingle_k)
+    """(id, signature) — per-seed minimum of shingle hashes. Docs with
+    fewer than shingle_k tokens carry no similarity evidence and are
+    omitted.
 
-    def _hasher(seed: int):
-        # NB: must stay a 1-arg lambda — F.transform passes the array
-        # INDEX to 2-arg lambdas, which would silently override a
-        # `seed=i` default argument.
-        return lambda s: _shingle_hash(s, seed, hash_mode)
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, _hasher(i))) for i in range(n_hashes)]
+    Shape: explode shingles → ONE groupBy(id) with n_hashes min
+    aggregates. All hashing runs inside whole-stage codegen and the
+    aggregation combines map-side, so the shuffle carries one
+    (id, n_hashes minima) row per doc per partition. The equivalent
+    transform-in-transform array expression computes the same values
+    with zero shuffle but runs INTERPRETED (higher-order functions sit
+    outside codegen) — measured ~30x slower at sf0.1."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("_s"),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    aggs = [
+        F.min(_shingle_hash(F.col("_s"), i, hash_mode)).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    minima = sh.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
+    return minima.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -124,11 +132,9 @@ def minhash_lsh_pairs(
     pairs — the scale-safe shape of MinHash LSH."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
+    # (shingle-less docs are already omitted by minhash_signatures —
+    # they would otherwise all collide on the empty band key)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, hash_mode)
-    # Shingle-less docs (fewer than k tokens) have all-null signatures:
-    # they carry no similarity evidence and would otherwise all collide
-    # on the empty band key. Drop them before banding.
-    sigs = sigs.where(F.col("signature")[0].isNotNull())
 
     def _band_key(b):
         joined = F.concat_ws(
@@ -221,6 +227,48 @@ def hamming64_col(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash) for a whole corpus — same values as
+    ``simhash64_col`` but shaped for scale: explode distinct tokens →
+    ONE groupBy(id) with n_bits signed-bit-sum aggregates, all inside
+    whole-stage codegen with map-side combine. The per-row array
+    expression (aggregate/zip_with) runs interpreted and, being join
+    input, would be recomputed per join side; the agg output here is a
+    reusable exchange."""
+    n_bits = _simhash_bits(hash_mode)
+    tokens = F.array_distinct(F.split(normalized_text_col(F.col(text_col)), " "))
+    toks = df.select(F.col(id_col), F.explode(tokens).alias("_t"))
+    if hash_mode == "md5hex":
+        h = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("_t"))
+    aggs = [
+        F.sum((F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")).alias(
+            f"_b{i}"
+        )
+        for i in range(n_bits)
+    ]
+    counts = toks.groupBy(id_col).agg(*aggs)
+    # disjoint bit contributions sum to the exact two's-complement
+    # value (bit 63's contribution is the sign term)
+    terms = [
+        F.when(
+            F.col(f"_b{i}") > 0,
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
+    ]
+    val = terms[0]
+    for t in terms[1:]:
+        val = val + t
+    return counts.select(F.col(id_col), val.alias("simhash"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -238,9 +286,7 @@ def simhash_neardup_pairs(
     n_bits = _simhash_bits(hash_mode)
     assert n_bits % n_blocks == 0
     bits_per = n_bits // n_blocks
-    sh = df.select(
-        F.col(id_col), simhash64_col(F.col(text_col), hash_mode).alias("simhash")
-    )
+    sh = simhash_table(df, text_col, id_col, hash_mode)
     chunk_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(
@@ -251,6 +297,14 @@ def simhash_neardup_pairs(
     )
     chunks = sh.select(
         id_col, "simhash", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
+    )
+    # Explicit join-key repartition: the chunk rows are tiny (AQE would
+    # coalesce them to ~1 partition) but the join OUTPUT fans out by the
+    # bucket collisions — a user-specified partition count is exempt
+    # from AQE coalescing, keeps the fan-out parallel, and the self-join
+    # reuses this single exchange for both sides.
+    chunks = chunks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "chunk_idx", "chunk_val"
     )
     a = chunks.select(
         "chunk_idx", "chunk_val",

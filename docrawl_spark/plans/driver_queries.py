@@ -29,6 +29,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cluster for CPU-heavy per-doc work.
+
+    The local testdata is one small parquet file (a single row group =
+    one input split), so hash/shingle-heavy stages would otherwise run
+    on ONE core. At 100 TB the scan has thousands of splits and this
+    repartition is a no-op (guarded on partition count); locally it is
+    the honest equivalent of those splits."""
+    df = _t(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived URL universe over the flat documents table."""
     return _t(spark, sf_dir, "documents").select(
@@ -284,26 +299,18 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash_hex) in the
-    md5-hex mode both engines can compute bit-for-bit."""
-    from docrawl_spark.datapipe.dedup import word_shingles_col
+    md5-hex mode both engines can compute bit-for-bit.
 
-    docs = _t(spark, sf_dir, "documents")
-    shingles = word_shingles_col(F.col("text"), 3)
-    seeds = F.sequence(F.lit(0), F.lit(7))
-    sig = F.transform(
-        seeds,
-        lambda seed: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.substring(
-                    F.md5(F.concat(seed.cast("string"), F.lit("|"), s)), 1, 15
-                ),
-            )
-        ),
+    Uses the explode→groupBy minhash_signatures shape (codegen +
+    map-side combine; the transform-in-transform equivalent ran
+    interpreted and 30-40x slower at sf0.1)."""
+    from docrawl_spark.datapipe.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        _docs_par(spark, sf_dir), n_hashes=8, hash_mode="md5hex"
     )
-    return (
-        docs.where(F.size(shingles) > 0)  # shingle-less docs emit nothing
-        .select("doc_id", F.posexplode(sig).alias("seed", "minhash_hex"))
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("seed", "minhash_hex")
     )
 
 
@@ -324,11 +331,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — xxhash64-based, no SQL oracle (driver
-    records a rows-only check)."""
+    records a rows-only check). hamming ≤ 3 with 4 blocks of 16 bits
+    (the Manku/Google parameterization): 16-bit chunk keys keep bucket
+    collisions ≈ true near-dups instead of flooding the join."""
     from docrawl_spark.datapipe.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=8, n_blocks=16
+        _docs_par(spark, sf_dir), max_hamming=3, n_blocks=4
     )
 
 
@@ -337,7 +346,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n_hashes=32, n_bands=16
+        _docs_par(spark, sf_dir), n_hashes=32, n_bands=16
     )
 
 
@@ -347,7 +356,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking on doc_id%25 keeps the pair set bounded on both engines."""
     from docrawl_spark.datapipe.dedup import word_shingles_col
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _docs_par(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % 25).alias("blk"),
         word_shingles_col(F.col("text"), 2).alias("sh"),
@@ -373,7 +382,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (xxhash64-based — rows-only check)."""
     from docrawl_spark.datapipe.text import winnow_fingerprints_col
 
-    return _t(spark, sf_dir, "documents").select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         F.explode(winnow_fingerprints_col(F.col("text"))).alias("fingerprint"),
     )
@@ -386,21 +395,21 @@ def q_minhash_lsh_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n_hashes=8, n_bands=4, hash_mode="md5hex"
+        _docs_par(spark, sf_dir), n_hashes=8, n_bands=4, hash_mode="md5hex"
     )
 
 
 def q_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs in the 60-bit md5hex oracle mode. The
-    engine runs the block-permutation join (12 blocks, hamming ≤ 8);
-    the oracle brute-forces all pairs — equality validates the block
-    trick end-to-end, not just the hash."""
+    engine runs the block-permutation join (4 blocks of 15 bits,
+    hamming ≤ 3); the oracle brute-forces all pairs — equality
+    validates the block trick end-to-end, not just the hash."""
     from docrawl_spark.datapipe.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"),
-        max_hamming=8,
-        n_blocks=12,
+        _docs_par(spark, sf_dir),
+        max_hamming=3,
+        n_blocks=4,
         hash_mode="md5hex",
     )
 
@@ -410,7 +419,7 @@ def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     minima over token hashes, Schleimer et al. SIGMOD'03)."""
     from docrawl_spark.datapipe.text import winnow_fingerprints_col
 
-    return _t(spark, sf_dir, "documents").select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         F.explode(
             winnow_fingerprints_col(F.col("text"), window=4, hash_mode="md5hex")
@@ -859,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bits GROUP BY doc_id)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh, b.sh)) <= 8
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "winnow_fingerprints_md5": r"""
             WITH h AS (
