@@ -57,8 +57,12 @@ HEADLINE = [
     "events_hourly",
     "exact_dedup_docs",
     "minhash_band_minima",
+    "minhash_lsh_pairs",
+    "simhash_neardup_md5",
     "embedding_topk",
     "events_asof_order",
+    "events_cube",
+    "shipping_priority",
 ]
 
 

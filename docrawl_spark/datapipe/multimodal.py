@@ -128,6 +128,80 @@ def sample_video_frames(
     return df.select("media_id", "content").mapInPandas(run, FRAME_SAMPLE_DDL)
 
 
+RESIZED_DDL = (
+    "media_id string, out_width int, out_height int, out_bytes binary, sha256 string"
+)
+
+AUDIO_FEATURES_DDL = (
+    "media_id string, duration_ms long, sample_rate int, rms double, sha256 string"
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 512, fake: bool = False
+) -> DataFrame:
+    """media rows → resized thumbnails (binary out column).
+
+    Real path: PIL thumbnail + re-encode — NotImplementedError here.
+    The fake derives output dims by scaling the fake-decoded dims to
+    ``max_side`` (aspect preserved) and emits hash-derived bytes, so
+    downstream byte-budget partitioning is exercised for real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL on the cluster; "
+                    "use fake=True for plumbing tests"
+                )
+            out = {"media_id": [], "out_width": [], "out_height": [],
+                   "out_bytes": [], "sha256": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _, sha = _fake_decode(content, mid)
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                out["media_id"].append(mid)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_bytes"].append(bytes.fromhex(sha)[: 16])
+                out["sha256"].append(sha)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(run, RESIZED_DDL)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media rows → (duration_ms, sample_rate, rms) audio features.
+
+    Real path: soundfile/librosa decode — NotImplementedError here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/librosa on the cluster; "
+                    "use fake=True for plumbing tests"
+                )
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = hashlib.sha256(
+                    content if content is not None else mid.encode()
+                ).hexdigest()
+                rows.append((
+                    mid,
+                    1000 + int(h[:5], 16) % 600_000,
+                    [8000, 16000, 22050, 44100, 48000][int(h[5], 16) % 5],
+                    round(int(h[6:10], 16) / 65535.0, 6),
+                    h,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_ms", "sample_rate", "rms", "sha256"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES_DDL)
+
+
 def media_from_spans(docs: DataFrame) -> DataFrame:
     """documents → media queue rows (the O17 download_images analogue:
     discover media_refs from image spans; bytes arrive via the fetch

@@ -74,6 +74,20 @@ class Warehouse:
         self._commit_manifest(table, m)
         return snap_id
 
+    def merge_upsert(self, table: str, df: DataFrame, key_cols: list[str]) -> str:
+        """``MERGE INTO`` semantics (SURVEY.md §1.2: the url_seen upsert
+        on real Iceberg): rows in ``df`` replace current rows with the
+        same key, new keys append. Implemented as anti-join + union into
+        ONE new overwrite snapshot — readers see pre- or post-merge
+        state, never partial (same atomicity as append/overwrite)."""
+        if self.exists(table):
+            cur = self.read(table)
+            kept = cur.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+            merged = kept.unionByName(df)
+        else:
+            merged = df
+        return self.overwrite(table, merged)
+
     # -- reads -------------------------------------------------------------
     def snapshot_ids(self, table: str) -> list[str]:
         return [s["id"] for s in self._load_manifest(table)["snapshots"]]

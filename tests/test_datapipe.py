@@ -186,12 +186,33 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(with_bytes, fake=True).collect()
     assert len(frames) >= 2
 
+    # resize: aspect preserved, bounded by max_side, deterministic
+    from docrawl_spark.datapipe.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    rs = {r["media_id"]: r for r in resize_images(with_bytes, max_side=128, fake=True).collect()}
+    assert len(rs) == 2
+    for mid, r in rs.items():
+        assert max(r["out_width"], r["out_height"]) <= 128
+        assert len(r["out_bytes"]) == 16
+    feats_by_id = {f["media_id"]: f for f in feats}
+    for mid, r in rs.items():
+        w, h = feats_by_id[mid]["width"], feats_by_id[mid]["height"]
+        assert abs(r["out_width"] / r["out_height"] - w / h) < 0.05
+
+    au = extract_audio_features(with_bytes, fake=True).collect()
+    assert len(au) == 2 and all(r["sample_rate"] in (8000, 16000, 22050, 44100, 48000) for r in au)
+
     # real path is explicitly not implemented in this container
     with pytest.raises(Exception) as e:
         decode_image_features(with_bytes, fake=False).collect()
     assert "NotImplementedError" in str(e.value) or isinstance(
         e.value, NotImplementedError
     )
+    with pytest.raises(Exception):
+        resize_images(with_bytes, fake=False).collect()
 
 
 def test_ivf_recall(spark):

@@ -109,6 +109,28 @@ def test_politeness_uses_broadcast_for_hosts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_minhash_signatures_hash_aggregates(spark):
+    """The reshaped minhash runs as a codegen HashAggregate (map-side
+    combinable) — a SortAggregate demotion would mean per-group sorts
+    at 10^9-doc scale, and an interpreted array fold would sit outside
+    codegen entirely."""
+    from docrawl_spark.datapipe.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs, n_hashes=8))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_simhash_table_hash_aggregates(spark):
+    from docrawl_spark.datapipe.dedup import simhash_table
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash_table(docs))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
 def test_spans_kind_filter_stays_inside_generator(spark):
     """The kind filter must run inside the array BEFORE the explode —
     the generate node's input is the filtered lambda, so non-matching

@@ -128,6 +128,58 @@ def test_streaming_fetch_rollup(spark, tmp_path):
     assert got == set() or ("h1.test", 2, 1) in got
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics end-to-end: a record arriving after the
+    watermark passed its window must be DROPPED — the closed window's
+    emitted counts exclude it and the window is never re-emitted."""
+    src = str(tmp_path / "fl_late")
+    schema = "host string, status int, fetched_at timestamp"
+
+    def write_batch(name: str, rows):
+        spark.createDataFrame(
+            rows, "host string, status int, fetched_at_s string"
+        ).select(
+            "host", "status", F.to_timestamp("fetched_at_s").alias("fetched_at")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two events in the 00:00 window, plus a 00:05 event that
+    # advances the watermark (2 min) to 00:03 > the window's 00:01 end
+    write_batch("b1", [
+        ("h1.test", 200, "2026-01-01 00:00:10"),
+        ("h1.test", 404, "2026-01-01 00:00:40"),
+        ("h2.test", 200, "2026-01-01 00:05:00"),
+    ])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_fetch_rollup(spark, stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE h1 event back inside the already-closed 00:00
+        # window — must be dropped, not merged or re-emitted
+        write_batch("b2", [("h1.test", 200, "2026-01-01 00:00:50")])
+        q.processAllAvailable()
+        # batch 3: advance event time further so emission is flushed
+        write_batch("b3", [("h3.test", 200, "2026-01-01 00:10:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT host, n_fetches, n_errors FROM late_test WHERE host = 'h1.test'"
+    ).collect()
+    # exactly one emission of h1's 00:00 window, with the ON-TIME counts
+    assert [(r["host"], r["n_fetches"], r["n_errors"]) for r in rows] == [
+        ("h1.test", 2, 1)
+    ]
+
+
 def test_streaming_crawl_matches_batch_reachability(spark, tmp_path):
     """The streaming self-feeding crawl visits exactly the urls the
     batch engine can reach with unlimited budget (streaming mode has no

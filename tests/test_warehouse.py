@@ -40,3 +40,23 @@ def test_empty_table_needs_schema(spark, tmp_path):
     assert df.count() == 0 and "url_hash" in df.columns
     with pytest.raises(ValueError):
         wh.read("missing2")
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """MERGE INTO analogue: same-key rows are replaced, new keys
+    append, and the merge lands as one atomic snapshot (time travel to
+    the pre-merge state still works)."""
+    wh = Warehouse(str(tmp_path / "w4"), spark)
+    pre = wh.append(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    wh.merge_upsert(
+        "t", spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), ["k"]
+    )
+    got = {(r["k"], r["v"]) for r in wh.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    before = {(r["k"], r["v"]) for r in wh.read("t", as_of=pre).collect()}
+    assert before == {(1, "a"), (2, "b")}
+    # merge into a missing table = plain insert
+    wh.merge_upsert("t2", spark.createDataFrame([(9, "z")], "k long, v string"), ["k"])
+    assert {(r["k"], r["v"]) for r in wh.read("t2").collect()} == {(9, "z")}
