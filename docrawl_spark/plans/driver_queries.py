@@ -560,6 +560,27 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_c.exceptAll(done_c).select(F.col("o_custkey").alias("custkey"))
 
 
+def q_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (intersect): customers with BOTH an open and a finished
+    order."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.intersect(done_c).select(F.col("o_custkey").alias("custkey"))
+
+
+def q_customer_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (the seen-set probe shape, EXISTS in SQL):
+    customers having at least one urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous quantiles per event_type (p50/p90)."""
     ev = _t(spark, sf_dir, "events")
@@ -656,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_order": q_events_asof_order,
         "events_type_pivot": q_events_type_pivot,
         "customer_set_ops": q_customer_set_ops,
+        "customer_intersect": q_customer_intersect,
+        "customer_semijoin": q_customer_semijoin,
         "events_value_quantiles": q_events_value_quantiles,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
@@ -997,6 +1020,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
             EXCEPT
             SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "customer_intersect": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "customer_semijoin": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         """,
         "events_value_quantiles": """
             SELECT event_type,

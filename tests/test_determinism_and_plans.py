@@ -109,6 +109,44 @@ def test_politeness_uses_broadcast_for_hosts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_bucketed_seen_antijoin_is_shuffle_free(spark, tmp_path):
+    """The 100 TB seen-set design (BENCH.md): frontier and url_seen
+    bucketed+sorted by url_hash make the exact anti-join a co-located
+    sort-merge with NO Exchange and NO per-query Sort — the shuffle is
+    paid once at write time, not every wave."""
+    from pyspark.sql import functions as F
+
+    frontier = spark.range(0, 2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.col("id").alias("payload"),
+    )
+    seen = spark.range(0, 1000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_frontier")
+    spark.sql("DROP TABLE IF EXISTS bt_seen")
+    for name, df in [("bt_frontier", frontier), ("bt_seen", seen)]:
+        (
+            df.write.bucketBy(8, "url_hash")
+            .sortBy("url_hash")
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    f, s = spark.table("bt_frontier"), spark.table("bt_seen")
+    # hint forces the merge join (else the tiny side would broadcast
+    # and prove nothing about the at-scale plan)
+    plan = plan_of(f.join(s.hint("merge"), "url_hash", "left_anti"))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # correctness of the co-located join
+    got = f.join(s.hint("merge"), "url_hash", "left_anti").count()
+    exact = frontier.join(seen, "url_hash", "left_anti").count()
+    assert got == exact
+    spark.sql("DROP TABLE bt_frontier")
+    spark.sql("DROP TABLE bt_seen")
+
+
 def test_minhash_signatures_hash_aggregates(spark):
     """The reshaped minhash runs as a codegen HashAggregate (map-side
     combinable) — a SortAggregate demotion would mean per-group sorts
