@@ -195,6 +195,36 @@ def build_sharded_cuckoo(
     return shards
 
 
+def delete_from_sharded_cuckoo(
+    shards: list[bytes], df: DataFrame, key_col: str = "url_hash"
+) -> list[bytes]:
+    """Delete the keys in ``df`` from their shards, in parallel
+    (applyInPandas per shard group — the same distribution as the
+    build). Returns the updated shard list; untouched shards are
+    returned as-is."""
+    n_shards = len(shards)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(shards)
+
+    def drop(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        cf = CuckooFilter.from_bytes(bc.value[shard])
+        cf.delete(pdf[key_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"shard": [shard], "blob": [cf.to_bytes()]})
+
+    rows = (
+        df.select(key_col)
+        .withColumn("_shard", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+        .groupBy("_shard")
+        .applyInPandas(drop, _SHARD_SCHEMA)
+        .collect()
+    )
+    out = list(shards)
+    for r in rows:
+        out[int(r["shard"])] = bytes(r["blob"])
+    return out
+
+
 def might_contain_cuckoo_col(df_or_spark, shards: list[bytes], key_col: str = "url_hash"):
     """Column: True where the key MIGHT be in its shard's filter."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)

@@ -1,0 +1,81 @@
+"""Recrawl scheduling: retire urls from the seen-set so a resumed
+crawl revisits them.
+
+The reference has no refresh concept (a DocrawlClient revisits a page
+only if the user's script calls load_website again,
+docrawl_client.py:199-208); at 10^10-frontier scale freshness requires
+retiring stale urls WITHOUT rebuilding the seen-set. This is exactly
+why the seen-filter family includes a cuckoo filter (deletable) next
+to the Bloom (not deletable, union-only) — see functions/cuckoo.py.
+
+``retire_for_recrawl`` is one atomic warehouse transaction per table:
+- url_seen ← seen MINUS retired (overwrite snapshot; time travel to
+  the pre-retire state keeps working);
+- frontier_pending ← the retired urls as wave candidates
+  (parent_rank=-1, like seeds; url_hash tie-breaks ordering), so
+  ``run_crawl(resume=True)`` picks them up as the next wave;
+- optionally, the sharded cuckoo filter drops the same keys in
+  parallel (no rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import host_of_col, url_hash_col
+from docrawl_spark.sources.storage import Warehouse
+
+
+def retired_to_candidates(retired: DataFrame) -> DataFrame:
+    """url_seen rows → frontier candidate rows (CANDIDATE_COLS shape)."""
+    return retired.select(
+        "url_hash",
+        "url",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
+        F.lit(0).alias("depth"),
+        F.lit(-1).cast("long").alias("parent_rank"),
+        F.lit(0).alias("offset"),
+        F.lit(None).cast("string").alias("discovered_by"),
+    )
+
+
+def retire_for_recrawl(
+    warehouse: Warehouse,
+    predicate: Column,
+    cuckoo_shards: list[bytes] | None = None,
+    requeue: bool = True,
+) -> tuple[int, list[bytes] | None]:
+    """Retire every url_seen row matching ``predicate`` (e.g.
+    ``F.col('first_wave') <= 2`` for age-based refresh).
+
+    Returns (n_retired, updated_cuckoo_shards). With ``requeue`` the
+    retired urls land in frontier_pending so the next
+    ``run_crawl(resume=True)`` revisits them under the normal robots +
+    politeness gates.
+    """
+    from docrawl_spark.functions.cuckoo import delete_from_sharded_cuckoo
+
+    seen = warehouse.read("url_seen")
+    retired = seen.where(predicate).persist()
+    n_retired = retired.count()
+    if n_retired == 0:
+        retired.unpersist()
+        return 0, cuckoo_shards
+    keep = seen.where(~predicate)
+    warehouse.overwrite("url_seen", keep)
+    if requeue:
+        cand = retired_to_candidates(retired)
+        if warehouse.exists("frontier_pending"):
+            # mid-crawl retirement: keep the not-yet-visited frontier
+            # (disjoint from retired by construction — pending urls are
+            # anti-joined against url_seen every wave)
+            cand = warehouse.read("frontier_pending").unionByName(cand)
+        warehouse.overwrite("frontier_pending", cand.dropDuplicates(["url_hash"]))
+    if cuckoo_shards is not None:
+        cuckoo_shards = delete_from_sharded_cuckoo(
+            cuckoo_shards, retired.select("url_hash")
+        )
+    retired.unpersist()
+    return n_retired, cuckoo_shards

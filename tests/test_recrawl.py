@@ -1,0 +1,108 @@
+"""Recrawl retirement: url_seen shrink + cuckoo deletion + resumed
+revisit (operators/recrawl.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docrawl_spark.functions.canon import url_hash_col
+from docrawl_spark.functions.cuckoo import (
+    build_sharded_cuckoo,
+    might_contain_cuckoo_col,
+)
+from docrawl_spark.operators.recrawl import retire_for_recrawl
+from docrawl_spark.plans.crawl import run_crawl
+from docrawl_spark.sources.fixtures import fixture_to_dfs, generate_web
+from docrawl_spark.sources.storage import Warehouse
+
+
+def test_retire_and_recrawl(spark, tmp_path):
+    fx = generate_web(seed=13)
+    docs, hosts, seeds = fixture_to_dfs(spark, fx)
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    # crawl to EXHAUSTION so frontier_pending holds only unreachable
+    # (robots-blocked) leftovers — retirement then fully determines the
+    # resumed visits
+    res = run_crawl(spark, docs, hosts, seeds, max_waves=12, warehouse=wh)
+    assert max(w for w, _ in res.visits) < 11, "graph not exhausted"
+    wave0 = {u for w, u in res.visits if w == 0}
+    assert wave0
+
+    seen_df = wh.read("url_seen")
+    n_seen = seen_df.count()
+    shards = build_sharded_cuckoo(seen_df, "url_hash", expected_items=1024, n_shards=4)
+    pre_snap = wh.snapshot_ids("url_seen")[-1]
+
+    n_retired, shards2 = retire_for_recrawl(
+        wh, F.col("first_wave") == 0, cuckoo_shards=shards
+    )
+    assert n_retired == len(wave0)
+    kept = wh.read("url_seen")
+    assert kept.count() == n_seen - n_retired
+    # atomicity: time travel still shows the pre-retire state
+    assert wh.read("url_seen", as_of=pre_snap).count() == n_seen
+
+    # cuckoo: every kept key still contained (no false negatives)...
+    assert all(
+        r["m"]
+        for r in kept.select(
+            might_contain_cuckoo_col(kept, shards2, "url_hash").alias("m")
+        ).collect()
+    )
+    # ...and retired keys are gone (tolerate <=1 fingerprint collision)
+    rdf = spark.createDataFrame([(u,) for u in sorted(wave0)], "url string").select(
+        url_hash_col("url").alias("url_hash")
+    )
+    still = [
+        r["m"]
+        for r in rdf.select(
+            might_contain_cuckoo_col(rdf, shards2, "url_hash").alias("m")
+        ).collect()
+    ]
+    assert sum(still) <= 1
+
+    # resumed crawl revisits EXACTLY the retired urls (their links are
+    # still seen, so no cascade), and the seen-set returns to full
+    last = max(w for w, _ in res.visits)
+    res2 = run_crawl(
+        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh, resume=True
+    )
+    revisited = {u for w, u in res2.visits if w > last}
+    assert revisited == wave0
+    assert res2.seen_urls == res.seen_urls
+    assert wh.read("url_seen").count() == n_seen
+
+
+def test_retire_nothing_is_noop(spark, tmp_path):
+    fx = generate_web(seed=13)
+    docs, hosts, seeds = fixture_to_dfs(spark, fx)
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
+    n_before = wh.read("url_seen").count()
+    snaps_before = wh.snapshot_ids("url_seen")
+    n, shards = retire_for_recrawl(wh, F.lit(False), cuckoo_shards=None)
+    assert n == 0 and shards is None
+    assert wh.read("url_seen").count() == n_before
+    assert wh.snapshot_ids("url_seen") == snaps_before  # no empty snapshot
+
+
+def test_midcrawl_retire_preserves_pending_frontier(spark, tmp_path):
+    """Retiring while a crawl is UNFINISHED must union the retired
+    candidates with the pending frontier, not replace it — the resumed
+    crawl converges to the same final seen set as an uninterrupted one
+    (budgets made non-binding so politeness drops don't mask a loss)."""
+    fx = generate_web(seed=13)
+    docs, hosts, seeds = fixture_to_dfs(spark, fx)
+    big = hosts.withColumn("budget", F.lit(100))
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    res = run_crawl(spark, docs, big, seeds, max_waves=2, warehouse=wh)
+    early = {u for w, u in res.visits if w == 0}
+    n, _ = retire_for_recrawl(wh, F.col("first_wave") == 0)
+    assert n == len(early)
+    res2 = run_crawl(spark, docs, big, seeds, max_waves=10, warehouse=wh, resume=True)
+    assert early <= {u for w, u in res2.visits if w >= 2}
+    full = run_crawl(
+        spark, docs, big, seeds, max_waves=10,
+        warehouse=Warehouse(str(tmp_path / "wh_full"), spark),
+    )
+    assert res2.seen_urls == full.seen_urls
