@@ -109,6 +109,27 @@ def test_politeness_uses_broadcast_for_hosts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_politeness_phase1_window_is_salted(spark):
+    """Skew safety: the first politeness window must partition by
+    (host_hash, _salt) so a hot host's pending URLs spread over
+    n_salts tasks — if the salt ever falls out of the partition spec,
+    one task would hold the whole host."""
+    from docrawl_spark.operators.politeness import gate_and_select
+    from docrawl_spark.plans.crawl import seeds_to_candidates
+
+    fx = generate_web(seed=5)
+    _, hosts, seeds = fixture_to_dfs(spark, fx)
+    cands = seeds_to_candidates(seeds)
+    plan = plan_of(
+        gate_and_select(cands, hosts.select("host", "budget", "robots_blob")),
+        mode="extended",
+    )
+    import re
+
+    w = re.search(r"windowspecdefinition\(host_hash[^)]*_salt", plan)
+    assert w, "phase-1 window no longer partitioned by (host_hash, _salt)"
+
+
 def test_bucketed_seen_antijoin_is_shuffle_free(spark, tmp_path):
     """The 100 TB seen-set design (BENCH.md): frontier and url_seen
     bucketed+sorted by url_hash make the exact anti-join a co-located

@@ -45,3 +45,63 @@ def test_rate_limit_across_batches(spark, tmp_path):
         assert len(got2) == len(got1)  # nothing new released
     finally:
         q.stop()
+
+
+def test_rate_limit_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The transformWithStateInPandas implementation enforces the same
+    cross-batch budget as the applyInPandasWithState one.
+
+    Spark 4's TWS Python runner speaks protobuf to the JVM state
+    server; this container has no protobuf wheel, so the test SKIPS
+    here and runs on any normally-provisioned cluster."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from docrawl_spark.streaming.rate_limit import rate_limited_release_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "cands_tws")
+        schema = "host string, url string, priority long"
+        spark.createDataFrame(
+            [("h1", f"u{i}", i) for i in range(5)] + [("h2", "v0", 0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        released = rate_limited_release_tws(
+            stream, budget=3, window_s=10_000, clock=lambda: 0.0
+        )
+        q = (
+            released.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("released_tws")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = spark.sql("SELECT * FROM released_tws").collect()
+            h1 = sorted(r["url"] for r in got1 if r["host"] == "h1")
+            assert h1 == ["u0", "u1", "u2"]
+            assert [r["url"] for r in got1 if r["host"] == "h2"] == ["v0"]
+            # second batch: budget exhausted by state
+            spark.createDataFrame(
+                [("h1", f"w{i}", i) for i in range(3)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got2 = spark.sql("SELECT * FROM released_tws").collect()
+            assert len(got2) == len(got1)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
