@@ -324,6 +324,70 @@ def simhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster formation (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where
+    ``component`` = the smallest id reachable through the pair graph —
+    the canonical-representative rule for dedup clusters (keep the
+    min-id doc per component, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — an
+    LSH-pair graph's components are cliques-ish). Each round is one
+    shuffle (join + groupBy min); the loop stops early when no label
+    changed. The driver loop is the iterative-algorithm escape hatch —
+    bodies stay declarative DataFrames."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("id"), F.col("src").alias("label")
+        )
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # Exact Jaccard verification + embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -254,3 +254,17 @@ def test_lsh_recall_at_scale(spark):
     # 4 planes over 200 points → ~12 points/bucket, 5 probe buckets
     ann = {r["vec_id"] for r in lsh_bucketed_topk(emb, q, k=10, n_planes=4).collect()}
     assert len(brute & ann) >= 6
+
+
+def test_connected_components(spark):
+    """Min-label propagation: chain a-b-c merges into one component,
+    disjoint pair keeps its own, isolated nodes never appear."""
+    from docrawl_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 9), (5, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4}
