@@ -387,6 +387,33 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-level near-duplicate removal: LSH candidate pairs →
+    connected components → keep ONE representative per cluster (the
+    min-id member). Returns the kept rows of ``df``.
+
+    The 100 TB shape: the corpus never self-joins (only band-bucket
+    collisions pair up), component propagation touches only docs that
+    appear in a pair, and the final filter is a broadcast-able
+    left_anti against the (small) drop-list."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
+    )
+    comps = connected_components(pairs)
+    drops = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Exact Jaccard verification + embedding near-dup
 # ---------------------------------------------------------------------------

@@ -430,6 +430,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup corpus dedup: keep the min-id representative per LSH
+    component (datapipe/dedup.near_dedup in md5 oracle mode)."""
+    from docrawl_spark.datapipe.dedup import near_dedup
+
+    return near_dedup(
+        _docs_par(spark, sf_dir), n_hashes=8, n_bands=4, hash_mode="md5hex"
+    ).select("doc_id")
+
+
 def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints in md5hex oracle mode (window=4 rolling
     minima over token hashes, Schleimer et al. SIGMOD'03)."""
@@ -682,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
         "neardup_components": q_neardup_components,
+        "neardup_dedup_docs": q_neardup_dedup_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_fingerprints_md5": q_winnow_fingerprints_md5,
@@ -945,6 +956,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.src <> e.dst)
             SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
             FROM reach GROUP BY src
+        """,
+        "neardup_dedup_docs": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE r.src <> e.dst)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT src FROM reach GROUP BY src
+              HAVING LEAST(src, MIN(dst)) <> src)
         """,
         "winnow_fingerprints_md5": r"""
             WITH h AS (
