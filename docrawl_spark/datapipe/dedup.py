@@ -352,11 +352,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint per round: truncates the logical plan (each
+    # iteration would otherwise nest the previous join+agg, growing
+    # Catalyst analysis cost) and leaves nothing pinned on return
+    # (checkpoint blocks are GC'd by the context cleaner)
     labels = (
         edges.select("src").distinct().select(
             F.col("src").alias("id"), F.col("src").alias("label")
         )
-    ).persist()
+    ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -372,18 +377,24 @@ def connected_components(
                     "label"
                 ),
             )
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds max_iter) — raise max_iter; "
+            "returning partial labels would silently split clusters"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

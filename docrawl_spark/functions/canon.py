@@ -183,9 +183,22 @@ def canonicalize_batch(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
     tail_u = pc.replace_substring_regex(
         pc.fill_null(full_path, ""), "^/", "", max_replacements=1
     ).to_numpy(zero_copy_only=False)
+    # reference segment model: segments = path.split('/')[1:], so a
+    # path of '' has ZERO segments but a path of '/' has ONE (empty)
+    # segment — the '' vs '/' distinction matters for both the join
+    # rule (base '/': 'x' → '…//x') and '..'-pops (base '/': one pop ok)
+    path_empty_u = npb(pc.equal(pc.fill_null(full_path, ""), ""))
+    nseg_u = (
+        pc.count_substring(pa.array(tail_u, type=pa.string()), "/")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        + 1
+    )
+    nseg_u[path_empty_u] = 0
     # per-row views via the factorize codes (numpy gather, no re-parse)
     loose_ok = loose_ok_u[codes]
     full_ok = full_ok_u[codes]
+    path_empty = path_empty_u[codes]
     tail_rows = pa.array(tail_u[codes], type=pa.string())
 
     # Fast path 2: domain-relative with a parseable base. The reference
@@ -229,8 +242,11 @@ def canonicalize_batch(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
         & ~is_null
     )
     if rel_mask.any():
+        # base path '' → just the ref; base path '/…' (INCLUDING bare
+        # '/', whose tail is '') → tail + '/' + ref, reproducing the
+        # reference's '…//x' for a trailing-slash root base
         joined = pc.if_else(
-            pc.equal(tail_rows, ""),
+            pa.array(path_empty),
             s_arr,
             pc.binary_join_element_wise(tail_rows, s_arr, "/"),
         )
@@ -265,14 +281,8 @@ def canonicalize_batch(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
             // 3
         )
         tails_np = tail_u[codes]
-        nseg = np.zeros(n, dtype=np.int64)
+        nseg = nseg_u[codes]  # 0 for path '', 1 for '/', tail '/'-count+1
         cand = dd_ok & full_ok
-        if cand.any():
-            t_sub = pd.Series(tails_np[cand])
-            nseg_sub = np.where(
-                t_sub.to_numpy() == "", 0, t_sub.str.count("/").to_numpy() + 1
-            )
-            nseg[cand] = nseg_sub
         hit = cand & (nseg >= k_rows)
         if hit.any():
             rest_np = pc.fill_null(dd_rest, "").to_numpy(zero_copy_only=False)

@@ -58,6 +58,10 @@ def retire_for_recrawl(
     from docrawl_spark.functions.cuckoo import delete_from_sharded_cuckoo
 
     seen = warehouse.read("url_seen")
+    # NULL-safe: a predicate that evaluates to NULL must mean KEEP —
+    # otherwise the row falls out of both where(p) and where(~p) and
+    # silently vanishes from the seen set
+    predicate = F.coalesce(predicate, F.lit(False))
     retired = seen.where(predicate).persist()
     n_retired = retired.count()
     if n_retired == 0:

@@ -45,23 +45,31 @@ class WebFixtureReader(DataSourceReader):
         self.n_seeds = int(options.get("n_seeds", 5))
         self.raw = str(options.get("raw", "true")).lower() != "false"
 
-    def partitions(self):
-        return [HostPartition(f"site{k}.test") for k in range(self.n_hosts)]
-
-    def read(self, partition: HostPartition):
+    def _fixture(self):
         from docrawl_spark.sources.fixtures import generate_web
 
-        fx = generate_web(
+        return generate_web(
             n_hosts=self.n_hosts,
             pages_cold=self.pages_cold,
             pages_hot=self.pages_hot,
             seed=self.seed,
             n_seeds=self.n_seeds,
         )
-        docs = fx.documents_raw if self.raw else fx.documents
-        suffix = f"://{partition.host}/"
+
+    def partitions(self):
+        # enumerate hosts FROM the fixture (no duplicated naming scheme)
+        return [HostPartition(h["host"]) for h in self._fixture().hosts]
+
+    def read(self, partition: HostPartition):
+        from urllib.parse import urlsplit
+
+        docs = (
+            self._fixture().documents_raw if self.raw else self._fixture().documents
+        )
         for url, spans in docs.items():
-            if suffix in url:
+            # parsed-netloc match (not substring) so root urls without a
+            # trailing path still land in their host's partition
+            if urlsplit(url).netloc.lower() == partition.host:
                 yield (
                     url,
                     [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans],

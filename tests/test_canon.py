@@ -81,6 +81,31 @@ def test_batch_edge_cases():
     assert out["url"][4] == build_abs_url("", "https://e.com/base")
 
 
+def test_batch_root_slash_base_cases():
+    """Base path '/' vs '' — the reference's segment model gives them
+    DIFFERENT results (path '/' has one empty segment: 'x' joins to
+    '//x', and one '..' pop succeeds). Regression for two confirmed
+    batch divergences found in review."""
+    cases = [
+        ("../about", "http://host.test/"),   # root '..': pops the empty seg
+        ("x", "http://h/"),                  # root join → 'http://h//x'
+        ("x", "http://h"),                   # no path → 'http://h/x'
+        ("a/b", "https://e.com/"),
+        ("../../x", "http://h/"),            # underflow (1 seg, 2 pops)
+        ("../x/y", "http://h"),              # underflow (0 segs)
+    ]
+    out = canonicalize_batch(
+        pd.Series([c[0] for c in cases]), pd.Series([c[1] for c in cases])
+    )
+    for i, (sc, ba) in enumerate(cases):
+        try:
+            exp_u, exp_err = build_abs_url(sc, ba), False
+        except ValueError:
+            exp_u, exp_err = None, True
+        assert out["url"][i] == exp_u, (sc, ba, out["url"][i], exp_u)
+        assert (out["error"][i] is not None) == exp_err, (sc, ba)
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     scraped=st.one_of(
@@ -93,8 +118,8 @@ def test_batch_edge_cases():
     base=st.one_of(
         st.none(),
         st.sampled_from(
-            ["https://example.com", "https://example.com/aaa/bbb", "http://h.io/p/",
-             "ftp://f.net/d/e", "example.com/noscheme"]
+            ["https://example.com", "https://example.com/", "https://example.com/aaa/bbb",
+             "http://h.io/p/", "ftp://f.net/d/e", "example.com/noscheme"]
         ),
     ),
 )
