@@ -752,7 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_host_metrics": f"""
             SELECT host,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS sum_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    ROUND(AVG(n_chars), 4) AS avg_chars,
                    COUNT(DISTINCT lang) AS n_langs,
                    MIN(doc_id) AS min_doc,
@@ -1037,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
                    MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
@@ -1138,11 +1138,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_type_pivot": """
             SELECT date_trunc('day', ts) AS day,
-                   SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-                   SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-                   SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+                   CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY 1
         """,
         "customer_set_ops": """

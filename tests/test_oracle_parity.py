@@ -6,7 +6,6 @@ before the driver does."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -44,22 +43,19 @@ def _assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: st
     )
     a, b = _normalize(spark_df), _normalize(duck_df)
     for col in a.columns:
-        av, bv = a[col], b[col]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            for i, (x, y) in enumerate(zip(av, bv)):
-                ok = (pd.isna(x) and pd.isna(y)) or (
-                    not pd.isna(x) and not pd.isna(y) and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
-                )
-                assert ok, f"{name}.{col}[{i}]: {x} vs {y}"
-        else:
-            # normalize None/NaN and dtype differences to strings
-            av2 = av.where(av.notna(), "__null__").astype(str)
-            bv2 = bv.where(bv.notna(), "__null__").astype(str)
-            mism = (av2 != bv2)
-            assert not mism.any(), (
-                f"{name}.{col}: first mismatch at {mism.idxmax()}: "
-                f"{av2[mism.idxmax()]!r} vs {bv2[mism.idxmax()]!r}"
-            )
+        # Driver-strict: the driver hashes str(value) over sorted columns /
+        # sorted rows with NO float tolerance, so a float64 "99111.0" vs an
+        # int64 "99111" IS a failure (round-1 lesson: DuckDB SUM(<int>)
+        # returns HUGEINT -> pandas float64). Every oracle pair must agree
+        # on exact stringified values, dtype included.
+        av = a[col].where(a[col].notna(), None).map(lambda x: "__null__" if x is None else str(x))
+        bv = b[col].where(b[col].notna(), None).map(lambda x: "__null__" if x is None else str(x))
+        mism = (av != bv)
+        assert not mism.any(), (
+            f"{name}.{col}: first mismatch at {mism.idxmax()}: "
+            f"{av[mism.idxmax()]!r} vs {bv[mism.idxmax()]!r} "
+            f"(dtypes {a[col].dtype} vs {b[col].dtype})"
+        )
 
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())
