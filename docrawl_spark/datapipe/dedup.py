@@ -496,3 +496,86 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup mining at corpus scale: SRP-LSH bucket
+    candidate generation + exact-cosine verify, never an all-pairs
+    self-join.
+
+    Each vector gets a sign-random-projection bucket (one bit per
+    hyperplane, similarity.srp_bucket_col). Side A explodes its
+    multi-probe keys — its own bucket plus every bucket within
+    ``probe_hamming`` bit-flips — side B keys on its raw bucket, and
+    the candidate join is a plain equi-join on the probe key: the
+    corpus is pruned by ~2^n_planes per probe. Exact cosine runs only
+    on candidates (the verify stage, same math as
+    ``embedding_neardup_pairs``).
+
+    LSH semantics: a pair whose buckets differ by more than
+    ``probe_hamming`` bits is NOT a candidate — recall is tuned via
+    n_planes (bucket granularity) and probe_hamming (probe depth),
+    traded against candidate volume exactly like MinHash band count.
+    Every returned pair is exact-verified; uniqueness per pair is
+    structural (the probe key matching b's bucket is the one flipping
+    exactly the differing bits), so no dedup pass is needed.
+    """
+    from itertools import combinations
+
+    from docrawl_spark.datapipe.similarity import _hyperplanes, srp_bucket_col
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_bucket", srp_bucket_col(F.col("_v"), planes))
+    norm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("_n", norm)
+
+    probe_keys = [F.col("_bucket")]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            probe_keys.append(F.col("_bucket").bitwiseXOR(F.lit(mask)))
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        F.explode(F.array(*probe_keys)).alias("_probe"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_bucket").alias("_probe"),
+    )
+    # explicit join-key repartition — same AQE-coalesce guard as
+    # simhash_neardup_pairs: the probe rows are small but the bucket
+    # collisions fan out, and a user-specified count is exempt from
+    # AQE's coalesce-to-1
+    a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism, "_probe")
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b"))
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "_probe")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -157,8 +157,16 @@ def canonicalize_batch(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
 
     # Fast path 1: absolute, verbatim-safe. geturl() is the identity for
     # lowercase-scheme '://' urls without ';' params ambiguity; keep ';'
-    # holders on the slow path to stay bit-exact with urlparse.
-    abs_mask = npb(pc.match_substring_regex(s_arr, _ABS_FAST.pattern)) & ~has_semi
+    # holders on the slow path to stay bit-exact with urlparse. geturl()
+    # DROPS empty query/fragment components ('http://a/b?' → 'http://a/b',
+    # 'http://a/b?#f' → 'http://a/b#f'), so urls with a trailing '?'/'#'
+    # or a '?#' pair must take the exact scalar walk, not the verbatim path.
+    empty_component = npb(pc.match_substring_regex(s_arr, r"(\?#|[?#]$)"))
+    abs_mask = (
+        npb(pc.match_substring_regex(s_arr, _ABS_FAST.pattern))
+        & ~has_semi
+        & ~empty_component
+    )
     abs_mask &= ~is_null
     out_url[abs_mask] = sv[abs_mask]
 

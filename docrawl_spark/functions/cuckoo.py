@@ -219,6 +219,9 @@ def delete_from_sharded_cuckoo(
         .applyInPandas(drop, _SHARD_SCHEMA)
         .collect()
     )
+    # shard blobs are MB-scale; repeated retirement cycles would leak
+    # executor+driver memory if each call left its broadcast pinned
+    bc.unpersist()
     out = list(shards)
     for r in rows:
         out[int(r["shard"])] = bytes(r["blob"])

@@ -67,7 +67,12 @@ def retire_for_recrawl(
     if n_retired == 0:
         retired.unpersist()
         return 0, cuckoo_shards
-    keep = seen.where(~predicate)
+    # keep = seen MINUS the MATERIALIZED retired set (anti-join on the
+    # persisted url_hash set), never where(~predicate): a
+    # non-deterministic predicate (e.g. F.rand() sampled refresh) would
+    # otherwise be evaluated twice and could drop rows from both sides
+    # or retire without requeueing
+    keep = seen.join(retired.select("url_hash"), "url_hash", "left_anti")
     warehouse.overwrite("url_seen", keep)
     if requeue:
         cand = retired_to_candidates(retired)

@@ -264,6 +264,22 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_VEC = [1.0] + [0.0] * 63  # embeddings are 64-dim
 
 
+def _srp_bucket_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB expression for the SRP bucket of CAST(embedding AS
+    DOUBLE[]), with the SAME deterministic hyperplanes the Spark side
+    uses (similarity._hyperplanes) inlined as literals — repr(float)
+    round-trips exactly, so both engines compute identical sign bits."""
+    from docrawl_spark.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {p!r}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup survivors (datapipe/dedup.exact_dedup)."""
     from docrawl_spark.datapipe.dedup import exact_dedup
@@ -321,12 +337,23 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docrawl_spark.datapipe.dedup import embedding_neardup_pairs
+    """ANN near-dup pairs on the SCALE path: SRP-bucket candidates
+    (hamming-1 multi-probe, equi-join on the probe key — never a
+    corpus self-join) + exact-cosine verify. The oracle mirrors the
+    same LSH semantics (identical hyperplanes inlined as literals), so
+    the whole sign→bucket→probe-join→verify pipeline is hash-checked.
+    The brute all-pairs form (embedding_neardup_pairs) remains the
+    bounded-candidate verify stage only."""
+    from docrawl_spark.datapipe.dedup import embedding_neardup_bucketed
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    return embedding_neardup_bucketed(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=8,
+        seed=42,
+        probe_hamming=1,
+        dim=64,
     )
-    return embedding_neardup_pairs(emb, threshold=0.4)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,31 +378,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 2-gram Jaccard over blocked doc pairs (the verify stage of
-    near-dup mining, datapipe/dedup.ngram_jaccard_pairs shape) —
-    blocking on doc_id%25 keeps the pair set bounded on both engines."""
-    from docrawl_spark.datapipe.dedup import word_shingles_col
+    """Exact 2-gram Jaccard VERIFY over MinHash-LSH candidates — the
+    real mine→verify near-dup pipeline (dedup.minhash_lsh_pairs →
+    dedup.ngram_jaccard_pairs): shingle sets join onto the bounded LSH
+    candidate set, the corpus never self-joins (the round-1 doc_id%25
+    blocked self-join was O(n²/25) — this is the at-scale shape)."""
+    from docrawl_spark.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = _docs_par(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") % 25).alias("blk"),
-        word_shingles_col(F.col("text"), 2).alias("sh"),
-    )
-    a = docs.select(
-        "blk", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = docs.select(
-        "blk", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.05)
-    )
+    docs = _docs_par(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    return ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,27 +1073,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine FROM c
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        "embedding_neardup": """
+        "embedding_neardup": f"""
+            WITH bk AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_srp_bucket_sql(64, 8, 42)} AS bucket
+              FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM bk a JOIN bk b
+              ON a.vec_id < b.vec_id
+             AND bit_count(xor(a.bucket, b.bucket)) <= 1
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         "ngram_jaccard_pairs": r"""
-            WITH d AS (
-              SELECT doc_id, doc_id % 25 AS blk,
+            -- mine (MinHash-LSH md5 mode, same params as the Spark
+            -- entry: 8 hashes, 4 bands x 2 rows, 3-gram shingles) ...
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh3 AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh3, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            -- ... then verify: exact 2-gram Jaccard on candidates only
+            d AS (
+              SELECT doc_id,
                      list_distinct(list_transform(
-                       range(1, GREATEST(len(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) - 1, 0) + 1),
-                       i -> array_to_string(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')[i:i+1], ' ')
-                     )) AS sh
-              FROM documents)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       range(1, GREATEST(len(t) - 1, 0) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS sh
+              FROM toks)
+            SELECT c.id_a, c.id_b,
                    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-            FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            FROM cand c
+            JOIN d a ON a.doc_id = c.id_a
+            JOIN d b ON b.doc_id = c.id_b
             WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
         """,

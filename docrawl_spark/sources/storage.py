@@ -25,8 +25,16 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
+    """Stable key→bucket mapping for merge scoping (Iceberg
+    ``bucket(n, key)`` analogue): pmod(xxhash64(keys), n) ∈ [0, n)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 class Warehouse:
@@ -74,19 +82,66 @@ class Warehouse:
         self._commit_manifest(table, m)
         return snap_id
 
-    def merge_upsert(self, table: str, df: DataFrame, key_cols: list[str]) -> str:
+    def merge_upsert(
+        self, table: str, df: DataFrame, key_cols: list[str], n_buckets: int = 16
+    ) -> str:
         """``MERGE INTO`` semantics (SURVEY.md §1.2: the url_seen upsert
         on real Iceberg): rows in ``df`` replace current rows with the
-        same key, new keys append. Implemented as anti-join + union into
-        ONE new overwrite snapshot — readers see pre- or post-merge
-        state, never partial (same atomicity as append/overwrite)."""
-        if self.exists(table):
-            cur = self.read(table)
-            kept = cur.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
-            merged = kept.unionByName(df)
-        else:
-            merged = df
-        return self.overwrite(table, merged)
+        same key, new keys append.
+
+        Bucket-scoped, like Iceberg's copy-on-write MERGE with bucket
+        partitioning: the new snapshot contains ONLY the rows of the
+        key-buckets (``pmod(xxhash64(keys), n_buckets)``) that ``df``
+        touches; untouched buckets' files are never rewritten — the
+        manifest records which buckets this snapshot replaces and
+        ``read`` masks those buckets out of older snapshots. A merge of
+        k keys is O(table/n_buckets · k') work, not O(table).
+
+        Faithful to Iceberg MERGE INTO's source contract: raises on
+        duplicate source keys ("multiple rows match") and on NULL keys
+        (which the equality anti-join could never retire, silently
+        accumulating duplicates). Readers see pre- or post-merge state,
+        never partial (same atomic-manifest commit as append/overwrite).
+        """
+        from pyspark.sql import functions as F
+
+        null_flags = [
+            F.max(F.col(k).isNull().cast("int")).alias(f"_null_{k}") for k in key_cols
+        ]
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("nd"),
+            *null_flags,
+        ).first()
+        if any(stats[f"_null_{k}"] for k in key_cols):
+            raise ValueError(f"merge_upsert({table}): NULL in key columns {key_cols}")
+        if stats["n"] != stats["nd"]:
+            raise ValueError(
+                f"merge_upsert({table}): duplicate source keys "
+                f"({stats['n']} rows, {stats['nd']} distinct {key_cols})"
+            )
+        if not self.exists(table):
+            return self.overwrite(table, df)
+        bexpr = _bucket_expr(key_cols, n_buckets)
+        affected = sorted(
+            r["_b"] for r in df.select(bexpr.alias("_b")).distinct().collect()
+        )
+        cur = self.read(table).where(bexpr.isin(affected))
+        kept = cur.join(df.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(df)
+        snap_id = self._write_snapshot(table, merged)
+        m = self._load_manifest(table)
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "mode": "merge",
+                "key_cols": list(key_cols),
+                "n_buckets": n_buckets,
+                "buckets": affected,
+            }
+        )
+        self._commit_manifest(table, m)
+        return snap_id
 
     # -- reads -------------------------------------------------------------
     def snapshot_ids(self, table: str) -> list[str]:
@@ -103,19 +158,40 @@ class Warehouse:
         if as_of is not None:
             idx = next(i for i, s in enumerate(snaps) if s["id"] == as_of)
             snaps = snaps[: idx + 1]
-        # honor overwrites: keep only deltas after the last overwrite
-        live: list[dict] = []
+        # replay: overwrite resets; append adds; merge adds AND masks its
+        # key-buckets out of every earlier live snapshot (those buckets'
+        # rows were rewritten into the merge snapshot)
+        live: list[tuple[dict, list[dict]]] = []  # (snapshot, bucket-masks)
         for s in snaps:
             if s["mode"] == "overwrite":
-                live = [s]
+                live = [(s, [])]
+            elif s["mode"] == "merge":
+                for _, masks in live:
+                    masks.append(s)
+                live.append((s, []))
             else:
-                live.append(s)
+                live.append((s, []))
         if not live:
             if empty_schema is None:
                 raise ValueError(f"table {table} is empty and no schema given")
             return self.spark.createDataFrame([], empty_schema)
-        paths = [os.path.join(self.root, table, f"snap-{s['id']}") for s in live]
-        return self.spark.read.parquet(*paths)
+        unmasked = [s for s, masks in live if not masks]
+        masked = [(s, masks) for s, masks in live if masks]
+        parts = []
+        if unmasked:
+            paths = [os.path.join(self.root, table, f"snap-{s['id']}") for s in unmasked]
+            parts.append(self.spark.read.parquet(*paths))
+        for s, masks in masked:
+            df = self.spark.read.parquet(os.path.join(self.root, table, f"snap-{s['id']}"))
+            for mk in masks:
+                df = df.where(
+                    ~_bucket_expr(mk["key_cols"], mk["n_buckets"]).isin(mk["buckets"])
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table)["snapshots"])

@@ -133,14 +133,19 @@ def rate_limited_release_tws(
             out = batch.head(remaining)
             released = int(released) + len(out)
             self._win.update((float(window_start), released))
-            yield pd.DataFrame(
-                {
-                    "host": out["host"],
-                    "url": out["url"],
-                    "priority": out["priority"],
-                    "released_in_window": released,
-                }
-            )
+            # never yield an empty object-dtype frame: the TWS Arrow
+            # serializer can fail schema coercion on untyped empty
+            # batches (path only exercisable on a provisioned cluster —
+            # this container lacks protobuf)
+            if len(out):
+                yield pd.DataFrame(
+                    {
+                        "host": out["host"],
+                        "url": out["url"],
+                        "priority": out["priority"],
+                        "released_in_window": released,
+                    }
+                )
 
         def close(self) -> None:
             pass

@@ -190,6 +190,59 @@ def test_simhash_table_hash_aggregates(spark):
     assert "SortAggregate" not in plan
 
 
+def test_embedding_neardup_query_is_bucket_joined(spark):
+    """The embedding_neardup query entry must run the SCALE path: a
+    bucket/probe equi-join, never the _blk=0 all-pairs self-join
+    (round-1 weak finding). Candidates = pairs with SRP-bucket hamming
+    <= 1; assert the plan has an equi-join on _probe and no cartesian/
+    nested-loop node, and that the output is the exact-verified subset
+    of the brute pairs."""
+    plan = plan_of(dq.q_embedding_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_probe" in plan  # the bucket equi-join key
+
+    from docrawl_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dq.q_embedding_neardup(spark, SF).collect()
+    }
+    assert bucketed <= brute  # every returned pair is exact-verified
+    assert len(bucketed) > 0
+
+
+def test_ngram_jaccard_query_feeds_from_lsh_candidates(spark):
+    """The jaccard query entry must verify LSH candidates, not a
+    blocked corpus self-join: its pair set is a subset of the LSH
+    candidate set, and the plan has no cartesian node."""
+    from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
+
+    plan = plan_of(dq.q_ngram_jaccard_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]) for r in dq.q_ngram_jaccard_pairs(spark, SF).collect()
+    }
+    assert got <= cands
+    assert len(got) > 0
+
+
 def test_spans_kind_filter_stays_inside_generator(spark):
     """The kind filter must run inside the array BEFORE the explode —
     the generate node's input is the filtered lambda, so non-matching

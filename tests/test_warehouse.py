@@ -60,3 +60,73 @@ def test_merge_upsert_semantics(spark, tmp_path):
     # merge into a missing table = plain insert
     wh.merge_upsert("t2", spark.createDataFrame([(9, "z")], "k long, v string"), ["k"])
     assert {(r["k"], r["v"]) for r in wh.read("t2").collect()} == {(9, "z")}
+
+
+def test_merge_upsert_is_bucket_scoped(spark, tmp_path):
+    """A merge must rewrite only the key-buckets it touches: prior
+    snapshot files stay byte-identical on disk, and the new snapshot
+    holds just the affected buckets' rows — not the whole table."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.sources.storage import _bucket_expr
+
+    wh = Warehouse(str(tmp_path / "w5"), spark)
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    wh.append("t", base)
+
+    def file_state(root):
+        return {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        }
+
+    before = file_state(str(tmp_path / "w5"))
+    upd = spark.createDataFrame([(7, "SEVEN"), (200, "NEW")], "k long, v string")
+    snap = wh.merge_upsert("t", upd, ["k"], n_buckets=16)
+
+    # untouched files: every pre-merge parquet file unchanged on disk
+    after = file_state(str(tmp_path / "w5"))
+    assert all(after[p] == before[p] for p in before)
+
+    # the merge snapshot carries only the affected buckets' rows
+    snap_rows = spark.read.parquet(str(tmp_path / "w5" / "t" / f"snap-{snap}"))
+    n_affected_buckets = upd.select(_bucket_expr(["k"], 16)).distinct().count()
+    expected_bucket_rows = (
+        base.unionByName(upd)
+        .join(upd.select("k"), "k", "left_anti")
+        .unionByName(upd)
+        .where(
+            _bucket_expr(["k"], 16).isin(
+                [r[0] for r in upd.select(_bucket_expr(["k"], 16)).distinct().collect()]
+            )
+        )
+        .count()
+    )
+    assert snap_rows.count() == expected_bucket_rows < 101
+    assert n_affected_buckets <= 2
+
+    # semantics: replaced + appended + untouched all visible
+    got = dict((r["k"], r["v"]) for r in wh.read("t").collect())
+    assert got[7] == "SEVEN" and got[200] == "NEW" and got[0] == "v0"
+    assert len(got) == 101
+
+
+def test_merge_upsert_rejects_bad_source(spark, tmp_path):
+    """Iceberg MERGE INTO contract: duplicate source keys and NULL keys
+    are errors, not silent duplicate accumulation."""
+    import pytest
+
+    wh = Warehouse(str(tmp_path / "w6"), spark)
+    wh.append("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        wh.merge_upsert(
+            "t", spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string"), ["k"]
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        wh.merge_upsert(
+            "t", spark.createDataFrame([(None, "x")], "k long, v string"), ["k"]
+        )
