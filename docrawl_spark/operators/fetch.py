@@ -23,22 +23,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def synthetic_headers_col(url, host, status, n_spans) -> "F.Column":
+    """Deterministic response-header map for the synthetic fetch —
+    the D7 side-channel the reference captures on every page load via
+    selenium-wire (docrawl_core.py:1064-1083, stored
+    docrawl_client.py:54-71). A real fetch stage fills this from the
+    HTTP response; the synthetic twin derives the same shape from the
+    corpus so header queries are testable offline. All values are
+    codegen-cheap JVM expressions (no HOF, no UDF) — this runs inside
+    the wave hot loop."""
+    return F.create_map(
+        F.lit("content-type"),
+        F.when(status == 200, F.lit("text/html; charset=utf-8")).otherwise(
+            F.lit("text/plain")
+        ),
+        F.lit("content-length"),
+        n_spans.cast("string"),
+        F.lit("server"),
+        F.concat(F.lit("synth/"), F.coalesce(host, F.lit("unknown"))),
+        F.lit("etag"),
+        F.lower(F.hex(F.xxhash64(url))),
+    )
+
+
 def synthetic_fetch(selected: DataFrame, documents: DataFrame) -> DataFrame:
     """selected frontier (url, visit_rank, wave, depth, ...) × documents
-    (doc_id, spans) → fetched rows with status + spans.
+    (doc_id, spans) → fetched rows with status + spans + headers map.
 
-    Left join: frontier rows without a document become 404s."""
+    Left join: frontier rows without a document become 404s (still
+    visited, still seen, empty spans, text/plain headers)."""
     docs = documents.select(F.col("doc_id"), F.col("spans"))
     spans_type = docs.schema["spans"].dataType
     joined = selected.join(docs, selected["url"] == docs["doc_id"], "left")
     spans_filled = F.coalesce(F.col("spans"), F.array().cast(spans_type))
+    status = (
+        F.when(F.col("doc_id").isNotNull(), F.lit(200)).otherwise(F.lit(404))
+    )
+    n_spans = F.size(spans_filled)
     return joined.select(
         selected["*"],
-        F.when(F.col("doc_id").isNotNull(), F.lit(200))
-        .otherwise(F.lit(404))
-        .alias("status"),
+        status.alias("status"),
         spans_filled.alias("spans"),
-        F.size(spans_filled).alias("n_spans"),
+        n_spans.alias("n_spans"),
+        synthetic_headers_col(
+            selected["url"], selected["host"], status, n_spans
+        ).alias("headers"),
     )
 
 
@@ -47,7 +76,8 @@ def synthetic_fetch(selected: DataFrame, documents: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 FETCHED_SCHEMA_DDL = (
-    "url string, status int, content binary, content_type string, elapsed_ms double"
+    "url string, status int, content binary, content_type string, "
+    "headers map<string,string>, fetched_at timestamp, elapsed_ms double"
 )
 
 

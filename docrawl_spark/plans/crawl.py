@@ -44,6 +44,9 @@ from docrawl_spark.operators.scan import scan_documents
 from docrawl_spark.sources.schemas import URL_SEEN_SCHEMA
 from docrawl_spark.sources.storage import Warehouse
 
+# 2024-01-01T00:00:00Z — anchor for the deterministic fetched_at clock
+_FETCH_CLOCK_EPOCH = 1704067200
+
 CANDIDATE_COLS = [
     "url_hash",
     "url",
@@ -144,6 +147,12 @@ def run_crawl(
         # partition_id records which task materialized each row — the
         # per-partition lineage half of the north_rule's
         # "per-partition lineage + metrics"
+        # headers + fetched_at = the reference's D7 side-channel capture
+        # (headers/cookies per page load, docrawl_core.py:1064-1083).
+        # fetched_at is a deterministic synthetic clock (epoch anchor +
+        # visit_rank seconds) so crawl equality and oracle hashing stay
+        # reproducible; a production fetch stage records the real
+        # response time instead.
         fetch_log_delta = fetched.select(
             "url_hash",
             "url",
@@ -152,6 +161,10 @@ def run_crawl(
             "visit_rank",
             "status",
             "n_spans",
+            "headers",
+            F.timestamp_seconds(
+                F.lit(_FETCH_CLOCK_EPOCH) + F.col("visit_rank")
+            ).alias("fetched_at"),
             F.spark_partition_id().alias("partition_id"),
         )
         seen_delta = fetched.select(

@@ -115,6 +115,42 @@ def q_frontier_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 side-channel parity (reference: headers captured on every
+    page load, docrawl_core.py:1064-1083 → SURVEY §1.2 fetch_log
+    headers map): build the headers map with the engine's own
+    synthetic_headers_col, then query INTO the map (element_at) and
+    aggregate per server — exercising map construction, map key
+    extraction, and the typed round-trip. The etag entry (xxhash64) is
+    engine-side only; the oracle checks the DuckDB-reproducible keys."""
+    from docrawl_spark.operators.fetch import synthetic_headers_col
+
+    urls = _doc_urls(spark, sf_dir)
+    status = F.when(F.col("n_chars") > 0, F.lit(200)).otherwise(F.lit(404))
+    h = urls.select(
+        "doc_id",
+        synthetic_headers_col(
+            F.col("url"), F.col("host"), status, F.col("n_chars")
+        ).alias("headers"),
+    )
+    return (
+        h.select(
+            "doc_id",
+            F.element_at("headers", F.lit("server")).alias("server"),
+            F.element_at("headers", F.lit("content-type")).alias("content_type"),
+            F.element_at("headers", F.lit("content-length"))
+            .cast("long")
+            .alias("content_length"),
+        )
+        .groupBy("server", "content_type")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("content_length").alias("sum_len"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
 def q_seed_normalize_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 'http' substring prepend quirk
     (docrawl_client.py:200-201) over a mixed seed list: odd doc_ids are
@@ -715,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "minhash_band_minima": q_minhash_band_minima,
         "embedding_topk": q_embedding_topk,
+        "fetch_headers": q_fetch_headers,
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_md5": q_simhash_neardup_md5,
@@ -760,6 +797,15 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY host
                                         ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM ({_DOC_URLS_SQL})) WHERE rn <= 3
+        """,
+        "fetch_headers": """
+            SELECT 'synth/' || source || '.test' AS server,
+                   CASE WHEN n_chars > 0 THEN 'text/html; charset=utf-8'
+                        ELSE 'text/plain' END AS content_type,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+                   MIN(doc_id) AS min_doc
+            FROM documents GROUP BY 1, 2
         """,
         "frontier_host_metrics": f"""
             SELECT host,

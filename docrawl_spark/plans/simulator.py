@@ -13,9 +13,11 @@ plans/crawl.py — any drift is a test failure):
 
 1.  Raw documents are cleaned by the extraction-kernel rules first:
     drop kind∈(text,headline) spans whose text strips to '' (reference
-    emptiness rule, docrawl_core.py:631-639); drop duplicate
-    (kind,text,media_ref) spans keeping the first (XPath dedup,
-    docrawl_core.py:597-618); reassign offsets 0..n-1 in order.
+    emptiness rule, docrawl_core.py:631-639); drop kind='table' spans
+    with fewer than 2 <tr> (scan-time table guard,
+    docrawl_core.py:604-605); drop duplicate (kind,text,media_ref)
+    spans keeping the first (XPath dedup, docrawl_core.py:597-618);
+    reassign offsets 0..n-1 in order.
 2.  Seeds: apply the ``'http' not in url`` prepend quirk
     (docrawl_client.py:200-201); wave-0 candidates ordered by
     seed_order, deduped keeping first.
@@ -50,12 +52,34 @@ DEFAULT_BUDGET = 2
 EMPTYABLE_KINDS = ("text", "headline")
 
 
+def _table_has_two_tr(text: str | None) -> bool:
+    """Reference scan-time table guard (docrawl_core.py:604-605): skip
+    tables with fewer than 2 <tr>. In the span encoding the <th> row is
+    one <tr> and each ``rows`` entry is one <tr>. Unparseable payloads
+    are kept (the guard fires only on a counted deficit)."""
+    import json
+
+    try:
+        payload = json.loads(text) if text else None
+    except Exception:
+        return True
+    if not isinstance(payload, dict):
+        return True
+    if payload.get("th") is None and payload.get("rows") is None:
+        return True  # no row evidence at all = unparseable, keep
+    th = payload.get("th") or []
+    rows = payload.get("rows") or []
+    return (1 if len(th) > 0 else 0) + len(rows) >= 2
+
+
 def clean_spans(raw_spans: list[dict]) -> list[dict]:
-    """Extraction-kernel cleaning (rule 1 above), python-side."""
+    """Extraction-kernel cleaning (rules 1/1b above), python-side."""
     out: list[dict] = []
     seen_keys: set[tuple] = set()
     for s in sorted(raw_spans, key=lambda x: x["offset"]):
         if s["kind"] in EMPTYABLE_KINDS and (s["text"] or "").strip() == "":
+            continue
+        if s["kind"] == "table" and not _table_has_two_tr(s["text"]):
             continue
         key = (s["kind"], s["text"], s["media_ref"])
         if key in seen_keys:

@@ -25,6 +25,7 @@ off the DOM; fixtures pre-apply DOM-only rules per FIXTURES.md):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import random
 from dataclasses import dataclass, field
@@ -171,6 +172,19 @@ def generate_web(
                         "rows": [[["h1"], ["h2"]], [], [["5"], ["v"]]],
                     }
                 add("table", json.dumps(payload))
+            # raw-only degenerate tables (<2 <tr>): the scan-time guard
+            # (docrawl_core.py:604-605) must drop these before offsets
+            # re-rank. Decision is hash-derived, NOT an rng draw — the
+            # rng sequence (and thus the golden files) must not shift.
+            _dg = int(hashlib.md5(f"{url}|tr-guard".encode()).hexdigest(), 16) % 4
+            if _dg == 0:  # single data row, no th → 1 <tr>
+                add_raw_only(
+                    "table", json.dumps({"th": None, "rows": [[["solo"], ["row"]]]})
+                )
+            elif _dg == 1:  # header-only table → 1 <tr>
+                add_raw_only(
+                    "table", json.dumps({"th": [["only"], ["head"]], "rows": []})
+                )
             # -- bullet (fragments incl. \xa0 and empties)
             if rng.random() < 0.5:
                 add(

@@ -245,3 +245,36 @@ def test_extract_kind_links_absolutized(spark):
         build_abs_url("../z", "https://e.com/a/b"),
         build_abs_url("/q", "https://e.com/a/b"),
     ]
+
+
+def test_table_scan_guard_drops_sub_two_tr(spark):
+    """Reference scan-time guard (docrawl_core.py:604-605): tables with
+    fewer than 2 <tr> never become spans — a <th> row counts as one
+    <tr>, each rows entry is one <tr>; unparseable payloads are kept;
+    surviving spans re-rank offsets with no gap."""
+    import json
+
+    from docrawl_spark.operators.scan import scan_documents
+    from docrawl_spark.plans.simulator import clean_spans
+    from docrawl_spark.sources.schemas import DOCUMENTS_SCHEMA
+
+    spans = [
+        ("table", json.dumps({"th": None, "rows": [[["only"]]]}), "", 0),       # 1 tr -> drop
+        ("table", json.dumps({"th": [["h"]], "rows": []}), "", 1),              # 1 tr -> drop
+        ("table", json.dumps({"th": [["h"]], "rows": [[["a"]]]}), "", 2),       # 2 tr -> keep
+        ("table", json.dumps({"th": None, "rows": [[["a"]], [["b"]]]}), "", 3), # 2 tr -> keep
+        ("table", json.dumps({"th": [["h"]], "rows": None}), "", 4),            # 1 tr -> drop
+        ("table", "not json", "", 5),                                           # unparseable -> keep
+        ("text", "body", "", 6),                                                # non-table untouched
+    ]
+    docs = spark.createDataFrame([("https://t.test/p", spans)], DOCUMENTS_SCHEMA)
+    got = scan_documents(docs).collect()[0]["spans"]
+    got_tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got]
+    sim = clean_spans(
+        [dict(kind=k, text=t, media_ref=m, offset=o) for k, t, m, o in spans]
+    )
+    sim_tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sim]
+    assert got_tuples == sim_tuples
+    kept_texts = [t[1] for t in got_tuples if t[0] == "table"]
+    assert kept_texts == [spans[2][1], spans[3][1], "not json"]
+    assert [t[3] for t in got_tuples] == list(range(len(got_tuples)))

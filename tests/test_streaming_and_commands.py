@@ -211,3 +211,39 @@ def test_streaming_crawl_matches_batch_reachability(spark, tmp_path):
     # via seeding
     assert stream_visited >= (batch_reachable - set(seed_urls))
     assert stream_visited <= batch_reachable
+
+
+def test_fetch_log_carries_headers_and_clock(spark, tmp_path):
+    """D7 parity: every fetch_log row carries the response-header map
+    (etag/content-length/server/content-type, reference capture
+    docrawl_core.py:1064-1083) and a fetched_at that is a deterministic
+    monotone function of visit_rank."""
+    from docrawl_spark.plans.crawl import _FETCH_CLOCK_EPOCH, run_crawl
+    from docrawl_spark.sources.storage import Warehouse
+
+    fx = generate_web(seed=5)
+    docs, hosts, seeds = fixture_to_dfs(spark, fx)
+    wh = Warehouse(str(tmp_path / "whh"), spark)
+    run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
+    log = wh.read("fetch_log")
+    bad = log.where(
+        (F.element_at("headers", F.lit("etag")) != F.lower(F.hex(F.xxhash64("url"))))
+        | (F.element_at("headers", F.lit("content-length")).cast("int") != F.col("n_spans"))
+        | (F.element_at("headers", F.lit("server")) != F.concat(F.lit("synth/"), F.col("host")))
+        | (
+            F.element_at("headers", F.lit("content-type"))
+            != F.when(F.col("status") == 200, F.lit("text/html; charset=utf-8")).otherwise(
+                F.lit("text/plain")
+            )
+        )
+        | (
+            F.col("fetched_at")
+            != F.timestamp_seconds(F.lit(_FETCH_CLOCK_EPOCH) + F.col("visit_rank"))
+        )
+    ).count()
+    assert bad == 0
+    # 404 rows exist in this fixture and are marked text/plain
+    assert log.where(F.col("status") == 404).count() > 0
+    # fetched_at is strictly monotone in crawl order (unique ranks)
+    n = log.count()
+    assert log.select("fetched_at").distinct().count() == n
