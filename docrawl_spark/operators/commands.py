@@ -41,6 +41,37 @@ def extract_multiple_kinds(docs: DataFrame, kinds: list[str]) -> DataFrame:
     return out
 
 
+def extract_multiple_kinds_matrix(
+    docs: DataFrame, kinds: list[str], max_cols: int = 8
+) -> DataFrame:
+    """O5 matrix form — the reference builds ``pd.DataFrame(result)``
+    with one ROW per xpath and positional line columns, NaN-padded
+    (docrawl_core.py:920-947, then → xlsx at :942). Here: the long form
+    re-ranks surviving lines per (doc, kind) to 0..n-1 (empties were
+    dropped by O4, so positions close up exactly like list indices),
+    then pivots with an EXPLICIT column domain (no extra distinct pass
+    over the data to discover pivot values at scale). Lines beyond
+    ``max_cols`` are dropped — the caller picks the matrix width, as
+    the reference's xlsx writer effectively does."""
+    from pyspark.sql import Window
+
+    long = extract_multiple_kinds(docs, kinds)
+    w = Window.partitionBy("doc_id", "kind_idx").orderBy("line_no")
+    ranked = long.withColumn("col", F.row_number().over(w) - 1)
+    piv = (
+        ranked.where(F.col("col") < max_cols)
+        .groupBy("doc_id", "kind_idx", "kind")
+        .pivot("col", list(range(max_cols)))
+        .agg(F.first("line"))
+    )
+    return piv.select(
+        "doc_id",
+        "kind_idx",
+        "kind",
+        *[F.col(str(i)).alias(f"line_{i}") for i in range(max_cols)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # O7 extract_page_source (docrawl_core.py:365-375)
 # ---------------------------------------------------------------------------

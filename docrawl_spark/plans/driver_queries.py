@@ -151,6 +151,53 @@ def q_fetch_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 matrix form (extract_multiple_xpaths → row-per-xpath matrix,
+    docrawl_core.py:920-947) through the REAL operator pipeline:
+    synthesize a span document per row of the flat documents table,
+    run extract_multiple_kinds (O4 per kind: strip, drop empties,
+    absolutize links, 'None' marker) and pivot to the positional
+    matrix. Exercises: empty-line close-up (doc_id%5 docs lose their
+    first text line), link absolutization against the doc url, and the
+    'None' row for a kind with no spans (bullet)."""
+    from docrawl_spark.operators.commands import extract_multiple_kinds_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    toks = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " ")
+    t1 = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat_ws(" ", F.slice(toks, 1, 3))
+    )
+    t2 = F.concat_ws(" ", F.slice(toks, 4, 2))
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    spans = F.array(
+        span("headline", F.concat(F.lit("Doc "), F.col("doc_id").cast("string")), F.lit(""), 0),
+        span("text", t1, F.lit(""), 1),
+        span("text", t2, F.lit(""), 2),
+        span(
+            "link",
+            F.lit("rel"),
+            F.concat(F.lit("/rel/"), (F.col("doc_id") % 7).cast("string")),
+            3,
+        ),
+    )
+    docs = d.select(url.alias("doc_id"), spans.alias("spans"))
+    return extract_multiple_kinds_matrix(
+        docs, ["headline", "text", "link", "bullet"], max_cols=2
+    )
+
+
 def q_seed_normalize_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 'http' substring prepend quirk
     (docrawl_client.py:200-201) over a mixed seed list: odd doc_ids are
@@ -752,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_minima": q_minhash_band_minima,
         "embedding_topk": q_embedding_topk,
         "fetch_headers": q_fetch_headers,
+        "extract_matrix": q_extract_matrix,
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_md5": q_simhash_neardup_md5,
@@ -797,6 +845,37 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY host
                                         ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM ({_DOC_URLS_SQL})) WHERE rn <= 3
+        """,
+        "extract_matrix": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            lines AS (
+              SELECT url, doc_id, source,
+                     CASE WHEN doc_id % 5 = 0 THEN ''
+                          ELSE array_to_string(tk[1:3], ' ') END AS t1,
+                     array_to_string(tk[4:5], ' ') AS t2
+              FROM t)
+            SELECT url AS doc_id, 0 AS kind_idx, 'headline' AS kind,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS line_0,
+                   CAST(NULL AS VARCHAR) AS line_1
+            FROM lines
+            UNION ALL
+            SELECT url, 1, 'text',
+                   CASE WHEN t1 <> '' THEN t1
+                        WHEN t2 <> '' THEN t2
+                        ELSE 'None' END,
+                   CASE WHEN t1 <> '' AND t2 <> '' THEN t2 END
+            FROM lines
+            UNION ALL
+            SELECT url, 2, 'link',
+                   'https://' || source || '.test/rel/' || CAST(doc_id % 7 AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM lines
+            UNION ALL
+            SELECT url, 3, 'bullet', 'None', CAST(NULL AS VARCHAR) FROM lines
         """,
         "fetch_headers": """
             SELECT 'synth/' || source || '.test' AS server,

@@ -268,3 +268,119 @@ def test_connected_components(spark):
         r["id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4}
+
+
+# ---------------------------------------------------------------------------
+# xxhash scale-twin evidence (VERDICT r01 item 9): the md5hex modes are
+# DuckDB-oracle-validated; these tests pin the xxhash64 scale paths with
+# hash-agnostic invariants — banding completeness vs brute force, and
+# planted-duplicate recall — so the scale pipeline is evidenced, not
+# just the oracle mode.
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark, n_tok=60, n_subs=2, seed=99):
+    """10 (base, near-dup) pairs (n_subs token substitutions) + 30
+    vocabulary-disjoint unrelated docs. Planted pairs = {(2i, 2i+1)}."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(10):
+        toks = [rng.choice(vocab) for _ in range(n_tok)]
+        rows.append((i * 2, " ".join(toks)))
+        near = list(toks)
+        for j in (7, 33)[:n_subs]:
+            near[j] = rng.choice(vocab)
+        rows.append((i * 2 + 1, " ".join(near)))
+    for i in range(30):
+        rows.append((100 + i, " ".join(f"u{i}x{k}" for k in range(n_tok))))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(8),
+        {(i * 2, i * 2 + 1) for i in range(10)},
+    )
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5hex"])
+def test_simhash_pairs_equal_bruteforce(spark, hash_mode):
+    """Block-permutation completeness: for max_hamming < n_blocks the
+    chunk-equality join must return EXACTLY the pairs whose simhash
+    hamming distance is <= max_hamming — in the xxhash64 scale mode as
+    much as the oracle mode."""
+    from docrawl_spark.datapipe.dedup import simhash_table
+
+    docs, _ = _planted_corpus(spark)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(docs, hash_mode=hash_mode).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=3, n_blocks=4, hash_mode=hash_mode
+        ).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # the fixture plants real near-dups
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5hex"])
+def test_lsh_pairs_equal_band_collisions(spark, hash_mode):
+    """LSH banding completeness: the band-bucket join must return
+    EXACTLY the pairs whose signatures agree on >= 1 band."""
+    docs, planted = _planted_corpus(spark)
+    sigs = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(
+            docs, n_hashes=16, hash_mode=hash_mode
+        ).collect()
+    }
+    n_bands, rows_per = 8, 2
+
+    def bands(s):
+        return [tuple(s[b * rows_per : (b + 1) * rows_per]) for b in range(n_bands)]
+
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(x == y for x, y in zip(bands(sigs[a]), bands(sigs[b])))
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=16, n_bands=n_bands, hash_mode=hash_mode
+        ).collect()
+    }
+    assert got == brute
+    # planted strong near-dups (2 subs / 60 tokens, s≈0.9) are all caught
+    assert planted <= got
+    # nothing between vocabulary-disjoint docs
+    assert all(not (a >= 100 and b >= 100) for a, b in got)
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "md5hex"])
+def test_winnow_planted_overlap(spark, hash_mode):
+    """Winnowing invariant (both hash modes): docs sharing long token
+    runs share >= 1 fingerprint; vocabulary-disjoint docs share none."""
+    from docrawl_spark.datapipe.text import winnow_fingerprints_col
+
+    docs, planted = _planted_corpus(spark)
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in docs.select(
+            "doc_id", winnow_fingerprints_col(F.col("text"), 4, hash_mode).alias("fp")
+        ).collect()
+    }
+    assert all(fps[a] & fps[b] for a, b in planted)
+    unrelated = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    assert all(not (fps[a] & fps[b]) for a, b in unrelated)
