@@ -60,11 +60,19 @@ def gate_and_select(
     gated = joined.where(robots_allowed_col(F.col("url"), F.col("_robots"))).drop(
         "_robots"
     )
+    return budget_topk(gated, order_cols, n_salts)
 
+
+def budget_topk(df: DataFrame, order_cols: list[str], n_salts: int) -> DataFrame:
+    """The two-phase salted per-host budget selection over any frame
+    carrying (host_hash, url_hash, _budget, *order_cols). Shared by
+    ``gate_and_select`` (wide rows, fixture scale) and
+    ``plans/wave.schedule_candidates`` (payload-skinny rows, the
+    at-scale shuffle shape)."""
     ordering = [F.col(c).asc() for c in order_cols]
     # phase 1: per-(host, salt) prefilter — bounds any single window
     # partition to ~1/n_salts of a hot host's rows
-    salted = gated.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
+    salted = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
     w1 = Window.partitionBy("host_hash", "_salt").orderBy(*ordering)
     phase1 = (
         salted.withColumn("_rn", F.row_number().over(w1))

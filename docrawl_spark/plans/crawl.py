@@ -38,9 +38,8 @@ from docrawl_spark.functions.canon import (
 from docrawl_spark.operators.dedup import anti_join_seen
 from docrawl_spark.operators.fetch import synthetic_fetch
 from docrawl_spark.operators.links import dedup_within_wave, discover_links
-from docrawl_spark.operators.politeness import gate_and_select
-from docrawl_spark.operators.ranking import with_global_rank
 from docrawl_spark.operators.scan import scan_documents
+from docrawl_spark.plans.wave import schedule_candidates
 from docrawl_spark.sources.schemas import URL_SEEN_SCHEMA
 from docrawl_spark.sources.storage import Warehouse
 
@@ -137,9 +136,12 @@ def run_crawl(
         candidates = seeds_to_candidates(seeds)
 
     for wave in range(start_wave, max_waves):
-        selected = gate_and_select(candidates, hosts_dim, n_salts=n_salts)
-        ranked = with_global_rank(
-            selected, ["parent_rank", "offset", "url_hash"], rank_col="_wave_rank"
+        # robots gate + salted budget + global rank with payload-skinny
+        # shuffles (plans/wave.py) — same results as gate_and_select +
+        # with_global_rank over wide rows, pinned by the crawl-equality
+        # suite
+        ranked = schedule_candidates(
+            candidates, hosts_dim, n_salts=n_salts, rank_col="_wave_rank"
         ).withColumn("visit_rank", (F.lit(visit_base) + F.col("_wave_rank")))
         fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
 

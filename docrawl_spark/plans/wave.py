@@ -1,0 +1,68 @@
+"""Wave scheduling with payload-skinny shuffles.
+
+The politeness windows and the global-rank exchange do not need the
+string payload (url ~50 B, host ~15 B, discovered_by ~40 B per row) —
+they key on hashes and order on numbers. At a 10^8-candidate wave,
+shipping strings through all three exchanges is 4-5x the bytes of the
+skinny columns, and shuffle bandwidth is THE scaling bottleneck of the
+wave (measured: the string-wide pipeline saturates a single box's
+memory bus at ~500k urls/s regardless of core count — BENCH.md).
+
+``schedule_candidates`` therefore:
+
+1. robots-gates the candidates against the broadcast hosts dim (a
+   broadcast join + filter — no shuffle, and the KB-scale robots blob
+   never rides an exchange);
+2. projects the survivors to the skinny schedule columns
+   (url_hash, host_hash, order columns, budget — ~32 B/row);
+3. runs the two-phase salted budget windows (operators/politeness) and
+   the scalable global rank (operators/ranking) over the skinny rows;
+4. rejoins the ≤ Σ budgets selected rows back to the wide payload by
+   url_hash — ONE join instead of three string-wide exchanges. AQE
+   turns it into a broadcast join whenever the selected set fits.
+
+Identical results to gate_and_select + with_global_rank over wide rows
+(the crawl-equality suite pins this: run_crawl routes through here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docrawl_spark.operators.politeness import (
+    DEFAULT_BUDGET,
+    budget_topk,
+    robots_allowed_col,
+)
+from docrawl_spark.operators.ranking import with_global_rank
+
+
+def schedule_candidates(
+    candidates: DataFrame,
+    hosts: DataFrame,
+    n_salts: int = 8,
+    order_cols: list[str] | None = None,
+    rank_col: str = "_wave_rank",
+    rank_start: int = 0,
+) -> DataFrame:
+    """candidates (unique by url_hash, post within-wave dedup) →
+    robots-allowed, per-host-budget-selected rows with a deterministic
+    dense global ``rank_col``, payload columns intact."""
+    order_cols = order_cols or ["parent_rank", "offset", "url_hash"]
+    # persisted: the wide payload is read twice (skinny projection +
+    # final rejoin) and must not recompute the upstream canonicalize
+    wide = candidates.persist()
+    dim = hosts.select(
+        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+    )
+    gated = (
+        wide.join(F.broadcast(dim), "host", "left")
+        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
+        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+    )
+    skinny_cols = list(dict.fromkeys(["url_hash", "host_hash", "_budget", *order_cols]))
+    skinny = gated.select(*skinny_cols)
+    selected = budget_topk(skinny, order_cols, n_salts)
+    ranked = with_global_rank(selected, order_cols, rank_col=rank_col, start=rank_start)
+    return wide.join(ranked.select("url_hash", rank_col), "url_hash")
