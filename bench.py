@@ -246,7 +246,6 @@ def main() -> None:
     for rnd in range(N_TRIALS_SCALE):
         if rnd >= 3 and time.perf_counter() - t_scale0 > SCALE_BUDGET_S:
             break
-        box_speedups.append(_box_speedup())
         order = (8, 32) if rnd % 2 == 0 else (32, 8)
         for cpus in order:
             stop_spark()
@@ -254,6 +253,11 @@ def main() -> None:
                 app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
             )
             frontier_wave(spark, max(N_URLS // 16, 50_000), max(N_HOSTS // 4, 500))
+            # the box's deliverable parallelism is BIMODAL independently
+            # of single-thread weather (measured: local[32] 64 s and
+            # 341 s same-day with identical 0.13 s single-thread
+            # probes) — so capability is probed before EVERY level run
+            box_speedups.append(_box_speedup())
             probes[cpus].append(_cpu_probe())
             elapsed = frontier_wave(spark, N_URLS, N_HOSTS)
             trials[cpus].append(round(elapsed, 3))

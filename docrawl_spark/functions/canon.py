@@ -336,14 +336,166 @@ def abs_url_udf(scraped: pd.Series, base: pd.Series) -> pd.DataFrame:
     return canonicalize_batch(scraped, base)
 
 
+# --------------------------------------------------------------------------
+# JVM (whole-stage-codegen) fast paths — the hybrid canonicalizer.
+#
+# Measured (BENCH.md round 2): the Arrow UDF is the wave's largest
+# NON-scaling stage — ~25 s for 32M rows at local[8] AND local[32],
+# because every row's strings round-trip the Python worker pipe twice
+# regardless of core count. The three vectorizable fast paths (same
+# masks as canonicalize_batch, which is hypothesis-tested ≡ the scalar
+# walk) cover ~90% of a real link stream and are pure string exprs —
+# here they run as JVM codegen; ONLY the residue ('../'-walks, ';'
+# params, protocol-relative, odd bases) ships to Python. The JVM masks
+# are deliberately CONSERVATIVE subsets: any row they select gets the
+# bit-exact fast-path value; everything else falls through to the exact
+# batch/scalar path, so routing differences can never change results.
+# --------------------------------------------------------------------------
+
+_BIG = 1 << 30
+
+
+def _first_pos(c: Column, chars: str) -> Column:
+    """1-based position of the first occurrence of any char in
+    ``chars`` (instr-based, no regex); _BIG if none occur."""
+    out = None
+    for ch in chars:
+        p = F.instr(c, ch)
+        p = F.when(p == 0, F.lit(_BIG)).otherwise(p)
+        out = p if out is None else F.least(out, p)
+    return out
+
+
+def jvm_canon_cols(s: Column, b: Column) -> tuple[Column, Column, Column]:
+    """(handled, url, error) Columns for the codegen-expressible fast
+    paths of ``build_abs_url``. ``handled`` is null-safe (false for
+    null scraped urls).
+
+    Deliberately regex-light: Java regex evaluation per row was ~3x the
+    cost of the whole Arrow UDF (measured — the first cut of this
+    function used ~12 regex evals/row across the Filter and Project and
+    ran 86 s vs the 27 s UDF at 8M rows); everything here except three
+    short anchored patterns is instr/substring/concat codegen."""
+    has_semi = F.coalesce(s.contains(";"), F.lit(True))
+    # path 1: absolute, verbatim-safe (lowercase scheme, no ';', and no
+    # empty query/fragment component that geturl() would drop)
+    abs_ok = (
+        s.rlike(_ABS_FAST.pattern)
+        & ~has_semi
+        & ~(s.contains("?#") | s.endswith("?") | s.endswith("#"))
+    )
+
+    # ---- base parse, instr/substring only ----------------------------
+    b_null = b.isNull()
+    sep = F.instr(b, "://")
+    scheme = F.substring(b, F.lit(1), sep - 1)
+    scheme_ok = (sep > 0) & scheme.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*$")
+    after = F.substring(b, sep + 3, F.lit(_BIG))
+    nl_end = _first_pos(after, "/?#")
+    netloc = F.when(nl_end == _BIG, after).otherwise(
+        F.substring(after, F.lit(1), nl_end - 1)
+    )
+    prefix = F.concat(F.lower(scheme), F.lit("://"), netloc)  # loose AND full
+    # the path after netloc (only meaningful when the first delimiter is
+    # '/'; when it is '?' or '#', full_ok is false anyway)
+    f_path = F.when(nl_end == _BIG, F.lit("")).otherwise(
+        F.substring(after, nl_end, F.lit(_BIG))
+    )
+    loose_ok = scheme_ok
+    # full regex equivalent: scheme://[^/?#]*[^?#;]*$ + no '//' in path
+    # = valid scheme, no '?'/'#' anywhere, no ';' or '//' in the path
+    full_ok = (
+        scheme_ok
+        & ~b.contains("?")
+        & ~b.contains("#")
+        & ~f_path.contains(";")
+        & ~f_path.contains("//")
+    )
+    tail = F.when(
+        f_path.startswith("/"), F.substring(f_path, F.lit(2), F.lit(_BIG))
+    ).otherwise(f_path)
+    path_empty = f_path == ""
+
+    # path 2: domain-relative ('/x', not protocol-relative '//x') with a
+    # parseable base — scheme://netloc + the ref cut at the first ?/#
+    dom_shape = s.startswith("/") & ~s.startswith("//") & ~has_semi
+    dom_hit = dom_shape & ~b_null & loose_ok
+    dom_nobase = dom_shape & b_null
+    s_cut = _first_pos(s, "?#")
+    path_only = F.when(s_cut == _BIG, s).otherwise(
+        F.substring(s, F.lit(1), s_cut - 1)
+    )
+    dom_url = F.concat(prefix, path_only)
+
+    # path 3: plain path-relative (no leading '/', no ':' — so disjoint
+    # from 1 and 2 — no '.'/'..' segments, no '//', no ?/#/;/whitespace):
+    # the non-RFC "base's last segment is a directory" rule = pure
+    # concatenation (base path '' → just the ref; '/'-rooted tail ''
+    # reproduces the reference's '…//x'). Dot segments are excluded by
+    # position checks, not a second regex.
+    dot_seg = (
+        (s == ".")
+        | (s == "..")
+        | s.startswith("./")
+        | s.startswith("../")
+        | s.contains("/./")
+        | s.contains("/../")
+        | s.endswith("/.")
+        | s.endswith("/..")
+    )
+    rel_shape = s.rlike(_REL_FAST.pattern) & ~dot_seg
+    rel_hit = rel_shape & ~b_null & full_ok
+    rel_nobase = rel_shape & b_null
+    rel_url = F.concat(
+        prefix,
+        F.lit("/"),
+        F.when(path_empty, s).otherwise(F.concat(tail, F.lit("/"), s)),
+    )
+
+    handled = F.coalesce(
+        abs_ok | dom_hit | dom_nobase | rel_hit | rel_nobase, F.lit(False)
+    )
+    url = (
+        F.when(abs_ok, s)
+        .when(dom_hit, dom_url)
+        .when(rel_hit, rel_url)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    err = F.when(dom_nobase | rel_nobase, F.lit(_ERR_NO_BASE)).otherwise(
+        F.lit(None).cast("string")
+    )
+    return handled, url, err
+
+
 def with_abs_url(
     df: DataFrame,
     scraped_col: str,
     base_col: str,
     url_out: str = "url",
     err_out: str = "canon_error",
+    strategy: str = "udf",
 ) -> DataFrame:
-    """Append canonical url + error columns in one UDF evaluation."""
+    """Append canonical url + error columns.
+
+    ``strategy='udf'`` (default): every row through the Arrow batch —
+    pyarrow RE2 kernels with bases factorized to distinct parents.
+    ``strategy='hybrid'``: JVM codegen fast paths + UDF residue union.
+
+    The hybrid exists as a measured NEGATIVE result (BENCH.md round 2):
+    row-at-a-time Java regex/string exprs evaluated across the
+    filter+project of each union branch ran 28.6 s for the fast branch
+    alone at 8M rows, vs 7.6 s for the ENTIRE Arrow batch — the
+    vectorized RE2 + factorized-base design beats whole-stage codegen
+    here by ~5x, so the UDF stays the default. Kept because it is
+    correctness-tested (hybrid ≡ udf on the full case battery) and
+    documents the comparison."""
+    s, b = F.col(scraped_col), F.col(base_col)
+    if strategy == "hybrid":
+        handled, url, err = jvm_canon_cols(s, b)
+        fast = df.where(handled).withColumn(url_out, url).withColumn(err_out, err)
+        slow = df.where(~handled)
+        slow = with_abs_url(slow, scraped_col, base_col, url_out, err_out, "udf")
+        return fast.unionByName(slow)
     tmp = "_canon_struct"
     return (
         df.withColumn(tmp, abs_url_udf(F.col(scraped_col), F.col(base_col)))

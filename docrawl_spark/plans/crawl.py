@@ -141,7 +141,13 @@ def run_crawl(
         # with_global_rank over wide rows, pinned by the crawl-equality
         # suite
         ranked = schedule_candidates(
-            candidates, hosts_dim, n_salts=n_salts, rank_col="_wave_rank"
+            candidates,
+            hosts_dim,
+            n_salts=n_salts,
+            rank_col="_wave_rank",
+            # candidates are warehouse-parquet-backed (or persisted by
+            # the in-memory branch below) — rescanning beats a cache
+            persist_wide=False,
         ).withColumn("visit_rank", (F.lit(visit_base) + F.col("_wave_rank")))
         fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
 

@@ -45,14 +45,25 @@ def schedule_candidates(
     order_cols: list[str] | None = None,
     rank_col: str = "_wave_rank",
     rank_start: int = 0,
+    persist_wide: bool = True,
+    broadcast_result: bool = True,
 ) -> DataFrame:
     """candidates (unique by url_hash, post within-wave dedup) →
     robots-allowed, per-host-budget-selected rows with a deterministic
-    dense global ``rank_col``, payload columns intact."""
+    dense global ``rank_col``, payload columns intact.
+
+    ``persist_wide``: cache the candidate payload between the skinny
+    projection and the final rejoin. Pass False when ``candidates`` is
+    already storage-backed (run_crawl reads it from the warehouse's
+    frontier_pending parquet) — a second scan is cheaper than a cache
+    build. ``broadcast_result``: hint the ≤ Σ budgets ranked skinny
+    side into a broadcast so the wide payload streams through ONE
+    BroadcastHashJoin with no sort and no exchange; turn off only when
+    the selected set (Σ per-host budgets) is too big to broadcast —
+    then it degrades to a url_hash shuffle join, still one wide
+    exchange instead of three."""
     order_cols = order_cols or ["parent_rank", "offset", "url_hash"]
-    # persisted: the wide payload is read twice (skinny projection +
-    # final rejoin) and must not recompute the upstream canonicalize
-    wide = candidates.persist()
+    wide = candidates.persist() if persist_wide else candidates
     dim = hosts.select(
         "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
     )
@@ -65,4 +76,7 @@ def schedule_candidates(
     skinny = gated.select(*skinny_cols)
     selected = budget_topk(skinny, order_cols, n_salts)
     ranked = with_global_rank(selected, order_cols, rank_col=rank_col, start=rank_start)
-    return wide.join(ranked.select("url_hash", rank_col), "url_hash")
+    keys = ranked.select("url_hash", rank_col)
+    if broadcast_result:
+        keys = F.broadcast(keys)
+    return wide.join(keys, "url_hash")

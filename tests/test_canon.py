@@ -197,3 +197,40 @@ def test_seed_quirk_case_sensitivity(spark):
     )
     got = [r[0] for r in df.select(normalize_seed_url_col("u")).collect()]
     assert got == ["http://HTTP://x.com", "https://x.com", "x.com/http-page"]
+
+
+def test_hybrid_equals_udf_strategy(spark):
+    """The JVM fast paths (with_abs_url strategy='hybrid') must produce
+    exactly the all-UDF result for every (ref, base) shape: absolute
+    (incl. empty-component '?'/'#' cases), domain-relative,
+    protocol-relative, plain relative, '../'-walks incl. underflow,
+    dot segments, ';' params, query/fragment refs, null/missing base,
+    empty and null refs, whitespace, odd bases."""
+    from docrawl_spark.functions.canon import with_abs_url
+
+    refs = [
+        "https://x.test/a", "http://a/b#", "http://a/b?", "http://a/b?#f",
+        "HTTP://a/b", "ftp://h/p", "//proto.rel/x", "/abs/path", "/p?q=1#f",
+        "/", "a", "a/b", "a/b/c", "../up", "../../up/two", "./here",
+        "a/./b", "a/../b", "x;y", "/x;y", "a?q", "a#f", "a b", " a",
+        "", None, "mailto:info@x", "javascript:void(0)", "a//b", "a/",
+        "x" * 300, "../" * 9 + "deep",
+    ]
+    bases = [
+        "https://h.test/d1/d2/leaf", "https://h.test/", "https://h.test",
+        "http://h.test/one", "HTTPS://H.test/Mixed/Case", "https://h.test/p?q=1",
+        "https://h.test/p;param", "not a url", "", None, "https://h.test//dbl/p",
+    ]
+    rows = [(r, b) for r in refs for b in bases]
+    df = spark.createDataFrame(rows, "ref string, base string")
+    a = with_abs_url(df, "ref", "base", strategy="hybrid").select(
+        "ref", "base", "url", "canon_error"
+    )
+    e = with_abs_url(df, "ref", "base", strategy="udf").select(
+        "ref", "base", "url", "canon_error"
+    )
+    got = {(r["ref"], r["base"]): (r["url"], r["canon_error"]) for r in a.collect()}
+    exp = {(r["ref"], r["base"]): (r["url"], r["canon_error"]) for r in e.collect()}
+    assert set(got) == set(exp) and len(got) == len(rows)
+    diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not diffs, f"{len(diffs)} hybrid/udf mismatches, e.g. {list(diffs.items())[:5]}"
