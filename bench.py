@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom  # noqa: E402
+from docrawl_spark.operators.dedup import build_seen_bloom  # noqa: E402
 from docrawl_spark.operators.links import dedup_within_wave  # noqa: E402
 from docrawl_spark.plans import driver_queries  # noqa: E402
 from docrawl_spark.plans.wave import schedule_candidates  # noqa: E402
@@ -163,9 +163,14 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
     )
     deduped = dedup_within_wave(good)
     bloom_thread.join()
-    fresh = anti_join_seen(deduped, seen, bloom_box["blob"])
-    # payload-skinny robots gate + politeness + global rank (plans/wave)
-    ranked = schedule_candidates(fresh, hosts, n_salts=8, rank_col="visit_rank")
+    # payload-skinny robots gate + Bloom/anti-join seen-set dedup +
+    # politeness + global rank (plans/wave): the seen-set exchange and
+    # Bloom probe run over 8 B hashes, the windows over ~32 B rows, and
+    # the string payload crosses exactly one broadcast rejoin
+    ranked = schedule_candidates(
+        deduped, hosts, n_salts=8, rank_col="visit_rank",
+        seen=seen, bloom=bloom_box["blob"],
+    )
     _force(ranked)
     elapsed = time.perf_counter() - t0
     spark.catalog.clearCache()  # drop the wave's wide-payload persist

@@ -147,6 +147,113 @@ def winnow_fingerprints_col(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals per doc —
+    the standard pre-training corpus filters (Rae et al. 2021 §A1.1;
+    Penedo et al. 2023): excessive token repetition marks boilerplate
+    and spam.
+
+    Columns: n_tokens, n_distinct, dup_token_frac (1 - distinct/total),
+    top_bigram_count, top_bigram_frac (most frequent word 2-gram's
+    share of all bigrams). Fractions ROUND(...,6) for cross-engine
+    value-hash stability.
+
+    Scale shape: one explode→HashAggregate per doc for the bigram mode
+    (map-side combinable; same reshape lesson as MinHash — no nested
+    HOF), one groupBy(doc) rollup. Docs with <2 tokens have no bigrams:
+    top_bigram_count=0, top_bigram_frac=0.0."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "dup_token_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6),
+        ).otherwise(F.lit(0.0)),
+    )
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+    top = (
+        bg.groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_bigram_count"), F.sum("_c").alias("_total"))
+    )
+    out = base.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "dup_token_frac",
+        F.coalesce(F.col("top_bigram_count"), F.lit(0).cast("long")).alias(
+            "top_bigram_count"
+        ),
+        F.when(
+            F.coalesce(F.col("_total"), F.lit(0)) > 0,
+            F.round(F.col("top_bigram_count") / F.col("_total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+    return out
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Decontamination: (doc, benchmark-doc) pairs sharing ≥1 word
+    n-gram, with the shared-distinct-n-gram count — the standard
+    test-set-leakage check before training (n=13 in GPT-3's report;
+    parameterized here).
+
+    Scale shape: both sides explode DISTINCT n-grams and meet in an
+    equi-join on the n-gram string — work is proportional to matching
+    grams, never |corpus| x |benchmark| (the benchmark side is small;
+    at cluster scale broadcast it)."""
+    from docrawl_spark.datapipe.dedup import word_shingles_col
+
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("_g"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias(bench_id_col),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("_g"),
+    )
+    return (
+        c.join(b, "_g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def vocab_top_tokens(
+    df: DataFrame, k: int = 100, text_col: str = "text", min_len: int = 1
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency (ties broken
+    lexicographically for determinism) — the vocabulary-building /
+    corpus-inspection primitive. explode → HashAggregate → TakeOrdered
+    (per-partition top-k + k-row merge, never a global sort)."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("token")).where(
+        F.length("token") >= min_len
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-doc profile with every signal above."""
     t = F.col(text_col)

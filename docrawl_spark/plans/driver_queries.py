@@ -396,6 +396,36 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition quality filters (datapipe.text
+    .repetition_signals): dup-token fraction + top-bigram share —
+    the standard pre-training boilerplate/spam signals."""
+    from docrawl_spark.datapipe.text import repetition_signals
+
+    return repetition_signals(_docs_par(spark, sf_dir))
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination (test-set leakage) check: corpus docs sharing
+    ≥1 word 5-gram with a synthetic benchmark split (doc_id % 97 == 0),
+    with shared-distinct-gram counts (datapipe.text.ngram_overlap —
+    n-gram equi-join, never corpus × benchmark)."""
+    from docrawl_spark.datapipe.text import ngram_overlap
+
+    docs = _docs_par(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(corpus, bench, n=5)
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency,
+    lexicographic tie-break (datapipe.text.vocab_top_tokens)."""
+    from docrawl_spark.datapipe.text import vocab_top_tokens
+
+    return vocab_top_tokens(_docs_par(spark, sf_dir), k=100)
+
+
 def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash_hex) in the
     md5-hex mode both engines can compute bit-for-bit.
@@ -796,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "langid": q_langid,
         "quality_scores": q_quality_scores,
+        "gopher_repetition": q_gopher_repetition,
+        "decontaminate_overlap": q_decontaminate_overlap,
+        "vocab_top_tokens": q_vocab_top_tokens,
         "minhash_band_minima": q_minhash_band_minima,
         "embedding_topk": q_embedding_topk,
         "fetch_headers": q_fetch_headers,
@@ -1032,6 +1065,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(seed AS INT) AS seed,
                    MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS minhash_hex
             FROM sh, seeds GROUP BY doc_id, seed
+        """,
+        "gopher_repetition": r"""
+            WITH t AS (
+              SELECT doc_id, trim(text) AS tt,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN tt = '' THEN 0 ELSE len(tk) END AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+              FROM t),
+            bgc AS (
+              SELECT doc_id, s, COUNT(*) AS c
+              FROM t, UNNEST(list_transform(range(1, GREATEST(len(tk) - 1, 0) + 1),
+                                            i -> array_to_string(tk[i:i+1], ' '))) AS u(s)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS total
+              FROM bgc GROUP BY 1)
+            SELECT b.doc_id, b.n_tokens, b.n_distinct,
+                   ROUND(CASE WHEN b.n_tokens > 0
+                              THEN 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                              ELSE 0.0 END, 6) AS dup_token_frac,
+                   CAST(COALESCE(tp.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+                   ROUND(CASE WHEN COALESCE(tp.total, 0) > 0
+                              THEN CAST(tp.top_bigram_count AS DOUBLE) / tp.total
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM base b LEFT JOIN top tp USING (doc_id)
+        """,
+        "decontaminate_overlap": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id, s
+              FROM (SELECT doc_id,
+                           list_distinct(list_transform(range(1, GREATEST(len(tk) - 4, 0) + 1),
+                                                        i -> array_to_string(tk[i:i+4], ' '))) AS gs
+                    FROM t), UNNEST(gs) AS u(s))
+            SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+            FROM g c JOIN g b ON c.s = b.s
+            WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+            GROUP BY 1, 2
+        """,
+        "vocab_top_tokens": r"""
+            SELECT token, n FROM (
+              SELECT u.token AS token, COUNT(*) AS n
+              FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk
+                    FROM documents), UNNEST(tk) AS u(token)
+              WHERE length(u.token) >= 1
+              GROUP BY 1)
+            ORDER BY n DESC, token ASC LIMIT 100
         """,
         "minhash_lsh_pairs_md5": r"""
             WITH toks AS (

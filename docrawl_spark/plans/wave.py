@@ -47,6 +47,8 @@ def schedule_candidates(
     rank_start: int = 0,
     persist_wide: bool = True,
     broadcast_result: bool = True,
+    seen: DataFrame | None = None,
+    bloom: bytes | None = None,
 ) -> DataFrame:
     """candidates (unique by url_hash, post within-wave dedup) →
     robots-allowed, per-host-budget-selected rows with a deterministic
@@ -74,6 +76,15 @@ def schedule_candidates(
     )
     skinny_cols = list(dict.fromkeys(["url_hash", "host_hash", "_budget", *order_cols]))
     skinny = gated.select(*skinny_cols)
+    if seen is not None:
+        # seen-set dedup on the SKINNY rows (8 B hashes through the
+        # Bloom probe and the anti-join exchange, not ~150 B strings);
+        # already-seen rows left in the wide payload are dropped by the
+        # final inner rejoin. Robots-gate/anti-join commute (both are
+        # filters), so results are identical to anti-joining first.
+        from docrawl_spark.operators.dedup import anti_join_seen
+
+        skinny = anti_join_seen(skinny, seen, bloom)
     selected = budget_topk(skinny, order_cols, n_salts)
     ranked = with_global_rank(selected, order_cols, rank_col=rank_col, start=rank_start)
     keys = ranked.select("url_hash", rank_col)

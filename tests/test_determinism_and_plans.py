@@ -299,3 +299,49 @@ def test_schedule_candidates_windows_are_payload_skinny(spark):
     ranks = sorted(r["_wave_rank"] for r in rows)
     assert ranks == list(range(21))
     spark.catalog.clearCache()
+
+
+def test_schedule_candidates_seen_dedup_equivalence(spark):
+    """Folding the seen-set anti-join into the skinny section must give
+    exactly anti-join-then-schedule (robots gate and seen filter
+    commute), with the Bloom prefilter on and off."""
+    from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom
+    from docrawl_spark.plans.wave import schedule_candidates
+
+    cands = spark.range(2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 11).cast("string"),
+            F.lit(".test/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string"), F.lit(".test")).alias("host"),
+        F.xxhash64(F.concat(F.lit("h"), (F.col("id") % 11).cast("string"))).alias("host_hash"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("parent_rank"),
+        (F.col("id") % 31).cast("int").alias("offset"),
+        F.lit("x").alias("discovered_by"),
+    )
+    hosts = spark.range(11).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(5).alias("budget"),
+        F.lit("").alias("robots_blob"),
+    )
+    seen = spark.range(0, 2000, 3).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    expected = {
+        (r["url"], r["_wave_rank"])
+        for r in schedule_candidates(
+            anti_join_seen(cands, seen), hosts
+        ).collect()
+    }
+    assert len(expected) == 11 * 5
+    for blob in (None, build_seen_bloom(seen, expected_items=700)):
+        got = {
+            (r["url"], r["_wave_rank"])
+            for r in schedule_candidates(
+                cands, hosts, seen=seen, bloom=blob
+            ).collect()
+        }
+        assert got == expected
+    spark.catalog.clearCache()
