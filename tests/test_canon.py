@@ -199,6 +199,21 @@ def test_seed_quirk_case_sensitivity(spark):
     assert got == ["http://HTTP://x.com", "https://x.com", "x.com/http-page"]
 
 
+REFS_BATTERY = [
+    "https://x.test/a", "http://a/b#", "http://a/b?", "http://a/b?#f",
+    "HTTP://a/b", "ftp://h/p", "//proto.rel/x", "/abs/path", "/p?q=1#f",
+    "/", "a", "a/b", "a/b/c", "../up", "../../up/two", "./here",
+    "a/./b", "a/../b", "x;y", "/x;y", "a?q", "a#f", "a b", " a",
+    "", None, "mailto:info@x", "javascript:void(0)", "a//b", "a/",
+    "x" * 300, "../" * 9 + "deep",
+]
+BASES_BATTERY = [
+    "https://h.test/d1/d2/leaf", "https://h.test/", "https://h.test",
+    "http://h.test/one", "HTTPS://H.test/Mixed/Case", "https://h.test/p?q=1",
+    "https://h.test/p;param", "not a url", "", None, "https://h.test//dbl/p",
+]
+
+
 def test_hybrid_equals_udf_strategy(spark):
     """The JVM fast paths (with_abs_url strategy='hybrid') must produce
     exactly the all-UDF result for every (ref, base) shape: absolute
@@ -234,3 +249,81 @@ def test_hybrid_equals_udf_strategy(spark):
     assert set(got) == set(exp) and len(got) == len(rows)
     diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not diffs, f"{len(diffs)} hybrid/udf mismatches, e.g. {list(diffs.items())[:5]}"
+
+
+def test_canonicalize_arrow_matches_batch_battery():
+    """The Arrow-native batch (canonicalize_arrow) == the pandas batch
+    on the full refs×bases battery, called DIRECTLY (no Spark) so every
+    mask interaction inside one heterogeneous batch is exercised."""
+    import pyarrow as pa
+
+    from docrawl_spark.functions.canon import canonicalize_arrow
+
+    rows = [(r, b) for r in REFS_BATTERY for b in BASES_BATTERY]
+    s = pd.Series([r for r, _ in rows], dtype=object)
+    b = pd.Series([x for _, x in rows], dtype=object)
+    expected = canonicalize_batch(s, b)
+    got = canonicalize_arrow(
+        pa.array(s, type=pa.string()), pa.array(b, type=pa.string())
+    )
+    urls = got.field("url").to_pylist()
+    errs = got.field("error").to_pylist()
+    for i, (r, base) in enumerate(rows):
+        exp_u = expected["url"][i]
+        exp_e = expected["error"][i]
+        assert urls[i] == (None if exp_u is None else exp_u), (r, base, urls[i], exp_u)
+        assert errs[i] == (None if exp_e is None else exp_e), (r, base, errs[i], exp_e)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    scraped=st.one_of(
+        st.sampled_from(
+            ["/a/b", "a/b", "../x", "./y", "https://z.org/q?a=1", "//cdn.z.org/i.png",
+             "", ".", "..", "a/../b", "/p?q#f", "x;y", "HTTPS://UP.com/A"]
+        ),
+        st.text(alphabet="abc/.?#:&=%", max_size=24),
+    ),
+    base=st.one_of(
+        st.none(),
+        st.sampled_from(
+            ["https://example.com", "https://example.com/", "https://example.com/aaa/bbb",
+             "http://h.io/p/", "ftp://f.net/d/e", "example.com/noscheme"]
+        ),
+    ),
+)
+def test_arrow_matches_scalar(scraped, base):
+    """Property: the Arrow-native batch == the exact scalar, always."""
+    import pyarrow as pa
+
+    from docrawl_spark.functions.canon import canonicalize_arrow
+
+    try:
+        expected_url, expected_err = build_abs_url(scraped, base), None
+    except Exception:
+        expected_url, expected_err = None, "err"
+    out = canonicalize_arrow(
+        pa.array([scraped], type=pa.string()), pa.array([base], type=pa.string())
+    )
+    assert out.field("url").to_pylist()[0] == expected_url
+    assert (out.field("error").to_pylist()[0] is None) == (expected_err is None)
+
+
+def test_arrow_strategy_equals_udf(spark):
+    """with_abs_url(strategy='arrow') (the default) == strategy='udf'
+    through Spark, over the full battery."""
+    from docrawl_spark.functions.canon import with_abs_url
+
+    rows = [(r, b) for r in REFS_BATTERY for b in BASES_BATTERY]
+    df = spark.createDataFrame(rows, "ref string, base string")
+    a = with_abs_url(df, "ref", "base", strategy="arrow").select(
+        "ref", "base", "url", "canon_error"
+    )
+    e = with_abs_url(df, "ref", "base", strategy="udf").select(
+        "ref", "base", "url", "canon_error"
+    )
+    got = {(r["ref"], r["base"]): (r["url"], r["canon_error"]) for r in a.collect()}
+    exp = {(r["ref"], r["base"]): (r["url"], r["canon_error"]) for r in e.collect()}
+    assert set(got) == set(exp) and len(got) == len(rows)
+    diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not diffs, f"{len(diffs)} arrow/udf mismatches, e.g. {list(diffs.items())[:5]}"
