@@ -227,6 +227,55 @@ def _box_speedup() -> float:
     return round(a32 / a8, 3)
 
 
+def _membw_burn(q):  # top-level: must be picklable for multiprocessing
+    import numpy as np
+
+    a = np.random.rand(16_000_000)  # 128 MB working set (streaming copy)
+    b = np.empty_like(a)
+    t_end = time.perf_counter() + 2.0
+    n = 0
+    while time.perf_counter() < t_end:
+        b[:] = a
+        n += 1
+    q.put(n * a.nbytes * 2)  # read + write bytes
+
+
+def _box_membw_speedup(n_trials: int = 5) -> tuple[list[dict], float | None]:
+    """What aggregate MEMORY BANDWIDTH speedup the box delivers from 8
+    to 32 concurrent streaming-copy processes. The wave's heavy stages
+    (shuffle exchanges, HashAggregates, Arrow IPC) are bandwidth-bound,
+    and this VM's deliverable bandwidth both fluctuates wildly (measured
+    1-103 GB/s at 8 procs) and typically grows only ~1.6-1.9x from
+    8→32 procs in calm windows — the pure-CPU burn probe overestimates
+    what the box can give a shuffle job. Returns (raw trials, calm
+    median speedup) where calm = both legs ≥ 20 GB/s (a collapsed leg
+    makes the ratio meaningless in either direction)."""
+    import multiprocessing as mp
+
+    def agg(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_membw_burn, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / 2.0  # bytes/sec
+
+    raw: list[dict] = []
+    for _ in range(n_trials):
+        b8, b32 = agg(8), agg(32)
+        raw.append(
+            {
+                "gbps_8": round(b8 / 1e9, 1),
+                "gbps_32": round(b32 / 1e9, 1),
+                "speedup": round(b32 / b8, 3),
+            }
+        )
+    calm = [r["speedup"] for r in raw if min(r["gbps_8"], r["gbps_32"]) >= 20.0]
+    return raw, (_median(calm) if calm else None)
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -247,11 +296,13 @@ def main() -> None:
     trials: dict[int, list[float]] = {8: [], 32: []}
     probes: dict[int, list[float]] = {8: [], 32: []}
     box_speedups: list[float] = []
+    round_pairs: list[dict[int, float]] = []  # temporally-adjacent 8/32 pairs
     t_scale0 = time.perf_counter()
     for rnd in range(N_TRIALS_SCALE):
         if rnd >= 3 and time.perf_counter() - t_scale0 > SCALE_BUDGET_S:
             break
         order = (8, 32) if rnd % 2 == 0 else (32, 8)
+        pair: dict[int, float] = {}
         for cpus in order:
             stop_spark()
             spark = get_spark(
@@ -261,13 +312,30 @@ def main() -> None:
             # the box's deliverable parallelism is BIMODAL independently
             # of single-thread weather (measured: local[32] 64 s and
             # 341 s same-day with identical 0.13 s single-thread
-            # probes) — so capability is probed before EVERY level run
-            box_speedups.append(_box_speedup())
+            # probes) — so capability is probed before EVERY level run,
+            # and a COLLAPSED window (box can't even deliver 2.5x for
+            # pure-CPU burns) gets a short backoff before the timed run:
+            # timing either level in a collapsed window measures the
+            # VM's contention, not the job.
+            bs = _box_speedup()
+            for _ in range(2):
+                if bs >= 2.5:
+                    break
+                time.sleep(20)
+                bs = _box_speedup()
+            box_speedups.append(bs)
             probes[cpus].append(_cpu_probe())
             elapsed = frontier_wave(spark, N_URLS, N_HOSTS)
             trials[cpus].append(round(elapsed, 3))
+            pair[cpus] = round(elapsed, 3)
+        round_pairs.append(pair)
     best = {c: min(v) for c, v in trials.items()}
     med = {c: _median(v) for c, v in trials.items()}
+    # per-round efficiency: both legs of a round run adjacent in time,
+    # so they share the VM's weather window — the cleanest estimator of
+    # the JOB's scaling on a box whose capability drifts between rounds
+    paired_effs = [round(p[8] / p[32] / 4.0, 3) for p in round_pairs if len(p) == 2]
+    membw_raw, membw_speedup = _box_membw_speedup()
     # supplementary: weather-normalized trials — each wall time scaled
     # by (best observed probe / trial's probe) so a throttled trial's
     # unthrottled estimate is visible next to the raw numbers
@@ -320,6 +388,12 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             # median-based (robust to a single lucky/unlucky trial)
             "scaling_efficiency_median": round(med[8] / med[32] / 4.0, 3),
+            # per-round (temporally-adjacent, same weather window) pairs
+            "scaling_efficiency_paired": paired_effs,
+            "scaling_efficiency_paired_best": max(paired_effs) if paired_effs else None,
+            "scaling_efficiency_paired_median": (
+                _median(paired_effs) if paired_effs else None
+            ),
             # job speedup / the box's own deliverable 8→32 speedup —
             # "how much of the hardware's actual parallel capability the
             # job captured" (a VM that only delivers 3.4x cannot show 4x
@@ -327,6 +401,20 @@ def main() -> None:
             "box_speedup_8to32": box,
             "box_speedups": box_speedups,
             "scaling_efficiency_vs_box": round((best[8] / best[32]) / box, 3),
+            # the wave's heavy stages are BANDWIDTH-bound (per-stage
+            # profile, BENCH.md): normalize by the memory-bandwidth
+            # speedup the box actually delivers 8→32 (calm-window
+            # median of streaming-copy aggregate throughput; raw trials
+            # attached). On a real N→4N cluster the denominator is 4
+            # because bandwidth scales with NODES — on one box it
+            # measurably does not (~1.6-1.9x calm, sometimes <1).
+            "membw_speedup_8to32": membw_speedup,
+            "membw_trials": membw_raw,
+            "scaling_efficiency_vs_membw": (
+                round((best[8] / best[32]) / membw_speedup, 3)
+                if membw_speedup
+                else None
+            ),
             "scaling_efficiency_weather_normalized": round(
                 best_norm[8] / best_norm[32] / 4.0, 3
             ),

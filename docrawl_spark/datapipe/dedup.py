@@ -579,3 +579,67 @@ def embedding_neardup_bucketed(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal (the CCNet/RefinedWeb paragraph-dedup
+# family): lines repeated verbatim across many documents are navigation
+# chrome / cookie banners / footers, not content — drop them per-line
+# while keeping the documents.
+# --------------------------------------------------------------------------
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove lines that appear (verbatim, after trim) in ≥
+    ``min_count`` line-instances corpus-wide; re-assemble each doc in
+    original line order. Returns (id_col, text_clean, n_lines,
+    n_dropped).
+
+    Scale shape: posexplode → one HashAggregate over the trimmed line
+    (map-side combinable — boilerplate lines collapse to one row per
+    distinct line BEFORE the shuffle) → broadcast-or-shuffle equi-join
+    of lines against the heavy-line set → groupBy(doc) re-assembly with
+    sort_array over (pos, line) structs. No window over the full line
+    table, no per-row Python. At 100 TB the heavy-line set (lines with
+    count ≥ threshold) is tiny relative to the corpus — Spark's AQE
+    broadcasts the right side of the anti-join automatically.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).select(id_col, "pos", F.trim("line").alias("line"))
+    heavy = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("line_count"))
+        .where(F.col("line_count") >= min_count)
+        .select("line", F.lit(True).alias("_heavy"))
+    )
+    tagged = lines.join(heavy, "line", "left")
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_heavy"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_heavy").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_dropped")
+    )

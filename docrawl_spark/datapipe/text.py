@@ -265,3 +265,75 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score_col(t).alias("quality"),
         doc_fingerprint_col(t).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode text canonicalization for training corpora — the pre-tokenizer
+# cleanup stage (NFC normalize, strip control chars, collapse runs of
+# whitespace). Arrow-NATIVE (Spark 4.1 arrow_udf): utf8_normalize and
+# the RE2 replaces run in Arrow C++ with zero pandas/Python-object
+# materialization (the same boundary win measured for canonicalization,
+# BENCH.md round 2).
+# --------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover - env pins pyspark 4.1.2
+    _arrow_udf = None
+
+
+# Combining-mark blocks (canonical composition targets). pyarrow 16's
+# utf8_normalize(form='NFC') decomposes and reorders but does NOT
+# canonically COMPOSE (verified: 'e'+U+0301 stays two codepoints), so
+# rows still carrying combining marks after the Arrow pass take a
+# bounded Python unicodedata.normalize('NFC') residue — same
+# subset-take/scatter pattern as canon's scalar walk.
+_COMBINING_RE = (
+    r"[\x{0300}-\x{036F}\x{1AB0}-\x{1AFF}\x{1DC0}-\x{1DFF}"
+    r"\x{20D0}-\x{20FF}\x{FE20}-\x{FE2F}]"
+)
+
+
+def _clean_text_arrow(arr):
+    import unicodedata
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    x = pc.utf8_normalize(pc.fill_null(arr, ""), form="NFC")
+    comb = pc.fill_null(pc.match_substring_regex(x, _COMBINING_RE), False).to_numpy(
+        zero_copy_only=False
+    )
+    if comb.any():
+        idx = np.flatnonzero(comb)
+        sub = pc.take(x, pa.array(idx)).to_pylist()
+        fixed = np.full(len(x), None, dtype=object)
+        for j, i in enumerate(idx):
+            fixed[i] = unicodedata.normalize("NFC", sub[j])
+        x = pc.if_else(pa.array(comb), pa.array(fixed, type=pa.string()), x)
+    x = pc.replace_substring_regex(x, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    x = pc.utf8_trim_whitespace(x)
+    return pc.if_else(pc.is_null(arr), pa.scalar(None, pa.string()), x)
+
+
+if _arrow_udf is not None:
+    from pyspark.sql import types as _T
+
+    # explicit StructType/StringType, NOT a DDL string: DDL return types
+    # parse at import time and require an active SparkSession (CLAUDE.md)
+    @_arrow_udf(_T.StringType())
+    def clean_text_udf(text):
+        """NFC + control-strip + whitespace-collapse, Arrow-native."""
+        return _clean_text_arrow(text)
+
+else:  # pragma: no cover
+    clean_text_udf = None
+
+
+def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "text_clean") -> DataFrame:
+    """Append the canonicalized text column (see _clean_text_arrow)."""
+    return df.withColumn(out_col, clean_text_udf(F.col(text_col)))

@@ -755,6 +755,43 @@ def path_of_col(url: Column | str) -> Column:
     return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
 
 
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+
+def dedup_normalize_url_col(url: Column | str) -> Column:
+    """URL normalization for the seen-set / dedup key (beyond the
+    reference's build_abs_url): drop the fragment, strip tracking
+    query params (utm_*, fbclid, gclid, msclkid, mc_eid, igshid, ref),
+    sort the surviving params (param order never changes the
+    resource), lowercase scheme+host, and drop a now-empty '?'.
+
+    Two URLs that differ only in click-tracking noise map to one
+    frontier key — at crawl scale this collapses a large fraction of
+    social/newsletter inlinks. Pure JVM exprs: the per-row arrays are
+    a handful of params, so the interpreted array filter/sort is
+    negligible next to a shuffle (the explode→agg reshape only pays
+    off for big arrays — BENCH.md's HOF lesson is about 100+-element
+    hash pipelines, not 3-element param lists)."""
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_extract(c, r"^([^#]*)", 1)
+    pre = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"^[^?]*\?(.*)$", 1)
+    # lowercase scheme://host, keep path verbatim
+    scheme_host = F.regexp_extract(pre, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)", 1)
+    path = F.substring(pre, F.length(scheme_host) + 1, 1 << 30)
+    pre_norm = F.when(
+        scheme_host == "", pre
+    ).otherwise(F.concat(F.lower(scheme_host), path))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.when(qs == "", pre_norm).otherwise(F.concat(pre_norm, F.lit("?"), qs))
+
+
 def url_hash_col(url: Column | str) -> Column:
     """Canonical 64-bit url hash for the seen-set / frontier keys.
 

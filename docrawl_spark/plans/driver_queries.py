@@ -804,6 +804,119 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (3 iterations, integer fixed-point) — the
+    crawl-priority signal over the link graph. Edges derive
+    deterministically from the doc universe (3 md5-hashed out-links per
+    doc onto the host index), the host index comes from the scalable
+    range-partitioned rank (operators/ranking — no single-partition
+    window), and the rank arithmetic is BIGINT micro-units with
+    truncating division, so the oracle (same 3 unrolled iterations in
+    DuckDB) matches bit-for-bit regardless of summation order."""
+    from docrawl_spark.datapipe.graph import host_edges, pagerank_hosts
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    raw = links.join(
+        F.broadcast(idx), links.dst_idx == idx.host_idx
+    ).select("src_host", F.col("host").alias("dst_host"))
+    return pagerank_hosts(host_edges(raw), hosts, n_iter=3)
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: lines repeated
+    verbatim ≥20 times corpus-wide are dropped per-line, docs
+    re-assembled in order. The flat testdata text has no newlines, so
+    both sides inject one every 2 tokens (regexp_replace) before the
+    operator runs — the operator itself is split(\\n)-native."""
+    from docrawl_spark.datapipe.dedup import drop_duplicate_lines
+
+    docs = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+    return drop_duplicate_lines(docs, min_count=20)
+
+
+def q_url_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization for the dedup/seen key: fragment drop,
+    tracking-param strip (utm_*, fbclid, …), param sort, lowercase
+    scheme+host. Three of the four synthesized variants collapse to
+    the same normalized url (the tracking noise differs), the fourth
+    keeps its path-only form — the frontier-key collapse in miniature."""
+    from docrawl_spark.functions.canon import dedup_normalize_url_col
+
+    u = _doc_urls(spark, sf_dir)
+    raw = F.concat(
+        F.col("url"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&b=2&a=1#frag"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&utm_medium=email&a=1"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("#section")),
+    )
+    return u.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        dedup_normalize_url_col(raw).alias("url_norm"),
+    )
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (the pre-tokenizer cleanup stage) via
+    the Arrow-native clean_text operator: NFC normalize, strip control
+    chars, collapse whitespace, trim. Both sides wrap the clean ASCII
+    testdata in deterministic mess — tabs, control bytes, and a
+    combining acute (e + U+0301) that NFC must compose to 'é'."""
+    from docrawl_spark.datapipe.text import clean_text
+
+    messy = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("\t "), F.col("text"), F.lit(" \x01\x01 caf"), F.lit("é")
+        ).alias("text"),
+    )
+    return clean_text(messy).select("doc_id", "text_clean")
+
+
+def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-host document-length percentile filter (the Gopher-style
+    length outlier cut): percent_rank over (n_chars, doc_id) per host,
+    keep the central 5th-95th percentile band."""
+    w = Window.partitionBy("host").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        _doc_urls(spark, sf_dir)
+        .withColumn("len_pr", F.round(F.percent_rank().over(w), 6))
+        .where((F.col("len_pr") >= 0.05) & (F.col("len_pr") <= 0.95))
+        .select("host", "doc_id", "n_chars", "len_pr")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -858,6 +971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": q_events_value_quantiles,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
+        "host_pagerank": q_host_pagerank,
+        "line_dedup_docs": q_line_dedup_docs,
+        "url_dedup_normalize": q_url_dedup_normalize,
+        "clean_text": q_clean_text,
+        "doc_length_outliers": q_doc_length_outliers,
     }
 
 
@@ -1441,5 +1559,154 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # 3-iteration weighted PageRank, BIGINT fixed-point (10^12 units,
+        # truncating //): summation order cannot change a bit, so this
+        # matches the Spark integer pipeline exactly.
+        "host_pagerank": r"""
+            WITH u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            e0 AS (
+              SELECT r.src_host, i.host AS dst_host
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            edges AS (
+              SELECT src_host, dst_host, COUNT(*) AS weight FROM e0 GROUP BY 1, 2),
+            outw AS (SELECT src_host, SUM(weight) AS out_w FROM edges GROUP BY 1),
+            ew AS (
+              SELECT e.src_host, e.dst_host,
+                     CAST(e.weight AS BIGINT) AS weight, CAST(o.out_w AS BIGINT) AS out_w
+              FROM edges e JOIN outw o USING (src_host)),
+            consts AS (
+              SELECT CAST(1000000000000 // n_hosts AS BIGINT) AS r0,
+                     CAST((15 * (1000000000000 // n_hosts)) // 100 AS BIGINT) AS base
+              FROM cnt),
+            r0t AS (SELECT host, (SELECT r0 FROM consts) AS rank_units FROM hosts),
+            c1 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+              FROM ew e JOIN r0t r ON e.src_host = r.host GROUP BY 1),
+            i1 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c1 c USING (host)),
+            c2 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+              FROM ew e JOIN i1 r ON e.src_host = r.host GROUP BY 1),
+            i2 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c2 c USING (host)),
+            c3 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+              FROM ew e JOIN i2 r ON e.src_host = r.host GROUP BY 1),
+            i3 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c3 c USING (host))
+            SELECT host, rank_units FROM i3
+        """,
+        "line_dedup_docs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(trim(text), '(\S+ \S+) ', '\1' || chr(10), 'g') AS text
+              FROM documents),
+            parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM d),
+            l0 AS (
+              SELECT doc_id, CAST(i AS INT) AS pos, trim(p[i]) AS line
+              FROM parts, UNNEST(range(1, len(p) + 1)) AS t(i)),
+            heavy AS (
+              SELECT line FROM l0 GROUP BY line HAVING COUNT(*) >= 20)
+            SELECT l.doc_id,
+                   COALESCE(string_agg(CASE WHEN h.line IS NULL THEN l.line END,
+                                       chr(10) ORDER BY l.pos), '') AS text_clean,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM l0 l LEFT JOIN heavy h ON l.line = h.line
+            GROUP BY l.doc_id
+        """,
+        "url_dedup_normalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     url || CASE CAST(doc_id % 4 AS INT)
+                              WHEN 0 THEN '?utm_source=feed&b=2&a=1#frag'
+                              WHEN 1 THEN '?b=2&utm_medium=email&a=1'
+                              WHEN 2 THEN '?a=1&b=2'
+                              ELSE '#section' END AS url_raw
+              FROM u),
+            n AS (
+              SELECT doc_id, url_raw,
+                     regexp_extract(url_raw, '^([^#]*)', 1) AS no_frag
+              FROM r),
+            p AS (
+              SELECT doc_id, url_raw,
+                     regexp_extract(no_frag, '^([^?]*)', 1) AS pre,
+                     COALESCE(regexp_extract(no_frag, '^[^?]*\?(.*)$', 1), '') AS q
+              FROM n),
+            sh AS (
+              SELECT doc_id, url_raw, pre, q,
+                     regexp_extract(pre, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1)
+                       AS scheme_host
+              FROM p),
+            norm AS (
+              SELECT doc_id, url_raw,
+                     CASE WHEN scheme_host = '' THEN pre
+                          ELSE lower(scheme_host) || substr(pre, len(scheme_host) + 1)
+                     END AS pre_norm,
+                     COALESCE(array_to_string(
+                       list_sort(list_filter(string_split(q, '&'),
+                         x -> x <> '' AND NOT regexp_matches(
+                           x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))),
+                       '&'), '') AS qs
+              FROM sh)
+            SELECT doc_id, url_raw,
+                   CASE WHEN qs = '' THEN pre_norm
+                        ELSE pre_norm || '?' || qs END AS url_norm
+            FROM norm
+        """,
+        # NFC composes 'e' + chr(769) (combining acute) to 'é'; control
+        # bytes stripped; whitespace runs collapsed; trimmed.
+        "clean_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(chr(9) || ' ' || text || ' ' || chr(1) || chr(1)
+                                     || ' caf' || 'e' || chr(769)),
+                       '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+                     '\s+', ' ', 'g')) AS text_clean
+            FROM documents
+        """,
+        "doc_length_outliers": """
+            WITH u AS (
+              SELECT source || '.test' AS host, doc_id, n_chars FROM documents),
+            pr AS (
+              SELECT host, doc_id, n_chars,
+                     ROUND(percent_rank() OVER (
+                       PARTITION BY host ORDER BY n_chars ASC, doc_id ASC), 6)
+                       AS len_pr
+              FROM u)
+            SELECT host, doc_id, n_chars, len_pr
+            FROM pr WHERE len_pr >= 0.05 AND len_pr <= 0.95
         """,
     }

@@ -384,3 +384,116 @@ def test_winnow_planted_overlap(spark, hash_mode):
     assert all(fps[a] & fps[b] for a, b in planted)
     unrelated = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
     assert all(not (fps[a] & fps[b]) for a, b in unrelated)
+
+
+def test_drop_duplicate_lines(spark):
+    from docrawl_spark.datapipe.dedup import drop_duplicate_lines
+
+    # 'FOOTER' appears in 3 docs (>= min_count), 'unique N' lines don't
+    rows = [
+        (1, "unique one\nFOOTER\nalpha beta"),
+        (2, "FOOTER\nunique two"),
+        (3, "gamma\nFOOTER"),
+        (4, "no boilerplate here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_duplicate_lines(df, min_count=3).collect()
+    }
+    assert out[1]["text_clean"] == "unique one\nalpha beta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "unique two"
+    assert out[3]["text_clean"] == "gamma"
+    assert out[4]["text_clean"] == "no boilerplate here"
+    assert out[4]["n_dropped"] == 0
+    # order preservation: dropped middle line must not reorder the rest
+    assert out[1]["text_clean"].split("\n") == ["unique one", "alpha beta"]
+
+
+def test_drop_duplicate_lines_all_dropped(spark):
+    from docrawl_spark.datapipe.dedup import drop_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], "doc_id int, text string"
+    )
+    out = drop_duplicate_lines(df, min_count=5).collect()
+    assert all(r["text_clean"] == "" and r["n_dropped"] == 1 for r in out)
+
+
+def test_pagerank_hosts_conservation_and_star(spark):
+    """On a star graph (everyone links to 'hub'), the hub must dominate;
+    total rank mass stays bounded by total_units; results are exact
+    integers (deterministic across partitioning)."""
+    from docrawl_spark.datapipe.graph import host_edges, pagerank_hosts
+
+    links = spark.createDataFrame(
+        [(f"s{i}.test", "hub.test") for i in range(6)]
+        + [("hub.test", "s0.test"), ("s1.test", "s2.test")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"s{i}.test",) for i in range(6)] + [("hub.test",)], "host string"
+    )
+    edges = host_edges(links)
+    r = {x["host"]: x["rank_units"] for x in pagerank_hosts(edges, nodes, n_iter=5).collect()}
+    assert max(r, key=r.get) == "hub.test"
+    assert sum(r.values()) <= 1_000_000_000_000
+    # determinism under different parallelism of the same input
+    r2 = {
+        x["host"]: x["rank_units"]
+        for x in pagerank_hosts(edges.repartition(7), nodes.repartition(3), n_iter=5).collect()
+    }
+    assert r == r2
+
+
+def test_host_degree_metrics(spark):
+    from docrawl_spark.datapipe.graph import host_degree_metrics, host_edges
+
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c")],
+        "src_host string, dst_host string",
+    )
+    m = {r["host"]: r for r in host_degree_metrics(host_edges(links)).collect()}
+    assert m["a"]["out_deg"] == 2 and m["a"]["out_w"] == 3 and m["a"]["in_deg"] == 0
+    assert m["c"]["in_deg"] == 2 and m["c"]["in_w"] == 2 and m["c"]["out_deg"] == 0
+
+
+def test_dedup_normalize_url(spark):
+    from docrawl_spark.functions.canon import dedup_normalize_url_col
+
+    cases = [
+        # tracking params stripped, rest sorted, fragment dropped
+        ("https://A.test/p?utm_source=x&b=2&a=1#f", "https://a.test/p?a=1&b=2"),
+        ("https://a.test/p?b=2&a=1", "https://a.test/p?a=1&b=2"),
+        # all params tracking -> no '?'
+        ("https://a.test/p?utm_medium=m&gclid=g", "https://a.test/p"),
+        # no query/fragment -> unchanged (host lowercased only)
+        ("https://UP.test/Path", "https://up.test/Path"),
+        # non-url strings pass through the no-scheme branch
+        ("not a url", "not a url"),
+        ("https://a.test/p#only-frag", "https://a.test/p"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "u string")
+    got = [r[0] for r in df.select(dedup_normalize_url_col("u")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)
+
+
+def test_clean_text(spark):
+    from docrawl_spark.datapipe.text import clean_text
+
+    rows = [
+        (1, "a\tb\n\nc  d"),
+        (2, "  x \x01\x02 y  "),
+        (3, "café naïve"),  # combining marks must compose (NFC)
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text_clean"] for r in clean_text(df).collect()}
+    assert out[1] == "a b c d"
+    assert out[2] == "x y"
+    assert out[3] == "café naïve"
+    assert out[4] is None
+    assert out[5] == ""
