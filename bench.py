@@ -273,7 +273,7 @@ def _box_membw_speedup(n_trials: int = 5) -> tuple[list[dict], float | None]:
             }
         )
     calm = [r["speedup"] for r in raw if min(r["gbps_8"], r["gbps_32"]) >= 20.0]
-    return raw, (_median(calm) if calm else None)
+    return raw, (round(_median(calm), 3) if calm else None)
 
 
 def _median(xs: list[float]) -> float:
@@ -299,7 +299,13 @@ def main() -> None:
     round_pairs: list[dict[int, float]] = []  # temporally-adjacent 8/32 pairs
     t_scale0 = time.perf_counter()
     for rnd in range(N_TRIALS_SCALE):
-        if rnd >= 3 and time.perf_counter() - t_scale0 > SCALE_BUDGET_S:
+        elapsed_scale = time.perf_counter() - t_scale0
+        if rnd >= 3 and elapsed_scale > SCALE_BUDGET_S:
+            break
+        # collapsed-window escape hatch: if the first rounds already
+        # blew 2x the budget (600-900 s waves), two rounds of evidence
+        # beat an unbounded run
+        if rnd >= 2 and elapsed_scale > 2 * SCALE_BUDGET_S:
             break
         order = (8, 32) if rnd % 2 == 0 else (32, 8)
         pair: dict[int, float] = {}
@@ -352,15 +358,19 @@ def main() -> None:
     queries["frontier_wave_local32"] = best[32]
 
     # -- weak scaling (fixed work per core): N/4 at local[8] vs N at
-    # local[32]; with perfect scaling the wall times are equal.
+    # local[32]; with perfect scaling the wall times are equal. Skipped
+    # when the strong-scaling section already blew 2x its budget (a
+    # collapsed-window day) — the driver's wall clock matters more than
+    # a supplementary estimator.
     weak: dict[int, float] = {}
-    for cpus, n in ((8, N_URLS // 4), (32, N_URLS)):
-        stop_spark()
-        spark = get_spark(
-            app_name=f"bench_weak_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
-        )
-        frontier_wave(spark, max(n // 16, 50_000), max(N_HOSTS // 4, 500))
-        weak[cpus] = round(frontier_wave(spark, n, N_HOSTS), 3)
+    if time.perf_counter() - t_scale0 <= 2 * SCALE_BUDGET_S:
+        for cpus, n in ((8, N_URLS // 4), (32, N_URLS)):
+            stop_spark()
+            spark = get_spark(
+                app_name=f"bench_weak_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
+            )
+            frontier_wave(spark, max(n // 16, 50_000), max(N_HOSTS // 4, 500))
+            weak[cpus] = round(frontier_wave(spark, n, N_HOSTS), 3)
 
     # -- headline queries at the full CPU count (min of N_TRIALS passes)
     stop_spark()
@@ -419,10 +429,13 @@ def main() -> None:
                 best_norm[8] / best_norm[32] / 4.0, 3
             ),
             # fixed-work-per-core: T(N/4 urls @8) vs T(N urls @32);
-            # equal times = perfect weak scaling
-            "weak_scaling_sec_8": weak[8],
-            "weak_scaling_sec_32": weak[32],
-            "weak_scaling_efficiency": round(weak[8] / weak[32], 3),
+            # equal times = perfect weak scaling (None = skipped on a
+            # collapsed-window day)
+            "weak_scaling_sec_8": weak.get(8),
+            "weak_scaling_sec_32": weak.get(32),
+            "weak_scaling_efficiency": (
+                round(weak[8] / weak[32], 3) if len(weak) == 2 else None
+            ),
             "trials_sec_8": trials[8],
             "trials_sec_32": trials[32],
             "cpu_probe_sec_8": probes[8],
