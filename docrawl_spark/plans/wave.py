@@ -49,6 +49,7 @@ def schedule_candidates(
     broadcast_result: bool = True,
     seen: DataFrame | None = None,
     bloom: bytes | None = None,
+    host_priority: DataFrame | None = None,
 ) -> DataFrame:
     """candidates (unique by url_hash, post within-wave dedup) →
     robots-allowed, per-host-budget-selected rows with a deterministic
@@ -63,7 +64,17 @@ def schedule_candidates(
     BroadcastHashJoin with no sort and no exchange; turn off only when
     the selected set (Σ per-host budgets) is too big to broadcast —
     then it degrades to a url_hash shuffle join, still one wide
-    exchange instead of three."""
+    exchange instead of three.
+
+    ``host_priority``: optional (host, priority) frame — e.g.
+    ``datapipe.graph.pagerank_hosts`` output renamed to ``priority`` —
+    that reorders the GLOBAL visit rank so higher-priority hosts'
+    selected urls crawl first. Per-host budget selection is unaffected
+    (priority is constant within a host), so politeness semantics and
+    the selected SET are identical; only inter-host ordering changes.
+    Joined broadcast on host_hash (stays skinny); hosts absent from the
+    frame get priority 0. Default None = the reference-equality order
+    (crawl-equality suite pins it)."""
     order_cols = order_cols or ["parent_rank", "offset", "url_hash"]
     wide = candidates.persist() if persist_wide else candidates
     dim = hosts.select(
@@ -85,8 +96,22 @@ def schedule_candidates(
         from docrawl_spark.operators.dedup import anti_join_seen
 
         skinny = anti_join_seen(skinny, seen, bloom)
+    rank_order = order_cols
+    if host_priority is not None:
+        from docrawl_spark.functions.canon import url_hash_col
+
+        prio = host_priority.select(
+            url_hash_col("host").alias("host_hash"),
+            F.col("priority").cast("long").alias("_hp"),
+        )
+        skinny = (
+            skinny.join(F.broadcast(prio), "host_hash", "left")
+            .withColumn("_prio", -F.coalesce(F.col("_hp"), F.lit(0)))
+            .drop("_hp")
+        )
+        rank_order = ["_prio", *order_cols]
     selected = budget_topk(skinny, order_cols, n_salts)
-    ranked = with_global_rank(selected, order_cols, rank_col=rank_col, start=rank_start)
+    ranked = with_global_rank(selected, rank_order, rank_col=rank_col, start=rank_start)
     keys = ranked.select("url_hash", rank_col)
     if broadcast_result:
         keys = F.broadcast(keys)

@@ -345,3 +345,53 @@ def test_schedule_candidates_seen_dedup_equivalence(spark):
         }
         assert got == expected
     spark.catalog.clearCache()
+
+
+def test_schedule_candidates_host_priority_reorders_not_reselects(spark):
+    """host_priority (e.g. pagerank_hosts output) must change ONLY the
+    inter-host global visit order: the selected set and the per-host
+    politeness budgets are identical to the default run, and every url
+    of a higher-priority host ranks before every url of a lower one."""
+    from docrawl_spark.plans.wave import schedule_candidates
+
+    cands = spark.range(200).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 3).cast("string"),
+            F.lit(".test/p"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".test")).alias("host"),
+        F.xxhash64(
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".test"))
+        ).alias("host_hash"),
+        F.col("id").alias("parent_rank"),
+        (F.col("id") % 31).cast("int").alias("offset"),
+    )
+    hosts = spark.range(3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(4).alias("budget"),
+        F.lit("").alias("robots_blob"),
+    )
+    prio = spark.createDataFrame(
+        [("h2.test", 900), ("h0.test", 500), ("h1.test", 100)],
+        "host string, priority long",
+    )
+    base = schedule_candidates(cands, hosts, rank_col="visit_rank")
+    pri = schedule_candidates(cands, hosts, rank_col="visit_rank", host_priority=prio)
+    b = {r["url_hash"]: r for r in base.collect()}
+    p = {r["url_hash"]: r for r in pri.collect()}
+    assert set(b) == set(p)  # same selected set
+    # ranks dense in both
+    assert sorted(r["visit_rank"] for r in b.values()) == list(range(len(b)))
+    assert sorted(r["visit_rank"] for r in p.values()) == list(range(len(p)))
+    # priority run: h2 block first, then h0, then h1
+    by_host = {}
+    for r in p.values():
+        by_host.setdefault(r["host"], []).append(r["visit_rank"])
+    assert max(by_host["h2.test"]) < min(by_host["h0.test"])
+    assert max(by_host["h0.test"]) < min(by_host["h1.test"])
+    # within a host, the default order (parent_rank) is preserved
+    h2 = sorted(
+        (r["visit_rank"], r["parent_rank"]) for r in p.values() if r["host"] == "h2.test"
+    )
+    assert [x[1] for x in h2] == sorted(x[1] for x in h2)
