@@ -1,0 +1,72 @@
+"""Deterministic corpus sampling — the training-mix construction stage.
+
+Random sampling is useless at 100 TB (non-reproducible across retries,
+unstable under speculative execution); every sampler here is a PURE
+FUNCTION of the row key: keep iff hash(salt|id) mod M < threshold. That
+makes samples reproducible bit-for-bit across runs, engines, cluster
+sizes and partitionings, and lets an exact DuckDB oracle check the
+selection itself (md5 hash mode — the same cross-engine idiom as the
+MinHash family, datapipe/dedup.py).
+
+All operators are single-pass filters/projections — no shuffle, no
+per-row Python; the sampling predicate pushes into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1_000_000  # ppm resolution
+
+
+def _hash_ppm(id_col: Column, salt: str, hash_mode: str = "md5hex") -> Column:
+    """Uniform [0, 1e6) bucket from the row id: md5hex mode is
+    DuckDB-reproducible (('0x'||substr(md5(x),1,15))::BIGINT % 1e6);
+    xxhash64 mode is the cheaper JVM-codegen scale path."""
+    key = F.concat(F.lit(f"{salt}|"), id_col.cast("string"))
+    if hash_mode == "md5hex":
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.abs(F.xxhash64(key))
+    return F.pmod(h, F.lit(_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    default_fraction: float = 0.0,
+    hash_mode: str = "md5hex",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row of stratum k iff
+    hash_ppm(id) < fractions[k] * 1e6. Strata missing from ``fractions``
+    fall back to ``default_fraction``. The training-mix knob: weights
+    per source/language/quality-bucket, exactly reproducible."""
+    thresh = F.lit(int(default_fraction * _MOD))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(key_col) == k, F.lit(int(frac * _MOD))).otherwise(thresh)
+    return df.where(_hash_ppm(F.col(id_col), salt, hash_mode) < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split1",
+    split_col: str = "split",
+    hash_mode: str = "md5hex",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ranges of the hash ppm
+    in the sorted-by-name order of ``weights`` (must sum to ≤ 1; any
+    remainder is unassigned → null split). A doc's split never changes
+    when the corpus around it grows — the property random splits lack."""
+    ppm = _hash_ppm(F.col(id_col), salt, hash_mode)
+    expr = F.lit(None).cast("string")
+    hi = 0
+    for name, w in sorted(weights.items()):
+        lo, hi = hi, hi + int(w * _MOD)
+        expr = F.when((ppm >= lo) & (ppm < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

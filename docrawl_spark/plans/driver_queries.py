@@ -917,6 +917,42 @@ def q_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source deterministic hash
+    sampling (stratified_sample, md5 oracle mode) — src0 kept fully,
+    src1 half, src2 quarter, everything else 10% — then per-source
+    sampled counts. The selection is a pure function of doc_id, so the
+    oracle checks the exact sampled set, not a statistical property."""
+    from docrawl_spark.datapipe.sampling import stratified_sample
+
+    s = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (hash_split): assignment is a
+    pure function of doc_id (stable as the corpus grows). Output: docs
+    and chars per (split, lang)."""
+    from docrawl_spark.datapipe.sampling import hash_split
+
+    s = hash_split(
+        _t(spark, sf_dir, "documents"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return s.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -976,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_normalize": q_url_dedup_normalize,
         "clean_text": q_clean_text,
         "doc_length_outliers": q_doc_length_outliers,
+        "corpus_sample_mix": q_corpus_sample_mix,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1708,5 +1746,39 @@ def oracle_sql() -> dict[str, str]:
               FROM u)
             SELECT host, doc_id, n_chars, len_pr
             FROM pr WHERE len_pr >= 0.05 AND len_pr <= 0.95
+        """,
+        "corpus_sample_mix": """
+            WITH h AS (
+              SELECT *,
+                     ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS ppm
+              FROM documents),
+            kept AS (
+              SELECT * FROM h
+              WHERE ppm < CASE source
+                            WHEN 'src0' THEN 1000000
+                            WHEN 'src1' THEN 500000
+                            WHEN 'src2' THEN 250000
+                            ELSE 100000 END)
+            SELECT source, COUNT(*) AS n_sampled,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM kept GROUP BY source
+        """,
+        "corpus_split": """
+            WITH h AS (
+              SELECT *,
+                     ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS ppm
+              FROM documents),
+            s AS (
+              SELECT *, CASE
+                          WHEN ppm >= 0 AND ppm < 100000 THEN 'test'
+                          WHEN ppm >= 100000 AND ppm < 900000 THEN 'train'
+                          WHEN ppm >= 900000 AND ppm < 1000000 THEN 'val'
+                        END AS split
+              FROM h)
+            SELECT split, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY split, lang
         """,
     }

@@ -497,3 +497,43 @@ def test_clean_text(spark):
     assert out[3] == "café naïve"
     assert out[4] is None
     assert out[5] == ""
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from docrawl_spark.datapipe.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    kept1 = {r["doc_id"] for r in stratified_sample(df, {"a": 0.5, "b": 0.0}).collect()}
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), {"a": 0.5, "b": 0.0}).collect()
+    }
+    assert kept1 == kept2  # pure function of the id — partitioning-proof
+    assert all(k % 2 == 0 for k in kept1)  # stratum b fully excluded
+    assert 300 < len(kept1) < 700  # ~50% of the 1000 'a' docs
+    # xxhash64 scale mode is deterministic too (values differ from md5)
+    kx1 = {r["doc_id"] for r in stratified_sample(df, {"a": 0.5}, hash_mode="xxhash64").collect()}
+    kx2 = {r["doc_id"] for r in stratified_sample(df.repartition(7), {"a": 0.5}, hash_mode="xxhash64").collect()}
+    assert kx1 == kx2
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split assignment must not change when the corpus grows —
+    the property random splits lack (and the reason to hash)."""
+    from docrawl_spark.datapipe.sampling import hash_split
+
+    small = spark.range(500).select(F.col("id").alias("doc_id"))
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(small, w).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(big, w).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # rough proportions on the big corpus
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert 3500 < c["train"] < 4500 and 250 < c["val"] < 750 and 250 < c["test"] < 750
+    assert None not in c  # weights sum to 1.0 -> everything assigned
