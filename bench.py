@@ -63,6 +63,9 @@ HEADLINE = [
     "events_asof_order",
     "events_cube",
     "shipping_priority",
+    "host_pagerank",
+    "line_dedup_docs",
+    "corpus_split",
 ]
 
 

@@ -215,3 +215,56 @@ def knn_pairs_blocked(
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — build once, query many (the ANN system shape)
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    emb: DataFrame,
+    warehouse,
+    table: str = "ivf_index",
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Build the IVF index INTO the warehouse: vectors cell-partitioned
+    on disk (hive-style ``_cell=`` dirs) + a tiny centroids table. At
+    query time the ``n_probe`` cell filter becomes directory-level
+    PartitionFilters pruning — only the probed cells' files are read,
+    which is the point of IVF at 10^10 vectors (on real Iceberg this is
+    a partition transform on _cell)."""
+    assigned, centroids = ivf_assign(emb, n_cells, id_col, vec_col)
+    warehouse.overwrite(table, assigned, partition_by=["_cell"])
+    cent = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    warehouse.overwrite(f"{table}_centroids", cent)
+    return centroids
+
+
+def ivf_read_index(
+    warehouse, table: str = "ivf_index"
+) -> tuple[DataFrame, list[list[float]]]:
+    """(cell-partitioned vectors, centroids) back from the warehouse."""
+    cent_rows = warehouse.read(f"{table}_centroids").orderBy("cell").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    return warehouse.read(table), centroids
+
+
+def ivf_query_index(
+    warehouse,
+    query: list[float],
+    table: str = "ivf_index",
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the persisted index: probe the n_probe nearest cells
+    (partition-pruned scan), exact cosine within."""
+    idx, centroids = ivf_read_index(warehouse, table)
+    return ivf_topk(idx, centroids, query, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col)

@@ -62,21 +62,34 @@ class Warehouse:
         os.replace(tmp, p)  # atomic commit
 
     # -- writes ------------------------------------------------------------
-    def _write_snapshot(self, table: str, df: DataFrame) -> str:
+    def _write_snapshot(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
         snap_id = uuid.uuid4().hex[:12]
         path = os.path.join(self.root, table, f"snap-{snap_id}")
-        df.write.mode("errorifexists").parquet(path)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            # hive-style partition dirs: reads filter on the partition
+            # column via PartitionFilters (directory pruning, no data IO
+            # for pruned partitions) — the Iceberg partition-transform
+            # stand-in
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return snap_id
 
-    def append(self, table: str, df: DataFrame) -> str:
-        snap_id = self._write_snapshot(table, df)
+    def append(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
+        snap_id = self._write_snapshot(table, df, partition_by)
         m = self._load_manifest(table)
         m["snapshots"].append({"id": snap_id, "mode": "append"})
         self._commit_manifest(table, m)
         return snap_id
 
-    def overwrite(self, table: str, df: DataFrame) -> str:
-        snap_id = self._write_snapshot(table, df)
+    def overwrite(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
+        snap_id = self._write_snapshot(table, df, partition_by)
         m = self._load_manifest(table)
         m["snapshots"].append({"id": snap_id, "mode": "overwrite"})
         self._commit_manifest(table, m)

@@ -537,3 +537,38 @@ def test_hash_split_stable_under_corpus_growth(spark):
     c = Counter(s2.values())
     assert 3500 < c["train"] < 4500 and 250 < c["val"] < 750 and 250 < c["test"] < 750
     assert None not in c  # weights sum to 1.0 -> everything assigned
+
+
+def test_ivf_persistent_index_partition_pruned(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted index is cell-partitioned
+    on disk, a query's cell probe prunes at the DIRECTORY level
+    (PartitionFilters in the scan), and results equal the in-memory
+    path (exact vs brute force at n_probe=n_cells)."""
+    import numpy as np
+
+    from docrawl_spark.datapipe.similarity import (
+        ivf_query_index,
+        ivf_write_index,
+    )
+    from docrawl_spark.sources.storage import Warehouse
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((150, 16)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    ivf_write_index(emb, wh, n_cells=6)
+    q = [float(x) for x in vecs[3]]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=8).collect()]
+    exact = [
+        r["vec_id"] for r in ivf_query_index(wh, q, k=8, n_probe=6).collect()
+    ]
+    assert exact == brute
+    ann = {r["vec_id"] for r in ivf_query_index(wh, q, k=8, n_probe=2).collect()}
+    assert len(set(brute) & ann) >= 4
+    # the probed scan must be partition-pruned: cell filter appears as
+    # PartitionFilters (directory pruning), not a post-scan Filter only
+    plan = ivf_query_index(wh, q, k=8, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
