@@ -7,9 +7,12 @@ Arrow-batched pandas UDF. No row-at-a-time Python UDFs anywhere.
 """
 
 from docrawl_spark.functions.canon import (  # noqa: F401
+    abs_url_arrow,
     abs_url_udf,
     build_abs_url,
+    canonicalize_arrow,
     canonicalize_batch,
+    dedup_normalize_url_col,
     host_of_col,
     normalize_seed_url_col,
     url_hash_col,
