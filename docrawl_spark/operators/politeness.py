@@ -86,3 +86,87 @@ def budget_topk(df: DataFrame, order_cols: list[str], n_salts: int) -> DataFrame
         .where(F.col("_rn") <= F.col("_budget"))
         .drop("_rn", "_budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309-style robots evaluation (wildcards, $ anchors, longest-match,
+# Allow beats Disallow on ties) — the realistic upgrade over the prefix
+# gate above. The prefix gate stays the crawl-equality default (the
+# simulator's spec); this evaluator is for blobs that actually carry
+# Allow/Disallow rule lines. User-agent group resolution is a FETCH-side
+# concern (the fetcher stores the already-group-resolved rules for its
+# own agent in robots_blob) — what's evaluated here is the per-path rule
+# algebra, which is the part that needs longest-match precedence.
+#
+# All pure built-in exprs over the broadcast host dim's small rule
+# arrays: rule→regex compilation happens once per DISTINCT rule string
+# on the dim side; candidates evaluate ~|rules| regexes per row. Hosts
+# with no wildcard rules should keep the prefix fast path — the regex
+# path is for the minority of robots files that use '*'/'$'.
+# ---------------------------------------------------------------------------
+
+
+def robots_rules_col(robots_blob: Column) -> Column:
+    """Parse 'Allow: <path>' / 'Disallow: <path>' lines into an array
+    of structs (allow: bool, path: string). Lines that are neither are
+    ignored (comments, crawl-delay, sitemaps)."""
+    lines = F.split(F.coalesce(robots_blob, F.lit("")), "\n")
+    rules = F.filter(lines, lambda l: l.rlike(r"^(Allow|Disallow):\s*\S"))
+    return F.transform(
+        rules,
+        lambda l: F.struct(
+            l.startswith("Allow").alias("allow"),
+            F.regexp_replace(l, r"^(Allow|Disallow):\s*", "").alias("path"),
+        ),
+    )
+
+
+def robots_compile_col(rules: Column) -> Column:
+    """rules (allow, path) → (allow, spec, pattern): specificity =
+    raw pattern length (the RFC's longest-match key), pattern = the
+    anchored regex. Dim-side, once per host."""
+    return F.transform(
+        rules,
+        lambda r: F.struct(
+            r.getField("allow").alias("allow"),
+            F.length(r.getField("path")).alias("spec"),
+            F.concat(
+                F.lit("^"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.when(
+                            r.getField("path").endswith("$"),
+                            F.substring(
+                                r.getField("path"), 1, F.length(r.getField("path")) - 1
+                            ),
+                        ).otherwise(r.getField("path")),
+                        r"([.\\+?(){}\[\]|^$])",
+                        r"\\$1",
+                    ),
+                    r"\*",
+                    ".*",
+                ),
+                F.when(r.getField("path").endswith("$"), F.lit("$")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("pattern"),
+        ),
+    )
+
+
+def robots_allowed_rfc_col(url: Column, compiled_rules: Column) -> Column:
+    """RFC 9309 decision for the url's path against compiled rules:
+    the longest-specificity matching rule wins; on a specificity tie
+    Allow wins; no matching rule → allowed."""
+    path = path_of_col(url)
+    matches = F.filter(
+        compiled_rules, lambda r: F.regexp_like(path, r.getField("pattern"))
+    )
+    # pack (spec, allow) so array_max picks longest-match, allow on tie
+    packed = F.transform(
+        matches,
+        lambda r: r.getField("spec") * 2 + r.getField("allow").cast("int"),
+    )
+    return F.when(F.size(matches) == 0, F.lit(True)).otherwise(
+        F.pmod(F.array_max(packed), F.lit(2)) == 1
+    )

@@ -953,6 +953,47 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_rfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots evaluation (wildcards, $ anchors, longest-match,
+    Allow-beats-Disallow on spec ties): hosts carry synthesized rule
+    blobs (3 flavors incl. a wildcard-vs-anchor precedence fight and an
+    exact tie), every doc url is decided. Parse → compile-to-regex →
+    longest-match all happen in pure built-in array exprs; the oracle
+    reimplements the same algebra in DuckDB list lambdas."""
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_rfc_col,
+        robots_compile_col,
+        robots_rules_col,
+    )
+
+    u = _doc_urls(spark, sf_dir)
+    g = F.pmod(F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(3))
+    nl = "\n"
+    blob = (
+        F.when(
+            g == 0,
+            F.lit(
+                "User-agent: *" + nl + "Disallow: /doc/1*" + nl
+                + "Allow: /doc/1$" + nl + "Allow: /doc/12*"
+            ),
+        )
+        .when(
+            g == 1,
+            F.lit(
+                "Disallow: /doc/*3$" + nl + "Allow: /doc/3$" + nl
+                + "Disallow: /doc/4*" + nl + "Allow: /doc/4*"
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    compiled = robots_compile_col(robots_rules_col(blob))
+    return u.select(
+        "doc_id",
+        "host",
+        robots_allowed_rfc_col(F.col("url"), compiled).alias("allowed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1014,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_outliers": q_doc_length_outliers,
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_split": q_corpus_split,
+        "robots_rfc_gate": q_robots_rfc_gate,
     }
 
 
@@ -1780,5 +1822,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM s GROUP BY split, lang
+        """,
+        # RFC 9309 robots algebra mirrored in DuckDB list lambdas:
+        # parse rule lines -> compile to anchored regex (escape specials,
+        # '*' -> '.*', trailing '$' anchors) -> longest-match, Allow wins
+        # spec ties (spec*2+allow max-packing), no match -> allowed.
+        "robots_rfc_gate": r"""
+            WITH u AS (
+              SELECT doc_id, source || '.test' AS host,
+                     '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+                     CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3 AS g
+              FROM documents),
+            b AS (
+              SELECT *,
+                     CASE g
+                       WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /doc/1*'
+                                   || chr(10) || 'Allow: /doc/1$' || chr(10) || 'Allow: /doc/12*'
+                       WHEN 1 THEN 'Disallow: /doc/*3$' || chr(10) || 'Allow: /doc/3$'
+                                   || chr(10) || 'Disallow: /doc/4*' || chr(10) || 'Allow: /doc/4*'
+                       ELSE '' END AS blob
+              FROM u),
+            r AS (
+              SELECT *,
+                     list_transform(
+                       list_filter(string_split(blob, chr(10)),
+                                   l -> regexp_matches(l, '^(Allow|Disallow):\s*\S')),
+                       l -> {'allow': starts_with(l, 'Allow'),
+                             'path': regexp_replace(l, '^(Allow|Disallow):\s*', '')}
+                     ) AS rules
+              FROM b),
+            c AS (
+              SELECT *,
+                     list_transform(rules, x -> {
+                       'allow': x.allow,
+                       'spec': len(x.path),
+                       'pattern': '^' ||
+                         regexp_replace(
+                           regexp_replace(
+                             CASE WHEN x.path LIKE '%$'
+                                  THEN substr(x.path, 1, len(x.path) - 1)
+                                  ELSE x.path END,
+                             '([.\\+?(){}\[\]|^$])', '\\\1', 'g'),
+                           '\*', '.*', 'g')
+                         || CASE WHEN x.path LIKE '%$' THEN '$' ELSE '' END
+                     }) AS compiled
+              FROM r),
+            m AS (
+              SELECT doc_id, host,
+                     list_transform(
+                       list_filter(compiled, x -> regexp_matches(path, x.pattern)),
+                       x -> x.spec * 2 + CAST(x.allow AS INT)) AS packed
+              FROM c)
+            SELECT doc_id, host,
+                   CASE WHEN len(packed) = 0 THEN true
+                        ELSE list_aggregate(packed, 'max') % 2 = 1 END AS allowed
+            FROM m
         """,
     }

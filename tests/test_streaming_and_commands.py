@@ -247,3 +247,60 @@ def test_fetch_log_carries_headers_and_clock(spark, tmp_path):
     # fetched_at is strictly monotone in crawl order (unique ranks)
     n = log.count()
     assert log.select("fetched_at").distinct().count() == n
+
+
+def test_robots_rfc_semantics(spark):
+    """RFC 9309 rule algebra: longest-match wins, Allow wins spec ties,
+    '*' wildcards, '$' anchors, regex specials in paths are literal,
+    no-match and empty-blob default to allowed."""
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_rfc_col,
+        robots_compile_col,
+        robots_rules_col,
+    )
+
+    blob = "\n".join(
+        [
+            "User-agent: *",          # ignored non-rule line
+            "# comment",
+            "Disallow: /a*",          # blocks /a...
+            "Allow: /a/pub*",         # longer -> re-allows /a/pub...
+            "Disallow: /exact$",      # anchor: blocks exactly /exact
+            "Disallow: /t*",          # tie fight:
+            "Allow: /t*x",            # longer allow
+            "Disallow: /p+q",         # '+' must be literal
+            "Allow: /tie*",           # same spec as next -> allow wins
+            "Disallow: /tie*",
+        ]
+    )
+    cases = [
+        ("https://h.test/a/private", False),
+        ("https://h.test/a/pub/x", True),
+        ("https://h.test/exact", False),
+        ("https://h.test/exactly", True),   # anchor must not prefix-match
+        ("https://h.test/t1/x", True),      # /t*x (6) beats /t* (3)
+        ("https://h.test/t1/y", False),
+        ("https://h.test/p+q", False),      # literal plus
+        ("https://h.test/ppq", True),       # NOT regex 'p+' semantics
+        ("https://h.test/tieZ", True),      # exact spec tie -> allow
+        ("https://h.test/other", True),     # no match -> allowed
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    compiled = robots_compile_col(robots_rules_col(F.lit(blob)))
+    got = [
+        r[0]
+        for r in df.select(robots_allowed_rfc_col(F.col("url"), compiled)).collect()
+    ]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+    # empty / null blobs allow everything
+    empties = df.select(
+        robots_allowed_rfc_col(
+            F.col("url"), robots_compile_col(robots_rules_col(F.lit("")))
+        ).alias("a"),
+        robots_allowed_rfc_col(
+            F.col("url"),
+            robots_compile_col(robots_rules_col(F.lit(None).cast("string"))),
+        ).alias("b"),
+    ).collect()
+    assert all(r["a"] and r["b"] for r in empties)
