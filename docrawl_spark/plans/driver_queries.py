@@ -39,7 +39,10 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     the honest equivalent of those splits."""
     df = _t(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe the scan's spread via the file listing (cheap metadata;
+    # df.rdd would force an InternalRow->Row conversion plan just to
+    # read a partition count)
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
