@@ -170,3 +170,32 @@ def robots_allowed_rfc_col(url: Column, compiled_rules: Column) -> Column:
     return F.when(F.size(matches) == 0, F.lit(True)).otherwise(
         F.pmod(F.array_max(packed), F.lit(2)) == 1
     )
+
+
+def crawl_delay_col(robots_blob: Column, default_delay: float = 0.0) -> Column:
+    """Parse a 'Crawl-delay: <seconds>' directive out of the robots
+    blob (first occurrence wins, fractional allowed). Missing/invalid →
+    ``default_delay``. Feeds the per-host budget: a wave that represents
+    W seconds of crawling gives a host floor(W / delay) fetches."""
+    raw = F.regexp_extract(
+        F.coalesce(robots_blob, F.lit("")), r"(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)", 1
+    )
+    return F.when(raw == "", F.lit(float(default_delay))).otherwise(
+        raw.cast("double")
+    )
+
+
+def budget_from_crawl_delay(
+    robots_blob: Column, wave_seconds: int, default_budget: int
+) -> Column:
+    """Per-host wave budget implied by Crawl-delay: floor(wave_seconds
+    / delay), capped below by 1 fetch per wave; hosts without the
+    directive keep ``default_budget``. Pure exprs on the broadcast host
+    dim — the scheduler's politeness knob derived from the site's own
+    policy."""
+    delay = crawl_delay_col(robots_blob, default_delay=0.0)
+    return (
+        F.when(delay <= 0, F.lit(default_budget))
+        .otherwise(F.greatest(F.floor(F.lit(float(wave_seconds)) / delay), F.lit(1)))
+        .cast("long")
+    )

@@ -1,0 +1,59 @@
+"""Sitemap ingestion — XML seed lists into the frontier.
+
+Real crawls bootstrap (and re-crawl) from sitemaps: per-host XML
+documents listing <url><loc/><lastmod/><priority/></url> entries. This
+operator parses them JVM-side with Spark 4's native ``from_xml`` (no
+Python in the path) into frontier-seed rows; lastmod feeds recrawl
+scheduling (operators/recrawl) and priority can seed the host-priority
+rank (plans/wave.schedule_candidates host_priority).
+
+Scale shape: one column expression per sitemap document — a corpus of
+sitemaps parses as an ordinary projected scan, no shuffle; explode
+fans each sitemap into its entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "url",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("loc", T.StringType()),
+                        T.StructField("lastmod", T.StringType()),
+                        T.StructField("priority", T.DoubleType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_sitemap_col(xml: Column) -> Column:
+    """<urlset> XML string → array<struct<loc,lastmod,priority>>
+    (document order preserved)."""
+    return F.from_xml(xml, SITEMAP_SCHEMA).getField("url")
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Explode sitemap documents into one row per <url> entry:
+    (*keep_cols, loc, lastmod, priority), empty/blank locs dropped."""
+    keep = keep_cols or []
+    e = df.select(
+        *keep, F.explode(parse_sitemap_col(F.col(xml_col))).alias("_u")
+    ).select(
+        *keep,
+        F.trim(F.col("_u.loc")).alias("loc"),
+        F.col("_u.lastmod").alias("lastmod"),
+        F.col("_u.priority").alias("priority"),
+    )
+    return e.where(F.col("loc").isNotNull() & (F.col("loc") != ""))

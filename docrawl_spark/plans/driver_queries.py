@@ -997,6 +997,68 @@ def q_robots_rfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion: per-host <urlset> XML synthesized from the
+    doc universe (deterministic entry order), parsed back into frontier
+    seed rows with Spark 4's native from_xml (operators/sitemap). The
+    oracle builds the identical XML and extracts with regexes — so the
+    XML PARSER itself is what's being cross-checked."""
+    from docrawl_spark.operators.sitemap import sitemap_entries
+
+    u = _doc_urls(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"),
+        F.lit("</loc><lastmod>2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15</lastmod><priority>0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sm = (
+        u.select("host", "doc_id", entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                        lambda s: s.getField("entry"),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return sitemap_entries(sm, keep_cols=["host"])
+
+
+def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay directive → per-host wave budget: hosts carry
+    synthesized robots blobs with/without 'Crawl-delay: <s>' lines
+    (incl. fractional); budget = floor(wave_seconds/delay), min 1,
+    default when absent. The politeness knob derived from the site's
+    own policy (operators/politeness.budget_from_crawl_delay)."""
+    from docrawl_spark.operators.politeness import budget_from_crawl_delay, crawl_delay_col
+
+    u = _doc_urls(spark, sf_dir).select("host").distinct()
+    g = F.pmod(F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int"), F.lit(4))
+    blob = (
+        F.when(g == 0, F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x"))
+        .when(g == 1, F.lit("Crawl-delay: 0.5"))
+        .when(g == 2, F.lit("Disallow: /y"))
+        .otherwise(F.lit("Crawl-delay: 7200"))
+    )
+    return u.select(
+        "host",
+        F.round(crawl_delay_col(blob), 4).alias("crawl_delay"),
+        budget_from_crawl_delay(blob, wave_seconds=3600, default_budget=100).alias(
+            "budget"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1059,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": q_corpus_sample_mix,
         "corpus_split": q_corpus_split,
         "robots_rfc_gate": q_robots_rfc_gate,
+        "sitemap_entries": q_sitemap_entries,
+        "crawl_delay_budgets": q_crawl_delay_budgets,
     }
 
 
@@ -1880,5 +1944,62 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(packed) = 0 THEN true
                         ELSE list_aggregate(packed, 'max') % 2 = 1 END AS allowed
             FROM m
+        """,
+        # identical XML built both sides; the oracle extracts by regex,
+        # Spark parses with native from_xml — the parser is the DUT
+        "sitemap_entries": """
+            WITH u AS (
+              SELECT doc_id, source || '.test' AS host,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            e AS (
+              SELECT host, doc_id,
+                     '<url><loc>' || url || '</loc><lastmod>2026-0'
+                     || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || '-15</lastmod><priority>0.'
+                     || CAST(doc_id % 9 AS VARCHAR) || '</priority></url>' AS entry
+              FROM u),
+            x AS (
+              SELECT host,
+                     '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+              FROM e GROUP BY host),
+            p AS (
+              SELECT host,
+                     regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+                     regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS lms,
+                     regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1) AS prs
+              FROM x)
+            SELECT host, trim(locs[i]) AS loc, lms[i] AS lastmod,
+                   CAST(prs[i] AS DOUBLE) AS priority
+            FROM p, UNNEST(range(1, len(locs) + 1)) AS t(i)
+            WHERE trim(locs[i]) <> ''
+        """,
+        "crawl_delay_budgets": r"""
+            WITH h AS (
+              SELECT DISTINCT source || '.test' AS host FROM documents),
+            g AS (
+              SELECT host,
+                     CAST(regexp_extract(host, '(\d+)', 1) AS INT) % 4 AS grp
+              FROM h),
+            b AS (
+              SELECT host,
+                     CASE grp
+                       WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 10'
+                                   || chr(10) || 'Disallow: /x'
+                       WHEN 1 THEN 'Crawl-delay: 0.5'
+                       WHEN 2 THEN 'Disallow: /y'
+                       ELSE 'Crawl-delay: 7200' END AS blob
+              FROM g),
+            d AS (
+              SELECT host,
+                     COALESCE(
+                       TRY_CAST(regexp_extract(blob, '(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)', 1)
+                                AS DOUBLE), 0.0) AS delay
+              FROM b)
+            SELECT host, ROUND(delay, 4) AS crawl_delay,
+                   CASE WHEN delay <= 0 THEN 100
+                        ELSE GREATEST(CAST(FLOOR(3600.0 / delay) AS BIGINT), 1)
+                   END AS budget
+            FROM d
         """,
     }

@@ -304,3 +304,46 @@ def test_robots_rfc_semantics(spark):
         ).alias("b"),
     ).collect()
     assert all(r["a"] and r["b"] for r in empties)
+
+
+def test_sitemap_entries_parse(spark):
+    from docrawl_spark.operators.sitemap import sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.test/1</loc><lastmod>2026-01-01</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>  </loc><priority>0.1</priority></url>"   # blank loc dropped
+        "<url><loc>https://a.test/2</loc></url>"             # optional fields null
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.test", xml)], "host string, sitemap_xml string")
+    rows = sitemap_entries(df, keep_cols=["host"]).collect()
+    assert [(r["loc"], r["lastmod"], r["priority"]) for r in rows] == [
+        ("https://a.test/1", "2026-01-01", 0.8),
+        ("https://a.test/2", None, None),
+    ]
+    assert all(r["host"] == "a.test" for r in rows)
+
+
+def test_crawl_delay_parse_and_budget(spark):
+    from docrawl_spark.operators.politeness import (
+        budget_from_crawl_delay,
+        crawl_delay_col,
+    )
+
+    rows = [
+        ("User-agent: *\nCrawl-delay: 10\nDisallow: /x", 10.0, 360),
+        ("Crawl-delay: 0.5", 0.5, 7200),
+        ("Disallow: /y", 0.0, 100),            # absent -> default budget
+        ("Crawl-delay: 7200", 7200.0, 1),      # floor < 1 -> min 1/wave
+        ("Crawl-delay: abc", 0.0, 100),        # invalid -> default
+        (None, 0.0, 100),
+    ]
+    df = spark.createDataFrame([(b,) for b, _, _ in rows], "blob string")
+    got = df.select(
+        crawl_delay_col(F.col("blob")).alias("d"),
+        budget_from_crawl_delay(F.col("blob"), wave_seconds=3600, default_budget=100).alias("b"),
+    ).collect()
+    for (blob, want_d, want_b), r in zip(rows, got):
+        assert r["d"] == want_d and r["b"] == want_b, (blob, r["d"], r["b"])
