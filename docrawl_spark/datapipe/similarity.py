@@ -138,6 +138,16 @@ def ivf_assign(
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in centroid_rows]
+    return assign_cells(emb, centroids, vec_col=vec_col), centroids
+
+
+def assign_cells(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment against GIVEN centroids —
+    one Arrow-batched matmul per batch."""
+    import numpy as np
+
     cmat = np.array(centroids, dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0
@@ -156,7 +166,42 @@ def ivf_assign(
         sims = (m @ cmat.T) / (vn[:, None] * cnorm[None, :])
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
-    return emb.withColumn("_cell", assign(F.col(vec_col))), centroids
+    return emb.withColumn("_cell", assign(F.col(vec_col)))
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's refinement of the IVF coarse quantizer: assign (Arrow
+    matmul) → centroid update as mean-per-(cell, dim) via posexplode →
+    HashAggregate (pure JVM, map-side combinable; the collect is
+    n_cells × dim rows — centroid-sized, not data-sized). No RNG:
+    hash-seeded init, reproducible up to floating summation order of
+    the avg; empty cells keep their old centroid.
+    Better-fitting centroids concentrate neighbors into fewer cells, so
+    recall-at-n_probe rises for the same scan fraction."""
+    assigned, centroids = ivf_assign(emb, n_cells, id_col, vec_col)
+    dim = len(centroids[0]) if centroids else 0
+    for _ in range(n_iter):
+        upd = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("_pos", "_v"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_v").alias("_m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep old
+        acc: dict[int, list[float]] = {}
+        for r in upd:
+            acc.setdefault(r["_cell"], [0.0] * dim)[r["_pos"]] = r["_m"]
+        for cell, vec in acc.items():
+            new_c[cell] = vec
+        centroids = new_c
+        assigned = assign_cells(emb, centroids, vec_col=vec_col)
+    return assigned, centroids
 
 
 def ivf_topk(

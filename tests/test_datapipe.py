@@ -572,3 +572,48 @@ def test_ivf_persistent_index_partition_pruned(spark, tmp_path):
     # PartitionFilters (directory pruning), not a post-scan Filter only
     plan = ivf_query_index(wh, q, k=8, n_probe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_train_improves_quantization(spark):
+    """Lloyd's refinement must reduce quantization error (mean cosine
+    distance to the assigned centroid) vs the hash-picked init, keep
+    exactness at n_probe=n_cells, and stay deterministic."""
+    import numpy as np
+
+    from docrawl_spark.datapipe.similarity import (
+        assign_cells,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(9)
+    # clustered data: 5 blobs of 40 vectors
+    centers = rng.standard_normal((5, 12)) * 3
+    vecs = np.vstack([c + rng.standard_normal((40, 12)) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+
+    def qerr(assigned, cents):
+        rows = assigned.select("vec_id", "_cell").collect()
+        c = np.array(cents)
+        tot = 0.0
+        for r in rows:
+            v = vecs[r["vec_id"]]
+            cc = c[r["_cell"]]
+            tot += 1 - float(v @ cc) / ((np.linalg.norm(v) or 1) * (np.linalg.norm(cc) or 1))
+        return tot / len(rows)
+
+    a0, c0 = ivf_assign(emb, n_cells=5)
+    a1, c1 = ivf_train(emb, n_cells=5, n_iter=3)
+    assert qerr(a1, c1) <= qerr(a0, c0) + 1e-9
+    # exact at full probe with trained centroids
+    q = [float(x) for x in vecs[17]]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()]
+    exact = [r["vec_id"] for r in ivf_topk(a1, c1, q, k=5, n_probe=5).collect()]
+    assert exact == brute
+    # deterministic across repartition
+    a2, c2 = ivf_train(emb.repartition(7), n_cells=5, n_iter=3)
+    assert np.allclose(np.array(c1), np.array(c2))
