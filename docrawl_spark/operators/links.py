@@ -115,3 +115,38 @@ def dedup_within_wave(candidates: DataFrame) -> DataFrame:
         .alias("offset"),
         F.col("_p").bitwiseAND(F.lit((1 << _DEPTH_BITS) - 1)).cast("int").alias("depth"),
     )
+
+
+def anchor_term_index(
+    links: DataFrame,
+    target_col: str = "url",
+    text_col: str = "anchor_text",
+    k: int = 5,
+) -> DataFrame:
+    """Link-text (anchor) index: the classic off-page relevance signal —
+    what OTHER pages' link text says a target page is about. Per target
+    url, the top-``k`` anchor terms by frequency (ties broken by term).
+
+    Shape: explode terms → one map-side-combinable HashAggregate on
+    (target, term) → per-target top-k window. The window partitions on
+    the target url whose distinct-term cardinality is vocabulary-bound;
+    for adversarial targets apply the same salt-prefilter trick as
+    politeness.budget_topk. Returns (target, term, n, rank).
+    """
+    from pyspark.sql import Window
+
+    terms = F.explode(
+        F.filter(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+            ),
+            lambda t: t != "",
+        )
+    ).alias("term")
+    counts = (
+        links.select(F.col(target_col).alias("target"), terms)
+        .groupBy("target", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("target").orderBy(F.col("n").desc(), F.col("term").asc())
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1059,6 +1059,29 @@ def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/links.anchor_term_index): docs link
+    to bucketed targets with their leading tokens as anchor text; per
+    target, the top-3 anchor terms by count (term-asc ties)."""
+    from docrawl_spark.operators.links import anchor_term_index
+
+    u = _t(spark, sf_dir, "documents")
+    links = u.select(
+        F.concat(
+            F.lit("https://t.test/p"), (F.col("doc_id") % 20).cast("string")
+        ).alias("url"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+                1,
+                3,
+            ),
+        ).alias("anchor_text"),
+    )
+    return anchor_term_index(links, k=3)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1123,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc_gate": q_robots_rfc_gate,
         "sitemap_entries": q_sitemap_entries,
         "crawl_delay_budgets": q_crawl_delay_budgets,
+        "anchor_terms": q_anchor_terms,
     }
 
 
@@ -2001,5 +2025,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE GREATEST(CAST(FLOOR(3600.0 / delay) AS BIGINT), 1)
                    END AS budget
             FROM d
+        """,
+        "anchor_terms": r"""
+            WITH l AS (
+              SELECT 'https://t.test/p' || CAST(doc_id % 20 AS VARCHAR) AS target,
+                     array_to_string(
+                       string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')[1:3],
+                       ' ') AS anchor_text
+              FROM documents),
+            t AS (
+              SELECT target, term
+              FROM l, UNNEST(list_filter(string_split(
+                     lower(regexp_replace(trim(anchor_text), '\s+', ' ', 'g')), ' '),
+                     x -> x <> '')) AS u(term)),
+            c AS (
+              SELECT target, term, COUNT(*) AS n FROM t GROUP BY target, term),
+            r AS (
+              SELECT target, term, n,
+                     ROW_NUMBER() OVER (PARTITION BY target
+                                        ORDER BY n DESC, term ASC) AS rank
+              FROM c)
+            SELECT target, term, n, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 3
         """,
     }
