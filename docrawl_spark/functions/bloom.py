@@ -160,3 +160,57 @@ def might_contain_col(df_or_spark, bloom_blob: bytes, key_col: str = "url_hash")
         return pd.Series(bloom.contains(arr))
 
     return probe(F.col(key_col))
+
+
+class WindowedSeenFilter:
+    """Sliding-window membership over the last ``window`` crawl epochs —
+    the recrawl-TTL filter shape (cf. the sliding-window AMQ literature,
+    e.g. SIGMOD'23's windowed cuckoo: expiry by rotating sub-filters,
+    never by per-key deletes or full rebuilds).
+
+    One Bloom shard per epoch; ``advance()`` opens a new epoch and
+    drops shards older than the window — O(1) expiry of an entire
+    epoch's URLs, which is exactly how recrawl freshness works (a URL
+    seen ``window`` epochs ago SHOULD come back). Querying ORs the live
+    shards. No false negatives within the window; fpp grows ~linearly
+    with the live shard count (size each shard for n/window items).
+
+    Driver-side sketch object like ``Bloom`` itself: built from
+    per-partition partials, broadcast as bytes per shard; the exact
+    url_seen table remains the source of truth (operators/dedup)."""
+
+    def __init__(self, window: int, shard_items: int, fpp: float = 0.03):
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.window = window
+        self.shard_items = shard_items
+        self.fpp = fpp
+        self.epoch = 0
+        self._shards: list[tuple[int, Bloom]] = [(0, Bloom.for_items(shard_items, fpp))]
+
+    @property
+    def current(self) -> Bloom:
+        return self._shards[-1][1]
+
+    def add(self, keys: np.ndarray) -> None:
+        """Insert into the CURRENT epoch's shard."""
+        self.current.add(keys)
+
+    def advance(self) -> int:
+        """Open the next epoch; expire shards that fell out of the
+        window. Returns the new epoch number."""
+        self.epoch += 1
+        self._shards.append((self.epoch, Bloom.for_items(self.shard_items, self.fpp)))
+        low = self.epoch - self.window + 1
+        self._shards = [(e, b) for e, b in self._shards if e >= low]
+        return self.epoch
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Membership across all LIVE epochs (OR of shards)."""
+        out = np.zeros(len(keys), dtype=bool)
+        for _, b in self._shards:
+            out |= b.contains(keys)
+        return out
+
+    def live_epochs(self) -> list[int]:
+        return [e for e, _ in self._shards]

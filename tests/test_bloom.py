@@ -59,3 +59,31 @@ def test_distributed_build_and_anti_join(spark):
     a = {r["url"] for r in with_bloom.collect()}
     b = {r["url"] for r in without.collect()}
     assert a == b == {str(i) for i in range(5000, 7500)}
+
+
+def test_windowed_seen_filter_expiry():
+    """Sliding-window membership: no false negatives within the window,
+    O(1) whole-epoch expiry once an epoch falls out."""
+    import numpy as np
+
+    from docrawl_spark.functions.bloom import WindowedSeenFilter
+
+    w = WindowedSeenFilter(window=3, shard_items=1000, fpp=0.01)
+    epochs = {}
+    rng = np.random.default_rng(5)
+    for e in range(6):
+        keys = rng.integers(0, 2**62, size=200)
+        epochs[e] = keys
+        w.add(keys)
+        # everything within the live window must be present
+        for le in w.live_epochs():
+            assert w.contains(epochs[le]).all()
+        if e < 5:
+            w.advance()
+    assert w.live_epochs() == [3, 4, 5]
+    # epoch 0-2 keys are expired: mostly absent (only fpp survivors)
+    old = np.concatenate([epochs[0], epochs[1], epochs[2]])
+    frac = w.contains(old).mean()
+    assert frac < 0.1, frac
+    # current-window keys still all present
+    assert w.contains(np.concatenate([epochs[3], epochs[4], epochs[5]])).all()
