@@ -176,7 +176,8 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
     )
     _force(ranked)
     elapsed = time.perf_counter() - t0
-    spark.catalog.clearCache()  # drop the wave's wide-payload persist
+    if getattr(ranked, "_wave_persisted", None) is not None:
+        ranked._wave_persisted.unpersist()  # precise: only the wave's cache
     return elapsed
 
 

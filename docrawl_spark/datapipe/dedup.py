@@ -610,9 +610,13 @@ def drop_duplicate_lines(
     count ≥ threshold) is tiny relative to the corpus — Spark's AQE
     broadcasts the right side of the anti-join automatically.
     """
+    # \Q...\E quotes the separator so split (whose pattern arg is a
+    # REGEX) and array_join (literal) agree for seps like '|' or '.'
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "pos", "line"
+        ),
     ).select(id_col, "pos", F.trim("line").alias("line"))
     heavy = (
         lines.groupBy("line")

@@ -20,10 +20,14 @@ units (BIGINT micro-rank, ``total_units`` ≈ 10^12) with truncating
 integer division (`div`) — summation order cannot change a single bit,
 so the result hash-matches a DuckDB oracle running the same unrolled
 iterations (double-precision PageRank would drift in the last ulp
-across engines/summation orders). Classic damping: with d = 85/100,
-rank'(v) = base + d * Σ_in floor(rank(u) * w(u,v) / out_w(u)).
-Dangling-host mass is dropped (not redistributed) — spec'd, identical
-on both sides.
+across engines/summation orders). Classic damping with d = 85/100 and
+ppm-floored edge shares (overflow-proof under ANSI):
+share_ppm(u,v) = floor(w(u,v)·10^6 / out_w(u)), and
+rank'(v) = base + d · Σ_in floor(rank(u)/10^6) · share_ppm(u,v).
+Pick ``total_units`` ≥ n_nodes · 10^9 so per-node ranks stay well
+above the 10^6-unit quantum (the 10^12 default covers ≤ ~10^5 hosts
+comfortably). Dangling-host mass is dropped (not redistributed) —
+spec'd, identical on both sides.
 """
 
 from __future__ import annotations
@@ -68,10 +72,21 @@ def pagerank_hosts(
     base = ((100 - damping_pct) * r0) // 100
 
     out_w = edges.groupBy("src_host").agg(F.sum("weight").alias("out_w"))
-    # (src, dst, weight, out_w) is iteration-invariant: compute once
+    # (src, dst, share_ppm) is iteration-invariant: compute once. The
+    # edge's share of its source's out-mass is pre-floored to ppm so
+    # the per-iteration product stays overflow-proof under ANSI:
+    # rank_units div 1e6 ≤ 1e6 and share_ppm ≤ 1e6, so the product is
+    # ≤ total_units — never near Long.MAX — for ANY edge weight up to
+    # ~9.2e12 (weight * 1e6 is the only wide intermediate). The cost is
+    # ppm quantization of both factors — exact and identical in the
+    # DuckDB oracle, which mirrors the same two floors.
     ew = (
         edges.join(out_w, "src_host")
-        .select("src_host", "dst_host", "weight", "out_w")
+        .select(
+            "src_host",
+            "dst_host",
+            F.expr("weight * 1000000L div out_w").alias("share_ppm"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -81,7 +96,7 @@ def pagerank_hosts(
             ew.join(ranks, ew.src_host == ranks.host)
             .select(
                 F.col("dst_host").alias("host"),
-                F.expr("rank_units * weight div out_w").alias("c"),
+                F.expr("(rank_units div 1000000L) * share_ppm").alias("c"),
             )
             .groupBy("host")
             .agg(F.sum("c").alias("in_units"))

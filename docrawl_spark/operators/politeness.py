@@ -28,7 +28,7 @@ def robots_allowed_col(url: Column, robots_blob: Column) -> Column:
     """True iff no non-empty newline-separated Disallow prefix in
     ``robots_blob`` prefixes the url's path. Null/empty blob → allow."""
     prefixes = F.filter(
-        F.split(F.coalesce(robots_blob, F.lit("")), "\n"), lambda p: p != ""
+        F.split(F.coalesce(robots_blob, F.lit("")), "\r?\n"), lambda p: p != ""
     )
     path = path_of_col(url)
     return ~F.exists(prefixes, lambda p: path.startswith(p))
@@ -110,7 +110,7 @@ def robots_rules_col(robots_blob: Column) -> Column:
     """Parse 'Allow: <path>' / 'Disallow: <path>' lines into an array
     of structs (allow: bool, path: string). Lines that are neither are
     ignored (comments, crawl-delay, sitemaps)."""
-    lines = F.split(F.coalesce(robots_blob, F.lit("")), "\n")
+    lines = F.split(F.coalesce(robots_blob, F.lit("")), "\r?\n")
     rules = F.filter(lines, lambda l: l.rlike(r"^(Allow|Disallow):\s*\S"))
     return F.transform(
         rules,

@@ -1757,7 +1757,8 @@ def oracle_sql() -> dict[str, str]:
             outw AS (SELECT src_host, SUM(weight) AS out_w FROM edges GROUP BY 1),
             ew AS (
               SELECT e.src_host, e.dst_host,
-                     CAST(e.weight AS BIGINT) AS weight, CAST(o.out_w AS BIGINT) AS out_w
+                     (CAST(e.weight AS BIGINT) * 1000000) // CAST(o.out_w AS BIGINT)
+                       AS share_ppm
               FROM edges e JOIN outw o USING (src_host)),
             consts AS (
               SELECT CAST(1000000000000 // n_hosts AS BIGINT) AS r0,
@@ -1766,7 +1767,7 @@ def oracle_sql() -> dict[str, str]:
             r0t AS (SELECT host, (SELECT r0 FROM consts) AS rank_units FROM hosts),
             c1 AS (
               SELECT e.dst_host AS host,
-                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
               FROM ew e JOIN r0t r ON e.src_host = r.host GROUP BY 1),
             i1 AS (
               SELECT h.host,
@@ -1775,7 +1776,7 @@ def oracle_sql() -> dict[str, str]:
               FROM hosts h LEFT JOIN c1 c USING (host)),
             c2 AS (
               SELECT e.dst_host AS host,
-                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
               FROM ew e JOIN i1 r ON e.src_host = r.host GROUP BY 1),
             i2 AS (
               SELECT h.host,
@@ -1784,7 +1785,7 @@ def oracle_sql() -> dict[str, str]:
               FROM hosts h LEFT JOIN c2 c USING (host)),
             c3 AS (
               SELECT e.dst_host AS host,
-                     SUM((r.rank_units * e.weight) // e.out_w) AS in_units
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
               FROM ew e JOIN i2 r ON e.src_host = r.host GROUP BY 1),
             i3 AS (
               SELECT h.host,

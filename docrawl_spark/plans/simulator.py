@@ -65,11 +65,35 @@ def _table_has_two_tr(text: str | None) -> bool:
         return True
     if not isinstance(payload, dict):
         return True
-    if payload.get("th") is None and payload.get("rows") is None:
+    # Countable row evidence must be STRUCTURALLY valid for the field's
+    # schema — this mirrors Spark's from_json exactly (verified): a
+    # structural mismatch anywhere inside a field (non-array where the
+    # schema expects an array, array/object where it expects a scalar)
+    # nulls the WHOLE field, while scalar leaves coerce to string. So
+    # th counts iff it is a list of lists of scalars; rows iff a list
+    # of lists of lists of scalars.
+    def _scalar(x):
+        return not isinstance(x, (list, dict))
+
+    th = payload.get("th")
+    rows = payload.get("rows")
+    if not (
+        isinstance(th, list)
+        and all(isinstance(e, list) and all(_scalar(c) for c in e) for e in th)
+    ):
+        th = None
+    if not (
+        isinstance(rows, list)
+        and all(
+            isinstance(r, list)
+            and all(isinstance(c, list) and all(_scalar(v) for v in c) for c in r)
+            for r in rows
+        )
+    ):
+        rows = None
+    if th is None and rows is None:
         return True  # no row evidence at all = unparseable, keep
-    th = payload.get("th") or []
-    rows = payload.get("rows") or []
-    return (1 if len(th) > 0 else 0) + len(rows) >= 2
+    return (1 if len(th or []) > 0 else 0) + len(rows or []) >= 2
 
 
 def clean_spans(raw_spans: list[dict]) -> list[dict]:

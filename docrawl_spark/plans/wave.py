@@ -100,9 +100,12 @@ def schedule_candidates(
     if host_priority is not None:
         from docrawl_spark.functions.canon import url_hash_col
 
+        # micro-unit scaling BEFORE the long cast: sitemap-style
+        # fractional priorities (0.0-1.0 doubles) would otherwise all
+        # truncate to 0 and the feature would silently no-op
         prio = host_priority.select(
             url_hash_col("host").alias("host_hash"),
-            F.col("priority").cast("long").alias("_hp"),
+            (F.col("priority") * 1_000_000).cast("long").alias("_hp"),
         )
         skinny = (
             skinny.join(F.broadcast(prio), "host_hash", "left")
@@ -115,4 +118,9 @@ def schedule_candidates(
     keys = ranked.select("url_hash", rank_col)
     if broadcast_result:
         keys = F.broadcast(keys)
-    return wide.join(keys, "url_hash")
+    out = wide.join(keys, "url_hash")
+    # precise cache cleanup: the persisted wide frame rides on the
+    # result so callers can `out._wave_persisted.unpersist()` after
+    # materializing, instead of a scorched-earth clearCache()
+    out._wave_persisted = wide if persist_wide else None
+    return out

@@ -223,20 +223,7 @@ def test_hybrid_equals_udf_strategy(spark):
     empty and null refs, whitespace, odd bases."""
     from docrawl_spark.functions.canon import with_abs_url
 
-    refs = [
-        "https://x.test/a", "http://a/b#", "http://a/b?", "http://a/b?#f",
-        "HTTP://a/b", "ftp://h/p", "//proto.rel/x", "/abs/path", "/p?q=1#f",
-        "/", "a", "a/b", "a/b/c", "../up", "../../up/two", "./here",
-        "a/./b", "a/../b", "x;y", "/x;y", "a?q", "a#f", "a b", " a",
-        "", None, "mailto:info@x", "javascript:void(0)", "a//b", "a/",
-        "x" * 300, "../" * 9 + "deep",
-    ]
-    bases = [
-        "https://h.test/d1/d2/leaf", "https://h.test/", "https://h.test",
-        "http://h.test/one", "HTTPS://H.test/Mixed/Case", "https://h.test/p?q=1",
-        "https://h.test/p;param", "not a url", "", None, "https://h.test//dbl/p",
-    ]
-    rows = [(r, b) for r in refs for b in bases]
+    rows = [(r, b) for r in REFS_BATTERY for b in BASES_BATTERY]
     df = spark.createDataFrame(rows, "ref string, base string")
     a = with_abs_url(df, "ref", "base", strategy="hybrid").select(
         "ref", "base", "url", "canon_error"

@@ -6,6 +6,7 @@ SURVEY.md §5.2-5.3)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from docrawl_spark.plans.crawl import run_crawl
 from docrawl_spark.plans.simulator import clean_spans, simulate_crawl
@@ -78,3 +79,38 @@ def test_robots_and_budget_respected(spark, fixture_web, tmp_path):
         per[(wave, h)] += 1
     for (wave, h), n in per.items():
         assert n <= budget.get(h, 2), (wave, h, n)
+
+
+def test_table_guard_parity_on_adversarial_payloads(spark):
+    """Engine from_json guard == simulator on payloads the fixtures
+    never generate: type-mismatched th/rows (string, int, nested
+    mismatch), non-dict JSON, partial nulls. from_json nulls a
+    mismatched field; the simulator counts only list-typed evidence —
+    both must agree span-for-span."""
+    from docrawl_spark.operators.scan import clean_spans_col
+
+    payloads = [
+        '{"th": "x", "rows": null}',        # string th: no evidence -> keep
+        '{"th": 5, "rows": []}',            # int th + empty rows -> 0 tr -> drop
+        '{"th": [["a"]], "rows": "z"}',     # nested ok th, string rows -> 1 tr -> drop
+        '{"th": [["a"], "b"]}',             # mixed th: whole field nulls -> keep
+        '{"th": [["a", 5]]}',               # scalar coercion: valid, 1 tr -> drop
+        '{"rows": [[["b"]], "x"]}',         # mixed rows: field nulls -> keep
+        '{"th": [["a"]], "rows": [[["b"]]]}',  # 2 tr -> keep
+        "[]",                               # non-dict -> keep
+        "not json",                         # unparseable -> keep
+        '{"rows": [[["b"]]]}',              # 1 tr -> drop
+        '{"th": ["a"]}',                    # shallow th: 1 tr -> drop
+        '{"th": null, "rows": null}',       # no evidence -> keep
+    ]
+    raw = [
+        {"kind": "table", "text": p, "media_ref": "", "offset": i}
+        for i, p in enumerate(payloads)
+    ]
+    sim = clean_spans(raw)
+    df = spark.createDataFrame(
+        [(raw,)],
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = [s.asDict() for s in df.select(clean_spans_col(F.col("spans")).alias("s")).collect()[0]["s"]]
+    assert got == sim, (got, sim)

@@ -617,3 +617,32 @@ def test_ivf_train_improves_quantization(spark):
     # deterministic across repartition
     a2, c2 = ivf_train(emb.repartition(7), n_cells=5, n_iter=3)
     assert np.allclose(np.array(c1), np.array(c2))
+
+
+def test_pagerank_survives_huge_weights(spark):
+    """ANSI overflow regression: rank_units near total_units times a
+    multi-million edge weight must not overflow int64 (the ppm-share
+    two-floor form keeps every intermediate <= total_units)."""
+    from docrawl_spark.datapipe.graph import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 20_000_000), ("b", "hub", 15_000_000), ("hub", "a", 1)],
+        "src_host string, dst_host string, weight long",
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("hub",)], "host string")
+    r = {x["host"]: x["rank_units"] for x in pagerank_hosts(edges, nodes, n_iter=4).collect()}
+    assert r["hub"] > r["b"] and r["hub"] > 0
+    assert sum(r.values()) <= 1_000_000_000_000
+
+
+def test_drop_duplicate_lines_literal_separator(spark):
+    """The separator must be treated literally in BOTH split and join
+    ('|' would otherwise be regex alternation and shred the text)."""
+    from docrawl_spark.datapipe.dedup import drop_duplicate_lines
+
+    rows = [(i, "keep me|DUP|also keep") for i in range(3)] + [(3, "solo|DUP")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in drop_duplicate_lines(df, min_count=4, sep="|").collect()}
+    assert out[0]["text_clean"] == "keep me|also keep"
+    assert out[3]["text_clean"] == "solo"
+    assert out[0]["n_lines"] == 3 and out[0]["n_dropped"] == 1

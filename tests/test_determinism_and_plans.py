@@ -395,3 +395,33 @@ def test_schedule_candidates_host_priority_reorders_not_reselects(spark):
         (r["visit_rank"], r["parent_rank"]) for r in p.values() if r["host"] == "h2.test"
     )
     assert [x[1] for x in h2] == sorted(x[1] for x in h2)
+
+
+def test_schedule_candidates_fractional_priority(spark):
+    """Sitemap-style fractional priorities (0.0-1.0 doubles) must still
+    reorder hosts — micro-unit scaling regression (a bare long cast
+    floored them all to 0 and the feature no-opped)."""
+    from docrawl_spark.plans.wave import schedule_candidates
+
+    cands = spark.range(60).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("https://f"), (F.col("id") % 2).cast("string"),
+                 F.lit(".test/p"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("f"), (F.col("id") % 2).cast("string"), F.lit(".test")).alias("host"),
+        F.xxhash64(F.concat(F.lit("f"), (F.col("id") % 2).cast("string"), F.lit(".test"))).alias("host_hash"),
+        F.col("id").alias("parent_rank"),
+        F.lit(0).alias("offset"),
+    )
+    hosts = spark.range(2).select(
+        F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(5).alias("budget"),
+        F.lit("").alias("robots_blob"),
+    )
+    prio = spark.createDataFrame(
+        [("f0.test", 0.1), ("f1.test", 0.9)], "host string, priority double"
+    )
+    out = schedule_candidates(cands, hosts, rank_col="visit_rank", host_priority=prio)
+    by_host = {}
+    for r in out.collect():
+        by_host.setdefault(r["host"], []).append(r["visit_rank"])
+    assert max(by_host["f1.test"]) < min(by_host["f0.test"])

@@ -347,3 +347,39 @@ def test_crawl_delay_parse_and_budget(spark):
     ).collect()
     for (blob, want_d, want_b), r in zip(rows, got):
         assert r["d"] == want_d and r["b"] == want_b, (blob, r["d"], r["b"])
+
+
+def test_robots_handles_crlf_blobs(spark):
+    """Real robots.txt arrives CRLF-terminated; both the prefix gate
+    and the RFC evaluator must not leave '\\r' in rule paths."""
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_col,
+        robots_allowed_rfc_col,
+        robots_compile_col,
+        robots_rules_col,
+    )
+
+    blob = "User-agent: *\r\nDisallow: /private\r\nAllow: /private/ok\r\n"
+    df = spark.createDataFrame(
+        [("https://h.test/private/x",), ("https://h.test/private/ok/y",),
+         ("https://h.test/open",)],
+        "url string",
+    )
+    rfc = [
+        r[0]
+        for r in df.select(
+            robots_allowed_rfc_col(
+                F.col("url"), robots_compile_col(robots_rules_col(F.lit(blob)))
+            )
+        ).collect()
+    ]
+    assert rfc == [False, True, True]
+    # prefix gate: CRLF blob of bare prefixes
+    pblob = "/private\r\n/tmp\r\n"
+    pre = [
+        r[0]
+        for r in df.select(
+            robots_allowed_col(F.col("url"), F.lit(pblob))
+        ).collect()
+    ]
+    assert pre == [False, False, True]
