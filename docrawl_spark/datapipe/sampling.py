@@ -45,9 +45,11 @@ def stratified_sample(
     hash_ppm(id) < fractions[k] * 1e6. Strata missing from ``fractions``
     fall back to ``default_fraction``. The training-mix knob: weights
     per source/language/quality-bucket, exactly reproducible."""
-    thresh = F.lit(int(default_fraction * _MOD))
+    # round(), not int(): float truncation turns 0.07 into 69999 ppm —
+    # off-by-one boundaries and weights summing to 1.0 leaving a sliver
+    thresh = F.lit(round(default_fraction * _MOD))
     for k, frac in sorted(fractions.items()):
-        thresh = F.when(F.col(key_col) == k, F.lit(int(frac * _MOD))).otherwise(thresh)
+        thresh = F.when(F.col(key_col) == k, F.lit(round(frac * _MOD))).otherwise(thresh)
     return df.where(_hash_ppm(F.col(id_col), salt, hash_mode) < thresh)
 
 
@@ -67,6 +69,6 @@ def hash_split(
     expr = F.lit(None).cast("string")
     hi = 0
     for name, w in sorted(weights.items()):
-        lo, hi = hi, hi + int(w * _MOD)
+        lo, hi = hi, hi + round(w * _MOD)
         expr = F.when((ppm >= lo) & (ppm < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)

@@ -755,13 +755,16 @@ def path_of_col(url: Column | str) -> Column:
     return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
 
 
-_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+# Unambiguous click-tracking params ONLY. 'ref' is deliberately NOT
+# here: ?ref= is frequently content-selecting (branch refs, product
+# refs) — collapsing it would permanently skip distinct pages.
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)="
 
 
 def dedup_normalize_url_col(url: Column | str) -> Column:
     """URL normalization for the seen-set / dedup key (beyond the
     reference's build_abs_url): drop the fragment, strip tracking
-    query params (utm_*, fbclid, gclid, msclkid, mc_eid, igshid, ref),
+    query params (utm_*, fbclid, gclid, msclkid, mc_eid, igshid),
     sort the surviving params (param order never changes the
     resource), lowercase scheme+host, and drop a now-empty '?'.
 

@@ -174,11 +174,15 @@ def robots_allowed_rfc_col(url: Column, compiled_rules: Column) -> Column:
 
 def crawl_delay_col(robots_blob: Column, default_delay: float = 0.0) -> Column:
     """Parse a 'Crawl-delay: <seconds>' directive out of the robots
-    blob (first occurrence wins, fractional allowed). Missing/invalid →
-    ``default_delay``. Feeds the per-host budget: a wave that represents
-    W seconds of crawling gives a host floor(W / delay) fetches."""
+    blob (first occurrence wins, fractional allowed, case-insensitive —
+    real robots.txt uses Crawl-Delay:/crawl-delay: interchangeably).
+    Missing/invalid → ``default_delay``. Feeds the per-host budget: a
+    wave that represents W seconds of crawling gives a host
+    floor(W / delay) fetches."""
     raw = F.regexp_extract(
-        F.coalesce(robots_blob, F.lit("")), r"(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)", 1
+        F.coalesce(robots_blob, F.lit("")),
+        r"(?mi)^crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)",
+        1,
     )
     return F.when(raw == "", F.lit(float(default_delay))).otherwise(
         raw.cast("double")

@@ -22,8 +22,10 @@ plans/crawl.py — any drift is a test failure):
     (docrawl_client.py:200-201); wave-0 candidates ordered by
     seed_order, deduped keeping first.
 3.  Robots gate: a URL is blocked iff any non-empty line of its host's
-    robots_blob is a prefix of its path (reference has NO robots
-    handling — this is the north_rule addition). Unknown host → allow.
+    robots_blob is a prefix of its path; blob lines are split on
+    ``\r?\n`` (CRLF robots files are the norm on real hosts — both
+    implementations must agree). (Reference has NO robots handling —
+    this is the north_rule addition.) Unknown host → allow.
 4.  Politeness: within a wave, at most ``budget(host)`` URLs per host
     (unknown host → DEFAULT_BUDGET), chosen in priority order; the
     rest are dropped (not seen; re-discoverable later).
@@ -43,6 +45,7 @@ plans/crawl.py — any drift is a test failure):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from docrawl_spark.functions.canon import build_abs_url
@@ -154,7 +157,9 @@ def simulate_crawl(
 ) -> SimResult:
     budget_of = {h["host"]: h["budget"] for h in hosts}
     robots_of = {
-        h["host"]: [ln for ln in (h.get("robots_blob") or "").split("\n") if ln]
+        h["host"]: [
+            ln for ln in re.split(r"\r?\n", h.get("robots_blob") or "") if ln
+        ]
         for h in hosts
     }
     docs = {u: clean_spans(s) for u, s in documents_raw.items()}

@@ -71,3 +71,43 @@ def test_quarantine_captures_canon_errors(spark, tmp_path):
     assert quarantined[0]["bad_ref"] == "../../../x"
     assert quarantined[0]["discovered_by"] == "https://q.test/p0"
     assert quarantined[0]["canon_error"] is not None
+
+
+def test_crlf_robots_blob_equality(spark, tmp_path):
+    """A robots_blob with CRLF line endings (the norm on real hosts)
+    must gate identically in the engine and the simulator: both split
+    rule lines on \\r?\\n (spec rule 3). Regression for the round-2
+    advisor finding — the simulator used to split on '\\n' only, so a
+    CRLF blob left '\\r'-suffixed prefixes that match nothing while the
+    engine blocked correctly."""
+    docs_py = {
+        "https://c.test/p0": [
+            {"kind": "link", "text": "a", "media_ref": "/private/x", "offset": 0},
+            {"kind": "link", "text": "b", "media_ref": "/ok", "offset": 1},
+        ],
+        "https://c.test/ok": [{"kind": "text", "text": "leaf", "media_ref": "", "offset": 0}],
+    }
+    hosts_py = [
+        {"host": "c.test", "budget": 5, "robots_blob": "/private\r\n/secret\r\n"}
+    ]
+    seeds_py = [{"url": "https://c.test/p0", "seed_order": 0}]
+    sim = simulate_crawl(docs_py, hosts_py, seeds_py, max_waves=3)
+    # the CRLF-split rule must actually fire: /private/x blocked
+    assert any(u == "https://c.test/private/x" for _, u in sim.robots_blocked)
+
+    docs = spark.createDataFrame(
+        [
+            (u, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+            for u, spans in docs_py.items()
+        ],
+        DOCUMENTS_SCHEMA,
+    )
+    hosts = spark.createDataFrame(
+        [("c.test", 1.0, 5, "/private\r\n/secret\r\n")],
+        "host string, crawl_delay double, budget int, robots_blob string",
+    )
+    seeds = spark.createDataFrame([("https://c.test/p0", 0)], SEEDS_SCHEMA)
+    wh = Warehouse(str(tmp_path / "whcrlf"), spark)
+    res = run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
+    assert res.visits == sim.visits
+    assert res.seen_urls == sim.seen

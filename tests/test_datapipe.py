@@ -473,6 +473,9 @@ def test_dedup_normalize_url(spark):
         # non-url strings pass through the no-scheme branch
         ("not a url", "not a url"),
         ("https://a.test/p#only-frag", "https://a.test/p"),
+        # 'ref' is content-selecting (branch refs, product refs) — it
+        # must SURVIVE normalization (round-2 advisor finding)
+        ("https://a.test/repo?ref=main&utm_source=x", "https://a.test/repo?ref=main"),
     ]
     df = spark.createDataFrame([(c,) for c, _ in cases], "u string")
     got = [r[0] for r in df.select(dedup_normalize_url_col("u")).collect()]
