@@ -46,9 +46,64 @@ def synthetic_headers_col(url, host, status, n_spans) -> "F.Column":
     )
 
 
+def synthetic_cookies_col(url, host, status, visit_rank) -> "F.Column":
+    """Deterministic cookie jar for the synthetic fetch — the second
+    D7 side-channel (reference: ``get_browser_cookies()`` returns the
+    selenium driver's cookie list after every load, docrawl_core.py:
+    1064-1083, stored docrawl_client.py:54-71). Shape:
+    array<struct<name,value,domain>>. A 200 page sets a session cookie
+    (md5-derived, DuckDB-reproducible) plus a last_visit counter; a 404
+    carries only the session cookie (the jar persists across misses).
+    Pure JVM exprs — wave-hot-loop safe."""
+    session = F.struct(
+        F.lit("session_id").alias("name"),
+        F.substring(F.md5(F.concat(F.lit("sess|"), F.coalesce(host, F.lit("")))), 1, 16)
+        .alias("value"),
+        F.coalesce(host, F.lit("unknown")).alias("domain"),
+    )
+    last_visit = F.struct(
+        F.lit("last_visit").alias("name"),
+        visit_rank.cast("string").alias("value"),
+        F.coalesce(host, F.lit("unknown")).alias("domain"),
+    )
+    return F.when(status == 200, F.array(session, last_visit)).otherwise(
+        F.array(session)
+    )
+
+
+def synthetic_json_requests_col(url, host, status, n_spans) -> "F.Column":
+    """Deterministic XHR sub-request capture — the third D7 side-channel
+    (reference: every JSON sub-request's {url, status_code, headers,
+    content} is kept per page load, docrawl_core.py:1064-1083; replayed
+    by ``get_browser_json_requests()``). Shape:
+    array<struct<url,status,content_type>>. A 200 page with n spans
+    issues min(n, 3) API calls against its own host; a 404 issues none.
+    NOTE: sequence(1, 0) DESCENDS in Spark — the n >= 1 guard is
+    load-bearing."""
+    n = F.least(n_spans, F.lit(3))
+    reqs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.concat(
+                F.lit("https://"),
+                F.coalesce(host, F.lit("unknown")),
+                F.lit("/api/v"),
+                i.cast("string"),
+                F.lit("?page="),
+                F.substring(F.md5(url), 1, 12),
+            ).alias("url"),
+            F.lit(200).alias("status"),
+            F.lit("application/json").alias("content_type"),
+        ),
+    )
+    empty = F.array().cast("array<struct<url:string,status:int,content_type:string>>")
+    return F.when((status == 200) & (n >= 1), reqs).otherwise(empty)
+
+
 def synthetic_fetch(selected: DataFrame, documents: DataFrame) -> DataFrame:
     """selected frontier (url, visit_rank, wave, depth, ...) × documents
-    (doc_id, spans) → fetched rows with status + spans + headers map.
+    (doc_id, spans) → fetched rows with status + spans + the full D7
+    side-channel capture (headers map, cookie jar, JSON sub-requests).
 
     Left join: frontier rows without a document become 404s (still
     visited, still seen, empty spans, text/plain headers)."""
@@ -68,6 +123,12 @@ def synthetic_fetch(selected: DataFrame, documents: DataFrame) -> DataFrame:
         synthetic_headers_col(
             selected["url"], selected["host"], status, n_spans
         ).alias("headers"),
+        synthetic_cookies_col(
+            selected["url"], selected["host"], status, selected["visit_rank"]
+        ).alias("cookies"),
+        synthetic_json_requests_col(
+            selected["url"], selected["host"], status, n_spans
+        ).alias("json_requests"),
     )
 
 
@@ -77,30 +138,94 @@ def synthetic_fetch(selected: DataFrame, documents: DataFrame) -> DataFrame:
 
 FETCHED_SCHEMA_DDL = (
     "url string, status int, content binary, content_type string, "
-    "headers map<string,string>, fetched_at timestamp, elapsed_ms double"
+    "headers map<string,string>, fetched_at timestamp, elapsed_ms double, "
+    "error string"
 )
 
+_FETCHED_COLUMNS = [
+    "url", "status", "content", "content_type",
+    "headers", "fetched_at", "elapsed_ms", "error",
+]
 
-def http_fetch(selected: DataFrame, timeout_s: float = 10.0, batch_size: int = 64) -> DataFrame:
-    """Distributed batched HTTP fetch (production path) — STUB.
 
-    The Spark-side plumbing is real (mapInPandas over url batches,
-    stable output schema, per-partition batching so each task holds at
-    most ``batch_size`` responses in memory); the network call itself
-    raises, because this sandbox is offline. Swap ``_do_fetch`` for a
-    real client (requests/httpx with per-host connection pools) on a
-    cluster."""
+def make_fetch_batches(
+    transport,
+    timeout_s: float,
+    batch_size: int,
+    retries: int = 2,
+):
+    """Build the mapInPandas generator for the production fetch stage.
+
+    ``transport(url, timeout_s, attempt) -> dict`` performs ONE request
+    (attempt is 0-based, so a client can back off); it must be a
+    module-level callable (pickled to executors). Contract enforced
+    here, independent of any real client (tested with a fake —
+    tests/test_streaming_and_commands.py):
+
+    - batching: each yielded frame holds at most ``batch_size`` rows,
+      bounding per-task response memory regardless of partition size;
+    - retries: a transport exception retries up to ``retries`` times;
+      success on a later attempt is a normal row;
+    - error shaping: a url failing every attempt becomes a
+      status=0 row with the exception text in ``error`` — one dead url
+      never kills the batch, the task, or the stage;
+    - schema: missing response keys are filled with typed nulls so the
+      Arrow batch always matches FETCHED_SCHEMA_DDL.
+    """
+
+    def _fetch_one(url: str) -> dict:
+        last_err: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                resp = dict(transport(url, timeout_s, attempt))
+                break
+            except Exception as e:  # noqa: BLE001 — error rows, not crashes
+                last_err = e
+        else:
+            return {
+                "url": url, "status": 0, "content": None, "content_type": None,
+                "headers": None, "fetched_at": None, "elapsed_ms": None,
+                "error": f"{type(last_err).__name__}: {last_err}",
+            }
+        resp.setdefault("url", url)
+        resp.setdefault("error", None)
+        for k in _FETCHED_COLUMNS:
+            resp.setdefault(k, None)
+        return {k: resp[k] for k in _FETCHED_COLUMNS}
 
     def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
-                yield _do_fetch(chunk, timeout_s)
+                urls = pdf["url"].iloc[start : start + batch_size].tolist()
+                yield pd.DataFrame(
+                    [_fetch_one(u) for u in urls], columns=_FETCHED_COLUMNS
+                )
 
+    return fetch_batches
+
+
+def http_fetch(
+    selected: DataFrame,
+    timeout_s: float = 10.0,
+    batch_size: int = 64,
+    retries: int = 2,
+    transport=None,
+) -> DataFrame:
+    """Distributed batched HTTP fetch (production path).
+
+    The Spark-side plumbing is real and contract-tested with a fake
+    transport (mapInPandas over url batches, stable output schema,
+    per-partition batching, per-url retry + error rows); the DEFAULT
+    transport raises, because this sandbox is offline. Pass a real
+    client (requests/httpx with per-host connection pools) as
+    ``transport`` on a cluster."""
+    fetch_batches = make_fetch_batches(
+        transport or _offline_transport, timeout_s, batch_size, retries
+    )
     return selected.select("url").mapInPandas(fetch_batches, FETCHED_SCHEMA_DDL)
 
 
-def _do_fetch(chunk: pd.DataFrame, timeout_s: float) -> pd.DataFrame:
+def _offline_transport(url: str, timeout_s: float, attempt: int) -> dict:
     raise NotImplementedError(
         "offline sandbox: plug an HTTP client here on a real cluster; "
         "tests use synthetic_fetch (a join against the corpus)"

@@ -122,17 +122,21 @@ def anchor_term_index(
     target_col: str = "url",
     text_col: str = "anchor_text",
     k: int = 5,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Link-text (anchor) index: the classic off-page relevance signal —
     what OTHER pages' link text says a target page is about. Per target
     url, the top-``k`` anchor terms by frequency (ties broken by term).
 
     Shape: explode terms → one map-side-combinable HashAggregate on
-    (target, term) → per-target top-k window. The window partitions on
-    the target url whose distinct-term cardinality is vocabulary-bound;
-    for adversarial targets apply the same salt-prefilter trick as
-    politeness.budget_topk. Returns (target, term, n, rank).
-    """
+    (target, term) → SALTED two-phase per-target top-k (the same
+    skew-safe pattern as politeness.budget_topk): phase 1 ranks within
+    (target, term-hash salt) and keeps the per-salt top-k — the global
+    top-k is a subset of the union of per-salt top-ks, since dropping
+    rows from other salts only promotes survivors — phase 2 ranks the
+    ≤ n_salts·k survivors per target exactly. A viral target with 10^7
+    distinct anchor terms never lands in one window task. Returns
+    (target, term, n, rank)."""
     from pyspark.sql import Window
 
     terms = F.explode(
@@ -148,5 +152,15 @@ def anchor_term_index(
         .groupBy("target", "term")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("target").orderBy(F.col("n").desc(), F.col("term").asc())
-    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    ordering = [F.col("n").desc(), F.col("term").asc()]
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("term")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("target", "_salt").orderBy(*ordering)
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("target").orderBy(*ordering)
+    return phase1.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

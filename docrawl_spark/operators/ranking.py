@@ -28,9 +28,16 @@ def with_global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Append ``rank_col`` = dense global 0-based position of each row in
-    the total order of ``order_cols`` (+ ``start``)."""
+    the total order of ``order_cols`` (+ ``start``).
+
+    ``persist_tracker``: optional list the operator appends its
+    internal persisted frame to (the range-partitioned copy the result
+    rides on). Callers that materialize the result elsewhere (e.g. a
+    warehouse commit) should then ``unpersist()`` each tracked frame —
+    precise cache cleanup instead of a session-global clearCache()."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # Persist the input FIRST: repartitionByRange runs a sampling job to
     # pick range boundaries, and without a cache that sampling pass
@@ -49,6 +56,8 @@ def with_global_rank(
     # disagree with the collected counts. (MEMORY_AND_DISK — safe under
     # memory pressure.)
     local = local.persist()
+    if persist_tracker is not None:
+        persist_tracker.append(local)
     counts = (
         local.groupBy("_pid").count().orderBy("_pid").collect()
     )  # one row per partition — tiny; also materializes `local`

@@ -55,14 +55,67 @@ def retire_for_recrawl(
     ``run_crawl(resume=True)`` revisits them under the normal robots +
     politeness gates.
     """
-    from docrawl_spark.functions.cuckoo import delete_from_sharded_cuckoo
-
     seen = warehouse.read("url_seen")
     # NULL-safe: a predicate that evaluates to NULL must mean KEEP —
     # otherwise the row falls out of both where(p) and where(~p) and
     # silently vanishes from the seen set
     predicate = F.coalesce(predicate, F.lit(False))
-    retired = seen.where(predicate).persist()
+    return _retire_rows(warehouse, seen, seen.where(predicate), cuckoo_shards, requeue)
+
+
+def sitemap_stale_urls(fetch_log: DataFrame, entries: DataFrame) -> DataFrame:
+    """url_hash rows whose newest sitemap ``lastmod`` is strictly newer
+    than the url's LAST fetch — the freshness signal sitemaps exist to
+    publish. ``entries`` is operators/sitemap.sitemap_entries output
+    (loc, lastmod, ...). Both sides aggregate to one row per url_hash
+    BEFORE the join (map-side combinable), so the join is an equi-join
+    of two url-keyed frames, never a fan-out; malformed lastmod
+    timestamps are ignored (try_to_timestamp — ANSI-safe)."""
+    last = fetch_log.groupBy("url_hash").agg(F.max("fetched_at").alias("_last_fetch"))
+    ent = (
+        entries.select(
+            url_hash_col(F.trim(F.col("loc"))).alias("url_hash"),
+            F.try_to_timestamp(F.col("lastmod")).alias("_lm"),
+        )
+        .where(F.col("_lm").isNotNull())
+        .groupBy("url_hash")
+        .agg(F.max("_lm").alias("_lastmod"))
+    )
+    return (
+        last.join(ent, "url_hash")
+        .where(F.col("_lastmod") > F.col("_last_fetch"))
+        .select("url_hash")
+    )
+
+
+def retire_stale_by_sitemap(
+    warehouse: Warehouse,
+    entries: DataFrame,
+    cuckoo_shards: list[bytes] | None = None,
+    requeue: bool = True,
+) -> tuple[int, list[bytes] | None]:
+    """Sitemap-driven recrawl (the docstring promise of
+    operators/sitemap made real): retire exactly the seen urls whose
+    sitemap lastmod post-dates their last fetch, so
+    ``run_crawl(resume=True)`` revisits them under the normal robots +
+    politeness gates. Returns (n_retired, updated_cuckoo_shards)."""
+    stale = sitemap_stale_urls(warehouse.read("fetch_log"), entries)
+    seen = warehouse.read("url_seen")
+    return _retire_rows(
+        warehouse, seen, seen.join(stale, "url_hash", "semi"), cuckoo_shards, requeue
+    )
+
+
+def _retire_rows(
+    warehouse: Warehouse,
+    seen: DataFrame,
+    to_retire: DataFrame,
+    cuckoo_shards: list[bytes] | None,
+    requeue: bool,
+) -> tuple[int, list[bytes] | None]:
+    from docrawl_spark.functions.cuckoo import delete_from_sharded_cuckoo
+
+    retired = to_retire.persist()
     n_retired = retired.count()
     if n_retired == 0:
         retired.unpersist()

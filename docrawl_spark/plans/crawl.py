@@ -140,6 +140,7 @@ def run_crawl(
         # shuffles (plans/wave.py) — same results as gate_and_select +
         # with_global_rank over wide rows, pinned by the crawl-equality
         # suite
+        wave_persists: list = []  # frames persisted by this wave's plan
         ranked = schedule_candidates(
             candidates,
             hosts_dim,
@@ -148,6 +149,7 @@ def run_crawl(
             # candidates are warehouse-parquet-backed (or persisted by
             # the in-memory branch below) — rescanning beats a cache
             persist_wide=False,
+            persist_tracker=wave_persists,
         ).withColumn("visit_rank", (F.lit(visit_base) + F.col("_wave_rank")))
         fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
 
@@ -155,8 +157,11 @@ def run_crawl(
         # partition_id records which task materialized each row — the
         # per-partition lineage half of the north_rule's
         # "per-partition lineage + metrics"
-        # headers + fetched_at = the reference's D7 side-channel capture
-        # (headers/cookies per page load, docrawl_core.py:1064-1083).
+        # headers + cookies + json_requests + fetched_at = the
+        # reference's FULL D7 side-channel capture (headers, cookies
+        # and JSON sub-requests per page load, docrawl_core.py:
+        # 1064-1083, replayed via get_browser_cookies /
+        # get_browser_json_requests, docrawl_client.py:54-71).
         # fetched_at is a deterministic synthetic clock (epoch anchor +
         # visit_rank seconds) so crawl equality and oracle hashing stay
         # reproducible; a production fetch stage records the real
@@ -170,6 +175,8 @@ def run_crawl(
             "status",
             "n_spans",
             "headers",
+            "cookies",
+            "json_requests",
             F.timestamp_seconds(
                 F.lit(_FETCH_CLOCK_EPOCH) + F.col("visit_rank")
             ).alias("fetched_at"),
@@ -184,11 +191,15 @@ def run_crawl(
             warehouse.overwrite("wave_fetched", fetched)
             fetched = warehouse.read("wave_fetched")  # truncate lineage
             url_seen = warehouse.read("url_seen", empty_schema=URL_SEEN_SCHEMA)
-            # everything live is now on disk — drop wave-local caches
-            # (incl. the ranking operator's internal persist), then
-            # re-pin the corpus, which IS reused across waves.
-            spark.catalog.clearCache()
-            docs_clean.persist()
+            # everything live is now on disk — drop exactly the frames
+            # this wave persisted (the ranking operator's internal
+            # cache, tracked by schedule_candidates). NOT a session
+            # clearCache(): that would evict every cache in the session,
+            # including ones other applications hold on a shared
+            # cluster, and the still-needed docs_clean corpus pin.
+            for p in wave_persists:
+                p.unpersist()
+            wave_persists.clear()
         else:
             fetched = fetched.persist()
             url_seen = (
@@ -211,6 +222,11 @@ def run_crawl(
             F.count("*").alias("n"),
             F.sum((F.col("status") == 404).cast("long")).alias("n404"),
         ).first()
+        # in-memory branch: the stats action just materialized the
+        # persisted `fetched`, so the wave-plan caches under it can go
+        for p in wave_persists:
+            p.unpersist()
+        wave_persists.clear()
         n_visited = int(stats["n"] or 0)
         if n_visited == 0:
             break

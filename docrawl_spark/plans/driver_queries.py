@@ -154,6 +154,69 @@ def q_fetch_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_cookies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 side-channel #2 (reference: the selenium cookie jar is
+    captured after every page load, docrawl_core.py:1064-1083, replayed
+    by get_browser_cookies(), docrawl_client.py:54-71): build the
+    cookie array with the engine's synthetic_cookies_col, explode, and
+    aggregate per (domain, name) — exercising typed-struct-array
+    construction, the 200-vs-404 jar shape, and string min/max over
+    cookie values cross-engine."""
+    from docrawl_spark.operators.fetch import synthetic_cookies_col
+
+    u = _doc_urls(spark, sf_dir)
+    status = F.when(F.col("n_chars") > 0, F.lit(200)).otherwise(F.lit(404))
+    jar = u.select(
+        "doc_id",
+        synthetic_cookies_col(
+            F.col("url"), F.col("host"), status, F.col("doc_id")
+        ).alias("cookies"),
+    )
+    c = jar.select(F.explode("cookies").alias("c")).select(
+        F.col("c.name").alias("name"),
+        F.col("c.value").alias("value"),
+        F.col("c.domain").alias("domain"),
+    )
+    return c.groupBy("domain", "name").agg(
+        F.count("*").alias("n_cookies"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_fetch_json_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 side-channel #3 (reference: every JSON sub-request's
+    {url, status_code, headers, content} is captured per page load and
+    replayed by get_browser_json_requests()): build the sub-request
+    array with synthetic_json_requests_col (n_spans analog =
+    doc_id % 5, so the 0-request and the capped-at-3 branches are both
+    exercised), then per host: docs, total sub-requests, silent docs,
+    and the lexicographic-min first request url (try_element_at —
+    null-safe on empty arrays under ANSI)."""
+    from docrawl_spark.operators.fetch import synthetic_json_requests_col
+
+    u = _doc_urls(spark, sf_dir)
+    status = F.when(F.col("n_chars") > 0, F.lit(200)).otherwise(F.lit(404))
+    reqs = u.select(
+        "doc_id",
+        "host",
+        synthetic_json_requests_col(
+            F.col("url"),
+            F.col("host"),
+            status,
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int"),
+        ).alias("json_requests"),
+    )
+    return reqs.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("json_requests").cast("long")).alias("sum_reqs"),
+        F.sum((F.size("json_requests") == 0).cast("long")).alias("n_silent"),
+        F.min(
+            F.try_element_at(F.col("json_requests"), F.lit(1)).getField("url")
+        ).alias("min_first_req"),
+    )
+
+
 def q_extract_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 matrix form (extract_multiple_xpaths → row-per-xpath matrix,
     docrawl_core.py:920-947) through the REAL operator pipeline:
@@ -1046,9 +1109,9 @@ def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.pmod(F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int"), F.lit(4))
     blob = (
         F.when(g == 0, F.lit("User-agent: *\nCrawl-delay: 10\nDisallow: /x"))
-        .when(g == 1, F.lit("Crawl-delay: 0.5"))
+        .when(g == 1, F.lit("crawl-Delay: 0.5"))
         .when(g == 2, F.lit("Disallow: /y"))
-        .otherwise(F.lit("Crawl-delay: 7200"))
+        .otherwise(F.lit("CRAWL-DELAY: 7200"))
     )
     return u.select(
         "host",
@@ -1110,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_minima": q_minhash_band_minima,
         "embedding_topk": q_embedding_topk,
         "fetch_headers": q_fetch_headers,
+        "fetch_cookies": q_fetch_cookies,
+        "fetch_json_requests": q_fetch_json_requests,
         "extract_matrix": q_extract_matrix,
         "embedding_neardup": q_embedding_neardup,
         "simhash_neardup": q_simhash_neardup,
@@ -1207,6 +1272,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_len,
                    MIN(doc_id) AS min_doc
             FROM documents GROUP BY 1, 2
+        """,
+        "fetch_cookies": f"""
+            WITH j AS (
+              SELECT doc_id, host,
+                     CASE WHEN n_chars > 0 THEN
+                       [{{'name': 'session_id',
+                          'value': substr(md5('sess|' || host), 1, 16),
+                          'domain': host}},
+                        {{'name': 'last_visit',
+                          'value': CAST(doc_id AS VARCHAR),
+                          'domain': host}}]
+                     ELSE
+                       [{{'name': 'session_id',
+                          'value': substr(md5('sess|' || host), 1, 16),
+                          'domain': host}}]
+                     END AS cookies
+              FROM ({_DOC_URLS_SQL})),
+            c AS (
+              SELECT x.name AS name, x.value AS value, x.domain AS domain
+              FROM j, UNNEST(cookies) AS t(x))
+            SELECT domain, name,
+                   COUNT(*) AS n_cookies,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM c GROUP BY domain, name
+        """,
+        "fetch_json_requests": f"""
+            WITH r AS (
+              SELECT doc_id, host,
+                     CASE WHEN n_chars > 0 AND (doc_id % 5) >= 1 THEN
+                       list_transform(range(1, CAST(LEAST(doc_id % 5, 3) AS INT) + 1),
+                         i -> {{'url': 'https://' || host || '/api/v'
+                                       || CAST(i AS VARCHAR) || '?page='
+                                       || substr(md5(url), 1, 12),
+                                'status': 200,
+                                'content_type': 'application/json'}})
+                     ELSE CAST([] AS STRUCT(url VARCHAR, status INTEGER,
+                                            content_type VARCHAR)[])
+                     END AS json_requests
+              FROM ({_DOC_URLS_SQL}))
+            SELECT host,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(json_requests)) AS BIGINT) AS sum_reqs,
+                   CAST(SUM(CASE WHEN len(json_requests) = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_silent,
+                   MIN(json_requests[1].url) AS min_first_req
+            FROM r GROUP BY host
         """,
         "frontier_host_metrics": f"""
             SELECT host,
@@ -1849,7 +1961,7 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(array_to_string(
                        list_sort(list_filter(string_split(q, '&'),
                          x -> x <> '' AND NOT regexp_matches(
-                           x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)='))),
+                           x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)='))),
                        '&'), '') AS qs
               FROM sh)
             SELECT doc_id, url_raw,
@@ -2011,14 +2123,14 @@ def oracle_sql() -> dict[str, str]:
                      CASE grp
                        WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 10'
                                    || chr(10) || 'Disallow: /x'
-                       WHEN 1 THEN 'Crawl-delay: 0.5'
+                       WHEN 1 THEN 'crawl-Delay: 0.5'
                        WHEN 2 THEN 'Disallow: /y'
-                       ELSE 'Crawl-delay: 7200' END AS blob
+                       ELSE 'CRAWL-DELAY: 7200' END AS blob
               FROM g),
             d AS (
               SELECT host,
                      COALESCE(
-                       TRY_CAST(regexp_extract(blob, '(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)', 1)
+                       TRY_CAST(regexp_extract(blob, '(?mi)^crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)', 1)
                                 AS DOUBLE), 0.0) AS delay
               FROM b)
             SELECT host, ROUND(delay, 4) AS crawl_delay,

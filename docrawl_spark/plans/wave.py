@@ -50,6 +50,7 @@ def schedule_candidates(
     seen: DataFrame | None = None,
     bloom: bytes | None = None,
     host_priority: DataFrame | None = None,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """candidates (unique by url_hash, post within-wave dedup) →
     robots-allowed, per-host-budget-selected rows with a deterministic
@@ -113,14 +114,27 @@ def schedule_candidates(
             .drop("_hp")
         )
         rank_order = ["_prio", *order_cols]
+    if persist_wide and persist_tracker is not None:
+        persist_tracker.append(wide)
     selected = budget_topk(skinny, order_cols, n_salts)
-    ranked = with_global_rank(selected, rank_order, rank_col=rank_col, start=rank_start)
+    ranked = with_global_rank(
+        selected,
+        rank_order,
+        rank_col=rank_col,
+        start=rank_start,
+        persist_tracker=persist_tracker,
+    )
     keys = ranked.select("url_hash", rank_col)
     if broadcast_result:
         keys = F.broadcast(keys)
     out = wide.join(keys, "url_hash")
-    # precise cache cleanup: the persisted wide frame rides on the
-    # result so callers can `out._wave_persisted.unpersist()` after
-    # materializing, instead of a scorched-earth clearCache()
+    # Precise cache cleanup: every frame this call persisted (the wide
+    # payload and the ranking operator's internal cache) lands in
+    # ``persist_tracker`` — unpersist them AFTER materializing the
+    # result, never a scorched-earth clearCache(). The legacy
+    # ``_wave_persisted`` attribute remains for callers that consume
+    # the result directly, but it is a plain Python attribute: it is
+    # LOST on any further DataFrame transformation — prefer the
+    # tracker.
     out._wave_persisted = wide if persist_wide else None
     return out

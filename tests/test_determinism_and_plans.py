@@ -425,3 +425,57 @@ def test_schedule_candidates_fractional_priority(spark):
     for r in out.collect():
         by_host.setdefault(r["host"], []).append(r["visit_rank"])
     assert max(by_host["f1.test"]) < min(by_host["f0.test"])
+
+
+def test_anchor_index_phase1_window_is_salted(spark):
+    """Skew safety twin of the politeness test: the anchor index's
+    first window must partition by (target, _salt) so a viral target
+    with 10^7 distinct anchor terms spreads over n_salts tasks; the
+    exact phase-2 window then sees <= n_salts*k rows per target."""
+    import re
+
+    from docrawl_spark.operators.links import anchor_term_index
+
+    links = spark.createDataFrame(
+        [("https://t.test/p", "click here now")] * 4, "url string, anchor_text string"
+    )
+    plan = plan_of(anchor_term_index(links, k=3), mode="extended")
+    w = re.search(r"windowspecdefinition\(target[^)]*_salt", plan)
+    assert w, "anchor phase-1 window no longer partitioned by (target, _salt)"
+
+
+def test_anchor_index_salted_equals_unsalted_topk(spark):
+    """The two-phase salted top-k must return EXACTLY the single-window
+    result (rank included) on a term distribution with count ties."""
+    import itertools
+
+    from pyspark.sql import Window
+
+    from docrawl_spark.operators.links import anchor_term_index
+
+    rows = [
+        (f"https://t.test/p{i % 3}", " ".join(words))
+        for i, words in enumerate(
+            itertools.islice(itertools.permutations("abcdefg", 3), 60)
+        )
+    ]
+    links = spark.createDataFrame(rows, "url string, anchor_text string")
+    got = {
+        (r["target"], r["term"], r["n"], r["rank"])
+        for r in anchor_term_index(links, k=4, n_salts=5).collect()
+    }
+    # unsalted reference: one exact window
+    terms = F.explode(F.split(F.col("anchor_text"), " ")).alias("term")
+    counts = (
+        links.select(F.col("url").alias("target"), terms)
+        .groupBy("target", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("target").orderBy(F.col("n").desc(), F.col("term").asc())
+    want = {
+        (r["target"], r["term"], r["n"], r["rank"])
+        for r in counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want

@@ -79,3 +79,31 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
     assert df.columns == ["visit_rank", "url", "host", "depth"]
     assert len(rows) > 0
+
+
+# xxhash64 scale twins: each has a _md5 counterpart that IS oracle-checked,
+# plus a property test pinning pair-set equivalence between the two hash
+# modes (test_datapipe.py). Any OTHER query without an oracle is a bug —
+# this gate keeps the registry and the driver snapshot in lockstep.
+NO_ORACLE_TWINS = {
+    "minhash_lsh_pairs",   # twin: minhash_lsh_pairs_md5
+    "simhash_neardup",     # twin: simhash_neardup_md5
+    "winnow_fingerprints", # twin: winnow_fingerprints_md5
+}
+
+
+def test_every_query_has_oracle_or_documented_twin():
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    bare = q - o - NO_ORACLE_TWINS
+    assert not bare, (
+        f"queries without an oracle_sql entry or a documented twin: {sorted(bare)} "
+        "— add the DuckDB mirror (or, for a genuinely non-SQL-expressible op, "
+        "a property-tested twin + an entry in NO_ORACLE_TWINS)"
+    )
+    # twins must stay real: each allowlisted name still registered and its
+    # md5 counterpart still oracle-checked
+    for name in NO_ORACLE_TWINS:
+        assert name in q, f"stale NO_ORACLE_TWINS entry: {name}"
+        assert f"{name}_md5" in o, f"{name}: md5 twin lost its oracle"
+    assert not (o - q), f"orphan oracles: {sorted(o - q)}"

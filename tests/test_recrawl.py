@@ -106,3 +106,49 @@ def test_midcrawl_retire_preserves_pending_frontier(spark, tmp_path):
         warehouse=Warehouse(str(tmp_path / "wh_full"), spark),
     )
     assert res2.seen_urls == full.seen_urls
+
+
+def test_sitemap_lastmod_drives_recrawl(spark, tmp_path):
+    """End-to-end sitemap-freshness loop: crawl to exhaustion → ingest a
+    sitemap whose <lastmod> post-dates the fetch for SOME visited urls
+    (plus a stale one, a malformed one, and a never-seen one) → retire →
+    resume revisits EXACTLY the fresh-lastmod urls."""
+    from docrawl_spark.operators.recrawl import retire_stale_by_sitemap
+    from docrawl_spark.operators.sitemap import sitemap_entries
+
+    fx = generate_web(seed=13)
+    docs, hosts, seeds = fixture_to_dfs(spark, fx)
+    wh = Warehouse(str(tmp_path / "wh_sm"), spark)
+    res = run_crawl(spark, docs, hosts, seeds, max_waves=12, warehouse=wh)
+    assert max(w for w, _ in res.visits) < 11, "graph not exhausted"
+    visited = [u for _, u in res.visits]
+    fresh = sorted(visited)[:3]          # lastmod 2030 > any fetched_at (2024 epoch)
+    stale = sorted(visited)[3]           # lastmod 2000 < fetched_at
+    unseen = "https://never.test/x"      # in the sitemap, never crawled
+
+    def ent(loc, lastmod):
+        return f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod></url>"
+
+    xml = (
+        "<urlset>"
+        + "".join(ent(u, "2030-01-01T00:00:00Z") for u in fresh)
+        + ent(stale, "2000-01-01T00:00:00Z")
+        + ent(fresh[0], "not-a-date")      # malformed lastmod: ignored
+        + ent(unseen, "2030-01-01T00:00:00Z")
+        + "</urlset>"
+    )
+    entries = sitemap_entries(
+        spark.createDataFrame([(xml,)], "sitemap_xml string")
+    )
+    n_seen = wh.read("url_seen").count()
+    n, _ = retire_stale_by_sitemap(wh, entries)
+    assert n == len(fresh)
+
+    last = max(w for w, _ in res.visits)
+    res2 = run_crawl(
+        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh, resume=True
+    )
+    revisited = {u for w, u in res2.visits if w > last}
+    assert revisited == set(fresh)
+    assert res2.seen_urls == res.seen_urls
+    assert wh.read("url_seen").count() == n_seen

@@ -247,6 +247,40 @@ def test_fetch_log_carries_headers_and_clock(spark, tmp_path):
     # fetched_at is strictly monotone in crawl order (unique ranks)
     n = log.count()
     assert log.select("fetched_at").distinct().count() == n
+    # D7 #2: cookie jar — 200 pages carry (session_id, last_visit),
+    # 404s only session_id; last_visit value IS the visit_rank
+    bad_cookies = log.where(
+        (F.size("cookies") != F.when(F.col("status") == 200, 2).otherwise(1))
+        | (F.col("cookies")[0]["name"] != "session_id")
+        | (F.col("cookies")[0]["domain"] != F.col("host"))
+        | (
+            (F.col("status") == 200)
+            & (
+                F.col("cookies")[1]["value"]
+                != F.col("visit_rank").cast("string")
+            )
+        )
+    ).count()
+    assert bad_cookies == 0
+    # D7 #3: JSON sub-requests — 200 pages with spans issue
+    # min(n_spans, 3) api calls against their own host; 404s none
+    bad_reqs = log.where(
+        (
+            F.size("json_requests")
+            != F.when(
+                F.col("status") == 200, F.least(F.col("n_spans"), F.lit(3))
+            ).otherwise(0)
+        )
+        | F.exists(
+            "json_requests",
+            lambda r: ~r["url"].startswith(
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/api/"))
+            )
+            | (r["status"] != 200)
+            | (r["content_type"] != "application/json"),
+        )
+    ).count()
+    assert bad_reqs == 0
 
 
 def test_robots_rfc_semantics(spark):
@@ -383,3 +417,89 @@ def test_robots_handles_crlf_blobs(spark):
         ).collect()
     ]
     assert pre == [False, False, True]
+
+
+# ---------------------------------------------------------------------------
+# Production-fetch contract (operators/fetch.http_fetch) with a fake
+# transport — the batching / retry / error-row logic is real code that
+# must work without network. Module-level so it pickles to executors.
+# ---------------------------------------------------------------------------
+
+def _make_fake_transport():
+    # returned as a CLOSURE (not a module-level function) so cloudpickle
+    # serializes it by value — the tests package isn't importable on
+    # Spark's Python workers
+    def _fake_transport(url: str, timeout_s: float, attempt: int) -> dict:
+        import datetime
+
+        i = int(url.rsplit("/", 1)[1])
+        if i % 7 == 3:
+            raise RuntimeError(f"dead url {i}")          # fails every attempt
+        if i % 5 == 2 and attempt < 2:
+            raise TimeoutError(f"flaky url {i} attempt {attempt}")  # needs 2 retries
+        return {
+            "url": url,
+            "status": 200 if i % 2 == 0 else 404,
+            "content": f"body-{i}".encode(),
+            "content_type": "text/html",
+            "headers": {"server": "fake", "x-attempt": str(attempt)},
+            "fetched_at": datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc),
+            "elapsed_ms": float(i),
+        }
+
+    return _fake_transport
+
+
+def test_fetch_batches_bounds_batch_size_and_schema():
+    import pandas as pd
+
+    from docrawl_spark.operators.fetch import _FETCHED_COLUMNS, make_fetch_batches
+
+    gen = make_fetch_batches(_make_fake_transport(), timeout_s=1.0, batch_size=3, retries=2)
+    pdf = pd.DataFrame({"url": [f"https://f.test/{i}" for i in range(10)]})
+    frames = list(gen(iter([pdf])))
+    assert [len(f) for f in frames] == [3, 3, 3, 1]  # batch bound holds
+    for f in frames:
+        assert list(f.columns) == _FETCHED_COLUMNS
+
+
+def test_fetch_retry_and_error_rows():
+    import pandas as pd
+
+    from docrawl_spark.operators.fetch import make_fetch_batches
+
+    pdf = pd.DataFrame({"url": [f"https://f.test/{i}" for i in range(15)]})
+    # retries=2: flaky urls (i%5==2, need attempt 2) succeed; dead urls error
+    gen = make_fetch_batches(_make_fake_transport(), 1.0, batch_size=50, retries=2)
+    out = pd.concat(list(gen(iter([pdf])))).set_index("url")
+    flaky = out.loc["https://f.test/2"]
+    assert flaky["status"] == 200 and flaky["headers"]["x-attempt"] == "2"
+    dead = out.loc["https://f.test/3"]
+    assert dead["status"] == 0 and "dead url 3" in dead["error"]
+    assert dead["content"] is None
+    # retries=1: flaky urls now exhaust attempts -> error rows
+    gen1 = make_fetch_batches(_make_fake_transport(), 1.0, batch_size=50, retries=1)
+    out1 = pd.concat(list(gen1(iter([pdf])))).set_index("url")
+    assert out1.loc["https://f.test/2"]["status"] == 0
+    assert "flaky url 2" in out1.loc["https://f.test/2"]["error"]
+
+
+def test_http_fetch_end_to_end_with_fake_transport(spark):
+    from docrawl_spark.operators.fetch import http_fetch
+
+    urls = spark.createDataFrame(
+        [(f"https://f.test/{i}",) for i in range(20)], "url string"
+    ).repartition(4)
+    got = http_fetch(urls, batch_size=4, retries=2, transport=_make_fake_transport())
+    rows = {r["url"]: r for r in got.collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[f"https://f.test/{i}"]
+        if i % 7 == 3:
+            assert r["status"] == 0 and "dead url" in r["error"]
+            assert r["content"] is None and r["fetched_at"] is None
+        else:
+            assert r["status"] == (200 if i % 2 == 0 else 404)
+            assert bytes(r["content"]) == f"body-{i}".encode()
+            assert r["headers"]["server"] == "fake"
+            assert r["error"] is None
