@@ -72,3 +72,76 @@ def hash_split(
         lo, hi = hi, hi + round(w * _MOD)
         expr = F.when((ppm >= lo) & (ppm < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def temperature_weights(
+    df: DataFrame,
+    key_col: str = "source",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Temperature-flattened mixing weights per corpus key — the
+    standard multi-source LM recipe (weight ∝ n^alpha, alpha<1 upweights
+    small sources; alpha = alpha_num/alpha_den). Returns one row per key:
+    (key_col, n_docs, weight_ppm) with sum(weight_ppm) ≤ 1e6.
+
+    EXACT cross-engine arithmetic (the driver value-hashes): n^(1/2) via
+    IEEE sqrt (correctly rounded — identical in every engine, unlike
+    pow/exp whose libm results differ by ulps), fixed-pointed to BIGINT
+    *before* the sum so the total is an exact integer sum in any order,
+    then one BIGINT integer division per key. Only alpha = 1/2 and
+    alpha = 1 ship for that reason; other temperatures need a
+    documented float-rounding contract first.
+
+    Scale shape: one map-side-combinable count per key + a broadcast-
+    size total over the key DIM (source/domain cardinality, thousands
+    at most) — the window-over-all runs on the aggregate, never the
+    corpus."""
+    if (alpha_num, alpha_den) not in ((1, 2), (1, 1)):
+        raise ValueError("exact cross-engine arithmetic ships alpha=1/2 or 1 only")
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    raw = (
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1_000_000))
+        if (alpha_num, alpha_den) == (1, 2)
+        else F.col("n_docs") * F.lit(1_000_000)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = counts.withColumn("_w", raw)
+    total = F.sum("_w").over(Window.partitionBy())
+    return (
+        w.withColumn("_total", total)
+        .withColumn("_scaled", (F.col("_w") * F.lit(_MOD)).cast("long"))
+        .select(key_col, "n_docs", F.expr("_scaled div _total").alias("weight_ppm"))
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    target_total: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    salt: str = "temp1",
+    hash_mode: str = "md5hex",
+) -> DataFrame:
+    """Downsample the corpus to ≈``target_total`` docs mixed by
+    temperature weights: key k keeps min(n_k, target_total·w_k/Σw) docs,
+    selected by the deterministic hash predicate (reproducible across
+    runs/engines/partitionings, like every sampler here). The per-key
+    keep-fraction join is a broadcast of the key dim."""
+    wts = temperature_weights(df, key_col, alpha_num, alpha_den)
+    frac = wts.select(
+        key_col,
+        # keep_ppm = min(1e6, target_k * 1e6 / n_k), all-BIGINT
+        F.least(
+            F.lit(_MOD).cast("long"),
+            F.expr(f"weight_ppm * {int(target_total)}L div n_docs"),
+        ).alias("_keep_ppm"),
+    )
+    return (
+        df.join(F.broadcast(frac), key_col)
+        .where(_hash_ppm(F.col(id_col), salt, hash_mode) < F.col("_keep_ppm"))
+        .drop("_keep_ppm")
+    )

@@ -337,3 +337,48 @@ else:  # pragma: no cover
 def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "text_clean") -> DataFrame:
     """Append the canonicalized text column (see _clean_text_arrow)."""
     return df.withColumn(out_col, clean_text_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — a training-data pipeline MUST redact obvious
+# identifiers before text ships to a tokenizer. Pure JVM regexp
+# (whole-stage codegen, shuffle-free, scan-parallel); patterns restricted
+# to the Java-regex ∩ RE2 dialect (no lookaround, no backrefs, ASCII
+# \d/\b) so the DuckDB oracle applies the IDENTICAL expressions.
+# Replacement order is load-bearing and fixed: email → ipv4 → phone
+# (an email's host part would otherwise feed the phone digit-run rule).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-format phone: leading + then 7-18 digits/sep chars
+    # ending in a digit — deliberately conservative (a bare digit run is
+    # a year, an id, a price; redacting those destroys training signal)
+    ("phone", r"\+\d[\d ().\-]{5,16}\d", "<PHONE>"),
+]
+
+
+def pii_counts_cols(text: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern, counted on the
+    PRE-redaction text (counts must not depend on replacement order)."""
+    t = F.coalesce(text, F.lit(""))
+    return [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Text with every PII match replaced by its typed placeholder."""
+    out = F.coalesce(text, F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``text_scrubbed`` + per-kind match counts."""
+    return df.withColumn("text_scrubbed", pii_scrub_col(F.col(text_col))).select(
+        "*", *pii_counts_cols(F.col(text_col))
+    )

@@ -57,3 +57,32 @@ def sitemap_entries(
         F.col("_u.priority").alias("priority"),
     )
     return e.where(F.col("loc").isNotNull() & (F.col("loc") != ""))
+
+
+def sitemap_directives_col(robots_blob: Column) -> Column:
+    """``Sitemap:`` directive URLs out of a robots.txt blob, in file
+    order — how a crawler DISCOVERS a host's sitemaps in the first
+    place (RFC 9309 §2.3 allows any casing and multiple directives
+    anywhere in the file, outside any user-agent group). Returns
+    array<string>; missing/blank blob → empty array. Pure JVM regexp —
+    runs inside the robots-dim scan, no shuffle."""
+    return F.regexp_extract_all(
+        F.coalesce(robots_blob, F.lit("")),
+        F.lit(r"(?mi)^[ \t]*sitemap:[ \t]*(\S+)"),
+        1,
+    )
+
+
+def discover_sitemaps(
+    hosts: DataFrame, host_col: str = "host", blob_col: str = "robots_blob"
+) -> DataFrame:
+    """hosts dim → one row per (host, sitemap_url, sitemap_order)
+    discovered from its robots blob (file order preserved via
+    posexplode). Feeds sitemap_entries after the fetch stage pulls the
+    XML bodies."""
+    return hosts.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(sitemap_directives_col(F.col(blob_col))).alias(
+            "sitemap_order", "sitemap_url"
+        ),
+    ).select("host", "sitemap_url", "sitemap_order")

@@ -1145,6 +1145,103 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_term_index(links, k=3)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (datapipe/text.pii_scrub): deterministic PII is
+    grafted onto each doc's text (emails on doc_id%3==0, dotted-quad
+    IPs on %4==1, +-format phones on %5==2 — every pattern and the
+    none-present case all exercised), then scrubbed and counted. The
+    md5 of the scrubbed text pins the FULL replacement (order included)
+    value-for-value cross-engine; counts are computed pre-redaction."""
+    from docrawl_spark.datapipe.text import pii_counts_cols, pii_scrub_col
+
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    email = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.lit(" mail "), F.col("source"), F.lit("_"), ds, F.lit("@ex"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"), F.lit(".org"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 1,
+        F.concat(
+            F.lit(" from 10."), F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+            F.lit(".3."), F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 2,
+        F.concat(
+            F.lit(" call +1 (202) 555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.substring(F.col("text"), 1, 40), email, ip, phone)
+    return d.select(
+        "doc_id",
+        *[c.cast("long").alias(n) for c, n in zip(
+            pii_counts_cols(t), ["n_email", "n_ipv4", "n_phone"]
+        )],
+        F.md5(pii_scrub_col(t)).alias("scrub_md5"),
+    )
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (operators/sitemap.
+    discover_sitemaps, RFC 9309 §2.3): per-host synthetic blobs cover
+    a canonical directive, mixed-case + CRLF + tab + multiple
+    directives, no directive, and a leading-whitespace directive;
+    output is (host, sitemap_url, sitemap_order) in file order."""
+    from docrawl_spark.operators.sitemap import discover_sitemaps
+
+    u = _doc_urls(spark, sf_dir).select("host").distinct()
+    g = F.pmod(F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int"), F.lit(4))
+    blob = (
+        F.when(g == 0, F.concat(
+            F.lit("User-agent: *\nSitemap: https://"), F.col("host"),
+            F.lit("/sitemap.xml\nDisallow: /x"),
+        ))
+        .when(g == 1, F.concat(
+            F.lit("sitemap: https://"), F.col("host"),
+            F.lit("/sm1.xml\r\nSITEMAP:\thttps://"), F.col("host"), F.lit("/sm2.xml"),
+        ))
+        .when(g == 2, F.lit("Disallow: /y"))
+        .otherwise(F.concat(
+            F.lit("  Sitemap: https://"), F.col("host"), F.lit("/a.xml#frag"),
+        ))
+    )
+    out = discover_sitemaps(u.withColumn("robots_blob", blob))
+    return out.withColumn("sitemap_order", F.col("sitemap_order").cast("long"))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing weights (datapipe/sampling.
+    temperature_weights, alpha=1/2): weight ∝ sqrt(n_docs), fixed-point
+    BIGINT arithmetic end-to-end (IEEE sqrt is correctly rounded, so
+    the ppm weights are bit-identical cross-engine)."""
+    from docrawl_spark.datapipe.sampling import temperature_weights
+
+    return temperature_weights(_t(spark, sf_dir, "documents"), "source")
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling applied (datapipe/sampling.
+    temperature_resample): downsample to ≈2000 docs at alpha=1/2 via
+    the deterministic md5 ppm predicate, then per-source audit counts —
+    the exact SELECTION is pinned by min/max doc_id per source."""
+    from docrawl_spark.datapipe.sampling import temperature_resample
+
+    kept = temperature_resample(
+        _t(spark, sf_dir, "documents"), target_total=2000, key_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1212,6 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "crawl_delay_budgets": q_crawl_delay_budgets,
         "anchor_terms": q_anchor_terms,
+        "pii_scrub": q_pii_scrub,
+        "sitemap_discovery": q_sitemap_discovery,
+        "temperature_mix": q_temperature_mix,
+        "temperature_resample": q_temperature_resample,
     }
 
 
@@ -2160,5 +2261,108 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT target, term, n, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 3
+        """,
+        "pii_scrub": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 40)
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          ' mail ' || source || '_' || CAST(doc_id AS VARCHAR)
+                          || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 1 THEN
+                          ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                          || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 2 THEN
+                          ' call +1 (202) 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\\+\\d[\\d ().\\-]{5,16}\\d')) AS BIGINT) AS n_phone,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+\\d[\\d ().\\-]{5,16}\\d', '<PHONE>', 'g')
+                   ) AS scrub_md5
+            FROM p
+        """,
+        "sitemap_discovery": f"""
+            WITH h AS (SELECT DISTINCT host FROM ({_DOC_URLS_SQL})),
+            g AS (
+              SELECT host,
+                     CAST(regexp_extract(host, '(\\d+)', 1) AS INT) % 4 AS grp
+              FROM h),
+            b AS (
+              SELECT host,
+                     CASE grp
+                       WHEN 0 THEN 'User-agent: *' || chr(10)
+                                   || 'Sitemap: https://' || host || '/sitemap.xml'
+                                   || chr(10) || 'Disallow: /x'
+                       WHEN 1 THEN 'sitemap: https://' || host || '/sm1.xml'
+                                   || chr(13) || chr(10) || 'SITEMAP:' || chr(9)
+                                   || 'https://' || host || '/sm2.xml'
+                       WHEN 2 THEN 'Disallow: /y'
+                       ELSE '  Sitemap: https://' || host || '/a.xml#frag'
+                     END AS blob
+              FROM g),
+            l AS (
+              SELECT host,
+                     regexp_extract_all(blob,
+                       '(?mi)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1) AS urls
+              FROM b)
+            SELECT host,
+                   urls[CAST(i AS INT) + 1] AS sitemap_url,
+                   CAST(i AS BIGINT) AS sitemap_order
+            FROM l, UNNEST(range(len(urls))) AS t(i)
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n_docs,
+                     CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS w
+              FROM c)
+            SELECT source, n_docs,
+                   (w * 1000000) // CAST(SUM(w) OVER () AS BIGINT) AS weight_ppm
+            FROM w
+        """,
+        "temperature_resample": """
+            WITH c AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n_docs,
+                     CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS w
+              FROM c),
+            wp AS (
+              SELECT source, n_docs,
+                     (w * 1000000) // CAST(SUM(w) OVER () AS BIGINT) AS weight_ppm
+              FROM w),
+            k AS (
+              SELECT source,
+                     LEAST(CAST(1000000 AS BIGINT),
+                           (weight_ppm * 2000) // n_docs) AS keep_ppm
+              FROM wp),
+            kept AS (
+              SELECT d.source, d.doc_id
+              FROM documents d JOIN k USING (source)
+              WHERE ('0x' || substr(md5('temp1|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 1000000 < keep_ppm)
+            SELECT source, COUNT(*) AS n_kept,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM kept GROUP BY source
         """,
     }

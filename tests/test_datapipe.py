@@ -649,3 +649,69 @@ def test_drop_duplicate_lines_literal_separator(spark):
     assert out[0]["text_clean"] == "keep me|also keep"
     assert out[3]["text_clean"] == "solo"
     assert out[0]["n_lines"] == 3 and out[0]["n_dropped"] == 1
+
+
+def test_pii_scrub_redaction_and_counts(spark):
+    from docrawl_spark.datapipe.text import pii_scrub
+
+    rows = [
+        (1, "write to john.doe+spam@mail.example.co.uk or visit 192.168.1.254 now"),
+        (2, "call +1 (202) 555-0134 or +44 20-7946-0958 today"),
+        (3, "no pii here, just the year 2024 and price 10.99"),
+        (4, "mixed a@b.io then 10.0.0.1 then +33 1 42 68 53 00 done"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["text_scrubbed"] == "write to <EMAIL> or visit <IP> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 0
+    assert out[2]["text_scrubbed"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["n_phone"] == 2
+    # 10.99 and 2024 survive: bare digit runs are NOT phone numbers, and
+    # a two-part decimal is not a dotted quad
+    assert out[3]["text_scrubbed"] == rows[2][1]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert out[4]["text_scrubbed"] == "mixed <EMAIL> then <IP> then <PHONE> done"
+    assert out[5]["text_scrubbed"] == ""
+
+
+def test_temperature_weights_exact_fixed_point(spark):
+    import math
+
+    from docrawl_spark.datapipe.sampling import temperature_weights
+
+    counts = {"a": 10000, "b": 100, "c": 1}
+    rows = [(f"{k}{i}", k) for k, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {r["source"]: r for r in temperature_weights(df, "source").collect()}
+    # exact mirror of the fixed-point arithmetic
+    w = {k: math.floor(math.sqrt(n) * 1_000_000) for k, n in counts.items()}
+    tot = sum(w.values())
+    for k, n in counts.items():
+        assert got[k]["n_docs"] == n
+        assert got[k]["weight_ppm"] == (w[k] * 1_000_000) // tot
+    # alpha=1/2 flattens: b is 1% of a by count but exactly 10% by
+    # weight (sqrt(10000)/sqrt(100) = 10)
+    assert 9 * got["b"]["weight_ppm"] < got["a"]["weight_ppm"] < 11 * got["b"]["weight_ppm"]
+    assert sum(r["weight_ppm"] for r in got.values()) <= 1_000_000
+    with pytest.raises(ValueError):
+        temperature_weights(df, "source", alpha_num=3, alpha_den=4)
+
+
+def test_temperature_resample_deterministic_and_sized(spark):
+    from docrawl_spark.datapipe.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {r["doc_id"] for r in temperature_resample(df, 2000).collect()}
+    kept2 = {
+        r["doc_id"] for r in temperature_resample(df.repartition(13), 2000).collect()
+    }
+    assert kept1 == kept2  # pure hash predicate — partitioning-proof
+    # sqrt weights: w_big = 3*w_small -> targets 1500/500; hash noise aside
+    n_big = sum(1 for k in kept1 if k < 9000)
+    n_small = len(kept1) - n_big
+    assert 1300 < n_big < 1700 and 380 < n_small < 620
+    # a smaller target selects a SUBSET (threshold predicate monotone)
+    kept_half = {r["doc_id"] for r in temperature_resample(df, 1000).collect()}
+    assert kept_half < kept1

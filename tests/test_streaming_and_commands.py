@@ -503,3 +503,31 @@ def test_http_fetch_end_to_end_with_fake_transport(spark):
             assert bytes(r["content"]) == f"body-{i}".encode()
             assert r["headers"]["server"] == "fake"
             assert r["error"] is None
+
+
+def test_sitemap_discovery_from_robots(spark):
+    """RFC 9309 §2.3: Sitemap: directives parse case-insensitively,
+    multiple per file, any position, CRLF endings, leading whitespace;
+    file order is preserved; hosts without directives yield no rows."""
+    from docrawl_spark.operators.sitemap import discover_sitemaps
+
+    hosts = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nSitemap: https://a.test/s.xml\nDisallow: /x"),
+            ("b.test", "sitemap: https://b.test/1.xml\r\nSITEMAP:\thttps://b.test/2.xml"),
+            ("c.test", "Disallow: /y"),          # none
+            ("d.test", "  Sitemap: https://d.test/a.xml"),  # leading ws
+            ("e.test", None),                     # null blob
+        ],
+        "host string, robots_blob string",
+    )
+    got = {
+        (r["host"], r["sitemap_order"]): r["sitemap_url"]
+        for r in discover_sitemaps(hosts).collect()
+    }
+    assert got == {
+        ("a.test", 0): "https://a.test/s.xml",
+        ("b.test", 0): "https://b.test/1.xml",
+        ("b.test", 1): "https://b.test/2.xml",
+        ("d.test", 0): "https://d.test/a.xml",
+    }
