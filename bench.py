@@ -89,8 +89,12 @@ def run_headline_queries(spark) -> dict[str, float]:
     qs = driver_queries.queries()
     for name in HEADLINE:
         t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _force(qs[name](spark, SF_DIR))
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one query must not cost the artifact
+            print(f"# headline query {name} failed: {e!r}"[:300], file=sys.stderr)
+            out[name] = None
     return out
 
 
@@ -192,7 +196,11 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
 
 N_TRIALS = int(os.environ.get("BENCH_TRIALS") or 3)
 SCALE_BUDGET_S = float(os.environ.get("BENCH_SCALE_BUDGET_S") or 1200)
-BENCH_CONF = {"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g")}
+BENCH_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g"),
+    # real tracebacks when a collapsed window kills a UDF worker
+    "spark.python.worker.faulthandler.enabled": "true",
+}
 
 
 def _cpu_probe() -> float:
@@ -307,24 +315,44 @@ def _timed_leg(cpus: int, n_urls: int, n_hosts: int, warm: bool = True) -> dict:
     """One timed wave leg at ``cpus``, BRACKETED by in-band bandwidth
     probes (pre+post at the leg's own concurrency) plus the CPU-burn
     capability probe and the single-thread steal probe — everything
-    needed to classify the leg's weather lands in the artifact."""
-    stop_spark()
-    spark = get_spark(app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF)
-    if warm:
-        frontier_wave(spark, max(n_urls // 16, 50_000), max(n_hosts // 4, 500))
-    box = _box_speedup()
-    cpu = _cpu_probe()
-    bw_pre = _membw_probe(cpus)
-    wall = round(frontier_wave(spark, n_urls, n_hosts), 3)
-    bw_post = _membw_probe(cpus)
+    needed to classify the leg's weather lands in the artifact.
+
+    FAULT-TOLERANT: a deeply collapsed window can kill a Python UDF
+    worker mid-wave (observed: a straggler task stuck >10 min, then
+    'Python worker exited unexpectedly'). One leg failure must never
+    cost the whole artifact — the leg retries once on a fresh session,
+    then returns wall=None with the error disclosed; callers skip
+    None-wall legs."""
+    err = None
+    for attempt in range(2):
+        stop_spark()
+        spark = get_spark(
+            app_name=f"bench_scale_{cpus}", cpus=cpus, extra_conf=BENCH_CONF
+        )
+        try:
+            if warm:
+                frontier_wave(spark, max(n_urls // 16, 50_000), max(n_hosts // 4, 500))
+            box = _box_speedup()
+            cpu = _cpu_probe()
+            bw_pre = _membw_probe(cpus)
+            wall = round(frontier_wave(spark, n_urls, n_hosts), 3)
+            bw_post = _membw_probe(cpus)
+            return {
+                "cpus": cpus,
+                "wall": wall,
+                "bw_pre": bw_pre,
+                "bw_post": bw_post,
+                "bw": round((bw_pre + bw_post) / 2, 1),
+                "box": box,
+                "cpu_probe": cpu,
+                "retried": attempt > 0,
+            }
+        except Exception as e:  # noqa: BLE001 — disclosed, not fatal
+            err = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"# leg cpus={cpus} attempt={attempt} failed: {err}", file=sys.stderr)
     return {
-        "cpus": cpus,
-        "wall": wall,
-        "bw_pre": bw_pre,
-        "bw_post": bw_post,
-        "bw": round((bw_pre + bw_post) / 2, 1),
-        "box": box,
-        "cpu_probe": cpu,
+        "cpus": cpus, "wall": None, "bw_pre": None, "bw_post": None,
+        "bw": None, "box": None, "cpu_probe": None, "error": err,
     }
 
 
@@ -332,6 +360,8 @@ def _leg_calm(leg: dict) -> bool:
     """Bandwidth-calm: both bracketing probes above the floor AND
     stable across the leg (a 2x pre/post swing means the window moved
     mid-leg — the wall time is a blend of two weather regimes)."""
+    if leg["wall"] is None:
+        return False
     lo, hi = min(leg["bw_pre"], leg["bw_post"]), max(leg["bw_pre"], leg["bw_post"])
     return lo >= BW_FLOOR_GBPS and hi <= 2.5 * lo
 
@@ -373,10 +403,21 @@ def main() -> None:
         for cpus in order:
             leg = _timed_leg(cpus, N_URLS, N_HOSTS)
             legs[cpus] = leg
-            trials[cpus].append(leg["wall"])
-            probes[cpus].append(leg["cpu_probe"])
-            box_speedups.append(leg["box"])
+            if leg["wall"] is not None:
+                trials[cpus].append(leg["wall"])
+                probes[cpus].append(leg["cpu_probe"])
+                box_speedups.append(leg["box"])
         l8, l32 = legs[8], legs[32]
+        if l8["wall"] is None or l32["wall"] is None:
+            pairs.append(
+                {
+                    "failed": True,
+                    "sec_8": l8["wall"], "sec_32": l32["wall"],
+                    "error": l8.get("error") or l32.get("error"),
+                    "calm": False,
+                }
+            )
+            continue
         window_membw = round(l32["bw"] / l8["bw"], 3) if l8["bw"] > 0 else None
         job_speedup = round(l8["wall"] / l32["wall"], 3)
         pairs.append(
@@ -401,10 +442,32 @@ def main() -> None:
                 "calm": _leg_calm(l8) and _leg_calm(l32),
             }
         )
+    # backstop: if EVERY leg at a level failed (repeatedly crashed
+    # workers), try up to 2 more; if still empty, ship a minimal
+    # artifact with the failure disclosed — the driver must always get
+    # its one JSON line
+    for c in (8, 32):
+        extra = 0
+        while not trials[c] and extra < 2:
+            leg = _timed_leg(c, N_URLS, N_HOSTS)
+            if leg["wall"] is not None:
+                trials[c].append(leg["wall"])
+                probes[c].append(leg["cpu_probe"])
+                box_speedups.append(leg["box"])
+            extra += 1
+    if not trials[8] or not trials[32]:
+        print(json.dumps({
+            "metric": "frontier_urls_scheduled_deduped_per_sec",
+            "value": None, "unit": "sec", "queries": {}, "sf": None,
+            "error": "all scaling legs failed (python workers crashed)",
+            "pairs": pairs,
+        }))
+        return
     best = {c: min(v) for c, v in trials.items()}
     med = {c: _median(v) for c, v in trials.items()}
+    ok_pairs = [p for p in pairs if not p.get("failed")]
     calm_pairs = [p for p in pairs if p["calm"]]
-    eff_pairs = calm_pairs or pairs  # disclosed via n_calm_pairs
+    eff_pairs = calm_pairs or ok_pairs  # disclosed via n_calm_pairs
     paired_effs = [p["eff"] for p in eff_pairs]
     # THE gate number: job speedup normalized by the bandwidth speedup
     # the box delivered in the same weather window, calm pairs only
@@ -445,6 +508,7 @@ def main() -> None:
     for cpus, n in ((8, N_URLS // 4), (32, N_URLS)):
         weak[cpus] = _timed_leg(cpus, n, N_HOSTS)
     weak_calm = _leg_calm(weak[8]) and _leg_calm(weak[32])
+    weak_ok = weak[8]["wall"] is not None and weak[32]["wall"] is not None
 
     # -- size sweep at local[32]: the 100x trend as a reproducible
     # artifact (N/4, N/2 fresh legs + the strong section's best N leg;
@@ -458,7 +522,9 @@ def main() -> None:
         sweep_rows.append(
             {
                 "n_urls": n, "wall_sec": leg["wall"],
-                "urls_per_sec": round(n / leg["wall"], 1),
+                "urls_per_sec": (
+                    round(n / leg["wall"], 1) if leg["wall"] else None
+                ),
                 "bw_pre": leg["bw_pre"], "bw_post": leg["bw_post"],
                 "calm": _leg_calm(leg),
             }
@@ -479,9 +545,10 @@ def main() -> None:
     run_headline_queries(spark)  # warm io/codegen
     passes = [run_headline_queries(spark) for _ in range(N_TRIALS)]
     for name in HEADLINE:
-        queries[name] = min(p[name] for p in passes)
+        ok = [p[name] for p in passes if p[name] is not None]
+        queries[name] = min(ok) if ok else None
 
-    total = round(sum(queries.values()), 3)
+    total = round(sum(v for v in queries.values() if v is not None), 3)
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
     calm_ups_32 = (
         round(N_URLS / calm_best[32], 1) if calm_best[32] else ups[32]
@@ -544,7 +611,9 @@ def main() -> None:
             # equal times = perfect weak scaling
             "weak_scaling_sec_8": weak[8]["wall"],
             "weak_scaling_sec_32": weak[32]["wall"],
-            "weak_scaling_efficiency": round(weak[8]["wall"] / weak[32]["wall"], 3),
+            "weak_scaling_efficiency": (
+                round(weak[8]["wall"] / weak[32]["wall"], 3) if weak_ok else None
+            ),
             "weak_scaling_calm": weak_calm,
             "weak_scaling_bw": {
                 "bw8_pre": weak[8]["bw_pre"], "bw8_post": weak[8]["bw_post"],

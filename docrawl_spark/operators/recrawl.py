@@ -141,3 +141,109 @@ def _retire_rows(
         )
     retired.unpersist()
     return n_retired, cuckoo_shards
+
+
+# ---------------------------------------------------------------------------
+# Change-rate-driven recrawl (freshness estimation)
+# ---------------------------------------------------------------------------
+
+
+def change_rate_estimates(
+    history: DataFrame,
+    url_col: str = "url_hash",
+    ts_col: str = "fetched_at",
+    hash_col: str = "content_hash",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-url Poisson change-rate estimate from a multi-fetch history
+    (url, fetched_at, content_hash) — the Cho & Garcia-Molina freshness
+    estimator (ACM TOIT 3(3) 2003, "Estimating frequency of change"):
+    with n observed inter-fetch intervals of which X showed a changed
+    content hash, the bias-corrected rate is
+
+        lambda = -ln((n - X + 0.5) / (n + 0.5)) / mean_gap
+
+    (+0.5 keeps the all-changed case finite). Rows per url: one, with
+    (n_fetches, n_intervals, n_changes, total_gap_us, last_fetch,
+    change_rate_per_day). Urls with a single fetch carry NULL rate —
+    no interval, no evidence.
+
+    Arithmetic contract: gaps accumulate as exact BIGINT microseconds
+    (unix_micros), floats appear only in the final ln/divide, so the
+    estimate is reproducible to libm ulps; round before hashing
+    cross-engine (driver queries round to 6).
+
+    Scale shape: one lag-window per url (bounded by that url's fetch
+    count — never corpus-wide), then a map-side-combinable aggregate.
+    ``order_cols`` (default [ts_col]) must be a deterministic total
+    order within a url; pass a unique tiebreak column if fetch
+    timestamps can collide."""
+    from pyspark.sql import Window
+
+    order = order_cols or [ts_col]
+    w = Window.partitionBy(url_col).orderBy(*[F.col(c) for c in order])
+    us = _micros(F.col(ts_col))
+    h = history.select(
+        url_col,
+        F.col(ts_col),
+        F.col(hash_col),
+        *[F.col(c) for c in order if c not in (url_col, ts_col, hash_col)],
+    ).select(
+        url_col,
+        F.col(ts_col),
+        us.alias("_us"),
+        F.col(hash_col),
+        F.lag(hash_col).over(w).alias("_prev_hash"),
+        F.lag(us).over(w).alias("_prev_us"),
+    )
+    per = h.groupBy(url_col).agg(
+        F.count("*").alias("n_fetches"),
+        F.count("_prev_us").alias("n_intervals"),
+        F.sum((F.col(hash_col) != F.col("_prev_hash")).cast("long")).alias(
+            "n_changes"
+        ),
+        F.sum(F.col("_us") - F.col("_prev_us")).alias("total_gap_us"),
+        F.max(ts_col).alias("last_fetch"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    mean_gap_days = F.col("total_gap_us") / n / F.lit(86_400_000_000.0)
+    rate = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))) / mean_gap_days
+    return per.withColumn(
+        "change_rate_per_day",
+        F.when(F.col("n_intervals") > 0, rate),
+    )
+
+
+def _micros(ts: Column) -> Column:
+    """Epoch microseconds; accepts TIMESTAMP and TIMESTAMP_NTZ (parquet
+    event times land as NTZ — `unix_micros` rejects NTZ directly). The
+    engine session pins spark.sql.session.timeZone=UTC, so the NTZ→LTZ
+    cast is the identity interpretation and matches DuckDB epoch_us on
+    the same naive value."""
+    return F.unix_micros(ts.cast("timestamp_ltz"))
+
+
+def stale_prob_col(rate_per_day: Column, last_fetch: Column, as_of: Column) -> Column:
+    """P(page changed since last fetch) under the Poisson model:
+    1 - exp(-lambda * age_days). NULL rate → NULL (no evidence)."""
+    age_days = (_micros(as_of) - _micros(last_fetch)) / F.lit(
+        86_400_000_000.0
+    )
+    return F.lit(1.0) - F.exp(-rate_per_day * F.greatest(age_days, F.lit(0.0)))
+
+
+def recrawl_by_staleness(
+    estimates: DataFrame,
+    as_of: Column,
+    min_prob: float = 0.5,
+) -> DataFrame:
+    """Urls whose estimated P(changed) ≥ ``min_prob`` at ``as_of``,
+    highest first — the freshness-driven recrawl queue. Feeds
+    ``retire_for_recrawl`` via a semi-join on url_hash."""
+    p = stale_prob_col(F.col("change_rate_per_day"), F.col("last_fetch"), as_of)
+    return (
+        estimates.withColumn("stale_prob", p)
+        .where(F.col("stale_prob") >= min_prob)
+        .orderBy(F.col("stale_prob").desc(), F.col("url_hash"))
+    )

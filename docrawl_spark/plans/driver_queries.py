@@ -1242,6 +1242,79 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_change_rate_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl (operators/recrawl.change_rate_estimates,
+    Cho & Garcia-Molina TOIT 2003): the events stream doubles as a
+    multi-fetch history (user→url, ts→fetched_at, event_type→content
+    hash); per url the bias-corrected Poisson change rate and the
+    staleness probability at a fixed as_of. Gaps accumulate as exact
+    BIGINT microseconds; the two float outputs round to 6 on both
+    engines."""
+    from docrawl_spark.operators.recrawl import (
+        change_rate_estimates,
+        stale_prob_col,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_hash"),
+        F.col("ts").alias("fetched_at"),
+        F.col("event_type").alias("content_hash"),
+        "event_id",
+    )
+    est = change_rate_estimates(hist, order_cols=["fetched_at", "event_id"])
+    as_of = F.to_timestamp(F.lit("2024-01-31 06:00:00"))
+    p = stale_prob_col(F.col("change_rate_per_day"), F.col("last_fetch"), as_of)
+    return est.select(
+        "url_hash",
+        "n_fetches",
+        "n_intervals",
+        "n_changes",
+        "total_gap_us",
+        F.round("change_rate_per_day", 6).alias("rate_per_day"),
+        F.round(p, 6).alias("stale_prob"),
+    )
+
+
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style END-TO-END document filter as one composed
+    plan: token floor → quality floor → language gate, first failing
+    rule recorded as drop_reason (NULL = keep). Composition of
+    datapipe/text's oracle-verified primitives — one scan, all
+    JVM-side, no shuffle; what a real corpus build runs per document."""
+    from docrawl_spark.datapipe.text import (
+        langid_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    d = _docs_par(spark, sf_dir)
+    t = F.col("text")
+    n_tok = token_count_col(t)
+    q = quality_score_col(t)
+    lang = langid_col(t)
+    staged = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        q.alias("quality"),
+        lang.alias("lang_id"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 5, F.lit("too_short"))
+        .when(F.col("quality") < 300, F.lit("low_quality"))
+        .when(F.col("lang_id") == "und", F.lit("unknown_lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "lang_id",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1313,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": q_sitemap_discovery,
         "temperature_mix": q_temperature_mix,
         "temperature_resample": q_temperature_resample,
+        "change_rate_recrawl": q_change_rate_recrawl,
+        "corpus_filter_pipeline": q_corpus_filter_pipeline,
     }
 
 
@@ -2364,5 +2439,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_kept,
                    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
             FROM kept GROUP BY source
+        """,
+        "change_rate_recrawl": """
+            WITH h AS (
+              SELECT user_id AS url_hash, ts,
+                     event_type AS content_hash,
+                     epoch_us(ts) AS us,
+                     LAG(event_type) OVER w AS prev_hash,
+                     LAG(epoch_us(ts)) OVER w AS prev_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            per AS (
+              SELECT url_hash,
+                     COUNT(*) AS n_fetches,
+                     COUNT(prev_us) AS n_intervals,
+                     CAST(SUM(CASE WHEN content_hash <> prev_hash
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                     CAST(SUM(us - prev_us) AS BIGINT) AS total_gap_us,
+                     MAX(ts) AS last_fetch
+              FROM h GROUP BY url_hash),
+            est AS (
+              SELECT *,
+                     CASE WHEN n_intervals > 0 THEN
+                       -ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
+                           / (n_intervals + 0.5))
+                       / (CAST(total_gap_us AS DOUBLE) / n_intervals
+                          / 86400000000.0)
+                     END AS rate
+              FROM per)
+            SELECT url_hash, n_fetches, n_intervals, n_changes, total_gap_us,
+                   ROUND(rate, 6) AS rate_per_day,
+                   ROUND(1.0 - exp(-rate * GREATEST(
+                     (epoch_us(TIMESTAMP '2024-01-31 06:00:00')
+                      - epoch_us(last_fetch)) / 86400000000.0, 0.0)), 6)
+                     AS stale_prob
+            FROM est
+        """,
+        "corpus_filter_pipeline": """
+            WITH b AS (
+              SELECT doc_id, trim(text) AS t,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     length(t) AS n_chars,
+                     CASE WHEN t = '' THEN 0 ELSE len(toks) END AS n_tok,
+                     len(list_distinct(toks)) AS n_distinct,
+                     length(regexp_replace(t, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','and','of','to','a','in','is','that'])) AS stop_hits,
+                     len(list_intersect(list_distinct(toks),
+                         ['der','die','das','und','ist','nicht','ein','zu'])) AS de,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','and','of','to','a','in','is','that'])) AS en,
+                     len(list_intersect(list_distinct(toks),
+                         ['le','la','les','et','est','un','une','que'])) AS fr,
+                     len(list_intersect(list_distinct(toks),
+                         ['el','la','los','de','que','es','un','una'])) AS es,
+                     len(list_intersect(list_distinct(toks),
+                         ['\u7684','\u662f','\u4e86','\u5728','\u6211','\u6709','\u548c','\u4e0d'])) AS zh
+              FROM b),
+            q AS (
+              SELECT doc_id, n_tok,
+                     CAST(
+                       FLOOR(350 * LEAST(n_chars, 500) / 500.0)
+                     + (CASE WHEN n_tok > 0 THEN FLOOR(250.0 * n_distinct / n_tok) ELSE 0 END)
+                     + FLOOR(250 * LEAST(stop_hits, 4) / 4.0)
+                     + (CASE WHEN n_chars > 0
+                             THEN FLOOR(150.0 * GREATEST(n_chars - LEAST(punct * 5, n_chars), 0) / n_chars)
+                             ELSE 0 END)
+                     AS INT) AS quality,
+                     CASE WHEN GREATEST(en,de,fr,es,zh) = 0 THEN 'und'
+                          WHEN de = GREATEST(en,de,fr,es,zh) THEN 'de'
+                          WHEN en = GREATEST(en,de,fr,es,zh) THEN 'en'
+                          WHEN es = GREATEST(en,de,fr,es,zh) THEN 'es'
+                          WHEN fr = GREATEST(en,de,fr,es,zh) THEN 'fr'
+                          ELSE 'zh' END AS lang_id
+              FROM m)
+            SELECT doc_id, n_tok AS n_tokens, quality, lang_id,
+                   CASE WHEN n_tok < 5 THEN 'too_short'
+                        WHEN quality < 300 THEN 'low_quality'
+                        WHEN lang_id = 'und' THEN 'unknown_lang' END AS drop_reason,
+                   (n_tok >= 5 AND quality >= 300 AND lang_id <> 'und') AS keep
+            FROM q
         """,
     }

@@ -152,3 +152,44 @@ def test_sitemap_lastmod_drives_recrawl(spark, tmp_path):
     assert revisited == set(fresh)
     assert res2.seen_urls == res.seen_urls
     assert wh.read("url_seen").count() == n_seen
+
+
+def test_change_rate_estimator_hand_computed(spark):
+    """Cho & Garcia-Molina bias-corrected estimator on a hand-computed
+    history: lambda = -ln((n - X + 0.5)/(n + 0.5)) / mean_gap_days."""
+    import datetime as dt
+    import math
+
+    from docrawl_spark.operators.recrawl import (
+        change_rate_estimates,
+        recrawl_by_staleness,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = (
+        # url 1: daily fetches, hashes a->b->b->c (X=2 of n=3 intervals)
+        [(1, t0 + i * day, h) for i, h in enumerate("abbc")]
+        # url 2: never changes (X=0 -> rate exactly 0)
+        + [(2, t0 + i * day, "z") for i in range(3)]
+        # url 3: single fetch -> no evidence, NULL rate
+        + [(3, t0, "q")]
+    )
+    df = spark.createDataFrame(
+        rows, "url_hash long, fetched_at timestamp, content_hash string"
+    )
+    est = {r["url_hash"]: r for r in change_rate_estimates(df).collect()}
+    assert est[1]["n_fetches"] == 4 and est[1]["n_intervals"] == 3
+    assert est[1]["n_changes"] == 2 and est[1]["total_gap_us"] == 3 * 86_400_000_000
+    want = -math.log((3 - 2 + 0.5) / (3 + 0.5)) / 1.0
+    assert abs(est[1]["change_rate_per_day"] - want) < 1e-12
+    assert est[2]["change_rate_per_day"] == 0.0
+    assert est[3]["change_rate_per_day"] is None
+
+    # staleness queue at t0+4d: url 1 p = 1-exp(-lambda) ~ 0.5715 -> in;
+    # url 2 p = 0 -> out; url 3 NULL -> out
+    q = recrawl_by_staleness(
+        change_rate_estimates(df), F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+    ).collect()
+    assert [r["url_hash"] for r in q] == [1]
+    assert abs(q[0]["stale_prob"] - (1 - math.exp(-want))) < 1e-12
