@@ -256,6 +256,11 @@ def _membw_burn(q, barrier, seconds):  # top-level: picklable for mp
     a = np.empty(8_000_000)
     a.fill(1.0)
     b = np.empty_like(a)
+    b[:] = a  # pre-touch + warm: an untouched dest makes the first
+    # timed copy page-fault 64 MB of fresh pages — measured: every
+    # process then finishes exactly ONE copy in the window and the
+    # "bandwidth" quantizes to nproc*128MB/window (1.7/6.8 GB/s at
+    # 8/32 procs), which is page-fault throughput, not stream bandwidth
     try:
         barrier.wait(timeout=60)  # all procs burn CONCURRENTLY
     except Exception:

@@ -88,6 +88,39 @@ def budget_topk(df: DataFrame, order_cols: list[str], n_salts: int) -> DataFrame
     )
 
 
+def schedule_timeline(
+    selected: DataFrame,
+    delay_col: str = "_crawl_delay",
+    order_cols: list[str] | None = None,
+    wave_start_ms: int = 0,
+) -> DataFrame:
+    """Assign each selected URL its earliest polite fetch time: the
+    k-th URL of a host (0-based, ordered by ``order_cols``) may not be
+    fetched before ``wave_start_ms + k * delay_ms`` — the per-host
+    Crawl-delay spacing turned into an explicit dispatch timeline the
+    fetch stage can partition on (reference: hard
+    ``time.sleep``-per-page politeness, docrawl_core.py:1088,1105,
+    re-expressed as data instead of control flow).
+
+    Adds ``fetch_seq`` (0-based per-host sequence) and
+    ``scheduled_at_ms``. Delay milliseconds round half-up from the
+    (possibly fractional-seconds) delay column, pinned in BIGINT so the
+    timeline is exact cross-engine.
+
+    Scale shape: runs AFTER per-host budget selection, so every window
+    partition is ≤ the host budget (small by construction) — this is
+    the one window in the scheduler that needs no salting, and the
+    partitioning it creates (host, time-bucket) is exactly the fetch
+    executor layout."""
+    order = order_cols or ["visit_rank"]
+    w = Window.partitionBy("host_hash").orderBy(*[F.col(c).asc() for c in order])
+    delay_ms = F.floor(F.col(delay_col) * 1000 + F.lit(0.5)).cast("long")
+    seq = (F.row_number().over(w) - F.lit(1)).cast("long")
+    return selected.withColumn("fetch_seq", seq).withColumn(
+        "scheduled_at_ms", F.lit(wave_start_ms) + seq * delay_ms
+    )
+
+
 # ---------------------------------------------------------------------------
 # RFC 9309-style robots evaluation (wildcards, $ anchors, longest-match,
 # Allow beats Disallow on ties) — the realistic upgrade over the prefix

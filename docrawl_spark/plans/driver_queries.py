@@ -1315,6 +1315,408 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of _trap_candidates + operators/traps.url_signature_col:
+# an OPEN WITH-clause prefix (ends with a comma) that downstream oracle
+# fragments extend. sig3 carries (host, url, discovered_by, depth, path,
+# sig). Dialect notes: DuckDB regexp_replace needs the 'g' flag for the
+# digit collapse (Spark replaces all matches by default); empty
+# array_to_string returns NULL (COALESCE) — CLAUDE.md env facts.
+_TRAP_CAND_SQL = """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            cand AS (
+              SELECT 'https://' || source || '.test/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     source || '.test' AS host,
+                     'd' || CAST(doc_id AS VARCHAR) AS discovered_by,
+                     1 AS depth
+              FROM d
+              UNION ALL
+              SELECT 'https://' || source || '.test/cal/2024/'
+                       || CAST((doc_id + k) % 12 + 1 AS VARCHAR) || '/'
+                       || CAST((doc_id * k) % 28 + 1 AS VARCHAR)
+                       || '?sid=' || CAST(doc_id * 10 + k AS VARCHAR) || '&d=1',
+                     source || '.test',
+                     'd' || CAST(doc_id AS VARCHAR),
+                     2
+              FROM d, UNNEST([1, 2, 3]) AS t(k)
+              WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'https://' || source || '.test/a/b/a/b/a/b/p'
+                       || CAST(doc_id AS VARCHAR),
+                     source || '.test',
+                     'd' || CAST(doc_id AS VARCHAR),
+                     3
+              FROM d WHERE doc_id % 97 = 0),
+            sigd AS (
+              SELECT host, url, discovered_by, depth,
+                     regexp_extract(regexp_replace(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                       '^([^?#]*)', 1) AS path,
+                     regexp_extract(regexp_replace(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                       '\\?([^#]*)', 1) AS q
+              FROM cand),
+            sig2 AS (
+              SELECT host, url, discovered_by, depth, path,
+                     '/' || COALESCE(array_to_string(
+                       list_transform(
+                         list_filter(string_split(path, '/'), s -> s <> ''),
+                         s -> CASE WHEN regexp_matches(s, '^[0-9a-fA-F]{8,}$')
+                                   THEN '@'
+                                   ELSE regexp_replace(s, '[0-9]+', '#', 'g')
+                              END), '/'), '') AS sig_path,
+                     list_sort(list_filter(
+                       list_transform(string_split(q, '&'),
+                                      p -> string_split(p, '=')[1]),
+                       kk -> kk <> '')) AS qkeys
+              FROM sigd),
+            sig3 AS (
+              SELECT host, url, discovered_by, depth, path,
+                     CASE WHEN len(qkeys) > 0
+                          THEN sig_path || '?'
+                                 || COALESCE(array_to_string(qkeys, '&'), '')
+                          ELSE sig_path END AS sig
+              FROM sig2),
+"""
+
+
+def _trap_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic candidate stream with embedded trap shapes: one
+    normal /doc/{id} URL per document, a 3-URL calendar fan-out
+    (/cal/2024/{m}/{d}?sid=&d=) per even doc_id, and a path-cycle URL
+    (/a/b/a/b/a/b/p{id}) per doc_id % 97 == 0. Hosts whose doc_ids are
+    all even carry a dominating calendar template; odd hosts carry
+    none — the verdict table must separate them."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.concat(F.col("source"), F.lit(".test"))
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+    base = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+        did.alias("discovered_by"),
+        F.lit(1).alias("depth"),
+    )
+    cal = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://"),
+                F.concat(F.col("source"), F.lit(".test")),
+                F.lit("/cal/2024/"),
+                ((F.col("doc_id") + F.col("k")) % 12 + 1).cast("string"),
+                F.lit("/"),
+                ((F.col("doc_id") * F.col("k")) % 28 + 1).cast("string"),
+                F.lit("?sid="),
+                (F.col("doc_id") * 10 + F.col("k")).cast("string"),
+                F.lit("&d=1"),
+            ).alias("url"),
+            F.concat(F.col("source"), F.lit(".test")).alias("host"),
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("discovered_by"),
+            F.lit(2).alias("depth"),
+        )
+    )
+    cyc = d.where(F.col("doc_id") % 97 == 0).select(
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/a/b/a/b/a/b/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        did.alias("discovered_by"),
+        F.lit(3).alias("depth"),
+    )
+    return base.unionByName(cal).unionByName(cyc)
+
+
+def q_trap_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap verdicts (operators/traps.flag_traps): URL-template
+    signatures (digit runs → '#', hex tokens → '@', sorted query keys)
+    aggregated per (host, signature); a signature is a trap when it is
+    both high-volume and dominates its host's frontier share. The
+    reference has no trap defense (its frontier is a driver-side list);
+    at a 10^10-URL frontier this gate is what keeps one calendar CGI
+    from swallowing the crawl."""
+    from docrawl_spark.operators.traps import flag_traps
+
+    cands = _trap_candidates(spark, sf_dir)
+    out = flag_traps(cands, max_urls_per_sig=30, max_host_share=0.5)
+    return out.select(
+        "host",
+        "sig",
+        "n_urls",
+        "n_parents",
+        "max_depth",
+        "host_urls",
+        F.round("host_share", 6).alias("host_share"),
+        "is_trap",
+    )
+
+
+def q_trap_gate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trap gate applied end-to-end (operators/traps.trap_gate):
+    candidates minus flagged-template rows (broadcast anti-join) minus
+    path-cycle rows (row-local check)."""
+    from docrawl_spark.operators.traps import flag_traps, trap_gate
+
+    cands = _trap_candidates(spark, sf_dir)
+    traps = flag_traps(cands, max_urls_per_sig=30, max_host_share=0.5)
+    return trap_gate(cands, traps).select("host", "url")
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay dispatch timeline (operators/politeness.
+    schedule_timeline): after per-host top-k selection, the k-th URL of
+    a host is scheduled at k * delay_ms — the reference's per-page
+    ``time.sleep`` politeness (docrawl_core.py:1088,1105) re-expressed
+    as a data column the fetch stage partitions on. Delay derives
+    deterministically from the host's numeric suffix (0.5/1.0/1.5/2.0
+    s); milliseconds are exact BIGINTs cross-engine."""
+    from docrawl_spark.operators.politeness import schedule_timeline
+
+    urls = _doc_urls(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    sel = (
+        urls.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            F.col("host").alias("host_hash"),
+            "doc_id",
+            (
+                (F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long") % 4)
+                * 0.5
+                + 0.5
+            ).alias("_crawl_delay"),
+            "rn",
+        )
+    )
+    out = schedule_timeline(sel, order_cols=["rn"])
+    return out.select(
+        F.col("host_hash").alias("host"), "doc_id", "fetch_seq", "scheduled_at_ms"
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via native session_window
+    (streaming/sessions.sessionize — the same expression runs under
+    readStream with a watermark): maximal per-user event runs with no
+    30-minute gap; session_end = last event + gap (Spark's native
+    convention, mirrored in the oracle's islands CTE)."""
+    from docrawl_spark.streaming.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+
+
+def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redirect edge set over the URL universe: chain
+    edges url(d) → url(d-1) for d % 7 ∈ {1,2,3} (chains of ≤3 hops
+    ending at a d % 7 == 0 terminal), a 2-cycle url(d) ⇄ url(d+1) for
+    d % 101 ∈ {5,6}, and a cycle-entry edge for d % 101 == 4. The rule
+    sets are mutually exclusive so every src has exactly one Location."""
+    u = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    a = u.select(F.col("doc_id").alias("a_id"), F.col("url").alias("src"))
+    b = u.select(F.col("doc_id").alias("b_id"), F.col("url").alias("dst"))
+    chain = (
+        a.where(
+            (F.col("a_id") % 7).isin(1, 2, 3)
+            & ~(F.col("a_id") % 101).isin(4, 5, 6)
+        )
+        .join(b, F.col("b_id") == F.col("a_id") - 1)
+        .select("src", "dst")
+    )
+    up = (
+        a.where((F.col("a_id") % 101).isin(4, 5))
+        .join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select("src", "dst")
+    )
+    down = (
+        a.where(F.col("a_id") % 101 == 6)
+        .join(b, F.col("b_id") == F.col("a_id") - 1)
+        .select("src", "dst")
+    )
+    return chain.unionByName(up).unionByName(down)
+
+
+# shared WITH-prefix for the redirect oracles: the same deterministic
+# edge rules + the bounded recursive walk (hops <= 8 lets a 9th row
+# appear exactly when the chain is over-budget or cyclic — the
+# too_many sentinel, mirroring compose_redirect_map's saturating cap).
+_REDIRECT_WALK_SQL = """
+            WITH RECURSIVE u AS (""" + _DOC_URLS_SQL + """),
+            edges AS (
+              SELECT a.url AS src, b.url AS dst
+              FROM u a JOIN u b ON b.doc_id = a.doc_id - 1
+              WHERE a.doc_id % 7 IN (1, 2, 3)
+                AND a.doc_id % 101 NOT IN (4, 5, 6)
+              UNION ALL
+              SELECT a.url, b.url
+              FROM u a JOIN u b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 101 IN (4, 5)
+              UNION ALL
+              SELECT a.url, b.url
+              FROM u a JOIN u b ON b.doc_id = a.doc_id - 1
+              WHERE a.doc_id % 101 = 6),
+            e1 AS (SELECT src, MIN(dst) AS dst FROM edges GROUP BY src),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM e1
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN e1 e ON e.src = w.cur
+              WHERE w.hops <= 8),
+            fin AS (
+              SELECT src, arg_max(cur, hops) AS fin_url,
+                     CAST(MAX(hops) AS BIGINT) AS mh
+              FROM walk GROUP BY src),
+"""
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.resolve_redirects,
+    pointer-jumping): every URL annotated with its final destination,
+    exact hop count, and direct/redirected/too_many status — chains,
+    2-cycles, and cycle-entry rows all present in the input. Oracle: a
+    bounded DuckDB recursive CTE walking the same edge rules."""
+    from docrawl_spark.operators.redirects import resolve_redirects
+
+    cands = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    edges = _redirect_edges(spark, sf_dir)
+    return resolve_redirects(cands, edges, max_hops=8).select(
+        "doc_id", "url", "final_url", "n_hops", "status"
+    )
+
+
+def _aliased_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus plus deterministic content aliases (the driver's
+    documents table has NO exact duplicate texts at sf0.01, so DUST/
+    mirror inputs synthesize them): every doc_id % 9 == 3 page is also
+    served by a mirror host (mirror-<source>.test, same text), and
+    every doc_id % 11 == 7 page has a same-host tracking-param alias —
+    the two classic DUST shapes."""
+    base = _doc_urls(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", "url", "host", "text")
+    mirror = (
+        base.where(F.col("doc_id") % 9 == 3)
+        .select(
+            "doc_id",
+            F.regexp_replace("url", r"^https://", "https://mirror-").alias("url"),
+            F.concat(F.lit("mirror-"), F.col("host")).alias("host"),
+            "text",
+        )
+    )
+    tracked = base.where(F.col("doc_id") % 11 == 7).select(
+        "doc_id",
+        F.concat(F.col("url"), F.lit("?utm_source=feed")).alias("url"),
+        "host",
+        "text",
+    )
+    return base.unionByName(mirror).unionByName(tracked)
+
+
+_ALIASED_DOCS_SQL = """
+  SELECT u.doc_id, u.url, u.host, d.text
+  FROM (""" + _DOC_URLS_SQL + """) u JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT u.doc_id,
+         regexp_replace(u.url, '^https://', 'https://mirror-') AS url,
+         'mirror-' || u.host AS host, d.text
+  FROM (""" + _DOC_URLS_SQL + """) u JOIN documents d USING (doc_id)
+  WHERE u.doc_id % 9 = 3
+  UNION ALL
+  SELECT u.doc_id, u.url || '?utm_source=feed' AS url, u.host, d.text
+  FROM (""" + _DOC_URLS_SQL + """) u JOIN documents d USING (doc_id)
+  WHERE u.doc_id % 11 = 7
+"""
+
+
+def q_dust_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST detection (operators/mirrors.duplicate_content_clusters):
+    exact duplicate-content clusters over the aliased corpus (mirror
+    hosts + tracking-param aliases) with deterministic canonical-URL
+    election (lexicographic min) — the frontier-collapse input. md5
+    content identity is bit-reproducible in DuckDB."""
+    from docrawl_spark.operators.mirrors import duplicate_content_clusters
+
+    return duplicate_content_clusters(_aliased_docs(spark, sf_dir)).select(
+        "content_hash",
+        "canonical_url",
+        "n_aliases",
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+    )
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host candidates (operators/mirrors.mirror_host_pairs):
+    host pairs sharing ≥2 identical contents over the aliased corpus,
+    hub-content quadratic guard applied (max_hosts_per_hash=64)."""
+    from docrawl_spark.operators.mirrors import mirror_host_pairs
+
+    return mirror_host_pairs(
+        _aliased_docs(spark, sf_dir), min_shared=2, max_hosts_per_hash=64
+    )
+
+
+def q_revalidation_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET recrawl accounting (operators/revalidate): a
+    synthetic prior fetch log stores the current validator for 3 of
+    every 4 docs (doc_id % 4 == 1 rows are stale, doc_id % 5 == 2 rows
+    were never fetched → unconditional); classify 304 vs 200 and roll
+    up per-host bandwidth saved vs transferred — the wave's
+    bandwidth-delta metric."""
+    from docrawl_spark.operators.revalidate import (
+        classify_revalidated,
+        etag_col,
+        revalidation_plan,
+    )
+
+    docs = _doc_urls(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    log = docs.where(F.col("doc_id") % 5 != 2).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            etag_col(F.concat(F.col("text"), F.lit("v0"))),
+        )
+        .otherwise(etag_col(F.col("text")))
+        .alias("etag"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("fetched_at"),
+    )
+    planned = revalidation_plan(
+        docs.select("doc_id", "url", "host", "text"), log
+    )
+    out = classify_revalidated(
+        planned.withColumn("n_bytes", F.length("text")),
+        etag_col(F.col("text")),
+    )
+    return out.groupBy("host").agg(
+        F.sum((F.col("status_code") == 304).cast("long")).alias("n_304"),
+        F.sum((F.col("status_code") == 200).cast("long")).alias("n_200"),
+        F.sum((~F.col("conditional")).cast("long")).alias("n_unconditional"),
+        F.sum("bytes_saved").alias("bytes_saved"),
+        F.sum("bytes_fetched").alias("bytes_fetched"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1388,6 +1790,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "change_rate_recrawl": q_change_rate_recrawl,
         "corpus_filter_pipeline": q_corpus_filter_pipeline,
+        "trap_signatures": q_trap_signatures,
+        "trap_gate_survivors": q_trap_gate_survivors,
+        "politeness_schedule": q_politeness_schedule,
+        "events_sessions": q_events_sessions,
+        "redirect_resolution": q_redirect_resolution,
+        "dust_clusters": q_dust_clusters,
+        "mirror_hosts": q_mirror_hosts,
+        "revalidation_wave": q_revalidation_wave,
     }
 
 
@@ -2522,5 +2932,142 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lang_id = 'und' THEN 'unknown_lang' END AS drop_reason,
                    (n_tok >= 5 AND quality >= 300 AND lang_id <> 'und') AS keep
             FROM q
+        """,
+        "trap_signatures": _TRAP_CAND_SQL + """
+            per AS (
+              SELECT host, sig, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                     CAST(COUNT(DISTINCT discovered_by) AS BIGINT) AS n_parents,
+                     MAX(depth) AS max_depth
+              FROM sig3 GROUP BY host, sig),
+            ph AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls
+                   FROM per GROUP BY host)
+            SELECT per.host, sig, n_urls, n_parents, max_depth, host_urls,
+                   ROUND(CAST(n_urls AS DOUBLE) / host_urls, 6) AS host_share,
+                   (n_urls > 30 AND CAST(n_urls AS DOUBLE) / host_urls > 0.5)
+                     AS is_trap
+            FROM per JOIN ph USING (host)
+        """,
+        "trap_gate_survivors": _TRAP_CAND_SQL + """
+            per AS (
+              SELECT host, sig, COUNT(*) AS n_urls
+              FROM sig3 GROUP BY host, sig),
+            ph AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls
+                   FROM per GROUP BY host),
+            trapped AS (
+              SELECT per.host, sig FROM per JOIN ph USING (host)
+              WHERE n_urls > 30 AND CAST(n_urls AS DOUBLE) / host_urls > 0.5)
+            SELECT s.host, s.url
+            FROM sig3 s
+            LEFT JOIN trapped t ON s.host = t.host AND s.sig = t.sig
+            WHERE t.sig IS NULL
+              AND NOT COALESCE(list_max(list_transform(
+                    list_distinct(list_filter(string_split(s.path, '/'),
+                                              seg -> seg <> '')),
+                    d -> len(list_filter(list_filter(string_split(s.path, '/'),
+                                                     seg -> seg <> ''),
+                             seg -> seg = d)))) >= 3, FALSE)
+        """,
+        "politeness_schedule": """
+            WITH u AS (""" + _DOC_URLS_SQL + """),
+            sel AS (
+              SELECT host, doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM u)
+            SELECT host, doc_id,
+                   CAST(rn - 1 AS BIGINT) AS fetch_seq,
+                   CAST((rn - 1) * CAST(FLOOR(
+                     ((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4)
+                      * 0.5 + 0.5) * 1000 + 0.5) AS BIGINT) AS BIGINT)
+                     AS scheduled_at_ms
+            FROM sel WHERE rn <= 5
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            g AS (
+              SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
+        "redirect_resolution": _REDIRECT_WALK_SQL + """
+            fin2 AS (SELECT 1)
+            SELECT u.doc_id, u.url,
+                   CASE WHEN f.src IS NULL OR f.mh > 8 THEN u.url
+                        ELSE f.fin_url END AS final_url,
+                   CAST(CASE WHEN f.src IS NULL OR f.mh > 8 THEN 0
+                             ELSE f.mh END AS BIGINT) AS n_hops,
+                   CASE WHEN f.src IS NULL THEN 'direct'
+                        WHEN f.mh > 8 THEN 'too_many'
+                        ELSE 'redirected' END AS status
+            FROM u LEFT JOIN fin f ON u.url = f.src
+        """,
+        "dust_clusters": f"""
+            WITH ad AS ({_ALIASED_DOCS_SQL}),
+            h AS (SELECT md5(text) AS content_hash, url, host FROM ad)
+            SELECT content_hash,
+                   MIN(url) AS canonical_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_aliases,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM h GROUP BY content_hash
+            HAVING COUNT(*) >= 2
+        """,
+        "mirror_hosts": f"""
+            WITH ad AS ({_ALIASED_DOCS_SQL}),
+            hh AS (SELECT DISTINCT md5(text) AS content_hash, host FROM ad),
+            sized AS (
+              SELECT content_hash FROM hh GROUP BY content_hash
+              HAVING COUNT(*) BETWEEN 2 AND 64)
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM hh a JOIN hh b USING (content_hash)
+            JOIN sized USING (content_hash)
+            WHERE a.host < b.host
+            GROUP BY a.host, b.host
+            HAVING COUNT(*) >= 2
+        """,
+        "revalidation_wave": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            docs AS (
+              SELECT u.doc_id, u.url, u.host, d.text
+              FROM u JOIN documents d USING (doc_id)),
+            log AS (
+              SELECT url,
+                     CASE WHEN doc_id % 4 = 1
+                          THEN '"' || md5(text || 'v0') || '"'
+                          ELSE '"' || md5(text) || '"' END AS stored_etag
+              FROM docs WHERE doc_id % 5 <> 2),
+            cls AS (
+              SELECT d.host,
+                     l.stored_etag IS NOT NULL AS conditional,
+                     l.stored_etag IS NOT NULL
+                       AND l.stored_etag = '"' || md5(d.text) || '"' AS is_304,
+                     length(d.text) AS n_bytes
+              FROM docs d LEFT JOIN log l ON d.url = l.url)
+            SELECT host,
+                   CAST(SUM(CASE WHEN is_304 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_304,
+                   CAST(SUM(CASE WHEN is_304 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_200,
+                   CAST(SUM(CASE WHEN conditional THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_unconditional,
+                   CAST(SUM(CASE WHEN is_304 THEN n_bytes ELSE 0 END)
+                     AS BIGINT) AS bytes_saved,
+                   CAST(SUM(CASE WHEN is_304 THEN 0 ELSE n_bytes END)
+                     AS BIGINT) AS bytes_fetched
+            FROM cls GROUP BY host
         """,
     }
