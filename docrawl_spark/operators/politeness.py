@@ -121,6 +121,67 @@ def schedule_timeline(
     )
 
 
+def adaptive_crawl_delays(
+    fetch_log: DataFrame,
+    base_delay_ms: int = 1000,
+    min_delay_ms: int = 250,
+    max_delay_ms: int = 16_000,
+    err_ppm_threshold: int = 50_000,
+    slow_p95_ms: int = 1000,
+) -> DataFrame:
+    """Per-host adaptive politeness (AIMD-style backoff) from observed
+    fetch outcomes: hosts answering with errors back off
+    multiplicatively, healthy-but-slow hosts hold, fast healthy hosts
+    speed up — the feedback loop the reference's fixed
+    ``time.sleep(1)`` (docrawl_core.py:1088,1105) cannot express.
+
+    Rule (integer-exact, cross-engine):
+      err_ppm  = floor(n_err · 10^6 / n)
+      next_delay_ms =
+        clamp(base · 2^min(ceil(err_ppm / threshold), 4), min, max)
+          when err_ppm > threshold              (multiplicative backoff)
+        clamp(base, min, max)  when p95 > slow_p95_ms   (hold)
+        clamp(base / 2, min, max) otherwise             (recover)
+    p95 latency is the exact continuous percentile floored to BIGINT
+    (F.percentile ≡ DuckDB quantile_cont on the same integers).
+
+    Input columns: (host, status int, latency_ms long). One map-side-
+    combinable aggregate on the host dim — no window, no skew exposure
+    (the host dim is bounded)."""
+    agg = fetch_log.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum((F.col("status") >= 400).cast("long")).alias("n_errors"),
+        F.floor(F.percentile("latency_ms", F.lit(0.95)))
+        .cast("long")
+        .alias("p95_latency_ms"),
+    )
+    err_ppm = F.floor(F.col("n_errors") * 1_000_000 / F.col("n_fetches")).cast(
+        "long"
+    )
+    backoff_steps = F.least(
+        F.ceil(err_ppm / F.lit(err_ppm_threshold)).cast("long"), F.lit(4)
+    )
+    raw = (
+        F.when(
+            err_ppm > err_ppm_threshold,
+            F.lit(base_delay_ms) * F.pow(F.lit(2), backoff_steps).cast("long"),
+        )
+        .when(F.col("p95_latency_ms") > slow_p95_ms, F.lit(base_delay_ms))
+        .otherwise(F.lit(base_delay_ms // 2))
+    )
+    clamped = F.least(
+        F.greatest(raw.cast("long"), F.lit(min_delay_ms)), F.lit(max_delay_ms)
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_errors",
+        err_ppm.alias("err_ppm"),
+        "p95_latency_ms",
+        clamped.alias("next_delay_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RFC 9309-style robots evaluation (wildcards, $ anchors, longest-match,
 # Allow beats Disallow on ties) — the realistic upgrade over the prefix

@@ -1717,6 +1717,32 @@ def q_revalidation_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD-style per-host politeness adaptation
+    (operators/politeness.adaptive_crawl_delays): a deterministic
+    synthetic fetch log (latency from doc_id, +1200 ms on every third
+    source, 503s for doc_id % 17 == 0) rolled up into next-wave delay
+    decisions — backoff / hold / recover branches all exercised."""
+    from docrawl_spark.operators.politeness import adaptive_crawl_delays
+
+    urls = _doc_urls(spark, sf_dir)
+    src_num = F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long")
+    log = urls.select(
+        "host",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(503))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        (
+            F.lit(50)
+            + (F.col("doc_id") * 37) % 400
+            + F.when(src_num % 3 == 1, F.lit(1200)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("latency_ms"),
+    )
+    return adaptive_crawl_delays(log)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1798,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_clusters": q_dust_clusters,
         "mirror_hosts": q_mirror_hosts,
         "revalidation_wave": q_revalidation_wave,
+        "adaptive_delays": q_adaptive_delays,
     }
 
 
@@ -3069,5 +3096,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN is_304 THEN 0 ELSE n_bytes END)
                      AS BIGINT) AS bytes_fetched
             FROM cls GROUP BY host
+        """,
+        "adaptive_delays": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            log AS (
+              SELECT host,
+                     CASE WHEN doc_id % 17 = 0 THEN 503 ELSE 200 END AS status,
+                     CAST(50 + (doc_id * 37) % 400
+                          + CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1)
+                                       AS BIGINT) % 3 = 1
+                                 THEN 1200 ELSE 0 END AS BIGINT) AS latency_ms
+              FROM u),
+            agg AS (
+              SELECT host,
+                     CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                     CAST(SUM(CASE WHEN status >= 400 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_errors,
+                     CAST(FLOOR(quantile_cont(latency_ms, 0.95)) AS BIGINT)
+                       AS p95_latency_ms
+              FROM log GROUP BY host),
+            d AS (
+              SELECT *,
+                     CAST(FLOOR(n_errors * 1000000.0 / n_fetches) AS BIGINT)
+                       AS err_ppm
+              FROM agg)
+            SELECT host, n_fetches, n_errors, err_ppm, p95_latency_ms,
+                   CAST(LEAST(GREATEST(
+                     CASE WHEN err_ppm > 50000
+                          THEN 1000 * CAST(POW(2, LEAST(
+                            CAST(CEIL(err_ppm / 50000.0) AS BIGINT), 4))
+                            AS BIGINT)
+                          WHEN p95_latency_ms > 1000 THEN 1000
+                          ELSE 500 END, 250), 16000) AS BIGINT)
+                     AS next_delay_ms
+            FROM d
         """,
     }

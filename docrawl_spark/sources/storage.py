@@ -156,6 +156,59 @@ class Warehouse:
         self._commit_manifest(table, m)
         return snap_id
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self, table: str, target_files: int = 8) -> str:
+        """Iceberg ``rewrite_data_files`` analogue: materialize the
+        table's CURRENT state into one fresh overwrite snapshot with
+        ``target_files`` files, committing atomically. A long-running
+        crawl appends a delta-dir per wave plus bucket-rewrites per
+        merge; after hundreds of waves the read path unions hundreds of
+        snapshot dirs of small files and planning cost (file listing,
+        row-group headers) dominates the scan. Compaction collapses the
+        manifest replay to a single snapshot; older snapshots stay on
+        disk so time travel to pre-compaction ids keeps working until
+        :meth:`expire_snapshots` garbage-collects them.
+
+        coalesce (not repartition) — file-count reduction needs no
+        shuffle; at cluster scale pick target_files ≈ table_bytes /
+        512 MB."""
+        df = self.read(table).coalesce(max(1, target_files))
+        snap_id = self._write_snapshot(table, df)
+        m = self._load_manifest(table)
+        m["snapshots"].append(
+            {"id": snap_id, "mode": "overwrite", "compacted": True}
+        )
+        self._commit_manifest(table, m)
+        return snap_id
+
+    def expire_snapshots(self, table: str) -> list[str]:
+        """Iceberg ``expire_snapshots`` analogue: drop every manifest
+        entry STRICTLY BEFORE the latest overwrite barrier (those
+        snapshots are shadowed — no current read touches them; only
+        time travel could) and delete their data dirs. Returns the
+        expired snapshot ids. Manifest commit happens BEFORE dir
+        deletion so a crash mid-GC leaves orphan dirs (harmless,
+        re-collectable), never a manifest pointing at deleted data."""
+        import shutil
+
+        m = self._load_manifest(table)
+        snaps = m["snapshots"]
+        barrier = max(
+            (i for i, s in enumerate(snaps) if s["mode"] == "overwrite"),
+            default=None,
+        )
+        if barrier is None or barrier == 0:
+            return []
+        expired, kept = snaps[:barrier], snaps[barrier:]
+        m["snapshots"] = kept
+        self._commit_manifest(table, m)
+        ids = []
+        for s in expired:
+            path = os.path.join(self.root, table, f"snap-{s['id']}")
+            shutil.rmtree(path, ignore_errors=True)
+            ids.append(s["id"])
+        return ids
+
     # -- reads -------------------------------------------------------------
     def snapshot_ids(self, table: str) -> list[str]:
         return [s["id"] for s in self._load_manifest(table)["snapshots"]]
