@@ -1,0 +1,114 @@
+"""Corpus keyword search: integer-exact BM25 over the documents table.
+
+A training-data pipeline mines its corpus by relevance ("pull the docs
+about X for the eval set"); the crawl engine itself ranks fetch
+candidates by topic match. Both want BM25, and at 100 TB the plan has
+to be: explode tokens → filter to the query vocabulary FIRST (the
+filter kills ~all rows before any shuffle) → two HashAggregates (tf
+per (doc, term); df per term) → broadcast the term-sized idf dim back
+→ one final HashAggregate per doc → TakeOrdered top-k. No window over
+the corpus, no UDF, nothing driver-side.
+
+Scoring is classic BM25 (k1 = 1.2, b = 0.75) in fixed-point integer
+arithmetic so DuckDB reproduces every score bit-for-bit (the repo's
+oracle rule — CLAUDE.md "integer scores"):
+
+- avgdl_x1000   = (Σ dl · 1000) div N
+- norm_ppt      = 1000 - b_ppt + (b_ppt · dl · 1000) div avgdl_x1000
+- tf_ppm        = (tf · (k1_ppt + 1000) · 10^6)
+                    div (tf · 10^6 + k1_ppt · norm_ppt)
+- idf_units     = length(bin((N · 1000) div df))   # integer log2
+- score_units   = Σ_terms tf_ppm · idf_units
+
+The idf is the bit-length integer log2 of 1000·N/df — monotone in
+rarity, float-free, identical in both engines (`bin` strips leading
+zeros in Spark and DuckDB alike).
+
+No reference counterpart (the reference has no search); this is
+LLM-datapipe surface per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from docrawl_spark.datapipe.text import tokens_col
+
+K1_PPT = 1200  # k1 = 1.2
+B_PPT = 750    # b = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k docs by integer BM25 against a fixed query-term set.
+
+    Returns (doc_id, score_units, n_hit_terms) ordered by score desc
+    with the deterministic id tie-break.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    # corpus stats: one tiny row (N, avgdl fixed-point) — broadcast
+    # back via crossJoin, never collected
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"(CAST(sum(size(split(trim(lower({text_col})), '\\\\s+'))) AS BIGINT)"
+            f" * 1000) div count(1)"
+        ).alias("avgdl_x1000"),
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+    hits = toks.where(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # df per term: term-cardinality-sized (≤ len(query_terms) rows)
+    df_dim = (
+        hits.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_dim), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "norm_ppt",
+            F.expr(
+                f"1000 - {B_PPT} + ({B_PPT} * dl * 1000) div avgdl_x1000"
+            ),
+        )
+        .withColumn(
+            "tf_ppm",
+            F.expr(
+                f"(tf * {K1_PPT + 1000} * 1000000)"
+                f" div (tf * 1000000 + {K1_PPT} * norm_ppt)"
+            ),
+        )
+        .withColumn(
+            "idf_units",
+            F.expr(
+                "CAST(length(bin((n_docs * 1000) div df)) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf_ppm * idf_units")).alias("score_units"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

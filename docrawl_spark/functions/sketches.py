@@ -1,0 +1,167 @@
+"""Mergeable cardinality / frequency sketches in exact integer arithmetic.
+
+Crawl schedulers need two streaming-mergeable summaries the exact
+operators can't provide at 10^10-frontier scale:
+
+- **HyperLogLog** URL-cardinality: "how many distinct URLs has this
+  crawl seen" without carrying the seen set to the driver. The sketch
+  is a tiny (bucket, max_rho) table — map-side combinable (MAX is
+  associative), mergeable across waves/clusters by bucket-wise MAX,
+  and constant-size regardless of frontier size. The exact-count twin
+  (`approx_count_distinct` or a groupBy) is the small-scale oracle.
+- **Count-min** host-frequency: "which hosts dominate the frontier"
+  from d tiny counter rows instead of a full host groupBy — the
+  mergeable form a long-running scheduler keeps between waves to pick
+  salting candidates (operators/links two-phase windows) before any
+  exact pass runs.
+
+Everything here is EXACT integer arithmetic on a 60-bit md5 slice —
+the same construction as datapipe/dedup._hash60 — so DuckDB computes
+the identical sketch bit-for-bit (`tests/test_oracle_parity.py`):
+
+- hash60(x)  = first 15 hex chars of md5(x) as BIGINT (never negative)
+- bucket     = hash60 % m                     (m = 2^p registers)
+- rho        = leading-zero rank of the remaining 60-p bits + 1,
+               computed WITHOUT floats as (60-p) - length(bin(w)) + 1
+               (`bin` strips leading zeros in BOTH engines; w = 0 maps
+               to the all-zero rank 60-p+1)
+- estimate   = alpha_ppm * ((m*m << K) div S) div 10^6 fixed-point,
+               S = sum over registers of 1 << max(K - rho, 0), K = 40
+
+No reference counterpart (the reference keeps its seen set as a
+Python list, docrawl_core.py's `links` accumulation); this is the
+scale substitute the north-star architecture requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HASH_BITS = 60
+
+
+def _hash60(key: Column, salt: str = "") -> Column:
+    """60-bit non-negative BIGINT from md5 — bit-identical in DuckDB
+    via ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    k = F.concat(F.lit(salt), key) if salt else key
+    return F.conv(F.substring(F.md5(k), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """The HLL register table: (bucket, max_rho) for m = 2^p buckets.
+
+    One HashAggregate over the keys; MAX partials combine map-side, so
+    the shuffle carries at most m rows per map task regardless of
+    input size. Missing buckets (no key hashed there) are absent from
+    the output — the estimator treats them as rho = 0 via the m-row
+    spine it joins against.
+    """
+    m = 1 << p
+    h = _hash60(F.col(key_col).cast("string"))
+    w = h % F.lit(m)  # register index (low bits)
+    # integer div, NOT float /: the hash exceeds 2^53 so float division
+    # would lose low bits
+    rest = F.expr(f"CAST({_hash60_sql(key_col)} AS BIGINT) div {m}")
+    # rho without floats: bin() strips leading zeros in both engines
+    width = _HASH_BITS - p
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    return (
+        df.select(w.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _hash60_sql(key_col: str) -> str:
+    return f"conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Fixed-point HLL estimate from a register table.
+
+    alpha_m = 0.7213 / (1 + 1.079/m) as ppm; S = sum of 1 << (K-rho)
+    clamped at 0 (rho > K contributes 1 — identically in both
+    engines); estimate_units = alpha_ppm * ((m*m << K) div S) div 1e6.
+    The small-range linear-counting correction (empty registers) is
+    applied the same integer way. All BIGINT — both engines agree
+    bit-for-bit, so the estimate itself is oracle-hashable.
+    """
+    m = 1 << p
+    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+    K = 40
+    spark = registers.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
+    reg = spine.join(F.broadcast(registers), "bucket", "left").select(
+        "bucket", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho")
+    )
+    agg = reg.agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(greatest({K} - max_rho, 0) AS INT))"
+            )
+        ).alias("s"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    raw = F.expr(f"CAST({alpha_ppm} AS BIGINT) * "
+                 f"((CAST({m * m} AS BIGINT) * shiftleft(CAST(1 AS BIGINT), {K})) div s) div 1000000")
+    # linear counting when the raw estimate is small and registers
+    # remain empty: m * ln(m/zeros) — integer form via the bit-length
+    # log2 and the ln2 ppm constant (693147), floor semantics shared
+    # by both engines.
+    lc = F.expr(
+        f"CAST({m} AS BIGINT) * CAST((length(bin(CAST({m} AS BIGINT) div zeros))"
+        f" - 1) AS BIGINT) * 693147 div 1000000"
+    )
+    est = F.when(
+        (F.col("zeros") > 0) & (raw <= F.lit(5 * m // 2)), lc
+    ).otherwise(raw)
+    return agg.select(est.cast("long").alias("estimate_units"))
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min counter table: (row, cell, cnt) for d independent
+    hash rows of w cells each. One explode (×d) + HashAggregate; the
+    shuffle after map-side combine is at most d·w rows per task — the
+    constant-size mergeable form (counters add across waves)."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(rows).alias("row"),
+    )
+    cell = (
+        _hash60(F.concat_ws("|", F.col("row").cast("string"), F.col("k")))
+        % F.lit(width)
+    )
+    return (
+        keyed.select("row", cell.alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, candidates: DataFrame, key_col: str,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: the classic
+    min-over-rows upper-bound estimate. Counters are sketch-sized
+    (≤ d·w rows) — broadcast to the candidates, never the reverse."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probes = candidates.select(
+        F.col(key_col), F.explode(rows).alias("row")
+    ).withColumn(
+        "cell",
+        _hash60(F.concat_ws("|", F.col("row").cast("string"),
+                            F.col(key_col).cast("string")))
+        % F.lit(width),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

@@ -1717,6 +1717,95 @@ def q_revalidation_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared open WITH-prefix: the full 3-iteration fixed-point PageRank
+# pipeline (same edge derivation as q_host_pagerank) ending at CTE
+# ``i3(host, rank_units)`` — extended by host_pagerank (plain SELECT)
+# and frontier_priority (per-URL composition).
+_PAGERANK_SQL = r"""
+            WITH u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            e0 AS (
+              SELECT r.src_host, i.host AS dst_host
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            edges AS (
+              SELECT src_host, dst_host, COUNT(*) AS weight FROM e0 GROUP BY 1, 2),
+            outw AS (SELECT src_host, SUM(weight) AS out_w FROM edges GROUP BY 1),
+            ew AS (
+              SELECT e.src_host, e.dst_host,
+                     (CAST(e.weight AS BIGINT) * 1000000) // CAST(o.out_w AS BIGINT)
+                       AS share_ppm
+              FROM edges e JOIN outw o USING (src_host)),
+            consts AS (
+              SELECT CAST(1000000000000 // n_hosts AS BIGINT) AS r0,
+                     CAST((15 * (1000000000000 // n_hosts)) // 100 AS BIGINT) AS base
+              FROM cnt),
+            r0t AS (SELECT host, (SELECT r0 FROM consts) AS rank_units FROM hosts),
+            c1 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN r0t r ON e.src_host = r.host GROUP BY 1),
+            i1 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c1 c USING (host)),
+            c2 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN i1 r ON e.src_host = r.host GROUP BY 1),
+            i2 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c2 c USING (host)),
+            c3 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN i2 r ON e.src_host = r.host GROUP BY 1),
+            i3 AS (
+              SELECT h.host,
+                     CAST((SELECT base FROM consts)
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
+              FROM hosts h LEFT JOIN c3 c USING (host))
+"""
+
+
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-weighted frontier ordering: per-URL scheduling priority
+    composed from the host's fixed-point PageRank and a depth decay —
+    priority_units = rank_units div (1 + depth) — then the global
+    top-100 (TakeOrdered shape, deterministic doc_id tie-break). The
+    link-graph signal actually steering the scheduler, end to end in
+    exact BIGINT arithmetic."""
+    pr = q_host_pagerank(spark, sf_dir)
+    urls = _doc_urls(spark, sf_dir).select(
+        "doc_id", "host", (F.col("doc_id") % 4 + 1).alias("depth")
+    )
+    return (
+        urls.join(F.broadcast(pr), "host")
+        .select(
+            "doc_id",
+            "host",
+            "depth",
+            F.expr("rank_units div (1 + depth)").alias("priority_units"),
+        )
+        .orderBy(F.col("priority_units").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
 def q_adaptive_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIMD-style per-host politeness adaptation
     (operators/politeness.adaptive_crawl_delays): a deterministic
@@ -1741,6 +1830,90 @@ def q_adaptive_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("latency_ms"),
     )
     return adaptive_crawl_delays(log)
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=6, m=64) over the URL universe —
+    the constant-size mergeable cardinality summary a long-running
+    crawl keeps instead of counting its seen set
+    (functions/sketches.hll_registers). Exact integer construction on
+    the 60-bit md5 slice; DuckDB reproduces every register."""
+    from docrawl_spark.functions.sketches import hll_registers
+
+    urls = _doc_urls(spark, sf_dir).select("url")
+    return hll_registers(urls, "url", p=6).orderBy("bucket")
+
+
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-point HLL cardinality estimate from the register
+    table — alpha-corrected harmonic mean with the small-range
+    linear-counting branch, all BIGINT (functions/sketches
+    .hll_estimate), so the estimate itself hash-matches DuckDB."""
+    from docrawl_spark.functions.sketches import hll_estimate, hll_registers
+
+    urls = _doc_urls(spark, sf_dir).select("url")
+    return hll_estimate(hll_registers(urls, "url", p=6), p=6)
+
+
+def q_cms_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min hot-host detection: the d×w counter sketch over the
+    frontier's host column, point-queried for every candidate host —
+    min-over-rows upper bound (functions/sketches.cms_*). The
+    mergeable form the scheduler keeps between waves to pick salting
+    candidates before any exact per-host pass runs."""
+    from docrawl_spark.functions.sketches import cms_counters, cms_estimate
+
+    urls = _doc_urls(spark, sf_dir)
+    counters = cms_counters(urls, "host", depth=4, width=1024)
+    cand = urls.select("host").distinct()
+    return (
+        cms_estimate(counters, cand, "host", depth=4, width=1024)
+        .orderBy(F.col("cm_estimate").desc(), F.col("host").asc())
+        .limit(20)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-20 over documents for a fixed query-term
+    set (datapipe/search.bm25_topk): explode→filter-to-vocabulary→
+    HashAggregates→broadcast idf dim→TakeOrdered. k1=1.2 / b=0.75 in
+    ppt fixed-point; idf is the bit-length integer log2 — every score
+    reproducible bit-for-bit in DuckDB."""
+    from docrawl_spark.datapipe.search import bm25_topk
+
+    docs = _docs_par(spark, sf_dir)
+    return bm25_topk(
+        docs, ["spark", "vector", "merge", "hash", "window"], k=20
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delta export between two crawl snapshots
+    (sources/storage.snapshot_diff): deterministic old/new table states
+    derived from documents (doc_id % 11 membership shifts simulate
+    pages appearing/vanishing; every fifth doc gets a changed content
+    signature) → one full-outer key join classifying added / removed /
+    changed, unchanged rows dropped. The incremental-recrawl feed and
+    warehouse-replication primitive; pairs with
+    Warehouse.read(as_of=...) to diff committed snapshots."""
+    from docrawl_spark.sources.storage import snapshot_diff
+
+    urls = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = urls.join(docs, "doc_id")
+    old = base.where(F.col("doc_id") % 11 != 3).select(
+        "url", F.md5("text").alias("content_sig")
+    )
+    new = base.where(F.col("doc_id") % 11 != 7).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("|rev2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("content_sig"),
+    )
+    return snapshot_diff(old, new, ["url"], ["content_sig"])
 
 
 # --------------------------------------------------------------------------
@@ -1825,6 +1998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "revalidation_wave": q_revalidation_wave,
         "adaptive_delays": q_adaptive_delays,
+        "frontier_priority": q_frontier_priority,
+        "hll_registers": q_hll_registers,
+        "hll_estimate": q_hll_estimate,
+        "cms_hot_hosts": q_cms_hot_hosts,
+        "bm25_search": q_bm25_search,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -2459,64 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         # 3-iteration weighted PageRank, BIGINT fixed-point (10^12 units,
         # truncating //): summation order cannot change a bit, so this
         # matches the Spark integer pipeline exactly.
-        "host_pagerank": r"""
-            WITH u AS (
-              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
-              FROM documents),
-            hosts AS (SELECT DISTINCT host FROM u),
-            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
-            idx AS (
-              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
-              FROM hosts),
-            raw AS (
-              SELECT u.host AS src_host,
-                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
-                       % (SELECT n_hosts FROM cnt) AS dst_idx
-              FROM u, UNNEST([0, 1, 2]) AS t(k)),
-            e0 AS (
-              SELECT r.src_host, i.host AS dst_host
-              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
-              WHERE r.src_host <> i.host),
-            edges AS (
-              SELECT src_host, dst_host, COUNT(*) AS weight FROM e0 GROUP BY 1, 2),
-            outw AS (SELECT src_host, SUM(weight) AS out_w FROM edges GROUP BY 1),
-            ew AS (
-              SELECT e.src_host, e.dst_host,
-                     (CAST(e.weight AS BIGINT) * 1000000) // CAST(o.out_w AS BIGINT)
-                       AS share_ppm
-              FROM edges e JOIN outw o USING (src_host)),
-            consts AS (
-              SELECT CAST(1000000000000 // n_hosts AS BIGINT) AS r0,
-                     CAST((15 * (1000000000000 // n_hosts)) // 100 AS BIGINT) AS base
-              FROM cnt),
-            r0t AS (SELECT host, (SELECT r0 FROM consts) AS rank_units FROM hosts),
-            c1 AS (
-              SELECT e.dst_host AS host,
-                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
-              FROM ew e JOIN r0t r ON e.src_host = r.host GROUP BY 1),
-            i1 AS (
-              SELECT h.host,
-                     CAST((SELECT base FROM consts)
-                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
-              FROM hosts h LEFT JOIN c1 c USING (host)),
-            c2 AS (
-              SELECT e.dst_host AS host,
-                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
-              FROM ew e JOIN i1 r ON e.src_host = r.host GROUP BY 1),
-            i2 AS (
-              SELECT h.host,
-                     CAST((SELECT base FROM consts)
-                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
-              FROM hosts h LEFT JOIN c2 c USING (host)),
-            c3 AS (
-              SELECT e.dst_host AS host,
-                     SUM((r.rank_units // 1000000) * e.share_ppm) AS in_units
-              FROM ew e JOIN i2 r ON e.src_host = r.host GROUP BY 1),
-            i3 AS (
-              SELECT h.host,
-                     CAST((SELECT base FROM consts)
-                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT) AS rank_units
-              FROM hosts h LEFT JOIN c3 c USING (host))
+        "host_pagerank": _PAGERANK_SQL + """
             SELECT host, rank_units FROM i3
         """,
         "line_dedup_docs": r"""
@@ -3130,5 +3252,161 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 500 END, 250), 16000) AS BIGINT)
                      AS next_delay_ms
             FROM d
+        """,
+        "frontier_priority": _PAGERANK_SQL + """
+            , cand AS (
+              SELECT doc_id, source || '.test' AS host,
+                     doc_id % 4 + 1 AS depth
+              FROM documents)
+            SELECT c.doc_id, c.host, c.depth,
+                   CAST(r.rank_units // (1 + c.depth) AS BIGINT)
+                     AS priority_units
+            FROM cand c JOIN i3 r USING (host)
+            ORDER BY priority_units DESC, c.doc_id ASC
+            LIMIT 100
+        """,
+        # HLL p=6: bucket = h % 64, rho over the remaining 54 bits via
+        # the bin() bit-length (both engines strip leading zeros).
+        "hll_registers": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            h AS (
+              SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+              FROM u)
+            SELECT h % 64 AS bucket,
+                   MAX(CASE WHEN h // 64 = 0 THEN 55
+                            ELSE 54 - length(bin(h // 64)) + 1 END)
+                     AS max_rho
+            FROM h GROUP BY bucket
+        """,
+        "hll_estimate": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            h AS (
+              SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+              FROM u),
+            reg AS (
+              SELECT h % 64 AS bucket,
+                     MAX(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                       AS max_rho
+              FROM h GROUP BY bucket),
+            spine AS (SELECT range AS bucket FROM range(64)),
+            fullr AS (
+              SELECT s.bucket, COALESCE(r.max_rho, 0) AS max_rho
+              FROM spine s LEFT JOIN reg r USING (bucket)),
+            agg AS (
+              SELECT CAST(SUM(1::BIGINT << CAST(greatest(40 - max_rho, 0)
+                                                AS INTEGER)) AS BIGINT) AS s,
+                     CAST(SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS zeros
+              FROM fullr),
+            rawe AS (
+              SELECT zeros,
+                     709340::BIGINT
+                       * ((4096::BIGINT * (1::BIGINT << 40)) // s)
+                       // 1000000 AS raw
+              FROM agg)
+            SELECT CAST(CASE WHEN zeros > 0 AND raw <= 160
+                             THEN 64::BIGINT
+                                  * CAST(length(bin(64::BIGINT // zeros)) - 1
+                                         AS BIGINT) * 693147 // 1000000
+                             ELSE raw END AS BIGINT) AS estimate_units
+            FROM rawe
+        """,
+        # Count-min d=4 × w=1024: cell = hash60(row || '|' || host) %
+        # 1024; estimate = min over rows of the matching counter.
+        "cms_hot_hosts": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            probes AS (
+              SELECT host, k AS row FROM u, UNNEST([0, 1, 2, 3]) AS t(k)),
+            counters AS (
+              SELECT row,
+                     ('0x' || substr(md5(CAST(row AS VARCHAR) || '|' || host),
+                                     1, 15))::BIGINT % 1024 AS cell,
+                     COUNT(*) AS cnt
+              FROM probes GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT host FROM u),
+            cp AS (
+              SELECT host, k AS row,
+                     ('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || host),
+                                     1, 15))::BIGINT % 1024 AS cell
+              FROM cand, UNNEST([0, 1, 2, 3]) AS t(k))
+            SELECT cp.host,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_estimate
+            FROM cp LEFT JOIN counters c USING (row, cell)
+            GROUP BY cp.host
+            ORDER BY cm_estimate DESC, cp.host ASC
+            LIMIT 20
+        """,
+        # Integer BM25 (k1=1.2/b=0.75 in ppt; idf = bit-length log2 of
+        # 1000*N/df) — mirrors datapipe/search.bm25_topk unit by unit.
+        "bm25_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS BIGINT) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST((CAST(SUM(len(regexp_split_to_array(
+                              trim(lower(text)), '\s+'))) AS BIGINT) * 1000)
+                          // COUNT(*) AS BIGINT) AS avgdl_x1000
+              FROM documents),
+            hits AS (
+              SELECT doc_id, term FROM toks
+              WHERE term IN ('spark', 'vector', 'merge', 'hash', 'window')),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM hits GROUP BY 1, 2),
+            dfx AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM hits GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id,
+                     (t.tf * 2200 * 1000000)
+                       // (t.tf * 1000000
+                           + 1200 * (1000 - 750
+                                     + (750 * d.dl * 1000)
+                                       // s.avgdl_x1000)) AS tf_ppm,
+                     CAST(length(bin((s.n_docs * 1000) // f.df)) AS BIGINT)
+                       AS idf_units
+              FROM tf t
+              JOIN dfx f USING (term)
+              JOIN dl d USING (doc_id), stats s)
+            SELECT doc_id,
+                   CAST(SUM(tf_ppm * idf_units) AS BIGINT) AS score_units,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+            FROM scored GROUP BY doc_id
+            ORDER BY score_units DESC, doc_id ASC
+            LIMIT 20
+        """,
+        # CDC full-outer diff; unchanged rows filtered out.
+        "snapshot_diff": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            b AS (
+              SELECT u.url, d.doc_id, d.text
+              FROM u JOIN documents d USING (doc_id)),
+            snap_old AS (
+              SELECT url, md5(text) AS content_sig
+              FROM b WHERE doc_id % 11 <> 3),
+            snap_new AS (
+              SELECT url,
+                     CASE WHEN doc_id % 5 = 0 THEN md5(text || '|rev2')
+                          ELSE md5(text) END AS content_sig
+              FROM b WHERE doc_id % 11 <> 7)
+            SELECT * FROM (
+              SELECT COALESCE(n.url, o.url) AS url,
+                     CASE WHEN o.url IS NULL THEN 'added'
+                          WHEN n.url IS NULL THEN 'removed'
+                          WHEN o.content_sig <> n.content_sig
+                            THEN 'changed' END AS change_type,
+                     o.content_sig AS old_content_sig,
+                     n.content_sig AS new_content_sig
+              FROM snap_old o FULL OUTER JOIN snap_new n ON o.url = n.url)
+            WHERE change_type IS NOT NULL
         """,
     }

@@ -26,6 +26,7 @@ import os
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -261,3 +262,58 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table)["snapshots"])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC between two table states: one full-outer join on the key,
+    rows classified ``added`` / ``removed`` / ``changed`` (any compare
+    column differs, NULL-safe) — unchanged rows are dropped, so the
+    delta export is change-sized, not table-sized.
+
+    The downstream uses: incremental recrawl feeds (changed + added
+    URLs re-enter the frontier), warehouse replication (ship the delta,
+    not the 100 TB table), and freshness audits. Shape at scale: a
+    single key-partitioned SortMergeJoin — both sides shuffle once on
+    the key; no window, no driver state. Pair with
+    ``Warehouse.read(table, as_of=...)`` to diff any two committed
+    snapshots.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    in_old = j[f"_ok_{key_cols[0]}"].isNotNull()
+    in_new = j[f"_nk_{key_cols[0]}"].isNotNull()
+    same_vals = None
+    for c in compare_cols:
+        eq = j[f"_ov_{c}"].eqNullSafe(j[f"_nv_{c}"])
+        same_vals = eq if same_vals is None else (same_vals & eq)
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same_vals, F.lit("changed"))
+    )
+    keyed = j.select(
+        *[
+            F.coalesce(j[f"_nk_{k}"], j[f"_ok_{k}"]).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+        *[j[f"_ov_{c}"].alias(f"old_{c}") for c in compare_cols],
+        *[j[f"_nv_{c}"].alias(f"new_{c}") for c in compare_cols],
+    )
+    return keyed.where(F.col("change_type").isNotNull())

@@ -52,6 +52,33 @@ def streaming_candidates(spark: SparkSession, docs_dir: str) -> DataFrame:
     ).dropDuplicates(["url_hash"])
 
 
+def bounded_streaming_dedup(
+    candidates: DataFrame,
+    ts_col: str = "discovered_at",
+    watermark: str = "1 hour",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bounded-state streaming URL dedup:
+    ``dropDuplicatesWithinWatermark`` keyed on url_hash. The plain
+    ``dropDuplicates`` seen-set (streaming_candidates) keeps EVERY key
+    forever — exactly-once per url for the whole run, but state grows
+    with the crawl. This variant evicts keys once the watermark passes
+    their event time, so state is bounded by the discovery rate ×
+    horizon instead of the frontier size — the right trade when the
+    long-term seen set lives in the Bloom/warehouse anti-join
+    (operators/dedup) and streaming only needs to collapse the
+    re-discovery BURSTS every popular URL generates within a window.
+
+    ``candidates`` must carry an event-time column ``ts_col``; a URL
+    re-discovered within the horizon is dropped, re-discovered after
+    eviction it passes again (then the batch seen-set still catches
+    it)."""
+    keys = key_cols or ["url_hash"]
+    return candidates.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def streaming_fetch_rollup(
     spark: SparkSession,
     fetch_log_stream: DataFrame,

@@ -162,3 +162,60 @@ def test_revalidation_plan_and_classify(spark):
     assert out["u1"]["bytes_saved"] == 0 and out["u1"]["bytes_fetched"] == 5
     assert out["u3"]["status_code"] == 200
     assert stored_cc.first()["if_none_match"] == '"cc"'
+
+
+def test_bounded_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark seen-set: duplicates within the
+    horizon collapse; a key re-discovered AFTER the watermark evicted
+    it passes again (the long-term seen set is the batch Bloom/
+    anti-join — streaming only absorbs re-discovery bursts)."""
+    from docrawl_spark.streaming.frontier_stream import bounded_streaming_dedup
+
+    src = str(tmp_path / "cand")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "url_hash long, url string, ts_s string"
+        ).select(
+            "url_hash", "url", F.to_timestamp("ts_s").alias("discovered_at")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: A at 00:00 and a duplicate A at 00:10 (inside the 1h
+    # horizon) + B — the duplicate must collapse
+    write_batch([
+        (1, "https://a.test/x", "2026-01-01 00:00:00"),
+        (1, "https://a.test/x", "2026-01-01 00:10:00"),
+        (2, "https://b.test/y", "2026-01-01 00:05:00"),
+    ])
+    stream = spark.readStream.schema(
+        "url_hash long, url string, discovered_at timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = bounded_streaming_dedup(stream, ts_col="discovered_at", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bounded_dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance the watermark far past A's horizon
+        write_batch([(3, "https://c.test/z", "2026-01-01 05:00:00")])
+        q.processAllAvailable()
+        # batch 3: A re-discovered AFTER eviction -> passes again
+        write_batch([(1, "https://a.test/x", "2026-01-01 04:30:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        (r["url_hash"], str(r["discovered_at"]))
+        for r in spark.sql(
+            "SELECT url_hash, discovered_at FROM bounded_dedup_test ORDER BY discovered_at"
+        ).collect()
+    ]
+    hashes = [h for h, _ in got]
+    # within-horizon duplicate collapsed: exactly one A emission from
+    # batch 1; post-eviction re-discovery re-emitted
+    assert hashes.count(1) == 2
+    assert hashes.count(2) == 1 and hashes.count(3) == 1

@@ -1,0 +1,134 @@
+"""Sketches (HLL, count-min) + BM25 search: estimator quality,
+mergeability, bound guarantees, and the scale-shaped plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docrawl_spark.datapipe.search import bm25_topk
+from docrawl_spark.functions.sketches import (
+    cms_counters,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    """p=6 HLL has ~13% theoretical stderr; require |est-n|/n < 0.3 at
+    three decades — and exact determinism (same input → same sketch)."""
+    for n in (100, 1000, 10000):
+        reg = hll_registers(_keys(spark, n), "key", p=6)
+        est = hll_estimate(reg, p=6).first()["estimate_units"]
+        assert abs(est - n) / n < 0.30, f"n={n} est={est}"
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Union sketch == bucket-wise MAX of part sketches — the property
+    that makes the summary mergeable across waves/executors."""
+    a, b = _keys(spark, 400, "a"), _keys(spark, 400, "b")
+    whole = hll_registers(a.union(b), "key", p=6)
+    parts = (
+        hll_registers(a, "key", p=6)
+        .union(hll_registers(b, "key", p=6))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    got = {r["bucket"]: r["max_rho"] for r in whole.collect()}
+    merged = {r["bucket"]: r["max_rho"] for r in parts.collect()}
+    assert got == merged
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """Cardinality, not count: replicating every key 5x leaves the
+    register table identical."""
+    base = _keys(spark, 500)
+    dup = base.crossJoin(spark.range(5).select(F.lit(1).alias("_x"))).select("key")
+    assert (
+        hll_registers(base, "key", p=6).exceptAll(
+            hll_registers(dup, "key", p=6)
+        ).count()
+        == 0
+    )
+
+
+def test_cms_upper_bound_and_hot_key(spark):
+    """CMS never under-counts, and the planted heavy hitter's estimate
+    is exact-ish (width 1024 >> 30 keys → no collisions)."""
+    hot = spark.range(900).select(F.lit("hot.test").alias("host"))
+    cold = (
+        spark.range(300)
+        .select(F.concat(F.lit("c"), (F.col("id") % 29).cast("string"),
+                         F.lit(".test")).alias("host"))
+    )
+    df = hot.union(cold)
+    counters = cms_counters(df, "host", depth=4, width=1024)
+    cand = df.select("host").distinct()
+    est = {
+        r["host"]: r["cm_estimate"]
+        for r in cms_estimate(counters, cand, "host").collect()
+    }
+    truth = {r["host"]: r["cnt"] for r in
+             df.groupBy("host").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for h, t in truth.items():
+        assert est[h] >= t, f"{h}: CMS {est[h]} < true {t}"
+    assert est["hot.test"] == 900
+    assert max(est.values()) == est["hot.test"]
+
+
+def test_cms_counters_sketch_sized(spark):
+    """The counter table is bounded by d·w regardless of input size —
+    the property that makes it shippable between waves."""
+    df = _keys(spark, 20000)
+    assert cms_counters(df, "key", depth=4, width=64).count() <= 4 * 64
+
+
+def test_sketch_plans_are_hashaggregates(spark):
+    """Both sketches build via HashAggregate (map-side combinable) —
+    no windows, no cartesian."""
+    for plan_df in (
+        hll_registers(_keys(spark, 100), "key", p=6),
+        cms_counters(_keys(spark, 100), "key"),
+    ):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_ranks_term_density(spark):
+    """A doc stuffed with query terms outranks a diluted one; docs
+    with zero hits never appear; k1 saturation keeps tf growth
+    sublinear."""
+    rows = [
+        (0, "spark spark spark hash"),                   # dense hits
+        (1, "spark hash " + "filler " * 40),             # diluted
+        (2, "table row scan value"),                     # no hits
+        (3, "spark " * 30),                              # tf saturation
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, ["spark", "hash"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids
+    score = {r["doc_id"]: r["score_units"] for r in out}
+    assert score[0] > score[1]
+    # 30 repeats of one term must NOT beat two distinct terms at
+    # reasonable density (BM25 tf saturation + idf sum)
+    assert score[0] > score[3]
+
+
+def test_bm25_deterministic_and_integer(spark):
+    docs = spark.createDataFrame(
+        [(i, f"spark hash value w{i % 7} merge") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = bm25_topk(docs, ["spark", "merge"], k=5).collect()
+    b = bm25_topk(docs, ["spark", "merge"], k=5).collect()
+    assert a == b
+    assert all(isinstance(r["score_units"], int) for r in a)

@@ -130,3 +130,51 @@ def test_merge_upsert_rejects_bad_source(spark, tmp_path):
         wh.merge_upsert(
             "t", spark.createDataFrame([(None, "x")], "k long, v string"), ["k"]
         )
+
+
+def test_snapshot_diff_over_time_travel(spark, tmp_path):
+    """CDC between two committed snapshots via read(as_of=...): the
+    diff classifies exactly the rows the second commit touched."""
+    from docrawl_spark.sources.storage import Warehouse, snapshot_diff
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    s1 = wh.overwrite(
+        "pages",
+        spark.createDataFrame(
+            [("u1", "sigA"), ("u2", "sigB"), ("u3", "sigC")],
+            "url string, content_sig string",
+        ),
+    )
+    wh.overwrite(
+        "pages",
+        spark.createDataFrame(
+            # u2 changed, u3 gone, u4 new
+            [("u1", "sigA"), ("u2", "sigB2"), ("u4", "sigD")],
+            "url string, content_sig string",
+        ),
+    )
+    old = wh.read("pages", as_of=s1)
+    new = wh.read("pages")
+    got = {
+        r["url"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["url"], ["content_sig"]).collect()
+    }
+    assert got == {"u2": "changed", "u3": "removed", "u4": "added"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    """NULL compare values: NULL==NULL is unchanged (dropped);
+    NULL -> value and value -> NULL are 'changed'."""
+    from docrawl_spark.sources.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "x")], "url string, sig string"
+    )
+    new = spark.createDataFrame(
+        [("a", None), ("b", "y"), ("c", None)], "url string, sig string"
+    )
+    got = {
+        r["url"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["url"], ["sig"]).collect()
+    }
+    assert got == {"b": "changed", "c": "changed"}
