@@ -165,3 +165,90 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
     )
+
+
+def log2_histogram(
+    df: DataFrame, value_col: str, sub_buckets: int = 8
+) -> DataFrame:
+    """Log-spaced histogram: the mergeable percentile summary.
+
+    Exact percentiles at 100 TB cost a full sort (or percentile_approx,
+    whose t-digest merge is neither deterministic nor cross-engine
+    reproducible). This keeps one counter per (log2 bucket ×
+    sub-bucket) — ≤ 64·sub_buckets rows total, map-side combinable,
+    mergeable across waves by adding counters, with bounded relative
+    error 1/sub_buckets. Bucketing is pure integer: msb = bit length
+    via bin() (identical in DuckDB), sub-position = the next
+    log2(sub_buckets) bits below the MSB.
+
+    bucket_floor/bucket_ceil bound every value in the bucket, so any
+    percentile read off the cumulative histogram is a certified
+    interval, not a point guess.
+    """
+    v = F.col(value_col).cast("long")
+    msb = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    # sub-position: the sub_buckets bits right below the msb; values
+    # with msb <= log2(sub_buckets) get sub=0 (bucket is already exact)
+    sub = F.expr(
+        f"CASE WHEN {value_col} <= 0 OR length(bin(CAST({value_col} AS BIGINT))) <= {sub_buckets.bit_length() - 1} THEN 0 "
+        f"ELSE CAST(CAST({value_col} AS BIGINT) div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(CAST({value_col} AS BIGINT))) - {sub_buckets.bit_length()} AS INT)) AS INT) - {sub_buckets} END"
+    )
+    return (
+        df.select(msb.alias("msb"), sub.alias("sub"))
+        .groupBy("msb", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bucket_floor",
+            F.expr(
+                f"CASE WHEN msb = 0 THEN 0 "
+                f"WHEN msb <= {sub_buckets.bit_length() - 1} THEN shiftleft(CAST(1 AS BIGINT), msb - 1) "
+                f"ELSE (CAST({sub_buckets} AS BIGINT) + sub) * shiftleft(CAST(1 AS BIGINT), CAST(msb - {sub_buckets.bit_length()} AS INT)) END"
+            ),
+        )
+        .withColumn(
+            "bucket_ceil",
+            F.expr(
+                f"CASE WHEN msb = 0 THEN 0 "
+                f"WHEN msb <= {sub_buckets.bit_length() - 1} THEN shiftleft(CAST(1 AS BIGINT), msb) - 1 "
+                f"ELSE (CAST({sub_buckets} AS BIGINT) + sub + 1) * shiftleft(CAST(1 AS BIGINT), CAST(msb - {sub_buckets.bit_length()} AS INT)) - 1 END"
+            ),
+        )
+    )
+
+
+def histogram_percentile_bounds(
+    hist: DataFrame, percentiles: list[int]
+) -> DataFrame:
+    """Read percentile INTERVALS off a cumulative log2 histogram:
+    for each requested percentile p (0-100), the (floor, ceil) of the
+    first bucket whose cumulative count reaches ceil(p% of total) —
+    nearest-rank semantics in pure integer arithmetic.
+
+    The histogram is sketch-sized, so the window here runs over ≤
+    64·sub_buckets rows — driver-scale, not data-scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket_floor").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(hist.agg(F.sum("cnt").alias("total")))
+    )
+    out = None
+    for p in percentiles:
+        # nearest-rank: k = ceil(p * total / 100) in integers
+        row = (
+            cum.where(
+                F.col("cum") >= F.expr(f"CAST(({p} * total + 99) div 100 AS BIGINT)")
+            )
+            .orderBy("bucket_floor")
+            .limit(1)
+            .select(
+                F.lit(p).alias("percentile"),
+                F.col("bucket_floor").alias("lo"),
+                F.col("bucket_ceil").alias("hi"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

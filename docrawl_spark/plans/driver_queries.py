@@ -1916,6 +1916,70 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["url"], ["content_sig"])
 
 
+def _latency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic fetch-latency column over documents."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 4000 + 50).cast("long").alias("latency_ms"),
+    )
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2×sub-bucket latency histogram
+    (functions/sketches.log2_histogram): ≤ 64·8 counter rows replacing
+    a full-sort percentile at scale; counters add across waves. Pure
+    integer bucketing (bit-length msb + next-3-bits sub-position)."""
+    from docrawl_spark.functions.sketches import log2_histogram
+
+    return log2_histogram(_latency_docs(spark, sf_dir), "latency_ms")
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified percentile intervals (p50/p95/p99) read off the
+    cumulative log2 histogram — nearest-rank in integer arithmetic,
+    the sketch-route answer to exact-quantile shuffles."""
+    from docrawl_spark.functions.sketches import (
+        histogram_percentile_bounds,
+        log2_histogram,
+    )
+
+    hist = log2_histogram(_latency_docs(spark, sf_dir), "latency_ms")
+    return histogram_percentile_bounds(hist, [50, 95, 99])
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view upkeep: per-host (n_docs, sum_n_chars) rollup
+    maintained INCREMENTALLY from a snapshot_diff CDC delta
+    (operators/rollup) — old rollup ⊕ delta-sized adjustments, never a
+    rescan of the new state. The oracle computes the direct GROUP BY
+    over the new state, so the hash-match certifies incremental ≡
+    full recompute AND cross-engine."""
+    from docrawl_spark.operators.rollup import (
+        apply_rollup_delta,
+        rollup_adjustments,
+        rollup_from_state,
+    )
+    from docrawl_spark.sources.storage import snapshot_diff
+
+    base = _doc_urls(spark, sf_dir).select("doc_id", "url", "host", "n_chars")
+    old = base.where(F.col("doc_id") % 11 != 3).select(
+        "host", "url", "n_chars"
+    )
+    new = base.where(F.col("doc_id") % 11 != 7).select(
+        "host",
+        "url",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 37)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    old_stats = rollup_from_state(old, ["host"], ["n_chars"], count_col="n_docs")
+    delta = snapshot_diff(old, new, ["host", "url"], ["n_chars"])
+    adj = rollup_adjustments(delta, ["host"], ["n_chars"])
+    return apply_rollup_delta(
+        old_stats, adj, ["host"], ["n_chars"], count_col="n_docs"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2004,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
+        "latency_histogram": q_latency_histogram,
+        "latency_percentiles": q_latency_percentiles,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 
@@ -3408,5 +3475,88 @@ def oracle_sql() -> dict[str, str]:
                      n.content_sig AS new_content_sig
               FROM snap_old o FULL OUTER JOIN snap_new n ON o.url = n.url)
             WHERE change_type IS NOT NULL
+        """,
+        # Log2×8-sub-bucket histogram — integer bucketing via bin()
+        # bit-length (msb) + the next 3 bits (sub); floors/ceils bound
+        # every member of the bucket.
+        "latency_histogram": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST((doc_id * 37) % 4000 + 50 AS BIGINT) AS lat
+              FROM documents),
+            b AS (
+              SELECT CASE WHEN lat <= 0 THEN 0
+                          ELSE length(bin(lat)) END AS msb,
+                     CASE WHEN lat <= 0 OR length(bin(lat)) <= 3 THEN 0
+                          ELSE CAST(lat // (1::BIGINT
+                                   << CAST(length(bin(lat)) - 4 AS INTEGER))
+                               AS INTEGER) - 8 END AS sub
+              FROM u)
+            SELECT msb, sub, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CASE WHEN msb = 0 THEN 0
+                        WHEN msb <= 3 THEN (1::BIGINT << CAST(msb - 1 AS INTEGER))
+                        ELSE (8::BIGINT + sub)
+                             * (1::BIGINT << CAST(msb - 4 AS INTEGER)) END
+                     AS bucket_floor,
+                   CASE WHEN msb = 0 THEN 0
+                        WHEN msb <= 3 THEN (1::BIGINT << CAST(msb AS INTEGER)) - 1
+                        ELSE (8::BIGINT + sub + 1)
+                             * (1::BIGINT << CAST(msb - 4 AS INTEGER)) - 1 END
+                     AS bucket_ceil
+            FROM b GROUP BY msb, sub
+        """,
+        # Nearest-rank percentile intervals off the cumulative histogram.
+        "latency_percentiles": """
+            WITH u AS (
+              SELECT doc_id,
+                     CAST((doc_id * 37) % 4000 + 50 AS BIGINT) AS lat
+              FROM documents),
+            b AS (
+              SELECT CASE WHEN lat <= 0 THEN 0
+                          ELSE length(bin(lat)) END AS msb,
+                     CASE WHEN lat <= 0 OR length(bin(lat)) <= 3 THEN 0
+                          ELSE CAST(lat // (1::BIGINT
+                                   << CAST(length(bin(lat)) - 4 AS INTEGER))
+                               AS INTEGER) - 8 END AS sub
+              FROM u),
+            hist AS (
+              SELECT msb, sub, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CASE WHEN msb = 0 THEN 0
+                          WHEN msb <= 3 THEN (1::BIGINT << CAST(msb - 1 AS INTEGER))
+                          ELSE (8::BIGINT + sub)
+                               * (1::BIGINT << CAST(msb - 4 AS INTEGER)) END
+                       AS bucket_floor,
+                     CASE WHEN msb = 0 THEN 0
+                          WHEN msb <= 3 THEN (1::BIGINT << CAST(msb AS INTEGER)) - 1
+                          ELSE (8::BIGINT + sub + 1)
+                               * (1::BIGINT << CAST(msb - 4 AS INTEGER)) - 1 END
+                       AS bucket_ceil
+              FROM b GROUP BY msb, sub),
+            cum AS (
+              SELECT bucket_floor, bucket_ceil,
+                     CAST(SUM(cnt) OVER (ORDER BY bucket_floor) AS BIGINT) AS cum,
+                     CAST(SUM(cnt) OVER () AS BIGINT) AS total
+              FROM hist),
+            perc AS (SELECT unnest([50, 95, 99]) AS p),
+            sel AS (
+              SELECT p.p AS percentile, MIN(c.bucket_floor) AS lo_floor
+              FROM perc p JOIN cum c
+                ON c.cum >= (p.p * c.total + 99) // 100
+              GROUP BY p.p)
+            SELECT s.percentile, c.bucket_floor AS lo, c.bucket_ceil AS hi
+            FROM sel s JOIN cum c ON c.bucket_floor = s.lo_floor
+        """,
+        # Incremental ≡ direct: the oracle is the DIRECT rollup over the
+        # new state; the Spark side arrives via old rollup ⊕ CDC delta.
+        "incremental_rollup": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            nstate AS (
+              SELECT host,
+                     CASE WHEN doc_id % 5 = 0 THEN n_chars + 37
+                          ELSE n_chars END AS n_chars
+              FROM u WHERE doc_id % 11 <> 7)
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+            FROM nstate GROUP BY host
         """,
     }

@@ -132,3 +132,84 @@ def test_bm25_deterministic_and_integer(spark):
     b = bm25_topk(docs, ["spark", "merge"], k=5).collect()
     assert a == b
     assert all(isinstance(r["score_units"], int) for r in a)
+
+
+def test_log2_histogram_bounds_and_merge(spark):
+    """Every value lies inside its bucket's [floor, ceil]; relative
+    width <= 1/8 above the sub-bucket threshold; counters merge by
+    addition (union hist == summed part hists)."""
+    from docrawl_spark.functions.sketches import log2_histogram
+
+    vals = spark.range(1, 5000).select((F.col("id") * 7 % 4096 + 1).alias("v"))
+    hist = log2_histogram(vals, "v")
+    rows = hist.collect()
+    # reconstruct membership: every value must fall in exactly one bucket
+    for r in rows:
+        assert r["bucket_floor"] <= r["bucket_ceil"]
+        if r["msb"] > 3:
+            width = r["bucket_ceil"] - r["bucket_floor"] + 1
+            assert width * 8 <= 2 ** r["msb"]
+    total = sum(r["cnt"] for r in rows)
+    assert total == 4999
+    # merge = counter addition
+    a = vals.where(F.col("v") % 2 == 0)
+    b = vals.where(F.col("v") % 2 == 1)
+    merged = (
+        log2_histogram(a, "v")
+        .unionByName(log2_histogram(b, "v"))
+        .groupBy("msb", "sub", "bucket_floor", "bucket_ceil")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["msb"], r["sub"]): r["cnt"] for r in rows}
+    got = {(r["msb"], r["sub"]): r["cnt"] for r in merged.collect()}
+    assert whole == got
+
+
+def test_histogram_percentiles_certified(spark):
+    """The percentile interval CONTAINS the exact nearest-rank value."""
+    from docrawl_spark.functions.sketches import (
+        histogram_percentile_bounds,
+        log2_histogram,
+    )
+
+    vals = spark.range(1, 2001).select((F.col("id") * 13 % 9973 + 1).alias("v"))
+    hist = log2_histogram(vals, "v")
+    bounds = {
+        r["percentile"]: (r["lo"], r["hi"])
+        for r in histogram_percentile_bounds(hist, [50, 95, 99]).collect()
+    }
+    exact = sorted(r["v"] for r in vals.collect())
+    n = len(exact)
+    for p, (lo, hi) in bounds.items():
+        true = exact[-(-p * n // 100) - 1]  # nearest-rank
+        assert lo <= true <= hi, f"p{p}: {true} not in [{lo},{hi}]"
+
+
+def test_incremental_rollup_equals_recompute(spark):
+    """old rollup ⊕ CDC adjustments == direct rollup of the new state —
+    including group birth (all-added host) and group death (all-removed
+    host)."""
+    from docrawl_spark.operators.rollup import (
+        apply_rollup_delta,
+        rollup_adjustments,
+        rollup_from_state,
+    )
+    from docrawl_spark.sources.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("h1", "u1", 10), ("h1", "u2", 20), ("h2", "u3", 30)],
+        "host string, url string, n_chars long",
+    )
+    new = spark.createDataFrame(
+        # h1/u2 changed, h2 fully removed, h3 born
+        [("h1", "u1", 10), ("h1", "u2", 25), ("h3", "u4", 40)],
+        "host string, url string, n_chars long",
+    )
+    old_stats = rollup_from_state(old, ["host"], ["n_chars"], count_col="n_docs")
+    delta = snapshot_diff(old, new, ["host", "url"], ["n_chars"])
+    adj = rollup_adjustments(delta, ["host"], ["n_chars"])
+    inc = apply_rollup_delta(old_stats, adj, ["host"], ["n_chars"], "n_docs")
+    direct = rollup_from_state(new, ["host"], ["n_chars"], count_col="n_docs")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, direct.collect()))
+    got = {r["host"]: (r["n_docs"], r["sum_n_chars"]) for r in inc.collect()}
+    assert got == {"h1": (2, 35), "h3": (1, 40)}
