@@ -389,7 +389,22 @@ def main() -> None:
     t_scale0 = time.perf_counter()
     stop_reason = "max_rounds"
     for rnd in range(MAX_SCALE_ROUNDS):
-        n_calm = sum(1 for p in pairs if p["calm"])
+        # count calm pairs for the stop rule, excluding mid-leg-collapse
+        # outliers (wall > 2.5x the running session-min at that cpu
+        # count) — the bracketing probes can't see those
+        cur_min = {
+            c: min(trials[c]) if trials[c] else None for c in (8, 32)
+        }
+        n_calm = sum(
+            1
+            for p in pairs
+            if p.get("calm")
+            and not p.get("failed")
+            and cur_min[8] is not None
+            and cur_min[32] is not None
+            and p["sec_8"] <= 2.5 * cur_min[8]
+            and p["sec_32"] <= 2.5 * cur_min[32]
+        )
         elapsed_scale = time.perf_counter() - t_scale0
         if n_calm >= TARGET_CALM_PAIRS and rnd >= 2:
             stop_reason = "calm_pairs_reached"
@@ -471,8 +486,21 @@ def main() -> None:
     best = {c: min(v) for c, v in trials.items()}
     med = {c: _median(v) for c, v in trials.items()}
     ok_pairs = [p for p in pairs if not p.get("failed")]
-    calm_pairs = [p for p in pairs if p["calm"]]
-    eff_pairs = calm_pairs or ok_pairs  # disclosed via n_calm_pairs
+    # wall-outlier disclosure: the bracketing bandwidth probes cannot
+    # see a collapse that starts and ends INSIDE a leg (r03pre lesson:
+    # a 1111 s 8-leg sat between two calm probes while same-session
+    # calm legs ran 74-83 s). A leg whose wall exceeds 2.5x the
+    # session-min at its own cpu count is marked and its pair excluded
+    # from the paired-efficiency aggregates — but stays in
+    # scaling_pairs_raw with the flag, so nothing is hidden.
+    for p in ok_pairs:
+        p["wall_outlier"] = (
+            p["sec_8"] > 2.5 * best[8] or p["sec_32"] > 2.5 * best[32]
+        )
+    calm_pairs = [p for p in pairs if p["calm"] and not p.get("wall_outlier")]
+    eff_pairs = calm_pairs or [
+        p for p in ok_pairs if not p.get("wall_outlier")
+    ] or ok_pairs  # disclosed via n_calm_pairs / n_wall_outlier_pairs
     paired_effs = [p["eff"] for p in eff_pairs]
     # THE gate number: job speedup normalized by the bandwidth speedup
     # the box delivered in the same weather window, calm pairs only
@@ -589,6 +617,9 @@ def main() -> None:
             # membw-normalized eff, calm flag
             "scaling_pairs_raw": pairs,
             "n_calm_pairs": len(calm_pairs),
+            "n_wall_outlier_pairs": sum(
+                1 for p in ok_pairs if p.get("wall_outlier")
+            ),
             "scale_stop_reason": stop_reason,
             "scaling_efficiency_paired": paired_effs,
             "scaling_efficiency_paired_best": max(paired_effs) if paired_effs else None,
