@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -582,7 +583,8 @@ def main() -> None:
         queries[name] = min(ok) if ok else None
 
     total = round(sum(v for v in queries.values() if v is not None), 3)
-    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else None)
+    m_sf = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m_sf.group(1)) if m_sf else None
     calm_ups_32 = (
         round(N_URLS / calm_best[32], 1) if calm_best[32] else ups[32]
     )

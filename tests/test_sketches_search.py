@@ -213,3 +213,52 @@ def test_incremental_rollup_equals_recompute(spark):
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, direct.collect()))
     got = {r["host"]: (r["n_docs"], r["sum_n_chars"]) for r in inc.collect()}
     assert got == {"h1": (2, 35), "h3": (1, 40)}
+
+
+def test_bm25_plan_filters_before_shuffle_and_broadcasts_idf(spark):
+    """Scale shape: the vocabulary filter sits below the tf aggregate's
+    exchange (the shuffle sees only query-term hits, not the corpus
+    token stream), the idf dim arrives by broadcast, and there is no
+    real cartesian (the single-row stats crossJoin broadcasts)."""
+    docs = spark.createDataFrame(
+        [(i, f"spark hash w{i % 5}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_topk(docs, ["spark", "hash"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_estimate_broadcasts_counters(spark):
+    """The sketch side of the point-query join must broadcast — the
+    candidates side can be arbitrarily large."""
+    from docrawl_spark.functions.sketches import cms_counters, cms_estimate
+
+    df = _keys(spark, 5000)
+    est = cms_estimate(cms_counters(df, "key"), df.distinct(), "key")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_key_join(spark):
+    """CDC diff is ONE full-outer join on the key — no window, no
+    cartesian, nothing driver-side."""
+    from docrawl_spark.sources.storage import snapshot_diff
+
+    old = spark.range(1000).selectExpr(
+        "CAST(id AS STRING) AS url", "md5(CAST(id AS STRING)) AS sig"
+    )
+    new = spark.range(500, 1500).selectExpr(
+        "CAST(id AS STRING) AS url", "md5(CAST(id + 7 AS STRING)) AS sig"
+    )
+    out = snapshot_diff(old, new, ["url"], ["sig"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1
+    assert "Window" not in plan and "CartesianProduct" not in plan
