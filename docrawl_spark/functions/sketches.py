@@ -53,8 +53,8 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
     One HashAggregate over the keys; MAX partials combine map-side, so
     the shuffle carries at most m rows per map task regardless of
     input size. Missing buckets (no key hashed there) are absent from
-    the output — the estimator treats them as rho = 0 via the m-row
-    spine it joins against.
+    the output — the estimators account for them arithmetically
+    (zeros = m − n_present; each contributes 2^K to the harmonic sum).
     """
     m = 1 << p
     h = _hash60(F.col(key_col).cast("string"))
@@ -78,47 +78,109 @@ def _hash60_sql(key_col: str) -> str:
     return f"conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
 
 
+def _lc_table(p: int) -> list[int]:
+    """Exact linear-counting values round(m·ln(m/z)) for z = 1..m —
+    a Python-precomputed lookup both engines index identically
+    (1-based element_at / list subscript), replacing any float ln."""
+    import math
+
+    m = 1 << p
+    return [round(m * math.log(m / z)) for z in range(1, m + 1)]
+
+
+def _hll_estimate_expr(p: int) -> "Column":
+    """The estimate expression over (s, zeros) aggregate columns —
+    shared by the global and grouped estimators. s is the harmonic
+    sum Σ 2^(K-rho) INCLUDING absent registers at rho=0 (callers add
+    (m - n_present)·2^K); zeros counts empty registers."""
+    m = 1 << p
+    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+    K = 40
+    raw = F.expr(
+        f"CAST({alpha_ppm} AS BIGINT) * "
+        f"((CAST({m * m} AS BIGINT) * shiftleft(CAST(1 AS BIGINT), {K})) div s)"
+        f" div 1000000"
+    )
+    lc_vals = ", ".join(str(v) for v in _lc_table(p))
+    # exact small-range linear counting via the precomputed table
+    # (guarded: element_at only evaluates when zeros > 0 — ANSI-safe)
+    lc = F.expr(f"element_at(array({lc_vals}), CAST(zeros AS INT))")
+    return (
+        F.when((F.col("zeros") > 0) & (raw <= F.lit(5 * m // 2)), lc)
+        .otherwise(raw)
+        .cast("long")
+    )
+
+
 def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     """Fixed-point HLL estimate from a register table.
 
     alpha_m = 0.7213 / (1 + 1.079/m) as ppm; S = sum of 1 << (K-rho)
-    clamped at 0 (rho > K contributes 1 — identically in both
-    engines); estimate_units = alpha_ppm * ((m*m << K) div S) div 1e6.
-    The small-range linear-counting correction (empty registers) is
-    applied the same integer way. All BIGINT — both engines agree
+    over present registers plus 2^K per absent one; estimate_units =
+    alpha_ppm * ((m*m << K) div S) div 1e6, with the small-range
+    linear-counting branch taken from the exact precomputed
+    round(m·ln(m/zeros)) table. All integer — both engines agree
     bit-for-bit, so the estimate itself is oracle-hashable.
     """
     m = 1 << p
-    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
     K = 40
-    spark = registers.sparkSession
-    spine = spark.range(m).select(F.col("id").cast("long").alias("bucket"))
-    reg = spine.join(F.broadcast(registers), "bucket", "left").select(
-        "bucket", F.coalesce(F.col("max_rho"), F.lit(0)).alias("max_rho")
-    )
-    agg = reg.agg(
-        F.sum(
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"CAST(greatest({K} - max_rho, 0) AS INT))"
-            )
+    agg = registers.agg(
+        F.expr(
+            f"CAST(coalesce(sum(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(greatest({K} - max_rho, 0) AS INT))), 0) AS BIGINT)"
+            f" + (CAST({m} AS BIGINT) - count(1))"
+            f" * shiftleft(CAST(1 AS BIGINT), {K})"
         ).alias("s"),
-        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("zeros"),
+        F.expr(f"CAST({m} AS BIGINT) - count(1)").alias("zeros"),
     )
-    raw = F.expr(f"CAST({alpha_ppm} AS BIGINT) * "
-                 f"((CAST({m * m} AS BIGINT) * shiftleft(CAST(1 AS BIGINT), {K})) div s) div 1000000")
-    # linear counting when the raw estimate is small and registers
-    # remain empty: m * ln(m/zeros) — integer form via the bit-length
-    # log2 and the ln2 ppm constant (693147), floor semantics shared
-    # by both engines.
-    lc = F.expr(
-        f"CAST({m} AS BIGINT) * CAST((length(bin(CAST({m} AS BIGINT) div zeros))"
-        f" - 1) AS BIGINT) * 693147 div 1000000"
+    return agg.select(_hll_estimate_expr(p).alias("estimate_units"))
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group HLL register tables in ONE HashAggregate: (group…,
+    bucket, max_rho). The grouped mergeable form — a crawl scheduler
+    gets every host's distinct-URL cardinality in a single pass, ≤ m
+    rows per group, combinable across waves by (group, bucket) MAX."""
+    m = 1 << p
+    h = _hash60(F.col(key_col).cast("string"))
+    rest = F.expr(f"CAST({_hash60_sql(key_col)} AS BIGINT) div {m}")
+    width = _HASH_BITS - p
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rest)) + F.lit(1)
     )
-    est = F.when(
-        (F.col("zeros") > 0) & (raw <= F.lit(5 * m // 2)), lc
-    ).otherwise(raw)
-    return agg.select(est.cast("long").alias("estimate_units"))
+    return (
+        df.select(
+            *group_cols,
+            (h % F.lit(m)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group estimates from a grouped register table — absent
+    registers are accounted arithmetically ((m − n_present)·2^K and
+    zeros = m − n_present), so no spine join is needed."""
+    m = 1 << p
+    K = 40
+    agg = registers.groupBy(*group_cols).agg(
+        F.expr(
+            f"CAST(coalesce(sum(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(greatest({K} - max_rho, 0) AS INT))), 0) AS BIGINT)"
+            f" + (CAST({m} AS BIGINT) - count(1))"
+            f" * shiftleft(CAST(1 AS BIGINT), {K})"
+        ).alias("s"),
+        F.expr(f"CAST({m} AS BIGINT) - count(1)").alias("zeros"),
+    )
+    return agg.select(
+        *group_cols, _hll_estimate_expr(p).alias("estimate_units")
+    )
 
 
 def cms_counters(

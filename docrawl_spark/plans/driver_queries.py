@@ -1844,6 +1844,32 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(urls, "url", p=6).orderBy("bucket")
 
 
+# the exact linear-counting lookup round(64*ln(64/z)), z=1..64 —
+# generated by sketches._lc_table(6); inlined into the DuckDB oracles
+_HLL_LC_TABLE = (
+    "266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, "
+    "97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, "
+    "48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, "
+    "21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0"
+)
+
+
+def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-path cardinality via GROUPED HLL
+    (functions/sketches.hll_registers_grouped + hll_estimate_grouped):
+    every host's estimate in one register HashAggregate pass — the
+    scheduler's per-host frontier-size signal without a distinct per
+    host. Small hosts take the exact linear-counting table branch."""
+    from docrawl_spark.functions.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    urls = _doc_urls(spark, sf_dir).select("host", "path")
+    reg = hll_registers_grouped(urls, ["host"], "path", p=6)
+    return hll_estimate_grouped(reg, ["host"], p=6)
+
+
 def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed-point HLL cardinality estimate from the register
     table — alpha-corrected harmonic mean with the small-range
@@ -2065,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": q_frontier_priority,
         "hll_registers": q_hll_registers,
         "hll_estimate": q_hll_estimate,
+        "hll_host_cardinality": q_hll_host_cardinality,
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
@@ -3345,6 +3372,10 @@ def oracle_sql() -> dict[str, str]:
                      AS max_rho
             FROM h GROUP BY bucket
         """,
+        # Estimator shared with hll_host_cardinality: absent registers
+        # contribute 2^40 to the harmonic sum and count as zeros; the
+        # linear-counting branch indexes the exact precomputed
+        # round(64*ln(64/z)) table (identical literal in sketches.py).
         "hll_estimate": f"""
             WITH u AS ({_DOC_URLS_SQL}),
             h AS (
@@ -3356,16 +3387,13 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 54 - length(bin(h // 64)) + 1 END)
                        AS max_rho
               FROM h GROUP BY bucket),
-            spine AS (SELECT range AS bucket FROM range(64)),
-            fullr AS (
-              SELECT s.bucket, COALESCE(r.max_rho, 0) AS max_rho
-              FROM spine s LEFT JOIN reg r USING (bucket)),
             agg AS (
-              SELECT CAST(SUM(1::BIGINT << CAST(greatest(40 - max_rho, 0)
-                                                AS INTEGER)) AS BIGINT) AS s,
-                     CAST(SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)
-                          AS BIGINT) AS zeros
-              FROM fullr),
+              SELECT CAST(COALESCE(SUM(1::BIGINT
+                              << CAST(greatest(40 - max_rho, 0) AS INTEGER)),
+                            0) AS BIGINT)
+                       + (64::BIGINT - COUNT(*)) * (1::BIGINT << 40) AS s,
+                     CAST(64 - COUNT(*) AS BIGINT) AS zeros
+              FROM reg),
             rawe AS (
               SELECT zeros,
                      709340::BIGINT
@@ -3373,9 +3401,41 @@ def oracle_sql() -> dict[str, str]:
                        // 1000000 AS raw
               FROM agg)
             SELECT CAST(CASE WHEN zeros > 0 AND raw <= 160
-                             THEN 64::BIGINT
-                                  * CAST(length(bin(64::BIGINT // zeros)) - 1
-                                         AS BIGINT) * 693147 // 1000000
+                             THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
+                             ELSE raw END AS BIGINT) AS estimate_units
+            FROM rawe
+        """,
+        # Grouped HLL: one register HashAggregate keyed (host, bucket),
+        # per-host estimate from the same shared arithmetic.
+        "hll_host_cardinality": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            h AS (
+              SELECT host,
+                     ('0x' || substr(md5(path), 1, 15))::BIGINT AS h
+              FROM u),
+            reg AS (
+              SELECT host, h % 64 AS bucket,
+                     MAX(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                       AS max_rho
+              FROM h GROUP BY host, bucket),
+            agg AS (
+              SELECT host,
+                     CAST(COALESCE(SUM(1::BIGINT
+                              << CAST(greatest(40 - max_rho, 0) AS INTEGER)),
+                            0) AS BIGINT)
+                       + (64::BIGINT - COUNT(*)) * (1::BIGINT << 40) AS s,
+                     CAST(64 - COUNT(*) AS BIGINT) AS zeros
+              FROM reg GROUP BY host),
+            rawe AS (
+              SELECT host, zeros,
+                     709340::BIGINT
+                       * ((4096::BIGINT * (1::BIGINT << 40)) // s)
+                       // 1000000 AS raw
+              FROM agg)
+            SELECT host,
+                   CAST(CASE WHEN zeros > 0 AND raw <= 160
+                             THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
                              ELSE raw END AS BIGINT) AS estimate_units
             FROM rawe
         """,

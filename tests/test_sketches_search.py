@@ -262,3 +262,69 @@ def test_snapshot_diff_single_key_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FullOuter") == 1
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_grouped_tracks_per_group_cardinality(spark):
+    """Grouped HLL: per-group estimates track wildly different group
+    sizes (5 / 500 / 20000) within 30%, from ONE register aggregate."""
+    from docrawl_spark.functions.sketches import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    parts = []
+    for g, n in (("tiny", 5), ("mid", 500), ("big", 20000)):
+        parts.append(
+            spark.range(n).select(
+                F.lit(g).alias("grp"),
+                F.concat(F.lit(g), F.col("id").cast("string")).alias("key"),
+            )
+        )
+    df = parts[0].union(parts[1]).union(parts[2])
+    reg = hll_registers_grouped(df, ["grp"], "key", p=6)
+    est = {
+        r["grp"]: r["estimate_units"]
+        for r in hll_estimate_grouped(reg, ["grp"], p=6).collect()
+    }
+    for g, n in (("tiny", 5), ("mid", 500), ("big", 20000)):
+        assert abs(est[g] - n) / n < 0.30, f"{g}: est {est[g]} vs {n}"
+
+
+def test_hll_grouped_single_aggregate_plan(spark):
+    """The grouped register build is one HashAggregate keyed
+    (grp, bucket) — no window, no join, no per-group pass."""
+    from docrawl_spark.functions.sketches import hll_registers_grouped
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").cast("string").alias("key"),
+    )
+    plan = (
+        hll_registers_grouped(df, ["grp"], "key", p=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_hll_global_estimate_matches_grouped_single_group(spark):
+    """hll_estimate(registers) == hll_estimate_grouped on one group —
+    the shared estimator arithmetic has no spine/grouping drift."""
+    from docrawl_spark.functions.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    keys = _keys(spark, 700)
+    glob = hll_estimate(hll_registers(keys, "key", p=6), p=6).first()[
+        "estimate_units"
+    ]
+    one = keys.select(F.lit("g").alias("grp"), "key")
+    grp = hll_estimate_grouped(
+        hll_registers_grouped(one, ["grp"], "key", p=6), ["grp"], p=6
+    ).first()["estimate_units"]
+    assert glob == grp
