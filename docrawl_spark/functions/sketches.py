@@ -229,6 +229,21 @@ def cms_estimate(
     )
 
 
+def log2_bucket_cols(
+    value_col: str, sub_buckets: int = 8
+) -> tuple[Column, Column]:
+    """The (msb, sub) bucketing expressions — shared by the batch
+    histogram and its streaming twin so the bucket algebra can never
+    drift between the two."""
+    v = F.col(value_col).cast("long")
+    msb = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    sub = F.expr(
+        f"CASE WHEN {value_col} <= 0 OR length(bin(CAST({value_col} AS BIGINT))) <= {sub_buckets.bit_length() - 1} THEN 0 "
+        f"ELSE CAST(CAST({value_col} AS BIGINT) div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(CAST({value_col} AS BIGINT))) - {sub_buckets.bit_length()} AS INT)) AS INT) - {sub_buckets} END"
+    )
+    return msb, sub
+
+
 def log2_histogram(
     df: DataFrame, value_col: str, sub_buckets: int = 8
 ) -> DataFrame:
@@ -247,14 +262,7 @@ def log2_histogram(
     percentile read off the cumulative histogram is a certified
     interval, not a point guess.
     """
-    v = F.col(value_col).cast("long")
-    msb = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v)))
-    # sub-position: the sub_buckets bits right below the msb; values
-    # with msb <= log2(sub_buckets) get sub=0 (bucket is already exact)
-    sub = F.expr(
-        f"CASE WHEN {value_col} <= 0 OR length(bin(CAST({value_col} AS BIGINT))) <= {sub_buckets.bit_length() - 1} THEN 0 "
-        f"ELSE CAST(CAST({value_col} AS BIGINT) div shiftleft(CAST(1 AS BIGINT), CAST(length(bin(CAST({value_col} AS BIGINT))) - {sub_buckets.bit_length()} AS INT)) AS INT) - {sub_buckets} END"
-    )
+    msb, sub = log2_bucket_cols(value_col, sub_buckets)
     return (
         df.select(msb.alias("msb"), sub.alias("sub"))
         .groupBy("msb", "sub")

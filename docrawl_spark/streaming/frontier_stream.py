@@ -103,6 +103,35 @@ def streaming_fetch_rollup(
     )
 
 
+def streaming_latency_histogram(
+    fetch_log_stream: "DataFrame",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    latency_col: str = "latency_ms",
+) -> "DataFrame":
+    """Event-time windowed log2×sub-bucket latency histogram — the
+    streaming twin of functions/sketches.log2_histogram, keyed by
+    (window, msb, sub). State is bounded by windows × ≤64·8 buckets
+    (never by fetch volume), counters merge by addition across
+    micro-batches exactly as the batch sketch merges across waves, and
+    downstream reads percentile intervals off the emitted counters
+    with the same histogram_percentile_bounds arithmetic."""
+    from docrawl_spark.functions.sketches import log2_bucket_cols
+
+    msb, sub = log2_bucket_cols(latency_col)
+    return (
+        fetch_log_stream.withWatermark("fetched_at", watermark)
+        .select(
+            F.col("fetched_at"),
+            msb.alias("msb"),
+            sub.alias("sub"),
+        )
+        .groupBy(F.window("fetched_at", window).alias("w"), "msb", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "msb", "sub", "cnt")
+    )
+
+
 def run_streaming_crawl(
     spark: SparkSession,
     corpus: DataFrame,

@@ -219,3 +219,52 @@ def test_bounded_streaming_dedup(spark, tmp_path):
     # batch 1; post-eviction re-discovery re-emitted
     assert hashes.count(1) == 2
     assert hashes.count(2) == 1 and hashes.count(3) == 1
+
+
+def test_streaming_latency_histogram_matches_batch(spark, tmp_path):
+    """Streaming log2 histogram == batch log2_histogram over the same
+    rows (single window), and counters ADD across micro-batches."""
+    from docrawl_spark.functions.sketches import log2_histogram
+    from docrawl_spark.streaming.frontier_stream import (
+        streaming_latency_histogram,
+    )
+
+    src = str(tmp_path / "fl")
+    rows = [(i, "h%d" % (i % 3), 200, 40 + (i * 13) % 900,
+             "2026-01-01 00:00:%02d" % (i % 50)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, host string, status int, latency_ms long, ts string"
+    ).select("host", "status", "latency_ms",
+             F.to_timestamp("ts").alias("fetched_at"))
+    # two files -> two micro-batches
+    df.where(F.col("latency_ms") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(src)
+    df.where(F.col("latency_ms") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = spark.readStream.schema(
+        "host string, status int, latency_ms long, fetched_at timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_latency_histogram(stream, window="10 minutes")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lat_hist_test")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["msb"], r["sub"]): r["cnt"]
+        for r in spark.sql(
+            "SELECT msb, sub, MAX(cnt) AS cnt FROM lat_hist_test "
+            "GROUP BY msb, sub"
+        ).collect()
+    }
+    want = {
+        (r["msb"], r["sub"]): r["cnt"]
+        for r in log2_histogram(df, "latency_ms").collect()
+    }
+    assert got == want
