@@ -183,6 +183,17 @@ def hll_estimate_grouped(
     )
 
 
+def hll_union(*register_tables: DataFrame) -> DataFrame:
+    """Union of HLL sketches = bucket-wise MAX of their registers —
+    the property that lets two crawls (or two waves, or two clusters)
+    combine their distinct-URL counts without exchanging key sets.
+    Input tables must share the same p."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
 def cms_counters(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:

@@ -1870,6 +1870,24 @@ def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_grouped(reg, ["host"], p=6)
 
 
+def q_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl set union via sketch merge: two overlapping URL
+    subsets (doc_id % 3 != 0 and doc_id % 2 != 0) are sketched
+    independently, merged bucket-wise (functions/sketches.hll_union),
+    and estimated — no key exchange ever happens. The oracle computes
+    the identical register MAX-merge in SQL."""
+    from docrawl_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_union,
+    )
+
+    urls = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    a = hll_registers(urls.where(F.col("doc_id") % 3 != 0), "url", p=6)
+    b = hll_registers(urls.where(F.col("doc_id") % 2 != 0), "url", p=6)
+    return hll_estimate(hll_union(a, b), p=6)
+
+
 def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed-point HLL cardinality estimate from the register
     table — alpha-corrected harmonic mean with the small-range
@@ -2092,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "hll_estimate": q_hll_estimate,
         "hll_host_cardinality": q_hll_host_cardinality,
+        "hll_union_estimate": q_hll_union_estimate,
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
@@ -3394,6 +3413,50 @@ def oracle_sql() -> dict[str, str]:
                        + (64::BIGINT - COUNT(*)) * (1::BIGINT << 40) AS s,
                      CAST(64 - COUNT(*) AS BIGINT) AS zeros
               FROM reg),
+            rawe AS (
+              SELECT zeros,
+                     709340::BIGINT
+                       * ((4096::BIGINT * (1::BIGINT << 40)) // s)
+                       // 1000000 AS raw
+              FROM agg)
+            SELECT CAST(CASE WHEN zeros > 0 AND raw <= 160
+                             THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
+                             ELSE raw END AS BIGINT) AS estimate_units
+            FROM rawe
+        """,
+        # Sketch-merge union: per-subset registers MAX-merged, then the
+        # shared estimator — byte-identical arithmetic to hll_estimate.
+        "hll_union_estimate": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            ha AS (
+              SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+              FROM u WHERE doc_id % 3 <> 0),
+            hb AS (
+              SELECT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+              FROM u WHERE doc_id % 2 <> 0),
+            rega AS (
+              SELECT h % 64 AS bucket,
+                     MAX(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                       AS max_rho
+              FROM ha GROUP BY bucket),
+            regb AS (
+              SELECT h % 64 AS bucket,
+                     MAX(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                       AS max_rho
+              FROM hb GROUP BY bucket),
+            merged AS (
+              SELECT bucket, MAX(max_rho) AS max_rho
+              FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb)
+              GROUP BY bucket),
+            agg AS (
+              SELECT CAST(COALESCE(SUM(1::BIGINT
+                              << CAST(greatest(40 - max_rho, 0) AS INTEGER)),
+                            0) AS BIGINT)
+                       + (64::BIGINT - COUNT(*)) * (1::BIGINT << 40) AS s,
+                     CAST(64 - COUNT(*) AS BIGINT) AS zeros
+              FROM merged),
             rawe AS (
               SELECT zeros,
                      709340::BIGINT

@@ -328,3 +328,24 @@ def test_hll_global_estimate_matches_grouped_single_group(spark):
         hll_registers_grouped(one, ["grp"], "key", p=6), ["grp"], p=6
     ).first()["estimate_units"]
     assert glob == grp
+
+
+def test_hll_union_estimates_set_union(spark):
+    """Merged sketch estimates |A ∪ B| of overlapping sets within
+    tolerance, and hll_union(A, B) == hll_registers(A ∪ B) exactly."""
+    from docrawl_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_union,
+    )
+
+    a = _keys(spark, 600, "x")          # x0..x599
+    b = _keys(spark, 600, "x").union(_keys(spark, 300, "y"))  # overlap + y
+    merged = hll_union(
+        hll_registers(a, "key", p=6), hll_registers(b, "key", p=6)
+    )
+    direct = hll_registers(a.union(b), "key", p=6)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    est = hll_estimate(merged, p=6).first()["estimate_units"]
+    assert abs(est - 900) / 900 < 0.30
