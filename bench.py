@@ -76,6 +76,10 @@ HEADLINE = [
     "host_pagerank",
     "line_dedup_docs",
     "corpus_split",
+    "bm25_search",
+    "hll_host_cardinality",
+    "snapshot_diff",
+    "incremental_rollup",
 ]
 
 
