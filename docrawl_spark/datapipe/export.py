@@ -1,0 +1,74 @@
+"""Deterministic training-shard export.
+
+A training run wants the corpus as N shards whose membership is a pure
+function of the data — stable across Spark versions, partition counts,
+cluster sizes, and re-runs — so a resumed/re-exported dataset is
+byte-comparable and any shard can be re-materialized independently.
+Shard assignment is the repo's standard 60-bit md5 slice mod N (the
+same construction as sampling.hash_split), so DuckDB reproduces the
+manifest bit-for-bit.
+
+The manifest is the verification artifact: per shard, the row count
+and an order-independent BIT_XOR content signature over
+hash60(id ':' md5(payload)) — XOR because it is associative,
+commutative, and cannot overflow, so the signature is identical no
+matter how rows were distributed when the shard was written. Two
+exports match iff their manifests match, without comparing bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from docrawl_spark.functions.sketches import _hash60
+
+
+def shard_col(id_col: Column, n_shards: int) -> Column:
+    """Deterministic shard index: hash60(id) % n_shards."""
+    return (_hash60(id_col.cast("string")) % F.lit(n_shards)).cast("int")
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """(shard, n_rows, xor_sig): the export's verification manifest.
+    One HashAggregate; xor partials combine map-side."""
+    sig = _hash60(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(payload_col))
+        )
+    )
+    return (
+        df.select(
+            shard_col(F.col(id_col), n_shards).alias("shard"),
+            sig.alias("_sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_sig)").alias("xor_sig"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    warehouse,
+    n_shards: int,
+    table: str = "training_shards",
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Materialize the corpus shard-partitioned (hive-style ``_shard=``
+    dirs — a single shard re-reads with directory pruning, same shape
+    as the IVF index and the banded frontier) and return the manifest
+    computed from what was actually written. Callers compare it to
+    `shard_manifest(df, ...)` of the source to certify the export."""
+    sharded = df.withColumn("_shard", shard_col(F.col(id_col), n_shards))
+    warehouse.overwrite(table, sharded, partition_by=["_shard"])
+    return shard_manifest(
+        warehouse.read(table), n_shards, id_col, payload_col
+    )

@@ -18,7 +18,7 @@ must include a unique tiebreaker, e.g. url_hash)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,48 @@ def with_global_rank(
         .drop("_pid", "_lrn", "_off")
     )
     return out
+
+
+def priority_bands_col(
+    priority_units: Column, band_bounds: list[int]
+) -> Column:
+    """Map a BIGINT priority to a band index: band 0 holds priorities
+    >= bounds[0], band i holds [bounds[i], bounds[i-1]), the last band
+    everything below. Bounds descend; pure CASE — no shuffle."""
+    expr = F.lit(len(band_bounds))
+    for i in range(len(band_bounds) - 1, -1, -1):
+        expr = F.when(priority_units >= band_bounds[i], F.lit(i)).otherwise(
+            expr
+        )
+    return expr.cast("int")
+
+
+def write_priority_banded(
+    frontier: DataFrame,
+    warehouse,
+    band_bounds: list[int],
+    table: str = "frontier_banded",
+    priority_col: str = "priority_units",
+) -> str:
+    """Persist the frontier partitioned by priority band (hive-style
+    ``_band=`` dirs; on real Iceberg a partition transform). A
+    10^10-row priority queue cannot be a sorted structure — but
+    "take the next K" only needs the top band(s), and the band filter
+    prunes at the DIRECTORY level, so the scheduler's hot read touches
+    a fraction of the files regardless of total frontier size (same
+    shape as similarity.ivf_write_index)."""
+    banded = frontier.withColumn(
+        "_band", priority_bands_col(F.col(priority_col), band_bounds)
+    )
+    return warehouse.overwrite(table, banded, partition_by=["_band"])
+
+
+def read_top_bands(
+    warehouse,
+    max_band: int,
+    table: str = "frontier_banded",
+) -> DataFrame:
+    """Scheduler hot path: read only bands <= max_band. The predicate
+    lands in PartitionFilters (plan-asserted in tests) — unprobed
+    bands' files are never opened."""
+    return warehouse.read(table).where(F.col("_band") <= max_band)

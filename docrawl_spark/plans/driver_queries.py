@@ -2024,6 +2024,17 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest (datapipe/export
+    .shard_manifest): shard = hash60(doc_id) % 8; per-shard row count
+    + order-independent BIT_XOR content signature over
+    hash60(doc_id ':' md5(text)). Two exports are byte-equivalent iff
+    their manifests match — verified cross-engine here."""
+    from docrawl_spark.datapipe.export import shard_manifest
+
+    return shard_manifest(_docs_par(spark, sf_dir), n_shards=8)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2114,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
+        "corpus_shard_manifest": q_corpus_shard_manifest,
         "latency_histogram": q_latency_histogram,
         "latency_percentiles": q_latency_percentiles,
         "incremental_rollup": q_incremental_rollup,
@@ -3598,6 +3610,21 @@ def oracle_sql() -> dict[str, str]:
                      n.content_sig AS new_content_sig
               FROM snap_old o FULL OUTER JOIN snap_new n ON o.url = n.url)
             WHERE change_type IS NOT NULL
+        """,
+        # Order-independent export manifest: shard hash-mod + BIT_XOR
+        # content signature (associative/commutative, overflow-free).
+        "corpus_shard_manifest": """
+            WITH s AS (
+              SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 8 AS shard,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                         || md5(text)), 1, 15))::BIGINT
+                       AS sig
+              FROM documents)
+            SELECT CAST(shard AS INTEGER) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(sig) AS BIGINT) AS xor_sig
+            FROM s GROUP BY shard
         """,
         # Log2×8-sub-bucket histogram — integer bucketing via bin()
         # bit-length (msb) + the next 3 bits (sub); floors/ceils bound

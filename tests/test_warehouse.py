@@ -178,3 +178,94 @@ def test_snapshot_diff_null_safe_compare(spark):
         for r in snapshot_diff(old, new, ["url"], ["sig"]).collect()
     }
     assert got == {"b": "changed", "c": "changed"}
+
+
+def test_priority_banded_frontier_partition_pruned(spark, tmp_path):
+    """The persisted priority queue: band filter prunes at the
+    DIRECTORY level (PartitionFilters), band assignment is exact on
+    the boundaries, and the top-band read returns exactly the high-
+    priority rows."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.operators.ranking import (
+        read_top_bands,
+        write_priority_banded,
+    )
+    from docrawl_spark.sources.storage import Warehouse
+
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 100).cast("long").alias("priority_units"),
+    )
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    # bands: 0 = [80, inf), 1 = [50, 80), 2 = [20, 50), 3 = rest
+    write_priority_banded(frontier, wh, [80, 50, 20])
+    top = read_top_bands(wh, max_band=0)
+    rows = top.collect()
+    assert all(r["priority_units"] >= 80 for r in rows)
+    assert len(rows) == 200  # priorities 80..99 x 10 each
+    both = read_top_bands(wh, max_band=1)
+    assert both.count() == 500  # >= 50
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_band" in plan.split("PartitionFilters", 1)[1][:200]
+    # boundary exactness: 79 -> band 1, 80 -> band 0
+    bands = {
+        r["priority_units"]: r["_band"]
+        for r in wh.read("frontier_banded")
+        .where(F.col("priority_units").isin(79, 80, 49, 50, 19, 20, 0))
+        .collect()
+    }
+    assert bands == {79: 1, 80: 0, 49: 2, 50: 1, 19: 3, 20: 2, 0: 3}
+
+
+def test_training_shard_export_deterministic(spark, tmp_path):
+    """Shard membership is a pure function of the data: two exports of
+    the same rows under different partitionings produce identical
+    manifests; a single shard re-reads partition-pruned; the written
+    manifest equals the source manifest."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.datapipe.export import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from docrawl_spark.sources.storage import Warehouse
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+    )
+    src_manifest = {
+        r["shard"]: (r["n_rows"], r["xor_sig"])
+        for r in shard_manifest(docs, 8).collect()
+    }
+    wh1 = Warehouse(str(tmp_path / "w1"), spark)
+    wh2 = Warehouse(str(tmp_path / "w2"), spark)
+    m1 = {
+        r["shard"]: (r["n_rows"], r["xor_sig"])
+        for r in write_training_shards(docs.repartition(7), wh1, 8).collect()
+    }
+    m2 = {
+        r["shard"]: (r["n_rows"], r["xor_sig"])
+        for r in write_training_shards(docs.coalesce(1), wh2, 8).collect()
+    }
+    assert m1 == m2 == src_manifest
+    assert sum(n for n, _ in m1.values()) == 500
+    # single-shard re-read is directory-pruned
+    one = wh1.read("training_shards").where(F.col("_shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_shard" in plan.split("PartitionFilters", 1)[1][:200]
+    # a corrupted payload changes the signature (the manifest detects it)
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 123, F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    mt = {
+        r["shard"]: (r["n_rows"], r["xor_sig"])
+        for r in shard_manifest(tampered, 8).collect()
+    }
+    assert mt != src_manifest
