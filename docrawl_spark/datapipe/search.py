@@ -112,3 +112,47 @@ def bm25_topk(
         .orderBy(F.col("score_units").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def with_rank(df: DataFrame, order_cols: list, id_col: str = "doc_id") -> DataFrame:
+    """1-based rank over a TOP-K frame (k rows — the single-partition
+    window is sketch-scale, never data-scale)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return df.select(id_col, F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked candidate lists (the hybrid
+    lexical+vector retrieval shape): rrf_units = Σ 10^6 div
+    (k_const + rank), integer-exact so DuckDB reproduces every score.
+    Inputs are (id, rank) frames from with_rank; missing membership
+    simply contributes nothing. All inputs are top-k sized, so the
+    union + HashAggregate is driver-scale."""
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"CAST(1000000 div ({k_const} + rank) AS BIGINT)").alias(
+                "part"
+            ),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum("part").alias("rrf_units"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_units").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

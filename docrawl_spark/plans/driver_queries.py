@@ -1844,6 +1844,47 @@ def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(urls, "url", p=6).orderBy("bucket")
 
 
+_BM25_CORE_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS BIGINT) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST((CAST(SUM(len(regexp_split_to_array(
+                              trim(lower(text)), '\s+'))) AS BIGINT) * 1000)
+                          // COUNT(*) AS BIGINT) AS avgdl_x1000
+              FROM documents),
+            hits AS (
+              SELECT doc_id, term FROM toks
+              WHERE term IN ('spark', 'vector', 'merge', 'hash', 'window')),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM hits GROUP BY 1, 2),
+            dfx AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM hits GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id,
+                     (t.tf * 2200 * 1000000)
+                       // (t.tf * 1000000
+                           + 1200 * (1000 - 750
+                                     + (750 * d.dl * 1000)
+                                       // s.avgdl_x1000)) AS tf_ppm,
+                     CAST(length(bin((s.n_docs * 1000) // f.df)) AS BIGINT)
+                       AS idf_units
+              FROM tf t
+              JOIN dfx f USING (term)
+              JOIN dl d USING (doc_id), stats s)
+"""
+
+
 # the exact linear-counting lookup round(64*ln(64/z)), z=1..64 —
 # generated by sketches._lc_table(6); inlined into the DuckDB oracles
 _HLL_LC_TABLE = (
@@ -2024,6 +2065,31 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-20 and exact-cosine
+    top-20 fused by reciprocal-rank fusion (datapipe/search.rrf_fuse,
+    10^6 div (60+rank) — integer-exact). The modern corpus-mining
+    shape; both candidate lists and the fusion are top-k sized, so
+    everything after the two scans is driver-scale."""
+    from docrawl_spark.datapipe.search import bm25_topk, rrf_fuse, with_rank
+    from docrawl_spark.datapipe.similarity import cosine_topk
+
+    bm = bm25_topk(
+        _docs_par(spark, sf_dir),
+        ["spark", "vector", "merge", "hash", "window"],
+        k=20,
+    )
+    bmr = with_rank(
+        bm, [F.col("score_units").desc(), F.col("doc_id").asc()]
+    )
+    cos = cosine_topk(_t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=20)
+    cosr = with_rank(
+        cos.withColumnRenamed("vec_id", "doc_id"),
+        [F.col("cosine").desc(), F.col("doc_id").asc()],
+    )
+    return rrf_fuse([bmr, cosr], topk=10)
+
+
 def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard manifest (datapipe/export
     .shard_manifest): shard = hash60(doc_id) % 8; per-shard row count
@@ -2125,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
+        "hybrid_search": q_hybrid_search,
         "corpus_shard_manifest": q_corpus_shard_manifest,
         "latency_histogram": q_latency_histogram,
         "latency_percentiles": q_latency_percentiles,
@@ -3541,50 +3608,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Integer BM25 (k1=1.2/b=0.75 in ppt; idf = bit-length log2 of
         # 1000*N/df) — mirrors datapipe/search.bm25_topk unit by unit.
-        "bm25_search": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-                       AS term
-              FROM documents),
-            dl AS (
-              SELECT doc_id,
-                     CAST(len(regexp_split_to_array(trim(lower(text)),
-                                                    '\s+')) AS BIGINT) AS dl
-              FROM documents),
-            stats AS (
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST((CAST(SUM(len(regexp_split_to_array(
-                              trim(lower(text)), '\s+'))) AS BIGINT) * 1000)
-                          // COUNT(*) AS BIGINT) AS avgdl_x1000
-              FROM documents),
-            hits AS (
-              SELECT doc_id, term FROM toks
-              WHERE term IN ('spark', 'vector', 'merge', 'hash', 'window')),
-            tf AS (
-              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-              FROM hits GROUP BY 1, 2),
-            dfx AS (
-              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-              FROM hits GROUP BY 1),
-            scored AS (
-              SELECT t.doc_id,
-                     (t.tf * 2200 * 1000000)
-                       // (t.tf * 1000000
-                           + 1200 * (1000 - 750
-                                     + (750 * d.dl * 1000)
-                                       // s.avgdl_x1000)) AS tf_ppm,
-                     CAST(length(bin((s.n_docs * 1000) // f.df)) AS BIGINT)
-                       AS idf_units
-              FROM tf t
-              JOIN dfx f USING (term)
-              JOIN dl d USING (doc_id), stats s)
+        "bm25_search": _BM25_CORE_SQL + r"""
             SELECT doc_id,
                    CAST(SUM(tf_ppm * idf_units) AS BIGINT) AS score_units,
                    CAST(COUNT(*) AS BIGINT) AS n_hit_terms
             FROM scored GROUP BY doc_id
             ORDER BY score_units DESC, doc_id ASC
             LIMIT 20
+        """,
+        # RRF hybrid: BM25 top-20 + cosine top-20 (rounded 6dp like
+        # embedding_topk) fused with 10^6 div (60 + rank).
+        "hybrid_search": _BM25_CORE_SQL + f"""
+            , bm AS (
+              SELECT doc_id,
+                     CAST(SUM(tf_ppm * idf_units) AS BIGINT) AS score_units
+              FROM scored GROUP BY doc_id
+              ORDER BY score_units DESC, doc_id ASC LIMIT 20),
+            bmr AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id ASC)
+                       AS rank
+              FROM bm),
+            cosx AS (
+              SELECT vec_id AS doc_id,
+                     ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           CAST({_QUERY_VEC} AS DOUBLE[])), 6) AS cosine
+              FROM embeddings
+              ORDER BY cosine DESC, vec_id ASC LIMIT 20),
+            cosr AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+                       AS rank
+              FROM cosx),
+            parts AS (
+              SELECT doc_id, 1000000 // (60 + rank) AS part FROM bmr
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + rank) AS part FROM cosr)
+            SELECT doc_id, CAST(SUM(part) AS BIGINT) AS rrf_units,
+                   CAST(COUNT(*) AS BIGINT) AS n_lists
+            FROM parts GROUP BY doc_id
+            ORDER BY rrf_units DESC, doc_id ASC
+            LIMIT 10
         """,
         # CDC full-outer diff; unchanged rows filtered out.
         "snapshot_diff": f"""

@@ -349,3 +349,22 @@ def test_hll_union_estimates_set_union(spark):
     assert direct.exceptAll(merged).count() == 0
     est = hll_estimate(merged, p=6).first()["estimate_units"]
     assert abs(est - 900) / 900 < 0.30
+
+
+def test_rrf_fuse_hybrid_semantics(spark):
+    """A doc present in BOTH lists outranks single-list docs of
+    similar ranks; integer scores; deterministic tie-break."""
+    from docrawl_spark.datapipe.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([a, b], topk=5).collect()
+    assert out[0]["doc_id"] == 3 and out[0]["n_lists"] == 2
+    # doc 3: 1e6//63 + 1e6//61 = 15873 + 16393
+    assert out[0]["rrf_units"] == 1000000 // 63 + 1000000 // 61
+    singles = [r for r in out if r["n_lists"] == 1]
+    assert all(r["rrf_units"] < out[0]["rrf_units"] for r in singles)
