@@ -59,6 +59,65 @@ def sitemap_entries(
     return e.where(F.col("loc").isNotNull() & (F.col("loc") != ""))
 
 
+SITEMAP_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "sitemap",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("loc", T.StringType()),
+                        T.StructField("lastmod", T.StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def parse_sitemap_index_col(xml: Column) -> Column:
+    """<sitemapindex> XML → array<struct<loc,lastmod>> of child
+    sitemap references (sitemaps.org: indexes list sitemaps, never
+    nest further — one resolution hop suffices)."""
+    return F.from_xml(xml, SITEMAP_INDEX_SCHEMA).getField("sitemap")
+
+
+def expand_sitemap_index(
+    indexes: DataFrame,
+    children: DataFrame,
+    xml_col: str = "sitemap_xml",
+    child_url_col: str = "sitemap_url",
+    child_xml_col: str = "sitemap_xml",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resolve <sitemapindex> documents into frontier entries: explode
+    the child <loc>s (one hop — the spec forbids nested indexes), join
+    the fetched child-sitemap corpus on its URL, then parse entries as
+    usual. At scale this is an equi-join of two sitemap-corpus-sized
+    tables (both tiny next to the frontier) followed by the ordinary
+    projected-scan parse — no shuffle beyond the one join."""
+    keep = keep_cols or []
+    locs = (
+        indexes.select(
+            *keep,
+            F.explode(parse_sitemap_index_col(F.col(xml_col))).alias("_s"),
+        )
+        .select(*keep, F.trim(F.col("_s.loc")).alias("_child_loc"))
+        .where(F.col("_child_loc").isNotNull() & (F.col("_child_loc") != ""))
+    )
+    joined = locs.join(
+        children.select(
+            F.col(child_url_col).alias("_child_loc"),
+            F.col(child_xml_col).alias("_child_xml"),
+        ),
+        "_child_loc",
+    )
+    return sitemap_entries(
+        joined, xml_col="_child_xml", keep_cols=keep
+    )
+
+
 def sitemap_directives_col(robots_blob: Column) -> Column:
     """``Sitemap:`` directive URLs out of a robots.txt blob, in file
     order — how a crawler DISCOVERS a host's sitemaps in the first

@@ -1097,6 +1097,67 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sm, keep_cols=["host"])
 
 
+def q_sitemap_index_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-sitemap ingestion: each host publishes a <sitemapindex>
+    referencing two child <urlset> sitemaps (docs split by parity);
+    operators/sitemap.expand_sitemap_index resolves the one-hop
+    indirection (index parse → child-loc equi-join → entry parse).
+    The oracle computes the expected entry rows directly, so the whole
+    index→join→parse pipeline is what's hash-checked."""
+    from docrawl_spark.operators.sitemap import expand_sitemap_index
+
+    u = _doc_urls(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("url"),
+        F.lit("</loc><lastmod>2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15</lastmod><priority>0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    child_url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/sitemap-"),
+        (F.col("doc_id") % 2).cast("string"), F.lit(".xml"),
+    )
+    children = (
+        u.select(
+            "host",
+            "doc_id",
+            child_url.alias("sitemap_url"),
+            entry.alias("entry"),
+        )
+        .groupBy("host", "sitemap_url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                        lambda s: s.getField("entry"),
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    indexes = (
+        u.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://"),
+                F.col("host"),
+                F.lit("/sitemap-0.xml</loc></sitemap><sitemap><loc>https://"),
+                F.col("host"),
+                F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    return expand_sitemap_index(indexes, children, keep_cols=["host"])
+
+
 def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay directive → per-host wave budget: hosts carry
     synthesized robots blobs with/without 'Crawl-delay: <s>' lines
@@ -2166,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "robots_rfc_gate": q_robots_rfc_gate,
         "sitemap_entries": q_sitemap_entries,
+        "sitemap_index_entries": q_sitemap_index_entries,
         "crawl_delay_budgets": q_crawl_delay_budgets,
         "anchor_terms": q_anchor_terms,
         "pii_scrub": q_pii_scrub,
@@ -3037,6 +3099,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prs[i] AS DOUBLE) AS priority
             FROM p, UNNEST(range(1, len(locs) + 1)) AS t(i)
             WHERE trim(locs[i]) <> ''
+        """,
+        # Index-hop pipeline vs directly-computed expected entries: the
+        # Spark side must parse the <sitemapindex>, join the child
+        # corpus, and parse children to reproduce exactly these rows.
+        "sitemap_index_entries": """
+            WITH u AS (
+              SELECT doc_id, source || '.test' AS host,
+                     'https://' || source || '.test/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT host, url AS loc,
+                   '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15'
+                     AS lastmod,
+                   CAST('0.' || CAST(doc_id % 9 AS VARCHAR) AS DOUBLE)
+                     AS priority
+            FROM u
         """,
         "crawl_delay_budgets": r"""
             WITH h AS (

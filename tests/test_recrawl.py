@@ -193,3 +193,35 @@ def test_change_rate_estimator_hand_computed(spark):
     ).collect()
     assert [r["url_hash"] for r in q] == [1]
     assert abs(q[0]["stale_prob"] - (1 - math.exp(-want))) < 1e-12
+
+
+def test_sitemap_index_malformed_and_missing_children(spark):
+    """Index resolution edge cases: a child loc with no fetched
+    sitemap drops out (inner join), a plain <urlset> fed to the index
+    parser yields no children (PERMISSIVE all-null struct), whitespace
+    locs are trimmed before the join."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.operators.sitemap import expand_sitemap_index
+
+    indexes = spark.createDataFrame(
+        [
+            ("h1", "<sitemapindex><sitemap><loc> https://h1/s0.xml "
+                   "</loc></sitemap><sitemap><loc>https://h1/missing.xml"
+                   "</loc></sitemap></sitemapindex>"),
+            ("h2", "<urlset><url><loc>https://h2/a</loc></url></urlset>"),
+        ],
+        "host string, sitemap_xml string",
+    )
+    children = spark.createDataFrame(
+        [
+            ("https://h1/s0.xml",
+             "<urlset><url><loc>https://h1/p1</loc>"
+             "<priority>0.5</priority></url>"
+             "<url><loc>https://h1/p2</loc></url></urlset>"),
+        ],
+        "sitemap_url string, sitemap_xml string",
+    )
+    out = expand_sitemap_index(indexes, children, keep_cols=["host"]).collect()
+    got = sorted((r["host"], r["loc"], r["priority"]) for r in out)
+    assert got == [("h1", "https://h1/p1", 0.5), ("h1", "https://h1/p2", None)]
