@@ -319,6 +319,10 @@ def _median(xs: list[float]) -> float:
 BW_FLOOR_GBPS = float(os.environ.get("BENCH_BW_FLOOR_GBPS") or 25.0)
 TARGET_CALM_PAIRS = int(os.environ.get("BENCH_CALM_PAIRS") or 2)
 MAX_SCALE_ROUNDS = int(os.environ.get("BENCH_MAX_SCALE_ROUNDS") or 9)
+# shared retry budget for the weak-scaling + sweep sections (seconds of
+# EXTRA legs beyond the first attempt each) and per-leg attempt cap
+AUX_BUDGET_S = float(os.environ.get("BENCH_AUX_BUDGET_S") or 900)
+MAX_AUX_ATTEMPTS = int(os.environ.get("BENCH_AUX_ATTEMPTS") or 3)
 
 
 def _timed_leg(cpus: int, n_urls: int, n_hosts: int, warm: bool = True) -> dict:
@@ -542,9 +546,45 @@ def main() -> None:
     # local[32]; with perfect scaling the wall times are equal. Always
     # runs (r02 shipped nulls here); each leg carries its own bandwidth
     # bracket so a collapsed-window weak pair is disclosed, not hidden.
+    # r03-local lesson: ONE collapsed window defined weak_scaling_
+    # efficiency (0.127, calm=false) for the whole artifact — weak and
+    # sweep legs now retry until calm (bounded attempts + one shared
+    # wall budget), keeping the best calm leg, else the best raw leg
+    # with attempts disclosed.
+    t_aux0 = time.perf_counter()
+
+    def _aux_budget_left() -> bool:
+        return time.perf_counter() - t_aux0 < AUX_BUDGET_S
+
+    def _leg_until_calm(cpus: int, n: int, ref_wall: float | None = None) -> dict:
+        """Retry a leg until bandwidth-calm AND not a mid-leg-collapse
+        wall outlier vs ``ref_wall`` (2.5x rule, when a same-shape
+        reference wall exists). Keeps the best (min-wall) qualifying
+        leg; falls back to the best raw leg with the attempt count
+        disclosed in the leg dict."""
+
+        def good(leg: dict) -> bool:
+            if not _leg_calm(leg):
+                return False
+            return ref_wall is None or leg["wall"] <= 2.5 * ref_wall
+
+        legs = [_timed_leg(cpus, n, N_HOSTS)]
+        while (
+            not any(good(leg) for leg in legs)
+            and len(legs) < MAX_AUX_ATTEMPTS
+            and _aux_budget_left()
+        ):
+            legs.append(_timed_leg(cpus, n, N_HOSTS))
+        ok = [leg for leg in legs if good(leg)] or [
+            leg for leg in legs if leg["wall"] is not None
+        ] or legs
+        chosen = min(ok, key=lambda leg: leg["wall"] or float("inf"))
+        chosen["attempts"] = len(legs)
+        return chosen
+
     weak: dict[int, dict] = {}
-    for cpus, n in ((8, N_URLS // 4), (32, N_URLS)):
-        weak[cpus] = _timed_leg(cpus, n, N_HOSTS)
+    for cpus, n, ref in ((8, N_URLS // 4, None), (32, N_URLS, best[32])):
+        weak[cpus] = _leg_until_calm(cpus, n, ref_wall=ref)
     weak_calm = _leg_calm(weak[8]) and _leg_calm(weak[32])
     weak_ok = weak[8]["wall"] is not None and weak[32]["wall"] is not None
 
@@ -556,7 +596,7 @@ def main() -> None:
         sweep_sizes += [N_URLS * 2, N_URLS * 4]
     sweep_rows: list[dict] = []
     for n in sweep_sizes:
-        leg = _timed_leg(32, n, N_HOSTS)
+        leg = _leg_until_calm(32, n)
         sweep_rows.append(
             {
                 "n_urls": n, "wall_sec": leg["wall"],
@@ -565,6 +605,7 @@ def main() -> None:
                 ),
                 "bw_pre": leg["bw_pre"], "bw_post": leg["bw_post"],
                 "calm": _leg_calm(leg),
+                "attempts": leg["attempts"],
             }
         )
     sweep_rows.append(

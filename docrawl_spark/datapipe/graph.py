@@ -118,6 +118,107 @@ def pagerank_hosts(
     return ranks
 
 
+def hits_hosts(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 2,
+    total_units: int = DEFAULT_TOTAL_UNITS,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-point weighted HITS (hubs & authorities) over the host
+    graph — the other classic crawl-priority signal (authorities ≈ pages
+    worth fetching, hubs ≈ pages worth mining for links).
+
+    Spec (exact integer arithmetic, same style as ``pagerank_hosts`` so
+    a DuckDB oracle matches bit-for-bit):
+
+    - edge shares are pre-floored to ppm of the endpoint's mass:
+      out_share_ppm(u,v) = floor(w(u,v)·10^6 / out_w(u)),
+      in_share_ppm(u,v)  = floor(w(u,v)·10^6 / in_w(v));
+    - auth_raw(v) = Σ_u floor(hub(u)/10^6) · out_share_ppm(u,v),
+      hub_raw(u)  = Σ_v floor(auth(v)/10^6) · in_share_ppm(u,v);
+    - L1 normalization back to ``total_units``, float-free:
+      x' = (x·10^6) div (Σx div 10^6)  (≡ x·total_units/Σx for the
+      default 10^12 — overflow-proof: x ≤ Σx ≤ total_units so the wide
+      intermediate is ≤ 10^18 < Long.MAX). Σx div 10^6 = 0 (degenerate
+      near-empty graph) yields all-zero scores rather than an error.
+
+    Scale shape: per iteration, two shuffles over the host dim (groupBy
+    dst then groupBy src) plus one single-row sum each — the edge-share
+    frames are iteration-invariant and localCheckpointed once. Returns
+    (host, auth_units, hub_units).
+    """
+    n_nodes = nodes.count()  # host-dim cardinality: small by design
+    if n_nodes == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("auth_units"),
+            F.lit(0).cast("long").alias("hub_units"),
+        )
+    r0 = total_units // n_nodes
+
+    out_w = edges.groupBy("src_host").agg(F.sum("weight").alias("out_w"))
+    in_w = edges.groupBy("dst_host").agg(F.sum("weight").alias("in_w"))
+    ew = (
+        edges.join(out_w, "src_host")
+        .join(in_w, "dst_host")
+        .select(
+            "src_host",
+            "dst_host",
+            F.expr("weight * 1000000L div out_w").alias("out_share_ppm"),
+            F.expr("weight * 1000000L div in_w").alias("in_share_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("t"))
+        return scores.crossJoin(F.broadcast(total)).select(
+            "host",
+            F.when(F.expr("t div 1000000L") <= 0, F.lit(0).cast("long"))
+            .otherwise(F.expr(f"({col} * 1000000L) div (t div 1000000L)"))
+            .alias(col),
+        )
+
+    hub = nodes.select("host", F.lit(r0).cast("long").alias("hub_units"))
+    auth = nodes.select("host", F.lit(r0).cast("long").alias("auth_units"))
+    for i in range(n_iter):
+        a_raw = (
+            ew.join(hub, ew.src_host == hub.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(hub_units div 1000000L) * out_share_ppm").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("raw"))
+        )
+        auth = _normalize(
+            nodes.join(a_raw, "host", "left").select(
+                "host", F.coalesce("raw", F.lit(0)).cast("long").alias("auth_units")
+            ),
+            "auth_units",
+        )
+        h_raw = (
+            ew.join(auth, ew.dst_host == auth.host)
+            .select(
+                F.col("src_host").alias("host"),
+                F.expr("(auth_units div 1000000L) * in_share_ppm").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("raw"))
+        )
+        hub = _normalize(
+            nodes.join(h_raw, "host", "left").select(
+                "host", F.coalesce("raw", F.lit(0)).cast("long").alias("hub_units")
+            ),
+            "hub_units",
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return auth.join(hub, "host")
+
+
 def host_degree_metrics(edges: DataFrame) -> DataFrame:
     """Per-host in/out degree + weighted degree — the cheap link-graph
     features (one shuffle each side, full outer on the host dim)."""

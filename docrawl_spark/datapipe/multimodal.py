@@ -56,6 +56,32 @@ def repartition_for_media(
     return df.repartition(n)
 
 
+# magic-number table for content sniffing: (type, leading bytes). Real
+# crawls cannot trust Content-Type headers or URL extensions — the byte
+# prefix is the truth. Pure JVM substring-compare, no Python.
+_MAGIC: list[tuple[str, bytes]] = [
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("pdf", b"%PDF"),
+    ("riff", b"RIFF"),  # wav/avi/webp containers
+]
+
+
+def sniff_media_type_col(bin_col):
+    """Sniffed media type from a binary column's leading magic bytes —
+    whole-stage-codegen substring compares, longest magics first;
+    non-matching (or NULL) content sniffs as 'unknown'."""
+    expr = F.lit("unknown")
+    for name, magic in reversed(_MAGIC):
+        expr = F.when(
+            F.substring(F.col(bin_col) if isinstance(bin_col, str) else bin_col, 1, len(magic))
+            == F.lit(magic),
+            F.lit(name),
+        ).otherwise(expr)
+    return expr
+
+
 def _fake_decode(content: bytes | None, media_id: str) -> tuple[int, int, float, str]:
     """Deterministic fake: dimensions/luma derived from the content
     hash, so tests exercise real plumbing with stable values."""

@@ -1,0 +1,69 @@
+"""Frontier fairness metrics: how evenly is scheduled crawl load spread
+across hosts?
+
+A politeness-correct scheduler can still be *unfair* — a frontier where
+1% of hosts hold 90% of scheduled URLs starves the tail and concentrates
+fetch failures. The standard scalar is the Gini coefficient over
+per-host scheduled counts; alongside it the top-decile share is the
+operational "how hot is the head" number.
+
+Float-free spec (so the DuckDB oracle matches bit-for-bit):
+
+- x_i = per-host count, ranked ascending with host as tiebreaker,
+  i = 1..n (the rank comes from ``with_global_rank`` — NO
+  single-partition window);
+- T = Σ x_i, S = Σ i·x_i;
+- gini_ppm = floor(10^6 · (2S − (n+1)·T) / (n·T))
+  — computed as num div (den div 10^6) when den ≥ 10^12 (keeps every
+  intermediate ≤ ~10^18 at frontier scale: S ≤ n·T) else
+  (num·10^6) div den (exact at small scale); identical CASE in the
+  oracle;
+- top_decile_share_ppm = floor(10^6 · Σ_{i > n−k} x_i / T),
+  k = max(1, n div 10).
+
+Scale shape: one groupBy(host), the scalable range-partitioned rank,
+then single-row aggregates. Counts and ranks are exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docrawl_spark.operators.ranking import with_global_rank
+
+
+def host_load_gini(
+    df: DataFrame, host_col: str = "host", weight: Column | None = None
+) -> DataFrame:
+    """One-row fairness summary over per-host load: (n_hosts, total,
+    gini_ppm, top_decile_share_ppm)."""
+    w = weight if weight is not None else F.lit(1).cast("long")
+    counts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.sum(w).cast("long").alias("x")
+    )
+    ranked = with_global_rank(counts, ["x", "host"], rank_col="i", start=1)
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("i") * F.col("x")).alias("s"),
+    )
+    top = (
+        ranked.crossJoin(
+            F.broadcast(agg.select(F.col("n").alias("_n")))
+        )
+        .where(F.col("i") > F.col("_n") - F.greatest(F.lit(1), F.expr("_n div 10")))
+        .agg(F.sum("x").alias("top_x"))
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_hosts"),
+        F.col("t").alias("total"),
+        F.expr(
+            "CASE WHEN n * t >= 1000000000000 "
+            "THEN (2*s - (n+1)*t) div ((n * t) div 1000000) "
+            "ELSE ((2*s - (n+1)*t) * 1000000) div (n * t) END"
+        ).cast("long").alias("gini_ppm"),
+        F.expr("(top_x * 1000000) div t").cast("long").alias(
+            "top_decile_share_ppm"
+        ),
+    )

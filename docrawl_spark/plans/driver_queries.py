@@ -2162,6 +2162,123 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(_docs_par(spark, sf_dir), n_shards=8)
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph HITS (2 iterations, integer fixed-point, L1-normalized
+    per iteration) — hubs & authorities over the SAME deterministic edge
+    derivation as q_host_pagerank, so the two link-graph signals are
+    directly comparable. Bit-exact vs a DuckDB oracle running the same
+    unrolled iterations (datapipe/graph.hits_hosts docstring has the
+    full integer spec)."""
+    from docrawl_spark.datapipe.graph import hits_hosts, host_edges
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    raw = links.join(
+        F.broadcast(idx), links.dst_idx == idx.host_idx
+    ).select("src_host", F.col("host").alias("dst_host"))
+    return hits_hosts(host_edges(raw), hosts, n_iter=2)
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction by longest public-suffix
+    match (functions/domains) over a deterministic synthetic host set
+    that exercises every rule: multi-label suffixes (co.uk), private
+    registries (github.io), the unknown-TLD default rule (xyzzy), and
+    hosts that ARE a public suffix (NULL registrable domain)."""
+    from docrawl_spark.functions.domains import registrable_domains, suffix_dim
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.when(F.col("doc_id") % 97 == 0, F.lit("github.io")).otherwise(
+        F.concat(
+            F.element_at(
+                F.array(F.lit(""), F.lit("www."), F.lit("a.b.")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.col("source"),
+            F.lit("."),
+            F.element_at(
+                F.array(
+                    F.lit("com"), F.lit("co.uk"), F.lit("github.io"),
+                    F.lit("com.au"), F.lit("xyzzy"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        )
+    )
+    hosts = d.select(host.alias("host"))
+    return registrable_domains(hosts, suffix_dim(spark))
+
+
+def q_frontier_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier fairness one-row summary: Gini coefficient (ppm,
+    float-free) + top-decile share over per-host scheduled-URL counts
+    (operators/fairness.host_load_gini — scalable rank, exact BIGINT
+    arithmetic, CASE-guarded against overflow at frontier scale)."""
+    from docrawl_spark.operators.fairness import host_load_gini
+
+    return host_load_gini(_doc_urls(spark, sf_dir), host_col="host")
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing over a binary media column
+    (datapipe/multimodal.sniff_media_type_col): deterministic synthetic
+    bytes per doc (magic prefix chosen by doc_id, md5-derived body),
+    sniffed JVM-side by leading-byte compare — Content-Type headers and
+    URL extensions lie; the byte prefix doesn't. Aggregated per sniffed
+    type; the oracle reproduces the type/length arithmetic."""
+    from docrawl_spark.datapipe.multimodal import sniff_media_type_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    magic = F.element_at(
+        F.array(
+            F.lit(b"\x89PNG\r\n\x1a\n"),
+            F.lit(b"\xff\xd8\xff"),
+            F.lit(b"GIF8"),
+            F.lit(b"%PDF"),
+            F.lit(b"\x00"),  # no magic: sniffs as unknown (0x00 collides
+            # with no table entry, keeping the md5 body from ever
+            # accidentally forming a magic)
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    content = F.concat(magic, F.unhex(F.md5(F.col("doc_id").cast("string"))))
+    media = d.select("doc_id", content.alias("content"))
+    return (
+        media.select(sniff_media_type_col("content").alias("media_type"), "content")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("content")).alias("total_bytes"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2258,6 +2375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_histogram": q_latency_histogram,
         "latency_percentiles": q_latency_percentiles,
         "incremental_rollup": q_incremental_rollup,
+        "host_hits": q_host_hits,
+        "registrable_domains": q_registrable_domains,
+        "frontier_fairness": q_frontier_fairness,
+        "media_sniff": q_media_sniff,
     }
 
 
@@ -3850,5 +3971,149 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
             FROM nstate GROUP BY host
+        """,
+        # HITS: same edge CTEs as the PageRank prefix (unreferenced
+        # PageRank iteration CTEs are never evaluated), 2 unrolled
+        # iterations of the integer spec in datapipe/graph.hits_hosts.
+        "host_hits": _PAGERANK_SQL + """
+            , inw AS (SELECT dst_host, CAST(SUM(weight) AS BIGINT) AS in_w
+                      FROM edges GROUP BY 1),
+            ew2 AS (
+              SELECT e.src_host, e.dst_host,
+                     (CAST(e.weight AS BIGINT) * 1000000)
+                       // CAST(o.out_w AS BIGINT) AS out_share_ppm,
+                     (CAST(e.weight AS BIGINT) * 1000000)
+                       // i.in_w AS in_share_ppm
+              FROM edges e JOIN outw o USING (src_host)
+                           JOIN inw i USING (dst_host)),
+            h0 AS (SELECT host, (SELECT r0 FROM consts) AS hub FROM hosts),
+            a1r AS (
+              SELECT e.dst_host AS host,
+                     CAST(SUM((h.hub // 1000000) * e.out_share_ppm) AS BIGINT) AS raw
+              FROM ew2 e JOIN h0 h ON e.src_host = h.host GROUP BY 1),
+            a1f AS (SELECT h.host, CAST(COALESCE(r.raw, 0) AS BIGINT) AS x
+                    FROM hosts h LEFT JOIN a1r r USING (host)),
+            a1t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM a1f),
+            a1 AS (SELECT host, CASE WHEN (SELECT t FROM a1t) // 1000000 <= 0 THEN 0
+                          ELSE (x * 1000000) // ((SELECT t FROM a1t) // 1000000) END AS auth
+                   FROM a1f),
+            h1r AS (
+              SELECT e.src_host AS host,
+                     CAST(SUM((a.auth // 1000000) * e.in_share_ppm) AS BIGINT) AS raw
+              FROM ew2 e JOIN a1 a ON e.dst_host = a.host GROUP BY 1),
+            h1f AS (SELECT h.host, CAST(COALESCE(r.raw, 0) AS BIGINT) AS x
+                    FROM hosts h LEFT JOIN h1r r USING (host)),
+            h1t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM h1f),
+            h1 AS (SELECT host, CASE WHEN (SELECT t FROM h1t) // 1000000 <= 0 THEN 0
+                          ELSE (x * 1000000) // ((SELECT t FROM h1t) // 1000000) END AS hub
+                   FROM h1f),
+            a2r AS (
+              SELECT e.dst_host AS host,
+                     CAST(SUM((h.hub // 1000000) * e.out_share_ppm) AS BIGINT) AS raw
+              FROM ew2 e JOIN h1 h ON e.src_host = h.host GROUP BY 1),
+            a2f AS (SELECT h.host, CAST(COALESCE(r.raw, 0) AS BIGINT) AS x
+                    FROM hosts h LEFT JOIN a2r r USING (host)),
+            a2t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM a2f),
+            a2 AS (SELECT host, CASE WHEN (SELECT t FROM a2t) // 1000000 <= 0 THEN 0
+                          ELSE (x * 1000000) // ((SELECT t FROM a2t) // 1000000) END AS auth
+                   FROM a2f),
+            h2r AS (
+              SELECT e.src_host AS host,
+                     CAST(SUM((a.auth // 1000000) * e.in_share_ppm) AS BIGINT) AS raw
+              FROM ew2 e JOIN a2 a ON e.dst_host = a.host GROUP BY 1),
+            h2f AS (SELECT h.host, CAST(COALESCE(r.raw, 0) AS BIGINT) AS x
+                    FROM hosts h LEFT JOIN h2r r USING (host)),
+            h2t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM h2f),
+            h2 AS (SELECT host, CASE WHEN (SELECT t FROM h2t) // 1000000 <= 0 THEN 0
+                          ELSE (x * 1000000) // ((SELECT t FROM h2t) // 1000000) END AS hub
+                   FROM h2f)
+            SELECT a2.host AS host, CAST(a2.auth AS BIGINT) AS auth_units,
+                   CAST(h2.hub AS BIGINT) AS hub_units
+            FROM a2 JOIN h2 ON a2.host = h2.host
+        """,
+        # Longest-public-suffix match, same frozen PSL sample as
+        # functions/domains._PSL_SAMPLE.
+        "registrable_domains": """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            h0 AS (
+              SELECT DISTINCT
+                CASE WHEN doc_id % 97 = 0 THEN 'github.io'
+                     ELSE ['', 'www.', 'a.b.'][CAST(doc_id % 3 AS INT) + 1]
+                          || source || '.'
+                          || ['com', 'co.uk', 'github.io', 'com.au', 'xyzzy']
+                             [CAST(doc_id % 5 AS INT) + 1]
+                END AS host
+              FROM d),
+            lab AS (
+              SELECT host, string_split(host, '.') AS labels,
+                     CAST(len(string_split(host, '.')) AS INT) AS n
+              FROM h0),
+            cand AS (
+              SELECT host, labels, n,
+                     unnest(generate_series(1, least(3, n))) AS k
+              FROM lab),
+            psl(suffix) AS (VALUES
+              ('com'), ('net'), ('org'), ('io'), ('ai'), ('dev'), ('app'),
+              ('test'), ('edu'), ('gov'),
+              ('co.uk'), ('org.uk'), ('ac.uk'), ('gov.uk'),
+              ('com.au'), ('net.au'), ('org.au'),
+              ('co.jp'), ('co.in'), ('com.br'), ('com.cn'),
+              ('github.io'), ('gitlab.io'), ('blogspot.com'),
+              ('herokuapp.com'), ('s3.amazonaws.com')),
+            j AS (
+              SELECT c.host, c.labels, c.n,
+                     CASE WHEN p.suffix IS NOT NULL THEN c.k END AS mk
+              FROM cand c LEFT JOIN psl p
+                ON array_to_string(c.labels[c.n - CAST(c.k AS INT) + 1:c.n], '.')
+                   = p.suffix),
+            m AS (
+              SELECT host, any_value(labels) AS labels, any_value(n) AS n,
+                     CAST(COALESCE(MAX(mk), 1) AS INT) AS k
+              FROM j GROUP BY host)
+            SELECT host,
+                   array_to_string(labels[n - k + 1:n], '.') AS suffix,
+                   CASE WHEN n > k
+                        THEN array_to_string(labels[n - k:n], '.')
+                   END AS registrable_domain
+            FROM m
+        """,
+        # Float-free Gini over per-host URL counts; identical CASE guard
+        # as operators/fairness.host_load_gini.
+        "frontier_fairness": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS x
+                  FROM u GROUP BY host),
+            r AS (SELECT host, x,
+                         CAST(ROW_NUMBER() OVER (ORDER BY x, host) AS BIGINT) AS i
+                  FROM c),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS t,
+                         CAST(SUM(i * x) AS BIGINT) AS s
+                  FROM r),
+            tp AS (SELECT CAST(SUM(r.x) AS BIGINT) AS top_x
+                   FROM r, a WHERE r.i > a.n - GREATEST(1, a.n // 10))
+            SELECT a.n AS n_hosts, a.t AS total,
+                   CAST(CASE WHEN a.n * a.t >= 1000000000000
+                        THEN (2*a.s - (a.n+1)*a.t) // ((a.n * a.t) // 1000000)
+                        ELSE ((2*a.s - (a.n+1)*a.t) * 1000000) // (a.n * a.t)
+                   END AS BIGINT) AS gini_ppm,
+                   CAST((tp.top_x * 1000000) // a.t AS BIGINT)
+                     AS top_decile_share_ppm
+            FROM a, tp
+        """,
+        # The oracle reproduces the doc_id -> (type, byte length)
+        # arithmetic; the Spark side actually synthesizes the bytes and
+        # sniffs the magic prefix (real-sniff unit tests in
+        # tests/test_datapipe.py cover each magic).
+        "media_sniff": """
+            WITH d AS (SELECT doc_id FROM documents),
+            t AS (SELECT doc_id,
+                    ['png', 'jpeg', 'gif', 'pdf', 'unknown']
+                      [CAST(doc_id % 5 AS INT) + 1] AS media_type,
+                    [8, 3, 4, 4, 1][CAST(doc_id % 5 AS INT) + 1] + 16 AS len
+                  FROM d)
+            SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len) AS BIGINT) AS total_bytes
+            FROM t GROUP BY media_type
         """,
     }

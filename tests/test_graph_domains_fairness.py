@@ -1,0 +1,119 @@
+"""Unit tests for HITS, registrable-domain extraction, frontier
+fairness, and magic-byte media sniffing (the cross-engine oracle rows
+live in test_oracle_parity; these pin the operator semantics on
+hand-computed cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docrawl_spark.datapipe.graph import hits_hosts, host_edges
+from docrawl_spark.datapipe.multimodal import sniff_media_type_col
+from docrawl_spark.functions.domains import registrable_domains, suffix_dim
+from docrawl_spark.operators.fairness import host_load_gini
+
+TOTAL = 1_000_000_000_000
+
+
+def test_hits_star_graph_exact(spark):
+    """4 spokes each linking to one center: the center takes ALL
+    authority mass (10^12 after L1 normalization), each spoke takes an
+    exact quarter of the hub mass; second iteration is a fixed point."""
+    nodes = spark.createDataFrame(
+        [("c",), ("s1",), ("s2",), ("s3",), ("s4",)], "host string"
+    )
+    links = spark.createDataFrame(
+        [(s, "c") for s in ("s1", "s2", "s3", "s4")],
+        "src_host string, dst_host string",
+    )
+    out = {
+        r["host"]: (r["auth_units"], r["hub_units"])
+        for r in hits_hosts(host_edges(links), nodes, n_iter=2).collect()
+    }
+    assert out["c"] == (TOTAL, 0)
+    for s in ("s1", "s2", "s3", "s4"):
+        assert out[s] == (0, TOTAL // 4)
+
+
+def test_hits_mass_conserved_and_deterministic(spark):
+    """On an arbitrary graph the L1 mass stays ~total_units (floor
+    losses only: < n_nodes + 10^6 units) and reruns are bit-identical."""
+    nodes = spark.createDataFrame([(f"h{i}",) for i in range(7)], "host string")
+    links = spark.createDataFrame(
+        [(f"h{i}", f"h{(i * 3 + j) % 7}") for i in range(7) for j in range(1, 4)],
+        "src_host string, dst_host string",
+    )
+    edges = host_edges(links)
+    r1 = sorted(map(tuple, hits_hosts(edges, nodes, n_iter=3).collect()))
+    r2 = sorted(map(tuple, hits_hosts(edges, nodes, n_iter=3).collect()))
+    assert r1 == r2
+    auth_mass = sum(r[1] for r in r1)
+    hub_mass = sum(r[2] for r in r1)
+    # L1 normalization is integer: per-node floors lose up to n units,
+    # the quantized divisor (t div 10^6) can overshoot by ~t/q ≈ 10^6
+    for mass in (auth_mass, hub_mass):
+        assert abs(mass - TOTAL) <= 2 * (len(r1) + 1_000_000)
+
+
+def test_registrable_domain_rules(spark):
+    cases = {
+        "www.example.co.uk": ("co.uk", "example.co.uk"),
+        "a.b.example.github.io": ("github.io", "example.github.io"),
+        "github.io": ("github.io", None),           # host IS a suffix
+        "example.xyzzy": ("xyzzy", "example.xyzzy"),  # default * rule
+        "xyzzy": ("xyzzy", None),
+        "bucket.x.s3.amazonaws.com": ("s3.amazonaws.com", "x.s3.amazonaws.com"),
+        "plain.com": ("com", "plain.com"),
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: (r["suffix"], r["registrable_domain"])
+        for r in registrable_domains(hosts, suffix_dim(spark)).collect()
+    }
+    assert got == cases
+
+
+def test_host_load_gini_hand_computed(spark):
+    """x = [1,2,3,4]: S=30, T=10, n=4 -> gini = 10/40 = 250000 ppm;
+    top decile = top-1 host = 4/10 = 400000 ppm."""
+    rows = (
+        [("a", i) for i in range(1)]
+        + [("b", i) for i in range(2)]
+        + [("c", i) for i in range(3)]
+        + [("d", i) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "host string, k int")
+    out = host_load_gini(df).collect()[0]
+    assert (out["n_hosts"], out["total"]) == (4, 10)
+    assert out["gini_ppm"] == 250_000
+    assert out["top_decile_share_ppm"] == 400_000
+
+
+def test_host_load_gini_uniform_is_zero(spark):
+    df = spark.createDataFrame(
+        [(f"h{i}", j) for i in range(5) for j in range(3)], "host string, k int"
+    )
+    out = host_load_gini(df).collect()[0]
+    assert out["gini_ppm"] == 0
+
+
+def test_sniff_media_type_each_magic(spark):
+    cases = [
+        (b"\x89PNG\r\n\x1a\x0arest-of-file", "png"),
+        (b"\xff\xd8\xff\xe0junk", "jpeg"),
+        (b"GIF87a....", "gif"),
+        (b"GIF89a....", "gif"),
+        (b"%PDF-1.7 ...", "pdf"),
+        (b"RIFF....WAVE", "riff"),
+        (b"plain text", "unknown"),
+        (b"", "unknown"),
+        (None, "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i int, content binary"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", sniff_media_type_col("content").alias("t")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
