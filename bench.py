@@ -80,6 +80,9 @@ HEADLINE = [
     "hll_host_cardinality",
     "snapshot_diff",
     "incremental_rollup",
+    "substring_dup_spans",
+    "lm_bits_score",
+    "pack_manifest",
 ]
 
 

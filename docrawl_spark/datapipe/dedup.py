@@ -647,3 +647,159 @@ def drop_duplicate_lines(
         )
         .select(id_col, "text_clean", "n_lines", "n_dropped")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (shared ≥k-token contiguous spans)
+# ---------------------------------------------------------------------------
+
+
+def substring_gram_table(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_tf: int = 8,
+    max_gram_df: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Positioned token k-gram table (id, pos, gh) for exact substring
+    matching, with the two stop-gram caps that make the downstream
+    self-join safe at corpus scale:
+
+    - ``max_gram_tf``: drop (doc, gram) pairs occurring more than this
+      many times WITHIN one doc — degenerate repetition ("a a a a ...")
+      would otherwise fan the gram self-join out quadratically per doc
+      pair (those docs are gopher-repetition rejects anyway);
+    - ``max_gram_df``: drop grams present in more than this many docs —
+      corpus-wide boilerplate grams ("all rights reserved ...") are the
+      skew killers; a gram in d docs contributes O(d²) candidate pairs.
+
+    Both filters are anti-joins against heavy sets that are tiny
+    relative to the gram table (AQE broadcasts them). Hashing happens
+    AFTER posexplode, so md5/xxhash64 run in whole-stage codegen; only
+    slice+array_join sit in the (bounded, per-row) lambda.
+    """
+    toks = F.split(normalized_text_col(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("_ts")).where(F.size("_ts") >= k)
+    # sequence(0, n-k) is safe: the n>=k guard above keeps it ascending
+    gram_strs = F.expr(
+        f"transform(sequence(0, size(_ts) - {k}),"
+        f" i -> array_join(slice(_ts, i + 1, {k}), ' '))"
+    )
+    if hash_mode == "md5hex":
+        gh = F.substring(F.md5(F.col("_gram")), 1, 15)
+    else:
+        gh = F.xxhash64(F.col("_gram"))
+    grams = base.select(
+        id_col, F.posexplode(gram_strs).alias("pos", "_gram")
+    ).select(id_col, "pos", gh.alias("gh"))
+
+    heavy_tf = (
+        grams.groupBy(id_col, "gh")
+        .agg(F.count("*").alias("_tf"))
+        .where(F.col("_tf") > max_gram_tf)
+        .select(id_col, "gh")
+    )
+    grams = grams.join(heavy_tf, [id_col, "gh"], "left_anti")
+    heavy_df = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") > max_gram_df)
+        .select("gh")
+    )
+    return grams.join(heavy_df, ["gh"], "left_anti")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_tf: int = 8,
+    max_gram_df: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact shared-substring detection (the Lee-et-al-style "dedup by
+    duplicated span" primitive): for every doc pair sharing at least one
+    contiguous run of ≥ ``min_span_tokens`` tokens, return
+    (id_a, id_b, max_span_tokens, n_spans, start_a, start_b) where the
+    start columns locate the LONGEST shared span (ties: smallest
+    start_a, then start_b).
+
+    Mechanics — no suffix array needed in a distributed setting:
+    k-gram equi-join (never a corpus self-join on anything wider than a
+    gram hash) produces aligned position pairs; within a (pair,
+    diagonal = pos_a - pos_b) group, consecutive positions form islands
+    (pos_a - row_number is island-constant), and an island of r grams
+    is a shared span of exactly r + k - 1 tokens. The diagonal windows
+    are bounded by doc length — never corpus-sized — and the gram join
+    is capped by the stop-gram filters in ``substring_gram_table``.
+    """
+    from pyspark.sql import Window
+
+    g = substring_gram_table(
+        df, k=k, text_col=text_col, id_col=id_col,
+        max_gram_tf=max_gram_tf, max_gram_df=max_gram_df,
+        hash_mode=hash_mode,
+    )
+    # same AQE note as simhash_neardup_pairs: the gram rows are skinny
+    # (AQE would coalesce the exchange) but the self-join output fans
+    # out; a user-specified count is exempt from coalescing and the
+    # single exchange is reused for both sides.
+    g = g.repartition(df.sparkSession.sparkContext.defaultParallelism, "gh")
+    a = g.select(F.col("gh"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa"))
+    b = g.select(F.col("gh"), F.col(id_col).alias("id_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "diag", "island").agg(
+        (F.count("*") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        F.min("pa").cast("long").alias("sa"),
+        F.min("pb").cast("long").alias("sb"),
+    ).where(F.col("span_tokens") >= min_span_tokens)
+    # (longest span, then smallest start_a, start_b) as ONE packed
+    # BIGINT min — struct-min demotes to SortAggregate (CLAUDE.md);
+    # span/starts are < 2^20 (docs are token-bounded long before that),
+    # so ((2^20-1-span) << 40) | (sa << 20) | sb stays under 2^60.
+    packed = (
+        (F.lit(1048575) - F.col("span_tokens")) * F.lit(1 << 40)
+        + F.col("sa") * F.lit(1 << 20)
+        + F.col("sb")
+    )
+    agg = spans.groupBy("id_a", "id_b").agg(
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.min(packed).alias("_p"),
+    )
+    return agg.select(
+        "id_a", "id_b", "max_span_tokens", "n_spans",
+        F.shiftright(F.col("_p"), 20).bitwiseAND(F.lit(1048575)).alias("start_a"),
+        F.col("_p").bitwiseAND(F.lit(1048575)).alias("start_b"),
+    )
+
+
+def substring_dedup_docs(
+    df: DataFrame,
+    k: int = 8,
+    min_span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep-smallest-id dedup on the shared-substring relation: drop
+    every doc that shares a ≥ ``min_span_tokens``-token span with a
+    smaller-id doc (one anti-join against the pair table's id_b side —
+    the Lee et al. finding is that removing ONE side of each duplicated
+    span pair is enough to de-duplicate training data)."""
+    pairs = substring_dup_spans(
+        df, k=k, min_span_tokens=min_span_tokens,
+        text_col=text_col, id_col=id_col, **kwargs,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, [id_col], "left_anti")

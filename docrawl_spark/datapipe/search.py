@@ -156,3 +156,55 @@ def rrf_fuse(
         .orderBy(F.col("rrf_units").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase match over positional postings: docs containing the
+    query tokens CONSECUTIVELY, with per-doc occurrence counts and the
+    first match position. Returns (id, n_occurrences, first_pos).
+
+    Plan shape (the inverted-index access path, 100 TB-ready):
+    posexplode tokens → semi-filter to the query vocabulary via a
+    broadcast (qidx, token) dim — this kills ~all postings before any
+    shuffle — then one HashAggregate over (doc, anchor = pos − qidx):
+    an anchor holding all |phrase| distinct qidx values is one exact
+    occurrence starting at that anchor. No self-join, no window over
+    the corpus, no UDF.
+
+    Duplicate query tokens are supported: a (doc, pos) posting matching
+    several qidx values lands in several anchor groups, and the
+    count(DISTINCT qidx) = |phrase| test still only fires when every
+    slot is witnessed (slot i witnessed ⇒ token at anchor+i equals
+    phrase[i], since pos = anchor + qidx identifies the token).
+    """
+    q_tokens = phrase.strip().lower().split()
+    m = len(q_tokens)
+    if m == 0:
+        raise ValueError("empty phrase")
+    spark = df.sparkSession
+    qdim = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(q_tokens)], "qidx int, token string"
+    )
+    postings = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    hits = postings.join(F.broadcast(qdim), "token").select(
+        id_col, (F.col("pos") - F.col("qidx")).alias("anchor"), "qidx"
+    )
+    occ = (
+        hits.groupBy(id_col, "anchor")
+        .agg(F.countDistinct("qidx").alias("n_slots"))
+        .where((F.col("n_slots") == m) & (F.col("anchor") >= 0))
+    )
+    return occ.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

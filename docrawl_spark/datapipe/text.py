@@ -382,3 +382,60 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("text_scrubbed", pii_scrub_col(F.col(text_col))).select(
         "*", *pii_counts_cols(F.col(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM quality scoring (CCNet-style perplexity filter, float-free)
+# ---------------------------------------------------------------------------
+
+
+def lm_bits_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM surprisal score per doc — the CCNet-style "perplexity
+    bucket" filter, trained on the corpus itself (deterministic, no
+    external model) and kept float-free so a DuckDB oracle matches
+    bit-for-bit.
+
+    Model: cost of a bigram (w1, w2) is the integer log2 ratio
+    bitlen(count(w1 as prefix)) − bitlen(count(w1 w2)), with
+    bitlen(x) = length(bin(x)) — the cross-engine integer log2 (both
+    engines strip leading zeros). Lower mean cost = more predictable
+    (template-like) text; the top/bottom buckets are the usual
+    keep/drop candidates.
+
+    Returns (id, n_bigrams, total_bits, mean_bits_ppm) where
+    mean_bits_ppm = total_bits·10^6 div n_bigrams.
+
+    Scale shape: bigram posexplode → two HashAggregates (prefix + bigram
+    counts, map-side combinable) → two equi-joins of doc-bigram
+    instances against those count dims → one groupBy(doc). No window,
+    no UDF, no collect; the count dims shuffle-join by key (vocabulary-
+    sized, not corpus-sized).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_ts")).where(F.size("_ts") >= 2)
+    bigram_strs = F.expr(
+        "transform(sequence(0, size(_ts) - 2),"
+        " i -> array_join(slice(_ts, i + 1, 2), ' '))"
+    )
+    inst = base.select(
+        id_col, F.posexplode(bigram_strs).alias("pos", "bigram")
+    ).select(
+        id_col,
+        "bigram",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+    )
+    uc = inst.groupBy("w1").agg(F.count("*").alias("uc"))
+    bc = inst.groupBy("bigram").agg(F.count("*").alias("bc"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    scored = (
+        inst.join(bc, "bigram")
+        .join(uc, "w1")
+        .select(id_col, (bitlen(F.col("uc")) - bitlen(F.col("bc"))).alias("bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("(sum(bits) * 1000000L) div count(*)").alias("mean_bits_ppm"),
+    )

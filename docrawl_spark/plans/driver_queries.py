@@ -2279,6 +2279,81 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection (Lee et al. 2022-style span
+    dedup primitive, datapipe/dedup.substring_dup_spans): doc pairs
+    sharing a contiguous run of >= 8 tokens, found by positioned
+    8-gram hash join + diagonal run-length — never a corpus self-join,
+    stop-gram TF/DF caps bound the fan-out. md5hex gram hashing so the
+    DuckDB oracle reproduces the join keys bit-for-bit."""
+    from docrawl_spark.datapipe.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _docs_par(spark, sf_dir), k=8, min_span_tokens=8, hash_mode="md5hex"
+    )
+
+
+def q_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup on the shared-substring relation: drop every doc
+    sharing a >=8-token span with a smaller-id doc (anti-join against
+    the pair table's id_b side), keep the rest."""
+    from docrawl_spark.datapipe.dedup import substring_dedup_docs
+
+    return substring_dedup_docs(
+        _docs_par(spark, sf_dir), k=8, min_span_tokens=8, hash_mode="md5hex"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+
+def q_lm_bits_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per doc (datapipe/text.lm_bits_score): the
+    CCNet-style perplexity filter trained on the corpus itself, scored
+    in integer log2 bits (length(bin(x)) — identical in Spark and
+    DuckDB), so the oracle matches bit-for-bit. No UDF, no window: two
+    HashAggregate count dims + equi-joins + one groupBy(doc)."""
+    from docrawl_spark.datapipe.text import lm_bits_score
+
+    return lm_bits_score(_docs_par(spark, sf_dir))
+
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings
+    (datapipe/search.phrase_search): broadcast query-vocab filter kills
+    ~all postings before any shuffle, then one HashAggregate over
+    (doc, pos - qidx) alignment anchors — an anchor witnessing every
+    query slot is one occurrence. Complements BM25 (bag-of-words) with
+    order-sensitive matching."""
+    from docrawl_spark.datapipe.search import phrase_search
+
+    return phrase_search(_docs_par(spark, sf_dir), "slow hash batch")
+
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (datapipe/packing.chunk_documents,
+    32-token windows, 4-token overlap): pure per-row array ops, zero
+    shuffle — the standard pre-tokenization doc splitter."""
+    from docrawl_spark.datapipe.packing import chunk_documents
+
+    return chunk_documents(_docs_par(spark, sf_dir), chunk_tokens=32, overlap=4)
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (datapipe/packing.pack_sequences,
+    256-token budget, 8 shards, md5 ordering) rolled up to per-pack
+    fill stats — the shard-parallel greedy packer whose assignment is a
+    pure function of (salt, doc_id); the per-shard window is the only
+    shuffle and shard count is the parallelism knob."""
+    from docrawl_spark.datapipe.packing import pack_manifest, pack_sequences
+
+    packs = pack_sequences(
+        _docs_par(spark, sf_dir), budget_tokens=256, n_shards=8, salt="pack1"
+    )
+    return pack_manifest(packs, budget_tokens=256)
+
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2379,6 +2454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "frontier_fairness": q_frontier_fairness,
         "media_sniff": q_media_sniff,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup_docs": q_substring_dedup_docs,
+        "lm_bits_score": q_lm_bits_score,
+        "phrase_search": q_phrase_search,
+        "doc_chunks": q_doc_chunks,
+        "pack_manifest": q_pack_manifest,
     }
 
 
@@ -4105,6 +4186,178 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic; the Spark side actually synthesizes the bytes and
         # sniffs the magic prefix (real-sniff unit tests in
         # tests/test_datapipe.py cover each magic).
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents WHERE trim(text) <> ''),
+            c AS (
+              SELECT doc_id, ts, len(ts) AS n,
+                     UNNEST(range(0, len(ts), 28)) AS start
+              FROM t)
+            SELECT doc_id,
+                   CAST(start // 28 AS INT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start_tok,
+                   CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
+                   array_to_string(ts[start + 1:start + 32], ' ') AS chunk_text
+            FROM c WHERE start = 0 OR start + 4 < n
+        """,
+        "pack_manifest": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS tc,
+                     ('0x' || substr(md5('pack1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS ppm
+              FROM documents),
+            s AS (SELECT doc_id, ppm, ppm % 8 AS shard,
+                         CAST(LEAST(256, tc) AS BIGINT) AS tok
+                  FROM d),
+            c AS (SELECT *, CAST(SUM(tok) OVER (
+                      PARTITION BY shard ORDER BY ppm, doc_id) AS BIGINT) AS cum
+                  FROM s),
+            p AS (SELECT shard,
+                         CASE WHEN tok > 0 THEN (cum - 1) // 256
+                              ELSE cum // 256 END AS pack_idx,
+                         tok
+                  FROM c)
+            SELECT CAST(shard AS INT) AS shard,
+                   CAST(pack_idx AS BIGINT) AS pack_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+                   CAST((SUM(tok) * 1000000) // 256 AS BIGINT) AS fill_ppm
+            FROM p GROUP BY shard, pack_idx
+        """,
+        "phrase_search": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            p AS (
+              SELECT doc_id, UNNEST(list_transform(
+                       range(1, len(ts) + 1),
+                       i -> {'pos': i - 1, 'token': ts[i]})) AS u
+              FROM t),
+            q(qidx, token) AS (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')),
+            h AS (SELECT doc_id, p.u.pos - q.qidx AS anchor, q.qidx
+                  FROM p JOIN q ON p.u.token = q.token),
+            o AS (SELECT doc_id, anchor FROM h
+                  GROUP BY doc_id, anchor
+                  HAVING COUNT(DISTINCT qidx) = 3 AND anchor >= 0)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(anchor) AS BIGINT) AS first_pos
+            FROM o GROUP BY doc_id
+        """,
+        "lm_bits_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            inst AS (
+              SELECT doc_id, UNNEST(list_transform(
+                       range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+              FROM toks WHERE len(ts) >= 2),
+            i2 AS (SELECT doc_id, bigram,
+                          string_split(bigram, ' ')[1] AS w1
+                   FROM inst),
+            uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS uc FROM i2 GROUP BY w1),
+            bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bc
+                   FROM i2 GROUP BY bigram),
+            sc AS (SELECT doc_id,
+                          length(bin(u.uc)) - length(bin(b.bc)) AS bits
+                   FROM i2 JOIN bc b USING (bigram) JOIN uc u USING (w1))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(bits) AS BIGINT) AS total_bits,
+                   CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT)
+                     AS mean_bits_ppm
+            FROM sc GROUP BY doc_id
+        """,
+        "substring_dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            g0 AS (
+              SELECT doc_id, UNNEST(list_transform(
+                       range(1, GREATEST(len(ts) - 8, -1) + 2),
+                       i -> {'pos': i - 1,
+                             'gh': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
+                     )) AS u
+              FROM toks WHERE len(ts) >= 8),
+            g1 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+            tf_ok AS (SELECT doc_id, gh FROM g1
+                      GROUP BY doc_id, gh HAVING COUNT(*) <= 8),
+            g2 AS (SELECT g1.* FROM g1 JOIN tf_ok USING (doc_id, gh)),
+            df_ok AS (SELECT gh FROM g2
+                      GROUP BY gh HAVING COUNT(DISTINCT doc_id) <= 64),
+            g AS (SELECT g2.* FROM g2 JOIN df_ok USING (gh)),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+                  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+            r AS (SELECT *, pa - ROW_NUMBER() OVER (
+                      PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+                  FROM p),
+            s AS (SELECT id_a, id_b,
+                         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens,
+                         CAST(MIN(pa) AS BIGINT) AS sa,
+                         CAST(MIN(pb) AS BIGINT) AS sb
+                  FROM r GROUP BY id_a, id_b, diag, island
+                  HAVING COUNT(*) + 7 >= 8),
+            agg AS (SELECT id_a, id_b,
+                         CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_spans,
+                         MIN((1048575 - span_tokens) * (1::BIGINT << 40)
+                             + sa * (1::BIGINT << 20) + sb) AS p
+                  FROM s GROUP BY id_a, id_b)
+
+            SELECT id_a, id_b, max_span_tokens, n_spans,
+                   CAST((p >> 20) & 1048575 AS BIGINT) AS start_a,
+                   CAST(p & 1048575 AS BIGINT) AS start_b
+            FROM agg
+        """,
+        "substring_dedup_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            g0 AS (
+              SELECT doc_id, UNNEST(list_transform(
+                       range(1, GREATEST(len(ts) - 8, -1) + 2),
+                       i -> {'pos': i - 1,
+                             'gh': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
+                     )) AS u
+              FROM toks WHERE len(ts) >= 8),
+            g1 AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+            tf_ok AS (SELECT doc_id, gh FROM g1
+                      GROUP BY doc_id, gh HAVING COUNT(*) <= 8),
+            g2 AS (SELECT g1.* FROM g1 JOIN tf_ok USING (doc_id, gh)),
+            df_ok AS (SELECT gh FROM g2
+                      GROUP BY gh HAVING COUNT(DISTINCT doc_id) <= 64),
+            g AS (SELECT g2.* FROM g2 JOIN df_ok USING (gh)),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+                  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+            r AS (SELECT *, pa - ROW_NUMBER() OVER (
+                      PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+                  FROM p),
+            s AS (SELECT id_a, id_b,
+                         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens,
+                         CAST(MIN(pa) AS BIGINT) AS sa,
+                         CAST(MIN(pb) AS BIGINT) AS sb
+                  FROM r GROUP BY id_a, id_b, diag, island
+                  HAVING COUNT(*) + 7 >= 8),
+            agg AS (SELECT id_a, id_b,
+                         CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_spans,
+                         MIN((1048575 - span_tokens) * (1::BIGINT << 40)
+                             + sa * (1::BIGINT << 20) + sb) AS p
+                  FROM s GROUP BY id_a, id_b)
+
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id_b FROM agg)
+        """,
         "media_sniff": """
             WITH d AS (SELECT doc_id FROM documents),
             t AS (SELECT doc_id,
