@@ -701,6 +701,9 @@ def main() -> None:
                 round(weak[8]["wall"] / weak[32]["wall"], 3) if weak_ok else None
             ),
             "weak_scaling_calm": weak_calm,
+            "weak_scaling_attempts": {
+                "8": weak[8].get("attempts"), "32": weak[32].get("attempts"),
+            },
             "weak_scaling_bw": {
                 "bw8_pre": weak[8]["bw_pre"], "bw8_post": weak[8]["bw_post"],
                 "bw32_pre": weak[32]["bw_pre"], "bw32_post": weak[32]["bw_post"],

@@ -67,3 +67,73 @@ def host_load_gini(
             "top_decile_share_ppm"
         ),
     )
+
+
+def waterfill_budgets(
+    df: DataFrame,
+    budget: int,
+    demand_col: str = "demand",
+    host_col: str = "host",
+) -> DataFrame:
+    """Max-min fair (water-filling) split of a global fetch budget
+    across hosts: every host gets min(demand, level) URLs, where the
+    water level is the largest integer t with Σ min(d_i, t) ≤ budget;
+    the sub-level remainder goes +1 each to the first clipped hosts in
+    (demand, host) order. Exact integer spec (oracle-reproducible):
+
+    - rank hosts ascending by (demand, host), k = 1..n; P(k) =
+      inclusive demand prefix sum (both from ``with_global_prefix_sum``
+      — NO single-partition window);
+    - if Σd ≤ budget: quota = demand (budget is not binding);
+    - else k* = max{k : P(k) + d_k·(n−k) ≤ budget} (0 if none),
+      t = (budget − P(k*)) div (n − k*),
+      r = budget − P(k*) − t·(n − k*)  (0 ≤ r < n − k*);
+      quota = d_k for k ≤ k*, t+1 for the next r hosts, t after —
+      Σ quota = budget exactly, and t+1 ≤ every clipped demand (else
+      k* was not maximal).
+
+    Scale shape: one distributed range sort over the HOST DIM (never
+    the frontier), two single-row aggregates broadcast back. The output
+    feeds the per-host politeness top-k as its cap.
+    """
+    from docrawl_spark.operators.ranking import with_global_prefix_sum
+
+    base = df.select(
+        F.col(host_col).alias("host"), F.col(demand_col).cast("long").alias("d")
+    )
+    ranked = with_global_prefix_sum(
+        base, ["d", "host"], "d", rank_col="k", prefix_col="pfx"
+    )
+    tot = ranked.agg(F.count("*").alias("n"), F.sum("d").alias("total"))
+    feas = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("pfx") + F.col("d") * (F.col("n") - F.col("k")) <= budget)
+        .agg(
+            F.coalesce(F.max("k"), F.lit(0)).alias("kstar"),
+            F.coalesce(F.expr("max_by(pfx, k)"), F.lit(0)).alias("pstar"),
+        )
+    )
+    scal = tot.crossJoin(feas).select(
+        "n",
+        "total",
+        "kstar",
+        "pstar",
+        F.when(
+            F.col("total") > budget,
+            F.expr(f"({budget}L - pstar) div (n - kstar)"),
+        ).alias("lvl"),
+        F.when(
+            F.col("total") > budget,
+            F.expr(f"{budget}L - pstar - (({budget}L - pstar) div (n - kstar)) * (n - kstar)"),
+        ).alias("rem"),
+    )
+    return ranked.crossJoin(F.broadcast(scal)).select(
+        "host",
+        F.col("d").alias("demand"),
+        F.when(F.col("total") <= budget, F.col("d"))
+        .when(F.col("k") <= F.col("kstar"), F.col("d"))
+        .when(F.col("k") <= F.col("kstar") + F.col("rem"), F.col("lvl") + 1)
+        .otherwise(F.col("lvl"))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -122,3 +122,54 @@ def read_top_bands(
     lands in PartitionFilters (plan-asserted in tests) — unprobed
     bands' files are never opened."""
     return warehouse.read(table).where(F.col("_band") <= max_band)
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "rank",
+    prefix_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``with_global_rank`` plus the INCLUSIVE running sum of
+    ``value_col`` in the same total order — the distributed prefix-sum:
+    range sort, per-partition local cumsum (parallel windows), then one
+    tiny per-partition (count, sum) collect whose cumulative offsets
+    broadcast back. Same determinism contract: ``order_cols`` must
+    totally order the rows. rank is 1-BASED here (the natural k for
+    prefix-sum algebra: prefix(k) sums rows 1..k)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.persist()
+    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    local = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w))
+        .withColumn(
+            "_lsum",
+            F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    local = local.persist()
+    stats = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("c"), F.sum(value_col).alias("s"))
+        .orderBy("_pid")
+        .collect()
+    )  # one row per partition — tiny; also materializes `local`
+    df.unpersist()
+    row_off, sum_off, offsets = 0, 0, []
+    for r in stats:
+        offsets.append((r["_pid"], row_off, sum_off))
+        row_off += r["c"]
+        sum_off += r["s"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _roff long, _soff long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_roff") + F.col("_lrn")).cast("long"))
+        .withColumn(prefix_col, (F.col("_soff") + F.col("_lsum")).cast("long"))
+        .drop("_pid", "_lrn", "_lsum", "_roff", "_soff")
+    )

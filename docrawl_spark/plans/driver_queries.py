@@ -2354,6 +2354,22 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_waterfill_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) split of a global fetch budget of
+    300 URLs across hosts (operators/fairness.waterfill_budgets): every
+    host gets min(demand, level) with the exact integer water level +
+    deterministic remainder, computed via the distributed prefix-sum —
+    no single-partition window. Feeds the politeness top-k as its
+    per-host cap."""
+    from docrawl_spark.operators.fairness import waterfill_budgets
+
+    demand = _doc_urls(spark, sf_dir).groupBy("host").agg(
+        F.count("*").alias("demand")
+    )
+    return waterfill_budgets(demand, budget=300)
+
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2460,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "doc_chunks": q_doc_chunks,
         "pack_manifest": q_pack_manifest,
+        "waterfill_budgets": q_waterfill_budgets,
     }
 
 
@@ -4186,6 +4203,35 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic; the Spark side actually synthesizes the bytes and
         # sniffs the magic prefix (real-sniff unit tests in
         # tests/test_datapipe.py cover each magic).
+        "waterfill_budgets": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS d
+                  FROM u GROUP BY host),
+            r AS (SELECT host, d,
+                    CAST(ROW_NUMBER() OVER (ORDER BY d, host) AS BIGINT) AS k,
+                    CAST(SUM(d) OVER (ORDER BY d, host
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+                  FROM c),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(d) AS BIGINT) AS total FROM c),
+            f AS (SELECT CAST(COALESCE(MAX(k), 0) AS BIGINT) AS kstar,
+                         CAST(COALESCE(arg_max(pfx, k), 0) AS BIGINT) AS pstar
+                  FROM r, a WHERE pfx + d * (n - k) <= 300),
+            s AS (SELECT n, total, kstar, pstar,
+                         CASE WHEN total > 300
+                              THEN (300 - pstar) // (n - kstar) END AS lvl,
+                         CASE WHEN total > 300
+                              THEN 300 - pstar
+                                   - ((300 - pstar) // (n - kstar)) * (n - kstar)
+                         END AS rem
+                  FROM a, f)
+            SELECT r.host, r.d AS demand,
+                   CAST(CASE WHEN s.total <= 300 THEN r.d
+                        WHEN r.k <= s.kstar THEN r.d
+                        WHEN r.k <= s.kstar + s.rem THEN s.lvl + 1
+                        ELSE s.lvl END AS BIGINT) AS quota
+            FROM r, s
+        """,
         "doc_chunks": r"""
             WITH t AS (
               SELECT doc_id,
