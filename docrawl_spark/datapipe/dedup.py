@@ -649,6 +649,132 @@ def drop_duplicate_lines(
     )
 
 
+# --------------------------------------------------------------------------
+# Host-scoped template removal: the per-site complement of the corpus-wide
+# line dedup above. Site chrome (nav bars, footers, cookie banners) repeats
+# across most of ONE host's pages but may be globally rare, so a corpus
+# count threshold misses it; the signal is the within-host document share.
+# --------------------------------------------------------------------------
+
+
+def host_template_lines(
+    df: DataFrame,
+    min_docs: int = 5,
+    min_share_ppm: int = 500_000,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Mine per-host template lines: a non-empty trimmed line is a
+    template for a host when it appears in ≥ ``min_share_ppm`` (parts
+    per million) of that host's documents and the host has ≥
+    ``min_docs`` documents (below that, "share" is noise). Returns
+    (host, line, docs_with_line, host_docs, share_ppm).
+
+    share_ppm is exact BIGINT arithmetic (``x * 10^6 div n`` — Spark's
+    ``div`` ≡ DuckDB ``//`` on non-negative ints), so the threshold is
+    engine-identical; no float shares.
+
+    Scale shape: split→explode→distinct(host, doc, line) (the distinct
+    pre-combines map-side: a footer repeated on every page of a host
+    collapses inside each task before the exchange) → one
+    HashAggregate to (host, line) doc counts → join against the
+    host-dim-sized doc-count aggregate, which AQE broadcasts. No
+    window, no per-row Python.
+    """
+    # \Q...\E quotes the separator: split's pattern arg is a regex.
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("line"),
+        )
+        .select("host", "_doc", F.trim("line").alias("line"))
+        .where(F.col("line") != "")
+        .distinct()
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.count("*").alias("docs_with_line")
+    )
+    host_docs = (
+        df.select(F.col(host_col).alias("host"), F.col(id_col).alias("_doc"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").alias("host_docs"))
+        .where(F.col("host_docs") >= int(min_docs))
+    )
+    return (
+        per_line.join(host_docs, "host")
+        .withColumn(
+            "share_ppm",
+            F.expr("docs_with_line * CAST(1000000 AS BIGINT) div host_docs"),
+        )
+        .where(F.col("share_ppm") >= int(min_share_ppm))
+        .select("host", "line", "docs_with_line", "host_docs", "share_ppm")
+    )
+
+
+def strip_host_templates(
+    df: DataFrame,
+    min_docs: int = 5,
+    min_share_ppm: int = 500_000,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop each host's template lines (per :func:`host_template_lines`)
+    from that host's documents, re-assembling each doc in original line
+    order. Returns (id_col, host, text_clean, n_lines, n_dropped).
+
+    Empty (trimmed) lines are never templates, so they survive the
+    strip — only actual chrome is removed. The template set is tiny
+    relative to the corpus (≤ a few lines per host), so the tag join
+    broadcasts; re-assembly is the same single groupBy(doc) +
+    sort_array pattern as :func:`drop_duplicate_lines`.
+    """
+    templates = host_template_lines(
+        df,
+        min_docs=min_docs,
+        min_share_ppm=min_share_ppm,
+        host_col=host_col,
+        text_col=text_col,
+        id_col=id_col,
+        sep=sep,
+    ).select("host", "line", F.lit(True).alias("_tmpl"))
+    lines = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "pos", "line"
+        ),
+    ).select(id_col, "host", "pos", F.trim("line").alias("line"))
+    tagged = lines.join(templates, ["host", "line"], "left")
+    return (
+        tagged.groupBy(id_col, "host")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_tmpl"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_tmpl").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "host", "text_clean", "n_lines", "n_dropped")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact substring dedup (shared ≥k-token contiguous spans)
 # ---------------------------------------------------------------------------

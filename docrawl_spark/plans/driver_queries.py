@@ -71,6 +71,31 @@ _DOC_URLS_SQL = """
   FROM documents
 """
 
+# Shared prep for the host-template oracle pair (mirrors
+# _docs_with_host_footer + the line table both operators consume):
+# lp = every positioned trimmed line, l0 = distinct non-empty
+# (host, doc, line), pl = per-(host, line) doc counts, hd = hosts with
+# >= 5 docs. COUNTs cast to BIGINT (DuckDB HUGEINT trap).
+_HOST_TEMPLATE_PREP_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, source || '.test' AS host,
+             regexp_replace(trim(text), '(\S+ \S+) ', '\1' || chr(10), 'g')
+               || chr(10) || 'footer nav ' || source AS text
+      FROM documents),
+    parts AS (SELECT doc_id, host, string_split(text, chr(10)) AS p FROM d),
+    lp AS (
+      SELECT doc_id, host, CAST(i AS INT) AS pos, trim(p[i]) AS line
+      FROM parts, UNNEST(range(1, len(p) + 1)) AS t(i)),
+    l0 AS (
+      SELECT DISTINCT host, doc_id, line FROM lp WHERE line <> ''),
+    pl AS (
+      SELECT host, line, CAST(COUNT(*) AS BIGINT) AS docs_with_line
+      FROM l0 GROUP BY host, line),
+    hd AS (
+      SELECT host, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS host_docs
+      FROM d GROUP BY host HAVING COUNT(DISTINCT doc_id) >= 5)
+"""
+
 
 # --------------------------------------------------------------------------
 # Crawl-engine relational sub-operators
@@ -2369,6 +2394,45 @@ def q_waterfill_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_budgets(demand, budget=300)
 
 
+def _docs_with_host_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a host column and synthetic site chrome: the flat
+    testdata text has no newlines, so inject one every 2 tokens (as the
+    line-dedup query does) AND append a per-host footer line — every
+    host gets a guaranteed 100%-share template to mine."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.regexp_replace(F.trim(F.col("text")), r"(\S+ \S+) ", "$1\n"),
+            F.lit("\nfooter nav "),
+            F.col("source"),
+        ).alias("text"),
+    )
+
+
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line mining (datapipe.dedup.host_template_lines):
+    non-empty lines present in ≥25% of a host's documents (host must
+    have ≥5 docs) are site chrome. Exact ppm shares — BIGINT div on
+    both engines."""
+    from docrawl_spark.datapipe.dedup import host_template_lines
+
+    return host_template_lines(
+        _docs_with_host_footer(spark, sf_dir), min_docs=5, min_share_ppm=250_000
+    )
+
+
+def q_host_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip each host's mined template lines from its documents
+    (datapipe.dedup.strip_host_templates), re-assembled in original
+    line order — the per-site complement of line_dedup_docs."""
+    from docrawl_spark.datapipe.dedup import strip_host_templates
+
+    return strip_host_templates(
+        _docs_with_host_footer(spark, sf_dir), min_docs=5, min_share_ppm=250_000
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2477,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "pack_manifest": q_pack_manifest,
         "waterfill_budgets": q_waterfill_budgets,
+        "host_template_lines": q_host_template_lines,
+        "host_template_strip": q_host_template_strip,
     }
 
 
@@ -4414,5 +4480,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(len) AS BIGINT) AS total_bytes
             FROM t GROUP BY media_type
+        """,
+        # Host-scoped template mining: the footer-injection prep (newline
+        # every 2 tokens + per-host footer line) mirrors
+        # _docs_with_host_footer; shares are exact BIGINT ppm (// ≡ div).
+        "host_template_lines": _HOST_TEMPLATE_PREP_SQL + r"""
+            SELECT pl.host, pl.line, pl.docs_with_line, hd.host_docs,
+                   pl.docs_with_line * 1000000 // hd.host_docs AS share_ppm
+            FROM pl JOIN hd USING (host)
+            WHERE pl.docs_with_line * 1000000 // hd.host_docs >= 250000
+        """,
+        "host_template_strip": _HOST_TEMPLATE_PREP_SQL + r"""
+            , tmpl AS (
+              SELECT pl.host, pl.line
+              FROM pl JOIN hd USING (host)
+              WHERE pl.docs_with_line * 1000000 // hd.host_docs >= 250000)
+            SELECT lp.doc_id, lp.host,
+                   COALESCE(string_agg(CASE WHEN t.line IS NULL THEN lp.line END,
+                                       chr(10) ORDER BY lp.pos), '') AS text_clean,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN t.line IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped
+            FROM lp LEFT JOIN tmpl t ON lp.host = t.host AND lp.line = t.line
+            GROUP BY lp.doc_id, lp.host
         """,
     }
