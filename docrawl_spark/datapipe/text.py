@@ -439,3 +439,55 @@ def lm_bits_score(
         F.sum("bits").cast("long").alias("total_bits"),
         F.expr("(sum(bits) * 1000000L) div count(*)").alias("mean_bits_ppm"),
     )
+
+
+def host_language_profile(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host PREDICTED-language profile for crawl steering: run the
+    marker-based language id (:func:`langid_col`) over each document,
+    then reduce to one row per host — total docs, the dominant
+    predicted language (most docs; ties break to the lexicographically
+    smallest lang, matching langid's own determinism), its doc count,
+    and its exact ppm share (BIGINT ``div``, engine-identical).
+
+    A frontier scheduler uses this to steer: hosts whose dominant
+    predicted language is outside the target set (or whose share is
+    too mixed) get demoted before fetch budget is spent on them.
+
+    Scale shape: one HashAggregate docs→(host, lang), one to the host
+    dim (sum + max), then a host-dim join + min(lang) HashAggregate to
+    resolve the argmax without a window or struct-max (struct-min/max
+    demotes to SortAggregate — CLAUDE.md). Everything after the first
+    aggregate is host-dim sized; AQE broadcasts the join.
+    """
+    per = (
+        df.select(
+            F.col(host_col).alias("host"),
+            langid_col(F.col(text_col)).alias("lang"),
+        )
+        .groupBy("host", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = per.groupBy("host").agg(
+        F.sum("n_docs").alias("host_docs"),
+        F.max("n_docs").alias("dominant_docs"),
+    )
+    return (
+        per.join(tot, "host")
+        .where(F.col("n_docs") == F.col("dominant_docs"))
+        .groupBy("host", "host_docs", "dominant_docs")
+        .agg(F.min("lang").alias("dominant_lang"))
+        .select(
+            "host",
+            "host_docs",
+            "dominant_lang",
+            "dominant_docs",
+            F.expr(
+                "(dominant_docs * CAST(1000000 AS BIGINT)) div host_docs"
+            ).alias("dominant_share_ppm"),
+        )
+    )

@@ -297,3 +297,101 @@ def budget_from_crawl_delay(
         .otherwise(F.greatest(F.floor(F.lit(float(wave_seconds)) / delay), F.lit(1)))
         .cast("long")
     )
+
+
+def robots_cache_schedule(
+    fetch_log: DataFrame,
+    as_of: Column,
+    cache_hours: int = 24,
+    unreachable_grace_days: int = 30,
+    host_col: str = "host",
+    ts_col: str = "fetched_at",
+    status_col: str = "status",
+    tie_col: str = "fetch_id",
+) -> DataFrame:
+    """RFC 9309 §2.4 robots.txt cache scheduling: given a robots-fetch
+    log (one row per robots.txt fetch: host, fetched_at, final HTTP
+    status after redirects, a unique tie-break id), reduce to each
+    host's LATEST fetch and classify what the crawler may assume at
+    ``as_of``:
+
+    - 2xx/3xx → ``ok`` (parsed rules apply);
+    - 4xx → ``allow_all`` ("unavailable" per §2.3.1.3: a missing
+      robots.txt imposes no restrictions);
+    - 5xx within ``unreachable_grace_days`` → ``disallow_all``
+      ("unreachable" per §2.3.1.4: MUST assume complete disallow);
+    - 5xx older than the grace window → ``stale_unreachable`` (§2.3.1.4
+      allows falling back to a cached copy / no restrictions after a
+      reasonably long time; the scheduler surfaces these for operator
+      policy rather than deciding).
+
+    ``refetch_due`` is True once the cached copy is older than
+    ``cache_hours`` (§2.4: SHOULD NOT use a cached robots.txt for more
+    than 24 hours). Ages are exact BIGINT microsecond arithmetic
+    (``div`` ≡ DuckDB ``//`` on non-negative values) so the due
+    boundary is engine-identical — no float hours.
+
+    Scale shape: one HashAggregate to the host dim (max fetch micros),
+    an equi-join back to pick the tie-break winner at that timestamp
+    (latest id wins — a re-fetch logged in the same microsecond
+    supersedes), then one more host-dim join for the status. Every
+    post-aggregate frame is host-dim sized, so AQE broadcasts the
+    joins; no window, no per-row Python.
+    """
+    from docrawl_spark.operators.recrawl import _micros
+
+    base = fetch_log.select(
+        F.col(host_col).alias("host"),
+        _micros(F.col(ts_col)).alias("_us"),
+        F.col(status_col).alias("_status"),
+        F.col(tie_col).alias("_tie"),
+    )
+    latest = (
+        base.groupBy("host")
+        .agg(F.max("_us").alias("last_fetch_us"))
+        .select(F.col("host").alias("_lhost"), "last_fetch_us")
+    )
+    winner = (
+        base.join(
+            latest,
+            (F.col("host") == F.col("_lhost"))
+            & (F.col("_us") == F.col("last_fetch_us")),
+        )
+        .groupBy("host", "last_fetch_us")
+        .agg(F.max("_tie").alias("_win_tie"))
+        .select(
+            F.col("host").alias("_whost"),
+            F.col("last_fetch_us").alias("_wus"),
+            "_win_tie",
+        )
+    )
+    last = base.join(
+        winner,
+        (F.col("host") == F.col("_whost")) & (F.col("_tie") == F.col("_win_tie")),
+    ).select(
+        "host",
+        F.col("_wus").alias("last_fetch_us"),
+        F.col("_status").alias("last_status"),
+    )
+    age_us = _micros(as_of) - F.col("last_fetch_us")
+    age_hours = F.expr("age_us div CAST(3600000000 AS BIGINT)")
+    grace_us = F.lit(int(unreachable_grace_days) * 86_400_000_000)
+    state = (
+        F.when(F.col("last_status") < 400, F.lit("ok"))
+        .when(F.col("last_status") < 500, F.lit("allow_all"))
+        .when(age_us <= grace_us, F.lit("disallow_all"))
+        .otherwise(F.lit("stale_unreachable"))
+    )
+    return (
+        last.withColumn("age_us", age_us)
+        .select(
+            "host",
+            "last_fetch_us",
+            "last_status",
+            age_hours.alias("age_hours"),
+            state.alias("access_state"),
+            (F.col("age_us") >= F.lit(int(cache_hours) * 3_600_000_000)).alias(
+                "refetch_due"
+            ),
+        )
+    )

@@ -2433,6 +2433,50 @@ def q_host_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host predicted-language steering profile
+    (datapipe.text.host_language_profile): dominant langid per source
+    (most docs, lexicographic tie-break) + exact ppm share — the
+    frontier-steering signal that demotes off-target-language hosts
+    before budget is spent on them."""
+    from docrawl_spark.datapipe.text import host_language_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"), "text", "doc_id"
+    )
+    return host_language_profile(docs)
+
+
+def q_robots_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.4 robots-cache scheduling
+    (operators/politeness.robots_cache_schedule): the events stream
+    doubles as a robots-fetch log (user→host, ts→fetched_at,
+    event_type→final status); per host the latest fetch, its access
+    state (ok / allow_all on 4xx / disallow_all on fresh 5xx /
+    stale_unreachable past the grace window) and whether the 24 h
+    cache validity has lapsed at a fixed as_of. Exact BIGINT
+    microsecond ages on both engines."""
+    from docrawl_spark.operators.politeness import robots_cache_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", F.lit(503))
+        .when(F.col("event_type") == "purchase", F.lit(404))
+        .when(F.col("event_type") == "signup", F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    log = ev.select(
+        F.col("user_id").alias("host"),
+        F.col("ts").alias("fetched_at"),
+        status.alias("status"),
+        F.col("event_id").alias("fetch_id"),
+    )
+    as_of = F.to_timestamp(F.lit("2024-01-31 06:00:00"))
+    return robots_cache_schedule(
+        log, as_of, cache_hours=24, unreachable_grace_days=14
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2543,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waterfill_budgets": q_waterfill_budgets,
         "host_template_lines": q_host_template_lines,
         "host_template_strip": q_host_template_strip,
+        "host_lang_profile": q_host_lang_profile,
+        "robots_refetch": q_robots_refetch,
     }
 
 
@@ -4503,5 +4549,82 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dropped
             FROM lp LEFT JOIN tmpl t ON lp.host = t.host AND lp.line = t.line
             GROUP BY lp.doc_id, lp.host
+        """,
+        # Per-host dominant predicted language: the langid CTE (same
+        # marker algebra + CASE tie-break as the `langid` oracle) then
+        # the same max/join/min argmax resolution as the Spark side;
+        # exact BIGINT ppm shares (// ≡ div).
+        "host_lang_profile": r"""
+            WITH t AS (
+              SELECT doc_id, source AS host,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, host,
+                len(list_intersect(toks, ['the','and','of','to','a','in','is','that'])) AS en,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS de,
+                len(list_intersect(toks, ['le','la','les','et','est','un','une','que'])) AS fr,
+                len(list_intersect(toks, ['el','la','los','de','que','es','un','una'])) AS es,
+                len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS zh
+              FROM t),
+            p AS (
+              SELECT host,
+                     CASE WHEN GREATEST(en,de,fr,es,zh) = 0 THEN 'und'
+                          WHEN de = GREATEST(en,de,fr,es,zh) THEN 'de'
+                          WHEN en = GREATEST(en,de,fr,es,zh) THEN 'en'
+                          WHEN es = GREATEST(en,de,fr,es,zh) THEN 'es'
+                          WHEN fr = GREATEST(en,de,fr,es,zh) THEN 'fr'
+                          ELSE 'zh' END AS lang
+              FROM h),
+            per AS (
+              SELECT host, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM p GROUP BY host, lang),
+            tot AS (
+              SELECT host, CAST(SUM(n_docs) AS BIGINT) AS host_docs,
+                     CAST(MAX(n_docs) AS BIGINT) AS dominant_docs
+              FROM per GROUP BY host)
+            SELECT per.host, tot.host_docs,
+                   MIN(per.lang) AS dominant_lang,
+                   tot.dominant_docs,
+                   (tot.dominant_docs * 1000000) // tot.host_docs AS dominant_share_ppm
+            FROM per JOIN tot
+              ON per.host = tot.host AND per.n_docs = tot.dominant_docs
+            GROUP BY per.host, tot.host_docs, tot.dominant_docs
+        """,
+        # RFC 9309 robots-cache scheduling: latest fetch per host
+        # (max micros, tie -> max event_id), then the same access-state
+        # CASE and exact BIGINT age arithmetic as the Spark operator.
+        "robots_refetch": """
+            WITH log AS (
+              SELECT user_id AS host, epoch_us(ts) AS us,
+                     CASE event_type WHEN 'error' THEN 503
+                                     WHEN 'purchase' THEN 404
+                                     WHEN 'signup' THEN 301
+                                     ELSE 200 END AS status,
+                     event_id
+              FROM events),
+            latest AS (SELECT host, MAX(us) AS last_fetch_us FROM log GROUP BY host),
+            winner AS (
+              SELECT l.host, l.last_fetch_us, MAX(g.event_id) AS win_tie
+              FROM latest l JOIN log g
+                ON g.host = l.host AND g.us = l.last_fetch_us
+              GROUP BY l.host, l.last_fetch_us),
+            last AS (
+              SELECT w.host, w.last_fetch_us, g.status AS last_status
+              FROM winner w JOIN log g
+                ON g.host = w.host AND g.us = w.last_fetch_us
+               AND g.event_id = w.win_tie),
+            aged AS (
+              SELECT host, last_fetch_us, last_status,
+                     epoch_us(TIMESTAMP '2024-01-31 06:00:00') - last_fetch_us AS age_us
+              FROM last)
+            SELECT host, last_fetch_us, last_status,
+                   age_us // 3600000000 AS age_hours,
+                   CASE WHEN last_status < 400 THEN 'ok'
+                        WHEN last_status < 500 THEN 'allow_all'
+                        WHEN age_us <= 14 * 86400000000 THEN 'disallow_all'
+                        ELSE 'stale_unreachable' END AS access_state,
+                   age_us >= 24 * 3600000000 AS refetch_due
+            FROM aged
         """,
     }

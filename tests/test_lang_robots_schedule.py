@@ -1,0 +1,90 @@
+"""Unit tests for the crawl-steering language profile
+(datapipe.text.host_language_profile) and RFC 9309 robots-cache
+scheduling (operators/politeness.robots_cache_schedule) — the edge
+cases the sf0.01 oracle pair can't guarantee to exercise: dominant-lang
+ties, same-microsecond fetch ties, and the exact 24 h / grace-window
+boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from docrawl_spark.datapipe.text import host_language_profile
+from docrawl_spark.operators.politeness import robots_cache_schedule
+
+
+def test_host_language_profile_dominance_and_tie(spark):
+    rows = [
+        # host a: 2 en, 1 de -> en dominant, share 666666 ppm
+        ("a", "d1", "the cat and the dog of a house"),
+        ("a", "d2", "that is a thing in the box"),
+        ("a", "d3", "der hund ist nicht ein katze und"),
+        # host b: 1 en, 1 de -> tie; lexicographic -> de
+        ("b", "d4", "the and of to a in"),
+        ("b", "d5", "der die das und ist"),
+        # host c: marker-free -> und
+        ("c", "d6", "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id string, text string")
+    out = {
+        r["host"]: r
+        for r in host_language_profile(df).collect()
+    }
+    assert out["a"]["dominant_lang"] == "en"
+    assert out["a"]["host_docs"] == 3 and out["a"]["dominant_docs"] == 2
+    assert out["a"]["dominant_share_ppm"] == 666_666
+    assert out["b"]["dominant_lang"] == "de"  # tie -> lexicographic min
+    assert out["b"]["dominant_share_ppm"] == 500_000
+    assert out["c"]["dominant_lang"] == "und"
+    assert out["c"]["dominant_share_ppm"] == 1_000_000
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_robots_cache_schedule_states_and_boundaries(spark):
+    as_of = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    rows = [
+        # fresh 200: exactly 24h old -> due (>= boundary), state ok
+        ("ok24", _ts("2024-01-31 00:00:00"), 200, 1),
+        # 200 just under 24h -> NOT due
+        ("fresh", _ts("2024-01-31 00:00:01"), 200, 2),
+        # superseded older fetch for the same host must be ignored
+        ("fresh", _ts("2024-01-01 00:00:00"), 503, 3),
+        # same-microsecond tie: larger fetch_id wins (404 beats 200)
+        ("tie", _ts("2024-01-31 12:00:00"), 200, 4),
+        ("tie", _ts("2024-01-31 12:00:00"), 404, 5),
+        # 5xx inside the grace window -> disallow_all
+        ("err", _ts("2024-01-25 00:00:00"), 503, 6),
+        # 5xx exactly AT the grace boundary (14d) -> still disallow_all
+        ("edge", _ts("2024-01-18 00:00:00"), 500, 7),
+        # 5xx past the grace window -> stale_unreachable
+        ("stale", _ts("2024-01-10 00:00:00"), 503, 8),
+        # 3xx -> ok (final status after redirect chain)
+        ("redir", _ts("2024-01-31 18:00:00"), 301, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, fetched_at timestamp, status int, fetch_id long"
+    )
+    out = {
+        r["host"]: r
+        for r in robots_cache_schedule(
+            df, as_of, cache_hours=24, unreachable_grace_days=14
+        ).collect()
+    }
+    assert len(out) == 7  # one row per host
+    assert out["ok24"]["access_state"] == "ok" and out["ok24"]["refetch_due"]
+    assert out["ok24"]["age_hours"] == 24
+    assert not out["fresh"]["refetch_due"]
+    assert out["fresh"]["last_status"] == 200  # older 503 superseded
+    assert out["fresh"]["access_state"] == "ok"
+    assert out["tie"]["last_status"] == 404  # max fetch_id wins the tie
+    assert out["tie"]["access_state"] == "allow_all"
+    assert out["err"]["access_state"] == "disallow_all"
+    assert out["edge"]["access_state"] == "disallow_all"  # <= grace
+    assert out["stale"]["access_state"] == "stale_unreachable"
+    assert out["redir"]["access_state"] == "ok"
+    assert not out["redir"]["refetch_due"]
