@@ -238,3 +238,144 @@ def host_degree_metrics(edges: DataFrame) -> DataFrame:
             F.coalesce("in_w", F.lit(0)).alias("in_w"),
         )
     )
+
+
+def opic_hosts(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    total_units: int = DEFAULT_TOTAL_UNITS,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-point batch OPIC (On-line Page Importance Computation,
+    Abiteboul/Preda/Cobéna WWW 2003) over the host graph — THE classic
+    crawl-ordering signal: pages are fetched greedily by accumulated
+    "cash", which needs no convergence before it's useful (unlike
+    PageRank). This is the synchronous batch form of the same update:
+
+    - every host starts with cash C0 = total_units div n;
+    - each round, every host distributes ALL its cash across its
+      out-edges by ppm share (same pre-floored
+      share_ppm = floor(w·10^6 / out_w) as :func:`pagerank_hosts`),
+      and banks it in its history H;
+    - dangling hosts (no out-edges) send their cash to the OPIC
+      "virtual page", which redistributes it uniformly in the same
+      round: each host also receives floor(D div n) where D = Σ cash
+      over dangling hosts (the div remainder is dropped — spec'd,
+      identical in the oracle);
+    - importance after k rounds ∝ H + C (history plus in-flight cash).
+
+    Exact BIGINT arithmetic end to end: cash products are
+    floor(cash/10^6)·share_ppm ≤ total_units per edge (overflow-proof
+    under ANSI), so summation order cannot change a bit and a DuckDB
+    oracle unrolling the same rounds hash-matches.
+
+    Scale shape per round: ONE shuffle over the host dim (groupBy dst)
+    plus a single-row dangling-cash sum broadcast back — the edge-share
+    frame is iteration-invariant and localCheckpointed once. Returns
+    (host, history_units, cash_units, opic_units = history + cash).
+    """
+    n_nodes = nodes.count()  # host-dim cardinality: small by design
+    if n_nodes == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("history_units"),
+            F.lit(0).cast("long").alias("cash_units"),
+            F.lit(0).cast("long").alias("opic_units"),
+        )
+    c0 = total_units // n_nodes
+
+    out_w = edges.groupBy("src_host").agg(F.sum("weight").alias("out_w"))
+    ew = (
+        edges.join(out_w, "src_host")
+        .select(
+            "src_host",
+            "dst_host",
+            F.expr("weight * 1000000L div out_w").alias("share_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Hosts with at least one out-edge; everyone else is dangling.
+    linked = out_w.select(F.col("src_host").alias("host"), F.lit(True).alias("_linked"))
+
+    state = nodes.select(
+        "host",
+        F.lit(0).cast("long").alias("history_units"),
+        F.lit(c0).cast("long").alias("cash_units"),
+    )
+    for i in range(n_iter):
+        tagged = state.join(linked, "host", "left")
+        dangling = tagged.where(F.col("_linked").isNull()).agg(
+            F.coalesce(F.sum("cash_units"), F.lit(0)).cast("long").alias("d")
+        )
+        recv = (
+            ew.join(tagged, ew.src_host == tagged.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(cash_units div 1000000L) * share_ppm").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_units"))
+        )
+        state = (
+            state.join(recv, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (F.col("history_units") + F.col("cash_units"))
+                .cast("long")
+                .alias("history_units"),
+                (
+                    F.coalesce(F.col("in_units"), F.lit(0))
+                    + F.expr(f"d div {int(n_nodes)}L")
+                )
+                .cast("long")
+                .alias("cash_units"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        "host",
+        "history_units",
+        "cash_units",
+        (F.col("history_units") + F.col("cash_units")).alias("opic_units"),
+    )
+
+
+def host_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link-reciprocity — the cheap nepotistic-link (link-farm)
+    signal: for each host, the share of its outbound weight that flows
+    over RECIPROCATED edges (an edge u→v is reciprocated iff v→u also
+    exists). Link exchanges / mirror rings reciprocate nearly all their
+    weight; organically-linked hosts reciprocate little.
+
+    Returns (host, out_w, recip_w, recip_ppm) with exact BIGINT ppm
+    (``div``). Scale shape: one self-equi-join of the host-dim edge
+    list on the reversed key (never page-level), then one HashAggregate
+    per host — both sides of the join are the same host-dim frame.
+    """
+    fwd = edges.select("src_host", "dst_host", "weight")
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(True).alias("_recip"),
+    )
+    tagged = fwd.join(rev, ["src_host", "dst_host"], "left")
+    return (
+        tagged.groupBy(F.col("src_host").alias("host"))
+        .agg(
+            F.sum("weight").cast("long").alias("out_w"),
+            F.coalesce(
+                F.sum(F.when(F.col("_recip"), F.col("weight"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("recip_w"),
+        )
+        .select(
+            "host",
+            "out_w",
+            "recip_w",
+            F.expr("recip_w * 1000000L div out_w").alias("recip_ppm"),
+        )
+    )

@@ -96,6 +96,38 @@ _HOST_TEMPLATE_PREP_SQL = r"""
       FROM d GROUP BY host HAVING COUNT(DISTINCT doc_id) >= 5)
 """
 
+# Shared CTE prefix for the link-analysis oracles (host_pagerank's edge
+# derivation, factored): deterministic host graph — 3 md5-hashed
+# out-links per doc onto the host index, self-loops dropped, weighted
+# edges + ppm out-shares.
+_HOST_GRAPH_PREP_SQL = """
+    WITH u AS (
+      SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+      FROM documents),
+    hosts AS (SELECT DISTINCT host FROM u),
+    cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+    idx AS (
+      SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+      FROM hosts),
+    raw AS (
+      SELECT u.host AS src_host,
+             ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT n_hosts FROM cnt) AS dst_idx
+      FROM u, UNNEST([0, 1, 2]) AS t(k)),
+    e0 AS (
+      SELECT r.src_host, i.host AS dst_host
+      FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+      WHERE r.src_host <> i.host),
+    edges AS (
+      SELECT src_host, dst_host, COUNT(*) AS weight FROM e0 GROUP BY 1, 2),
+    outw AS (SELECT src_host, SUM(weight) AS out_w FROM edges GROUP BY 1),
+    ew AS (
+      SELECT e.src_host, e.dst_host,
+             (CAST(e.weight AS BIGINT) * 1000000) // CAST(o.out_w AS BIGINT)
+               AS share_ppm
+      FROM edges e JOIN outw o USING (src_host))
+"""
+
 
 # --------------------------------------------------------------------------
 # Crawl-engine relational sub-operators
@@ -2477,6 +2509,70 @@ def q_robots_refetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_host_graph(spark: SparkSession, sf_dir: str):
+    """The deterministic host graph shared by the link-analysis queries
+    (same derivation as q_host_pagerank / q_host_hits: 3 md5-hashed
+    out-links per doc onto the range-partitioned host index, self-loops
+    dropped by host_edges). Returns (edges, hosts)."""
+    from docrawl_spark.datapipe.graph import host_edges
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    raw = links.join(
+        F.broadcast(idx), links.dst_idx == idx.host_idx
+    ).select("src_host", F.col("host").alias("dst_host"))
+    return host_edges(raw), hosts
+
+
+def q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch OPIC (datapipe/graph.opic_hosts, Abiteboul et al. WWW'03)
+    over the same deterministic host graph as q_host_pagerank — the
+    greedy cash-distribution crawl-ordering signal, 3 synchronous
+    rounds, exact BIGINT fixed-point with uniform dangling
+    redistribution; bit-exact vs a DuckDB oracle unrolling the same
+    rounds."""
+    from docrawl_spark.datapipe.graph import opic_hosts
+
+    edges, hosts = _synthetic_host_graph(spark, sf_dir)
+    return opic_hosts(edges, hosts, n_iter=3)
+
+
+def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-reciprocity per host (datapipe/graph.host_reciprocity): the
+    share of outbound weight over reciprocated edges — the
+    link-farm/nepotistic-link signal, exact ppm."""
+    from docrawl_spark.datapipe.graph import host_reciprocity
+
+    edges, _hosts = _synthetic_host_graph(spark, sf_dir)
+    return host_reciprocity(edges)
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2589,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_strip": q_host_template_strip,
         "host_lang_profile": q_host_lang_profile,
         "robots_refetch": q_robots_refetch,
+        "host_opic": q_host_opic,
+        "host_reciprocity": q_host_reciprocity,
     }
 
 
@@ -4626,5 +4724,78 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'stale_unreachable' END AS access_state,
                    age_us >= 24 * 3600000000 AS refetch_due
             FROM aged
+        """,
+        # Batch OPIC over the shared synthetic host graph: the same edge
+        # CTE as host_pagerank, then 3 unrolled cash-distribution rounds
+        # (hist' = hist + cash; cash' = Σ floor(cash/1e6)·share_ppm +
+        # dangling_total // n) — all BIGINT, order-independent.
+        "host_opic": _HOST_GRAPH_PREP_SQL + """
+            , consts AS (
+              SELECT CAST(1000000000000 // n_hosts AS BIGINT) AS c0,
+                     CAST(n_hosts AS BIGINT) AS n
+              FROM cnt),
+            linked AS (SELECT DISTINCT src_host AS host FROM edges),
+            s0 AS (
+              SELECT host, CAST(0 AS BIGINT) AS hist,
+                     (SELECT c0 FROM consts) AS cash
+              FROM hosts),
+            d1 AS (
+              SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS d
+              FROM s0 WHERE host NOT IN (SELECT host FROM linked)),
+            r1 AS (
+              SELECT e.dst_host AS host,
+                     SUM((s.cash // 1000000) * e.share_ppm) AS recv
+              FROM ew e JOIN s0 s ON e.src_host = s.host GROUP BY 1),
+            s1 AS (
+              SELECT s.host, CAST(s.hist + s.cash AS BIGINT) AS hist,
+                     CAST(COALESCE(r.recv, 0)
+                          + (SELECT d FROM d1) // (SELECT n FROM consts)
+                          AS BIGINT) AS cash
+              FROM s0 s LEFT JOIN r1 r USING (host)),
+            d2 AS (
+              SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS d
+              FROM s1 WHERE host NOT IN (SELECT host FROM linked)),
+            r2 AS (
+              SELECT e.dst_host AS host,
+                     SUM((s.cash // 1000000) * e.share_ppm) AS recv
+              FROM ew e JOIN s1 s ON e.src_host = s.host GROUP BY 1),
+            s2 AS (
+              SELECT s.host, CAST(s.hist + s.cash AS BIGINT) AS hist,
+                     CAST(COALESCE(r.recv, 0)
+                          + (SELECT d FROM d2) // (SELECT n FROM consts)
+                          AS BIGINT) AS cash
+              FROM s1 s LEFT JOIN r2 r USING (host)),
+            d3 AS (
+              SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS d
+              FROM s2 WHERE host NOT IN (SELECT host FROM linked)),
+            r3 AS (
+              SELECT e.dst_host AS host,
+                     SUM((s.cash // 1000000) * e.share_ppm) AS recv
+              FROM ew e JOIN s2 s ON e.src_host = s.host GROUP BY 1),
+            s3 AS (
+              SELECT s.host, CAST(s.hist + s.cash AS BIGINT) AS hist,
+                     CAST(COALESCE(r.recv, 0)
+                          + (SELECT d FROM d3) // (SELECT n FROM consts)
+                          AS BIGINT) AS cash
+              FROM s2 s LEFT JOIN r3 r USING (host))
+            SELECT host, hist AS history_units, cash AS cash_units,
+                   CAST(hist + cash AS BIGINT) AS opic_units
+            FROM s3
+        """,
+        # Per-host link reciprocity over the same host graph: weight
+        # share over edges whose reverse also exists, exact BIGINT ppm.
+        "host_reciprocity": _HOST_GRAPH_PREP_SQL + """
+            SELECT e.src_host AS host,
+                   CAST(SUM(e.weight) AS BIGINT) AS out_w,
+                   CAST(COALESCE(SUM(CASE WHEN r.src_host IS NOT NULL
+                                          THEN e.weight END), 0) AS BIGINT)
+                     AS recip_w,
+                   CAST(COALESCE(SUM(CASE WHEN r.src_host IS NOT NULL
+                                          THEN e.weight END), 0) AS BIGINT)
+                     * 1000000
+                     // CAST(SUM(e.weight) AS BIGINT) AS recip_ppm
+            FROM edges e LEFT JOIN edges r
+              ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+            GROUP BY e.src_host
         """,
     }

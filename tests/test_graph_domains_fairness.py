@@ -117,3 +117,73 @@ def test_sniff_media_type_each_magic(spark):
         for r in df.select("i", sniff_media_type_col("content").alias("t")).collect()
     }
     assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_opic_cycle_with_dangling(spark):
+    """a→b→c cycle plus dangling d: hand-unrolled round 1. Every host
+    starts with c0 = TOTAL/4; after one round each cycle member passes
+    its full cash along (share_ppm = 10^6) and everyone (incl. d)
+    receives floor(d_cash / n) from the virtual-page redistribution."""
+    from docrawl_spark.datapipe.graph import opic_hosts
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "host string"
+    )
+    links = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "src_host string, dst_host string",
+    )
+    out = {
+        r["host"]: r
+        for r in opic_hosts(host_edges(links), nodes, n_iter=1).collect()
+    }
+    c0 = TOTAL // 4
+    uniform = c0 // 4  # dangling d's cash spread over all 4 hosts
+    passed = (c0 // 1_000_000) * 1_000_000  # ppm-quantized full pass
+    for h in ("a", "b", "c"):
+        assert out[h]["history_units"] == c0
+        assert out[h]["cash_units"] == passed + uniform
+    assert out["d"]["history_units"] == c0
+    assert out["d"]["cash_units"] == uniform  # receives only virtual mass
+    for h in out:
+        assert out[h]["opic_units"] == out[h]["history_units"] + out[h]["cash_units"]
+
+
+def test_opic_mass_nearly_conserved_and_deterministic(spark):
+    """Cash in flight stays ≈ total_units across rounds (ppm floors and
+    the dangling div lose < n·10^6 + n units per round) and reruns are
+    bit-identical."""
+    from docrawl_spark.datapipe.graph import opic_hosts
+
+    nodes = spark.createDataFrame([(f"h{i}",) for i in range(7)], "host string")
+    links = spark.createDataFrame(
+        [(f"h{i}", f"h{(i * 3 + j) % 7}") for i in range(5) for j in range(1, 4)],
+        "src_host string, dst_host string",
+    )
+    edges = host_edges(links)
+    r1 = sorted(map(tuple, opic_hosts(edges, nodes, n_iter=3).collect()))
+    r2 = sorted(map(tuple, opic_hosts(edges, nodes, n_iter=3).collect()))
+    assert r1 == r2
+    cash = sum(r[2] for r in r1)
+    n_iter, n = 3, 7
+    assert 0 < cash <= TOTAL
+    assert TOTAL - cash <= n_iter * (n * 1_000_000 + n + 1_000_000)
+
+
+def test_host_reciprocity_hand_case(spark):
+    """a↔b reciprocated (uneven weights), a→c one-way: a's recip share
+    is 2/(2+1), b's is 1/1, c has no out-edges (absent)."""
+    from docrawl_spark.datapipe.graph import host_reciprocity
+
+    links = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("a", "c")],
+        "src_host string, dst_host string",
+    )
+    out = {
+        r["host"]: r for r in host_reciprocity(host_edges(links)).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert (out["a"]["out_w"], out["a"]["recip_w"]) == (3, 2)
+    assert out["a"]["recip_ppm"] == 666_666
+    assert (out["b"]["out_w"], out["b"]["recip_w"]) == (1, 1)
+    assert out["b"]["recip_ppm"] == 1_000_000
