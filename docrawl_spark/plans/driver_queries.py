@@ -2573,6 +2573,68 @@ def q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_reciprocity(edges)
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion (operators/feeds.feed_entries): each host
+    publishes a syndication feed of its doc URLs — RSS 2.0 or Atom by
+    md5(host) parity, so BOTH from_xml branches (element text vs href
+    attribute) are exercised. The oracle builds identical XML and
+    extracts with regexes — the XML parser + format-normalizing
+    coalesce is what's cross-checked."""
+    from docrawl_spark.operators.feeds import feed_entries
+
+    u = _doc_urls(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    day = (F.col("doc_id") % 28 + 1).cast("string")
+    rss_item = F.concat(
+        F.lit("<item><link>"), F.col("url"),
+        F.lit("</link><title>Doc "), did,
+        F.lit("</title><pubDate>"), day,
+        F.lit(" Jan 2026 00:00:00 GMT</pubDate><guid>g"), did,
+        F.lit("</guid></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit('<entry><link href="'), F.col("url"),
+        F.lit('"/><title>Doc '), did,
+        F.lit("</title><updated>2026-01-"), day,
+        F.lit("T00:00:00Z</updated><id>i"), did,
+        F.lit("</id></entry>"),
+    )
+    is_atom = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 1), 16, 10).cast("long") % 2
+        == 1
+    )
+    entry = F.when(is_atom, atom_entry).otherwise(rss_item)
+    feeds = (
+        u.select("host", "doc_id", entry.alias("entry"), is_atom.alias("_atom"))
+        .groupBy("host", "_atom")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s.getField("entry"),
+                ),
+                "",
+            ).alias("_body")
+        )
+        .select(
+            "host",
+            F.when(
+                F.col("_atom"),
+                F.concat(F.lit("<feed>"), F.col("_body"), F.lit("</feed>")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit('<rss version="2.0"><channel>'),
+                    F.col("_body"),
+                    F.lit("</channel></rss>"),
+                )
+            )
+            .alias("feed_xml"),
+        )
+    )
+    return feed_entries(feeds, keep_cols=["host"])
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2687,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_refetch": q_robots_refetch,
         "host_opic": q_host_opic,
         "host_reciprocity": q_host_reciprocity,
+        "feed_entries": q_feed_entries,
     }
 
 
@@ -4797,5 +4860,60 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e LEFT JOIN edges r
               ON r.src_host = e.dst_host AND r.dst_host = e.src_host
             GROUP BY e.src_host
+        """,
+        # RSS/Atom feed ingestion: identical synthetic XML (format by
+        # md5(host) parity), entries extracted with regexes — the Spark
+        # side's from_xml parse + coalesce dispatch is what's checked.
+        "feed_entries": r"""
+            WITH u AS (
+              SELECT doc_id, source || '.test' AS host,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     CAST(doc_id AS VARCHAR) AS did,
+                     CAST(doc_id % 28 + 1 AS VARCHAR) AS day,
+                     ('0x' || substr(md5(source || '.test'), 1, 1))::BIGINT % 2 = 1 AS is_atom
+              FROM documents),
+            e AS (
+              SELECT host, doc_id, is_atom,
+                     CASE WHEN is_atom THEN
+                       '<entry><link href="' || url || '"/><title>Doc ' || did
+                       || '</title><updated>2026-01-' || day
+                       || 'T00:00:00Z</updated><id>i' || did || '</id></entry>'
+                     ELSE
+                       '<item><link>' || url || '</link><title>Doc ' || did
+                       || '</title><pubDate>' || day
+                       || ' Jan 2026 00:00:00 GMT</pubDate><guid>g' || did
+                       || '</guid></item>'
+                     END AS entry
+              FROM u),
+            x AS (
+              SELECT host, is_atom,
+                     CASE WHEN is_atom
+                          THEN '<feed>' || string_agg(entry, '' ORDER BY doc_id) || '</feed>'
+                          ELSE '<rss version="2.0"><channel>'
+                               || string_agg(entry, '' ORDER BY doc_id)
+                               || '</channel></rss>' END AS xml
+              FROM e GROUP BY host, is_atom),
+            p AS (
+              SELECT host, is_atom,
+                     CASE WHEN is_atom
+                          THEN regexp_extract_all(xml, 'href="([^"]*)"', 1)
+                          ELSE regexp_extract_all(xml, '<link>([^<]*)</link>', 1)
+                     END AS links,
+                     regexp_extract_all(xml, '<title>([^<]*)</title>', 1) AS titles,
+                     CASE WHEN is_atom
+                          THEN regexp_extract_all(xml, '<updated>([^<]*)</updated>', 1)
+                          ELSE regexp_extract_all(xml, '<pubDate>([^<]*)</pubDate>', 1)
+                     END AS pubs,
+                     CASE WHEN is_atom
+                          THEN regexp_extract_all(xml, '<id>([^<]*)</id>', 1)
+                          ELSE regexp_extract_all(xml, '<guid>([^<]*)</guid>', 1)
+                     END AS ids
+              FROM x)
+            SELECT host, CAST(i - 1 AS INT) AS entry_order,
+                   trim(links[i]) AS link, titles[i] AS title,
+                   pubs[i] AS published, ids[i] AS entry_id,
+                   CASE WHEN is_atom THEN 'atom' ELSE 'rss' END AS feed_kind
+            FROM p, UNNEST(range(1, len(links) + 1)) AS t(i)
+            WHERE trim(links[i]) <> ''
         """,
     }

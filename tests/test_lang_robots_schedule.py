@@ -88,3 +88,48 @@ def test_robots_cache_schedule_states_and_boundaries(spark):
     assert out["stale"]["access_state"] == "stale_unreachable"
     assert out["redir"]["access_state"] == "ok"
     assert not out["redir"]["refetch_due"]
+
+
+def test_feed_entries_rss_atom_mixed(spark):
+    """Format dispatch is a coalesce of the two from_xml parses: RSS
+    links come from element text, Atom links from the href attribute;
+    a doc parseable as neither yields no rows; blank links drop; entry
+    order is document order."""
+    from docrawl_spark.operators.feeds import feed_entries
+
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><link>https://a.test/p1</link><title>P1</title>"
+        "<pubDate>Mon, 15 Jan 2026 00:00:00 GMT</pubDate><guid>g1</guid></item>"
+        "<item><link> https://a.test/p2 </link><title>P2</title>"
+        "<pubDate>Tue, 16 Jan 2026 00:00:00 GMT</pubDate><guid>g2</guid></item>"
+        "<item><link></link><title>blank</title><pubDate>x</pubDate>"
+        "<guid>g3</guid></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><link href="https://b.test/e1"/><title>E1</title>'
+        "<updated>2026-01-15T00:00:00Z</updated><id>i1</id></entry>"
+        '<entry><link href="https://b.test/e2" rel="alternate"/>'
+        "<title>E2</title><updated>2026-01-16T00:00:00Z</updated>"
+        "<id>i2</id></entry></feed>"
+    )
+    junk = "not xml at all"
+    df = spark.createDataFrame(
+        [("a", rss), ("b", atom), ("j", junk)], "host string, feed_xml string"
+    )
+    rows = feed_entries(df, keep_cols=["host"]).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"a", "b"}  # junk host contributes nothing
+    a = sorted(by_host["a"], key=lambda r: r["entry_order"])
+    assert [r["link"] for r in a] == ["https://a.test/p1", "https://a.test/p2"]
+    assert a[0]["feed_kind"] == "rss" and a[0]["entry_id"] == "g1"
+    assert a[0]["published"].startswith("Mon, 15 Jan")
+    assert a[1]["entry_order"] == 1  # blank-link item dropped, order kept
+    b = sorted(by_host["b"], key=lambda r: r["entry_order"])
+    assert [r["link"] for r in b] == ["https://b.test/e1", "https://b.test/e2"]
+    assert b[0]["feed_kind"] == "atom" and b[0]["entry_id"] == "i1"
+    assert b[1]["published"] == "2026-01-16T00:00:00Z"
