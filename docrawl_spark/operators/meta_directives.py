@@ -1,0 +1,114 @@
+"""Robots META directives + rel=canonical — the in-page half of the
+Robots Exclusion Protocol.
+
+robots.txt (operators/politeness) gates FETCHING; pages then carry
+their own crawler directives the reference never reads but every real
+crawl must honor:
+
+- ``<meta name="robots" content="noindex, nofollow">`` — noindex:
+  don't keep/index the document; nofollow: don't expand its outlinks
+  into the frontier; ``none`` ≡ both (Google/Bing REP extension —
+  robots.txt itself is RFC 9309, meta directives are the de-facto
+  HTML companion);
+- ``<link rel="canonical" href="…">`` — the page's self-declared
+  canonical URL: the strongest URL-level dedup signal (stronger than
+  DUST/mirror inference, because the site asserts it).
+
+Parsing is two-stage regex — extract whole tags, then test/extract
+attributes within the tag — deliberately lookahead-free so the same
+patterns run identically on Java regex (Spark) and RE2 (DuckDB
+oracle / pyarrow). Attribute ORDER inside the tag therefore doesn't
+matter.
+
+Scale shape: robots_meta_directives is posexplode(meta tags) →
+filter(name=robots) → explode(content tokens) → one HashAggregate
+back to the doc grain (the house shape for per-element compute —
+CLAUDE.md: HOF lambdas run interpreted, explode→HashAggregate doesn't)
++ a left join onto the doc universe for tag-free docs.
+rel_canonical_col is a pure per-row column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_META_TAG_RE = r"(?i)<meta[^>]*>"
+_NAME_ROBOTS_RE = r"""(?i)name\s*=\s*["']?robots["']?"""
+_CONTENT_RE = r"""(?i)content\s*=\s*["']([^"']*)["']"""
+_CANON_TAG_RE = r"""(?i)<link[^>]*rel\s*=\s*["']?canonical["']?[^>]*>"""
+_HREF_RE = r"""(?i)href\s*=\s*["']([^"']*)["']"""
+
+
+def rel_canonical_col(html: Column) -> Column:
+    """href of the FIRST ``<link rel="canonical">`` tag (attr order
+    inside the tag irrelevant — href is extracted from the matched tag,
+    not the same pattern). No tag / no href / blank → NULL."""
+    tag = F.regexp_extract(F.coalesce(html, F.lit("")), _CANON_TAG_RE, 0)
+    href = F.trim(F.regexp_extract(tag, _HREF_RE, 1))
+    return F.when(href == "", F.lit(None).cast("string")).otherwise(href)
+
+
+def robots_meta_directives(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document robots META directives, unioned across every
+    ``<meta name="robots">`` tag on the page (multiple tags compose —
+    the restrictive union, per Google's REP documentation). Returns
+    (id_col, noindex, nofollow, noarchive, has_robots_meta); ``none``
+    in any content sets both noindex and nofollow. Docs without a
+    robots meta tag get all-false flags."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(html_col), F.lit("")),
+                    F.lit(_META_TAG_RE),
+                    0,
+                )
+            ).alias("_tag"),
+        )
+        .where(F.regexp_like(F.col("_tag"), F.lit(_NAME_ROBOTS_RE)))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.regexp_extract(F.col("_tag"), _CONTENT_RE, 1), ",")
+            ).alias("_d"),
+        )
+        .select(F.col(id_col), F.lower(F.trim(F.col("_d"))).alias("d"))
+    )
+    flags = toks.groupBy(id_col).agg(
+        F.max(F.col("d").isin("noindex", "none")).alias("noindex"),
+        F.max(F.col("d").isin("nofollow", "none")).alias("nofollow"),
+        F.max(F.col("d") == "noarchive").alias("noarchive"),
+        F.lit(True).alias("has_robots_meta"),
+    )
+    return (
+        df.select(id_col)
+        .join(flags, id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(F.col(c), F.lit(False)).alias(c)
+                for c in ("noindex", "nofollow", "noarchive", "has_robots_meta")
+            ],
+        )
+    )
+
+
+def drop_nofollow_edges(
+    links: DataFrame,
+    directives: DataFrame,
+    src_col: str = "src_doc",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier-expansion gate: drop every outlink whose SOURCE document
+    carries nofollow. The directive frame reduces to the (small)
+    nofollow id set before the join, so at scale this is an anti-join
+    of the link table against a broadcastable filtered dim — never a
+    full links×directives join."""
+    nofollow_ids = directives.where(F.col("nofollow")).select(
+        F.col(id_col).alias(src_col)
+    )
+    return links.join(nofollow_ids, src_col, "left_anti")

@@ -2635,6 +2635,61 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds, keep_cols=["host"])
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots META directives + rel=canonical
+    (operators/meta_directives): per-doc synthetic <head> exercising
+    every parse branch — quoted/unquoted/uppercase attrs, the
+    none≡noindex+nofollow alias, multi-tag union, decoy non-robots
+    meta tags, canonical with either attribute order. Two-stage
+    lookahead-free regexes run identically on Java regex and RE2."""
+    from docrawl_spark.operators.meta_directives import (
+        rel_canonical_col,
+        robots_meta_directives,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 7
+    robots_part = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(m == 1, F.lit("<meta NAME='robots' CONTENT='nofollow, noarchive'>"))
+        .when(m == 2, F.lit('<meta name=robots content="none">'))
+        .when(
+            m == 3,
+            F.lit(
+                '<meta name="robots" content="noindex">'
+                '<meta name="robots" content="nofollow">'
+            ),
+        )
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+    canon_url = F.concat(
+        F.lit("https://canon.test/"), F.expr("doc_id div 4").cast("string")
+    )
+    canon_part = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<link href="'), canon_url, F.lit('" rel="canonical">')),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), canon_url, F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), robots_part, canon_part,
+            F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    flags = robots_meta_directives(pages)
+    return flags.join(
+        pages.select("doc_id", rel_canonical_col(F.col("html")).alias("canonical_url")),
+        "doc_id",
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2750,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_opic": q_host_opic,
         "host_reciprocity": q_host_reciprocity,
         "feed_entries": q_feed_entries,
+        "robots_meta": q_robots_meta,
     }
 
 
@@ -4915,5 +4971,64 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN is_atom THEN 'atom' ELSE 'rss' END AS feed_kind
             FROM p, UNNEST(range(1, len(links) + 1)) AS t(i)
             WHERE trim(links[i]) <> ''
+        """,
+        # Robots META + rel=canonical: identical synthetic <head>, the
+        # same two-stage tag→attribute regexes (RE2-compatible: no
+        # lookaheads), restrictive union across tags via bool_or.
+        "robots_meta": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     '<html><head>' ||
+                     CASE doc_id % 7
+                       WHEN 0 THEN '<meta name="robots" content="noindex">'
+                       WHEN 1 THEN '<meta NAME=''robots'' CONTENT=''nofollow, noarchive''>'
+                       WHEN 2 THEN '<meta name=robots content="none">'
+                       WHEN 3 THEN '<meta name="robots" content="noindex">'
+                                   || '<meta name="robots" content="nofollow">'
+                       ELSE '<meta name="viewport" content="width=1">'
+                     END ||
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       '<link href="https://canon.test/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '" rel="canonical">'
+                     WHEN doc_id % 2 = 0 THEN
+                       '<link rel="canonical" href="https://canon.test/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '">'
+                     ELSE '' END
+                     || '</head><body>x</body></html>' AS html
+              FROM documents),
+            tags AS (
+              SELECT doc_id, UNNEST(regexp_extract_all(html, '(?i)<meta[^>]*>')) AS tag
+              FROM d),
+            rtags AS (
+              SELECT doc_id,
+                     regexp_extract(tag, '(?i)content\s*=\s*["'']([^"'']*)["'']', 1)
+                       AS content
+              FROM tags
+              WHERE regexp_matches(tag, '(?i)name\s*=\s*["'']?robots["'']?')),
+            toks AS (
+              SELECT doc_id, lower(trim(t.d)) AS d
+              FROM rtags, UNNEST(string_split(content, ',')) AS t(d)),
+            flags AS (
+              SELECT doc_id,
+                     bool_or(d IN ('noindex', 'none')) AS noindex,
+                     bool_or(d IN ('nofollow', 'none')) AS nofollow,
+                     bool_or(d = 'noarchive') AS noarchive,
+                     true AS has_robots_meta
+              FROM toks GROUP BY doc_id),
+            canon AS (
+              SELECT doc_id,
+                     NULLIF(trim(regexp_extract(
+                       regexp_extract(html,
+                         '(?i)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*>'),
+                       '(?i)href\s*=\s*["'']([^"'']*)["'']', 1)), '') AS canonical_url
+              FROM d)
+            SELECT d.doc_id,
+                   COALESCE(f.noindex, false) AS noindex,
+                   COALESCE(f.nofollow, false) AS nofollow,
+                   COALESCE(f.noarchive, false) AS noarchive,
+                   COALESCE(f.has_robots_meta, false) AS has_robots_meta,
+                   c.canonical_url
+            FROM d LEFT JOIN flags f USING (doc_id)
+            JOIN canon c USING (doc_id)
         """,
     }

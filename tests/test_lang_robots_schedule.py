@@ -133,3 +133,60 @@ def test_feed_entries_rss_atom_mixed(spark):
     assert [r["link"] for r in b] == ["https://b.test/e1", "https://b.test/e2"]
     assert b[0]["feed_kind"] == "atom" and b[0]["entry_id"] == "i1"
     assert b[1]["published"] == "2026-01-16T00:00:00Z"
+
+
+def test_robots_meta_directives_and_canonical(spark):
+    """Attr order/casing/quoting robustness, multi-tag restrictive
+    union, none alias, decoy meta tags ignored, canonical first-match
+    with either attribute order."""
+    from docrawl_spark.operators.meta_directives import (
+        drop_nofollow_edges,
+        rel_canonical_col,
+        robots_meta_directives,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<head><meta content="noindex , NOFOLLOW" name=ROBOTS></head>'),
+            (2, "<head><meta name='robots' content='none'></head>"),
+            (3, '<head><meta name="robots" content="noarchive">'
+                '<meta name="robots" content="noindex"></head>'),
+            (4, '<head><meta name="description" content="nofollow"></head>'),
+            (5, '<head><link href="https://c.test/x" rel="canonical">'
+                '<link rel="canonical" href="https://c.test/SECOND"></head>'),
+            (6, "<head></head>"),
+            (7, None),
+        ],
+        "doc_id long, html string",
+    )
+    flags = {
+        r["doc_id"]: r for r in robots_meta_directives(pages).collect()
+    }
+    assert (flags[1]["noindex"], flags[1]["nofollow"]) == (True, True)
+    assert (flags[2]["noindex"], flags[2]["nofollow"]) == (True, True)  # none
+    assert (flags[3]["noindex"], flags[3]["noarchive"]) == (True, True)
+    assert not flags[3]["nofollow"]  # union never invents directives
+    assert not flags[4]["has_robots_meta"]  # decoy name=description
+    assert not flags[4]["nofollow"]
+    assert not flags[6]["has_robots_meta"] and not flags[7]["has_robots_meta"]
+
+    canon = {
+        r["doc_id"]: r["c"]
+        for r in pages.select(
+            "doc_id", rel_canonical_col(F.col("html")).alias("c")
+        ).collect()
+    }
+    assert canon[5] == "https://c.test/x"  # first tag wins
+    assert canon[1] is None and canon[7] is None
+
+    links = spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u3"), (4, "u4")],
+        "src_doc long, url string",
+    )
+    kept = sorted(
+        r["src_doc"]
+        for r in drop_nofollow_edges(
+            links, robots_meta_directives(pages), id_col="doc_id"
+        ).collect()
+    )
+    assert kept == [3, 4]  # 1 and 2 carry nofollow
