@@ -100,3 +100,63 @@ def classify_revalidated(
             F.when(is_304, F.lit(0)).otherwise(F.col(size_col).cast("long")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 9111 freshness: Cache-Control lifetimes → fetch-plan actions.
+# The ETag plan above answers "HOW to refetch cheaply" (conditional GET);
+# this answers "WHETHER to refetch at all".
+# ---------------------------------------------------------------------------
+
+# max-age must not also match s-maxage: anchor on start-of-string or a
+# delimiter (RE2-safe — no lookbehind), mirrored in the DuckDB oracle.
+_MAX_AGE_RE = r"(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)"
+_NO_STORE_RE = r"(?i)(?:^|[,\s])no-(?:store|cache)\s*(?:$|[,\s=])"
+
+
+def http_cache_plan(
+    df: DataFrame,
+    as_of: Column,
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+    cc_col: str = "cache_control",
+    lm_col: str = "last_modified",
+    validator_col: str = "has_validator",
+) -> DataFrame:
+    """Per-URL fetch-plan from HTTP caching metadata (RFC 9111):
+    compute the freshness lifetime (explicit max-age > heuristic
+    Last-Modified/10 > zero), the current age at ``as_of``, and the
+    action — ``fresh`` (skip this wave), ``revalidate`` (stale with a
+    stored validator → cheap conditional GET, pairs with
+    :func:`revalidation_plan`), ``refetch`` (stale, no validator).
+    Returns (url, lifetime_us, age_us, action). Pure JVM column
+    exprs over the fetch-log scan — no shuffle, no UDF."""
+    from docrawl_spark.operators.recrawl import _micros
+
+    cc = F.coalesce(F.col(cc_col), F.lit(""))
+    max_age = F.regexp_extract(cc, _MAX_AGE_RE, 1)
+    fetched_us = _micros(F.col(fetched_col))
+    lifetime = (
+        F.when(F.regexp_like(cc, F.lit(_NO_STORE_RE)), F.lit(0).cast("long"))
+        .when(max_age != "", (max_age.cast("long") * F.lit(1_000_000)).cast("long"))
+        .when(
+            F.col(lm_col).isNotNull(),
+            F.expr(
+                f"greatest(unix_micros(cast({fetched_col} as timestamp_ltz)) - "
+                f"unix_micros(cast({lm_col} as timestamp_ltz)), 0L) div 10L"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    age = _micros(as_of) - fetched_us
+    action = (
+        F.when(age < lifetime, F.lit("fresh"))
+        .when(F.col(validator_col), F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        lifetime.cast("long").alias("lifetime_us"),
+        age.cast("long").alias("age_us"),
+        action.alias("action"),
+    )

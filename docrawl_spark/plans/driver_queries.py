@@ -2690,6 +2690,48 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_http_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness planning (operators/revalidate.http_cache_plan):
+    synthetic per-URL caching metadata exercising every lifetime branch
+    — explicit max-age, no-store/no-cache zeroing (even when a max-age
+    is also present), s-maxage NOT matching the max-age pattern, the
+    heuristic Last-Modified/10 lifetime, and the no-basis default —
+    classified into fresh / revalidate / refetch at a fixed as_of.
+    Exact BIGINT microsecond arithmetic on both engines."""
+    from docrawl_spark.operators.revalidate import http_cache_plan
+
+    u = _doc_urls(spark, sf_dir)
+    fetched = F.expr(
+        "timestampadd(DAY, cast(doc_id % 40 as int),"
+        " timestamp'2024-01-01 00:00:00')"
+    )
+    cc = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("max-age=86400"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("no-cache, max-age=99999"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("s-maxage=31536000"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("public, max-age=6048000"))
+        .when(F.col("doc_id") % 6 == 5, F.lit("no-store"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lm = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.expr(
+            "timestampadd(DAY, -cast(doc_id % 100 + 1 as int),"
+            " timestampadd(DAY, cast(doc_id % 40 as int),"
+            " timestamp'2024-01-01 00:00:00'))"
+        ),
+    )
+    log = u.select(
+        "url",
+        fetched.alias("fetched_at"),
+        cc.alias("cache_control"),
+        lm.alias("last_modified"),
+        (F.col("doc_id") % 3 == 0).alias("has_validator"),
+    )
+    as_of = F.to_timestamp(F.lit("2024-02-15 00:00:00"))
+    return http_cache_plan(log, as_of)
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2806,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reciprocity": q_host_reciprocity,
         "feed_entries": q_feed_entries,
         "robots_meta": q_robots_meta,
+        "http_cache_plan": q_http_cache_plan,
     }
 
 
@@ -5030,5 +5073,53 @@ def oracle_sql() -> dict[str, str]:
                    c.canonical_url
             FROM d LEFT JOIN flags f USING (doc_id)
             JOIN canon c USING (doc_id)
+        """,
+        # RFC 9111 freshness plan: identical synthetic caching metadata,
+        # same delimiter-anchored max-age regex (never matches s-maxage),
+        # exact BIGINT microsecond lifetimes/ages.
+        "http_cache_plan": r"""
+            WITH log AS (
+              SELECT 'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (doc_id % 40) DAY AS fetched_at,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'max-age=86400'
+                       WHEN 1 THEN 'no-cache, max-age=99999'
+                       WHEN 2 THEN 's-maxage=31536000'
+                       WHEN 3 THEN 'public, max-age=6048000'
+                       WHEN 5 THEN 'no-store'
+                     END AS cache_control,
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + INTERVAL (doc_id % 40) DAY
+                         - INTERVAL (doc_id % 100 + 1) DAY
+                     END AS last_modified,
+                     doc_id % 3 = 0 AS has_validator
+              FROM documents),
+            lt AS (
+              SELECT url, fetched_at, has_validator,
+                     CASE
+                       WHEN regexp_matches(COALESCE(cache_control, ''),
+                              '(?i)(?:^|[,\s])no-(?:store|cache)\s*(?:$|[,\s=])')
+                         THEN CAST(0 AS BIGINT)
+                       WHEN regexp_extract(COALESCE(cache_control, ''),
+                              '(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)', 1) <> ''
+                         THEN CAST(regexp_extract(COALESCE(cache_control, ''),
+                              '(?i)(?:^|[,\s])max-age\s*=\s*([0-9]+)', 1) AS BIGINT)
+                              * 1000000
+                       WHEN last_modified IS NOT NULL
+                         THEN greatest(epoch_us(fetched_at) - epoch_us(last_modified),
+                                       0) // 10
+                       ELSE CAST(0 AS BIGINT)
+                     END AS lifetime_us
+              FROM log)
+            SELECT url, lifetime_us,
+                   epoch_us(TIMESTAMP '2024-02-15 00:00:00') - epoch_us(fetched_at)
+                     AS age_us,
+                   CASE WHEN epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+                             - epoch_us(fetched_at) < lifetime_us THEN 'fresh'
+                        WHEN has_validator THEN 'revalidate'
+                        ELSE 'refetch' END AS action
+            FROM lt
         """,
     }

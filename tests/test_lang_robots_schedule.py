@@ -190,3 +190,44 @@ def test_robots_meta_directives_and_canonical(spark):
         ).collect()
     )
     assert kept == [3, 4]  # 1 and 2 carry nofollow
+
+
+def test_http_cache_plan_branches(spark):
+    """Every RFC 9111 lifetime branch + the action classification:
+    no-store/no-cache beat an explicit max-age; s-maxage never matches
+    the max-age pattern; heuristic = (fetched - last_modified)/10;
+    fresh vs revalidate vs refetch at the boundary."""
+    from docrawl_spark.operators.revalidate import http_cache_plan
+
+    as_of = F.to_timestamp(F.lit("2024-01-02 00:00:00"))  # +24h from fetch
+    f0 = _ts("2024-01-01 00:00:00")
+    rows = [
+        # max-age 2 days -> fresh at +24h
+        ("fresh", f0, "max-age=172800", None, True),
+        # max-age exactly 24h -> age == lifetime -> NOT fresh -> revalidate
+        ("edge", f0, "max-age=86400", None, True),
+        # no-cache wins over the max-age also present -> stale -> refetch
+        ("nocache", f0, "no-cache, max-age=999999", None, False),
+        # s-maxage must NOT match -> no explicit lifetime, no lm -> refetch
+        ("smax", f0, "s-maxage=999999", None, False),
+        # heuristic: lm 30 days before fetch -> lifetime 3 days -> fresh
+        ("heur", f0, None, _ts("2023-12-02 00:00:00"), False),
+        # heuristic too short: lm 5 days before -> 12h -> stale+validator
+        ("heur2", f0, None, _ts("2023-12-27 00:00:00"), True),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, fetched_at timestamp, cache_control string,"
+        " last_modified timestamp, has_validator boolean",
+    )
+    out = {r["url"]: r for r in http_cache_plan(df, as_of).collect()}
+    assert out["fresh"]["action"] == "fresh"
+    assert out["edge"]["action"] == "revalidate"  # age == lifetime is stale
+    assert out["edge"]["lifetime_us"] == 86_400_000_000
+    assert out["nocache"]["lifetime_us"] == 0
+    assert out["nocache"]["action"] == "refetch"
+    assert out["smax"]["lifetime_us"] == 0
+    assert out["heur"]["lifetime_us"] == 30 * 86_400_000_000 // 10
+    assert out["heur"]["action"] == "fresh"
+    assert out["heur2"]["lifetime_us"] == 5 * 86_400_000_000 // 10
+    assert out["heur2"]["action"] == "revalidate"
