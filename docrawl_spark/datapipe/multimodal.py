@@ -24,7 +24,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -257,3 +257,44 @@ def media_from_spans(docs: DataFrame) -> DataFrame:
     ).withColumn("n_bytes", F.lit(None).cast("long")).withColumn(
         "content", F.lit(None).cast("binary")
     )
+
+
+_BOMS = [  # longest first so utf-8's 3-byte BOM is tested before the 2-byte ones
+    ("utf-8", b"\xef\xbb\xbf"),
+    ("utf-16be", b"\xfe\xff"),
+    ("utf-16le", b"\xff\xfe"),
+]
+_CT_CHARSET_RE = r"""(?i)charset\s*=\s*["']?([^"';\s]+)"""
+_META_CHARSET_RE = r"""(?i)<meta[^>]*charset\s*=\s*["']?([^"'\s/>;]+)"""
+
+
+def charset_sniff_col(bin_col, content_type, html) -> Column:
+    """Document character encoding by WHATWG precedence: byte-order
+    mark (authoritative — a UTF-8/16 BOM overrides every header) >
+    HTTP Content-Type ``charset=`` parameter > in-page ``<meta
+    charset=…>`` / ``<meta http-equiv … charset=…>`` (one pattern
+    covers both spellings — the charset attr/param is what's
+    extracted) > NULL (caller applies its default, per spec utf-8 for
+    HTML). Returned lowercase, surrounding quotes stripped.
+
+    Same shape as :func:`sniff_media_type_col`: whole-stage-codegen
+    binary prefix compares + two RE2-safe regexes over the scan — no
+    shuffle, no UDF."""
+    b = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    ct = F.coalesce(
+        content_type if not isinstance(content_type, str) else F.col(content_type),
+        F.lit(""),
+    )
+    page = F.coalesce(html if not isinstance(html, str) else F.col(html), F.lit(""))
+    from_ct = F.lower(F.regexp_extract(ct, _CT_CHARSET_RE, 1))
+    from_meta = F.lower(F.regexp_extract(page, _META_CHARSET_RE, 1))
+    expr = (
+        F.when(from_ct != "", from_ct)
+        .when(from_meta != "", from_meta)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    for name, bom in reversed(_BOMS):
+        expr = F.when(
+            F.substring(b, 1, len(bom)) == F.lit(bom), F.lit(name)
+        ).otherwise(expr)
+    return expr

@@ -2732,6 +2732,47 @@ def q_http_cache_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return http_cache_plan(log, as_of)
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-encoding sniff (datapipe/multimodal.charset_sniff_col,
+    WHATWG precedence): synthetic (bytes, Content-Type, html) triples
+    exercising every branch — UTF-8/UTF-16LE BOMs overriding a header,
+    quoted header charset params, <meta charset=…>, http-equiv
+    content params, and the no-signal NULL. The Spark side sniffs real
+    binary prefixes; the oracle mirrors the header/meta regexes and
+    expectation-tables only the BOM branch (binary compare has no
+    cross-engine twin)."""
+    from docrawl_spark.datapipe.multimodal import charset_sniff_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 0, F.lit(b"\xef\xbb\xbfhello"))
+        .when(m == 4, F.lit(b"\xff\xfehello"))
+        .otherwise(F.lit(b"hello"))
+    )
+    ct = (
+        F.when(m == 0, F.lit("text/html; charset=latin-1"))
+        .when(m == 1, F.lit('text/html; charset="ISO-8859-1"'))
+        .when(m == 3, F.lit("text/html"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    html = (
+        F.when(m == 2, F.lit("<html><head><meta charset=windows-1251></head>"))
+        .when(
+            m == 3,
+            F.lit(
+                '<html><head><meta http-equiv="Content-Type"'
+                ' content="text/html; charset=EUC-JP"></head>'
+            ),
+        )
+        .otherwise(F.lit("<p>x</p>"))
+    )
+    return d.select(
+        "doc_id",
+        charset_sniff_col(body, ct, html).alias("charset"),
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2849,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "robots_meta": q_robots_meta,
         "http_cache_plan": q_http_cache_plan,
+        "charset_sniff": q_charset_sniff,
     }
 
 
@@ -5121,5 +5163,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN has_validator THEN 'revalidate'
                         ELSE 'refetch' END AS action
             FROM lt
+        """,
+        # Charset sniff: identical header/meta strings run through the
+        # same RE2 regexes; the BOM branch (binary prefix compare) is
+        # expectation-tabled by the doc_id mod that injected the BOM.
+        "charset_sniff": r"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 6 AS m,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'text/html; charset=latin-1'
+                       WHEN 1 THEN 'text/html; charset="ISO-8859-1"'
+                       WHEN 3 THEN 'text/html'
+                     END AS ct,
+                     CASE doc_id % 6
+                       WHEN 2 THEN '<html><head><meta charset=windows-1251></head>'
+                       WHEN 3 THEN '<html><head><meta http-equiv="Content-Type"'
+                                   || ' content="text/html; charset=EUC-JP"></head>'
+                       ELSE '<p>x</p>'
+                     END AS html
+              FROM documents),
+            x AS (
+              SELECT doc_id, m,
+                     lower(regexp_extract(COALESCE(ct, ''),
+                       '(?i)charset\s*=\s*["'']?([^"'';\s]+)', 1)) AS ct_cs,
+                     lower(regexp_extract(html,
+                       '(?i)<meta[^>]*charset\s*=\s*["'']?([^"''\s/>;]+)', 1)) AS meta_cs
+              FROM d)
+            SELECT doc_id,
+                   CASE WHEN m = 0 THEN 'utf-8'
+                        WHEN m = 4 THEN 'utf-16le'
+                        WHEN ct_cs <> '' THEN ct_cs
+                        WHEN meta_cs <> '' THEN meta_cs
+                   END AS charset
+            FROM x
         """,
     }

@@ -231,3 +231,39 @@ def test_http_cache_plan_branches(spark):
     assert out["heur"]["action"] == "fresh"
     assert out["heur2"]["lifetime_us"] == 5 * 86_400_000_000 // 10
     assert out["heur2"]["action"] == "revalidate"
+
+
+def test_charset_sniff_precedence(spark):
+    """WHATWG precedence: BOM > Content-Type charset > meta charset >
+    NULL; quoting/casing robustness; UTF-16 BOM variants."""
+    from docrawl_spark.datapipe.multimodal import charset_sniff_col
+
+    rows = [
+        # BOM overrides a contradicting header AND meta
+        (1, b"\xef\xbb\xbfx", "text/html; charset=latin-1",
+         "<meta charset=koi8-r>"),
+        (2, b"\xfe\xffx", None, "<p></p>"),          # utf-16be BOM
+        (3, b"\xff\xfex", None, "<p></p>"),          # utf-16le BOM
+        (4, b"x", 'Text/HTML; CHARSET="Windows-1252"', "<p></p>"),
+        (5, b"x", "text/html", "<META CHARSET='Shift_JIS'>"),
+        (6, b"x", "text/html",
+         '<meta http-equiv=content-type content="text/html; charset=gb2312">'),
+        (7, b"x", None, "<p>no signals</p>"),
+        (8, None, None, None),                        # all NULL safe
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, body binary, ct string, html string"
+    )
+    out = {
+        r["id"]: r["cs"]
+        for r in df.select(
+            "id", charset_sniff_col("body", "ct", "html").alias("cs")
+        ).collect()
+    }
+    assert out[1] == "utf-8"
+    assert out[2] == "utf-16be"
+    assert out[3] == "utf-16le"
+    assert out[4] == "windows-1252"
+    assert out[5] == "shift_jis"
+    assert out[6] == "gb2312"
+    assert out[7] is None and out[8] is None
