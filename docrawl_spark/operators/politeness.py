@@ -395,3 +395,92 @@ def robots_cache_schedule(
             ),
         )
     )
+
+
+def failure_circuit_breaker(
+    fetch_log: DataFrame,
+    as_of: Column,
+    trip_threshold: int = 5,
+    cooldown_hours: int = 24,
+    failure_min_status: int = 500,
+    host_col: str = "host",
+    ts_col: str = "fetched_at",
+    status_col: str = "status",
+    tie_col: str = "fetch_id",
+) -> DataFrame:
+    """Per-host fetch circuit breaker — the ORDER-sensitive complement
+    of :func:`adaptive_crawl_delays` (which reacts to the aggregate
+    error rate): what matters for tripping is the CURRENT run of
+    consecutive failures since the last success, not the overall ratio.
+
+    A fetch fails when ``status >= failure_min_status`` (5xx/timeouts;
+    4xx are valid answers). Per host:
+
+    - ``fail_streak``: fetches strictly after the last success in
+      (timestamp, tie) order — the whole history if no success ever;
+    - state: ``open`` once the streak reaches ``trip_threshold``,
+      decaying to ``half_open`` (one probe fetch allowed) after
+      ``cooldown_hours`` of silence, else ``closed``.
+
+    Exact BIGINT microsecond arithmetic. Scale shape: the last-success
+    resolution is the same two-HashAggregate max/join pattern as
+    :func:`robots_cache_schedule` (no window, no struct-max
+    SortAggregate); everything after the first aggregate is host-dim
+    sized. Returns (host, n_fetches, fail_streak, last_fetch_us,
+    state).
+    """
+    from docrawl_spark.operators.recrawl import _micros
+
+    base = fetch_log.select(
+        F.col(host_col).alias("host"),
+        _micros(F.col(ts_col)).alias("_us"),
+        (F.col(status_col) < failure_min_status).alias("_ok"),
+        F.col(tie_col).alias("_tie"),
+    )
+    # last success per host: max timestamp among successes, then the
+    # max tie at that timestamp (a success and failure in the same
+    # microsecond resolve by tie order, same convention throughout).
+    s_us = (
+        base.where("_ok")
+        .groupBy("host")
+        .agg(F.max("_us").alias("_s_us"))
+        .select(F.col("host").alias("_shost"), "_s_us")
+    )
+    s_tie = (
+        base.where("_ok")
+        .join(s_us, (F.col("host") == F.col("_shost")) & (F.col("_us") == F.col("_s_us")))
+        .groupBy("host", "_s_us")
+        .agg(F.max("_tie").alias("_s_tie"))
+    )
+    tagged = base.join(
+        s_tie.select(
+            F.col("host").alias("_jhost"), "_s_us", "_s_tie"
+        ),
+        F.col("host") == F.col("_jhost"),
+        "left",
+    )
+    after_last_success = F.when(
+        F.col("_s_us").isNull(), F.lit(True)
+    ).otherwise(
+        (F.col("_us") > F.col("_s_us"))
+        | ((F.col("_us") == F.col("_s_us")) & (F.col("_tie") > F.col("_s_tie")))
+    )
+    agg = tagged.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.when(after_last_success, 1).otherwise(0))
+        .cast("long")
+        .alias("fail_streak"),
+        F.max("_us").alias("last_fetch_us"),
+    )
+    tripped = F.col("fail_streak") >= F.lit(int(trip_threshold))
+    cooled = (_micros(as_of) - F.col("last_fetch_us")) >= F.lit(
+        int(cooldown_hours) * 3_600_000_000
+    )
+    state = (
+        F.when(tripped & cooled, F.lit("half_open"))
+        .when(tripped, F.lit("open"))
+        .otherwise(F.lit("closed"))
+    )
+    return agg.select(
+        "host", "n_fetches", "fail_streak", "last_fetch_us", state.alias("state")
+    )

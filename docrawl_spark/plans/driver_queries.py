@@ -2773,6 +2773,30 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch circuit breaker
+    (operators/politeness.failure_circuit_breaker): the events stream
+    as a fetch log ('error' events are 5xx), per host the consecutive
+    failures since the last success in (ts, id) order, tripping open at
+    2 and decaying to half_open after 300 h of silence at a fixed
+    as_of. Exact BIGINT microsecond ages, no window."""
+    from docrawl_spark.operators.politeness import failure_circuit_breaker
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("host"),
+        F.col("ts").alias("fetched_at"),
+        F.when(F.col("event_type") == "error", F.lit(503))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.col("event_id").alias("fetch_id"),
+    )
+    as_of = F.to_timestamp(F.lit("2024-02-10 00:00:00"))
+    return failure_circuit_breaker(
+        log, as_of, trip_threshold=2, cooldown_hours=300
+    )
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2891,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_meta": q_robots_meta,
         "http_cache_plan": q_http_cache_plan,
         "charset_sniff": q_charset_sniff,
+        "circuit_breaker": q_circuit_breaker,
     }
 
 
@@ -5196,5 +5221,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN meta_cs <> '' THEN meta_cs
                    END AS charset
             FROM x
+        """,
+        # Circuit breaker: same last-success max/join resolution, streak
+        # = fetches strictly after it in (us, tie) order, state from the
+        # trip threshold + cooldown at the fixed as_of.
+        "circuit_breaker": """
+            WITH b AS (
+              SELECT user_id AS host, epoch_us(ts) AS us,
+                     event_type <> 'error' AS ok, event_id AS tie
+              FROM events),
+            su AS (SELECT host, MAX(us) AS s_us FROM b WHERE ok GROUP BY host),
+            st AS (
+              SELECT b.host, su.s_us, MAX(b.tie) AS s_tie
+              FROM b JOIN su ON b.host = su.host AND b.us = su.s_us
+              WHERE b.ok GROUP BY b.host, su.s_us),
+            agg AS (
+              SELECT b.host,
+                     CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                     CAST(SUM(CASE WHEN st.s_us IS NULL
+                                     OR b.us > st.s_us
+                                     OR (b.us = st.s_us AND b.tie > st.s_tie)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS fail_streak,
+                     MAX(b.us) AS last_fetch_us
+              FROM b LEFT JOIN st ON b.host = st.host
+              GROUP BY b.host)
+            SELECT host, n_fetches, fail_streak, last_fetch_us,
+                   CASE WHEN fail_streak >= 2
+                         AND epoch_us(TIMESTAMP '2024-02-10 00:00:00')
+                             - last_fetch_us >= 300 * 3600000000
+                          THEN 'half_open'
+                        WHEN fail_streak >= 2 THEN 'open'
+                        ELSE 'closed' END AS state
+            FROM agg
         """,
     }

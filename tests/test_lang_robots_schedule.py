@@ -267,3 +267,43 @@ def test_charset_sniff_precedence(spark):
     assert out[5] == "shift_jis"
     assert out[6] == "gb2312"
     assert out[7] is None and out[8] is None
+
+
+def test_failure_circuit_breaker_states(spark):
+    """Streak counts only failures AFTER the last success (4xx is a
+    valid answer, not a failure); no-success hosts count everything;
+    open decays to half_open after the cooldown."""
+    from docrawl_spark.operators.politeness import failure_circuit_breaker
+
+    as_of = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    rows = [
+        # h1: F S F F  -> streak 2 -> open (recent)
+        ("h1", _ts("2024-01-31 10:00:00"), 503, 1),
+        ("h1", _ts("2024-01-31 11:00:00"), 200, 2),
+        ("h1", _ts("2024-01-31 12:00:00"), 500, 3),
+        ("h1", _ts("2024-01-31 13:00:00"), 503, 4),
+        # h2: never succeeded, long silent -> streak 3 -> half_open
+        ("h2", _ts("2024-01-01 00:00:00"), 503, 5),
+        ("h2", _ts("2024-01-01 01:00:00"), 503, 6),
+        ("h2", _ts("2024-01-01 02:00:00"), 503, 7),
+        # h3: 404s are NOT failures -> streak 0 -> closed
+        ("h3", _ts("2024-01-31 00:00:00"), 404, 8),
+        ("h3", _ts("2024-01-31 01:00:00"), 404, 9),
+        # h4: same-microsecond success+failure, failure has larger id
+        #     -> failure is AFTER the success -> streak 1 -> closed
+        ("h4", _ts("2024-01-31 00:00:00"), 200, 10),
+        ("h4", _ts("2024-01-31 00:00:00"), 500, 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, fetched_at timestamp, status int, fetch_id long"
+    )
+    out = {
+        r["host"]: r
+        for r in failure_circuit_breaker(
+            df, as_of, trip_threshold=2, cooldown_hours=240
+        ).collect()
+    }
+    assert (out["h1"]["fail_streak"], out["h1"]["state"]) == (2, "open")
+    assert (out["h2"]["fail_streak"], out["h2"]["state"]) == (3, "half_open")
+    assert (out["h3"]["fail_streak"], out["h3"]["state"]) == (0, "closed")
+    assert (out["h4"]["fail_streak"], out["h4"]["state"]) == (1, "closed")
