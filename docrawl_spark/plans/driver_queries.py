@@ -128,6 +128,58 @@ _HOST_GRAPH_PREP_SQL = """
       FROM edges e JOIN outw o USING (src_host))
 """
 
+# Shared CTE prefix for the boilerplate-classifier oracles: the
+# synthetic page (mirrors _docs_as_pages), RE2 block split, tag strip,
+# anchor-text capture, integer ppm densities, JusText labels.
+_BLOCKS_PREP_SQL = r"""
+    WITH pg AS (
+      SELECT doc_id,
+             '<div class="nav"><ul><li><a href="/">Home</a></li>'
+             || '<li><a href="/about">About us</a></li>'
+             || '<li><a href="/contact">Contact page</a></li></ul></div>'
+             || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+             || '</p><div class="footer"><a href="/terms">Terms</a>'
+             || ' (c) example site</div>' AS html
+      FROM documents),
+    sp AS (
+      SELECT doc_id, string_split_regex(html,
+        '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|br)\b[^>]*>')
+        AS parts
+      FROM pg),
+    bl AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS block_order, parts[i] AS raw
+      FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+    tx AS (
+      SELECT doc_id, block_order,
+             trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS text,
+             CAST(length(COALESCE(array_to_string(
+               regexp_extract_all(raw, '(?i)<a\b[^>]*>([^<]*)</a>', 1), ''),
+               '')) AS BIGINT) AS a_chars
+      FROM bl),
+    ft AS (
+      SELECT doc_id, block_order, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             least(a_chars * 1000000
+                     // greatest(CAST(length(text) AS BIGINT), 1), 1000000)
+               AS link_ppm,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> list_contains(['the','a','an','and','or','of','to','in',
+                 'on','at','is','are','was','were','be','that','this','it',
+                 'for','with','as','by','from','but','not'], lower(x))))
+               AS BIGINT) * 1000000
+               // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1)
+               AS stop_ppm
+      FROM tx WHERE text <> ''),
+    lb AS (
+      SELECT doc_id, block_order, text, n_words, link_ppm, stop_ppm,
+             CASE WHEN link_ppm > 500000 THEN 'bad'
+                  WHEN n_words < 5 THEN 'short'
+                  WHEN stop_ppm >= 300000 THEN 'good'
+                  ELSE 'near_good' END AS label
+      FROM ft)
+"""
+
 
 # --------------------------------------------------------------------------
 # Crawl-engine relational sub-operators
@@ -2797,6 +2849,50 @@ def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic HTML pages over the doc universe for the boilerplate
+    family: link-dense nav, short heading, the doc's text as body
+    prose, link+copyright footer — every classifier label reachable."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<div class="nav"><ul><li><a href="/">Home</a></li>'
+                '<li><a href="/about">About us</a></li>'
+                '<li><a href="/contact">Contact page</a></li></ul></div>'
+                "<h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(
+                '</p><div class="footer"><a href="/terms">Terms</a>'
+                " (c) example site</div>"
+            ),
+        ).alias("html"),
+    )
+
+
+def q_content_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JusText-style block classification
+    (datapipe/boilerplate.classify_blocks): pages segmented on
+    block-tag boundaries; per block the link/stopword ppm densities and
+    the bad/short/good/near_good label — exact integer densities on
+    both engines."""
+    from docrawl_spark.datapipe.boilerplate import classify_blocks
+
+    return classify_blocks(_docs_as_pages(spark, sf_dir))
+
+
+def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (datapipe/boilerplate.extract_main_text):
+    keep good/near_good blocks, re-assembled in original block order —
+    nav and footer chrome gone, body prose kept."""
+    from docrawl_spark.datapipe.boilerplate import extract_main_text
+
+    return extract_main_text(_docs_as_pages(spark, sf_dir))
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -2916,6 +3012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_cache_plan": q_http_cache_plan,
         "charset_sniff": q_charset_sniff,
         "circuit_breaker": q_circuit_breaker,
+        "content_blocks": q_content_blocks,
+        "main_text": q_main_text,
     }
 
 
@@ -5253,5 +5351,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fail_streak >= 2 THEN 'open'
                         ELSE 'closed' END AS state
             FROM agg
+        """,
+        # JusText-style block classifier: identical synthetic pages,
+        # same RE2-safe block split / tag strip / anchor capture, exact
+        # integer ppm densities (DuckDB regexp_replace needs 'g').
+        "content_blocks": _BLOCKS_PREP_SQL + """
+            SELECT doc_id, block_order, text, n_words, link_ppm, stop_ppm,
+                   label
+            FROM lb
+        """,
+        "main_text": _BLOCKS_PREP_SQL + """
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN label IN ('good', 'near_good') THEN text END,
+                     ' ' ORDER BY block_order), '') AS main_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN label IN ('good', 'near_good')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM lb GROUP BY doc_id
         """,
     }

@@ -307,3 +307,42 @@ def test_failure_circuit_breaker_states(spark):
     assert (out["h2"]["fail_streak"], out["h2"]["state"]) == (3, "half_open")
     assert (out["h3"]["fail_streak"], out["h3"]["state"]) == (0, "closed")
     assert (out["h4"]["fail_streak"], out["h4"]["state"]) == (1, "closed")
+
+
+def test_boilerplate_block_labels_and_main_text(spark):
+    """Nav is link-dense -> bad; heading -> short; prose -> good;
+    mid-stopword text -> near_good; main_text keeps good+near_good in
+    original order and drops the chrome."""
+    from docrawl_spark.datapipe.boilerplate import (
+        classify_blocks,
+        extract_main_text,
+    )
+
+    html = (
+        '<div><a href="/">Home</a> <a href="/x">About</a></div>'
+        "<h1>Tiny title</h1>"
+        "<p>The cat sat on the mat and it was happy with the sun in the"
+        " yard for a while.</p>"
+        "<p>alpha beta gamma delta epsilon zeta eta theta</p>"
+        '<div><a href="/terms">Terms</a> 2026</div>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    blocks = sorted(
+        classify_blocks(df).collect(), key=lambda r: r["block_order"]
+    )
+    labels = [b["label"] for b in blocks]
+    texts = [b["text"] for b in blocks]
+    assert labels[texts.index("Home About")] == "bad"
+    assert labels[texts.index("Tiny title")] == "short"
+    prose_i = next(i for i, t in enumerate(texts) if t.startswith("The cat"))
+    assert labels[prose_i] == "good"
+    greek_i = next(i for i, t in enumerate(texts) if t.startswith("alpha"))
+    assert labels[greek_i] == "near_good"  # words enough, no stopwords? ->
+    # 'alpha…theta' has zero stopwords -> stop_ppm 0 -> near_good
+    assert labels[texts.index("Terms 2026")] == "short"
+
+    main = extract_main_text(df).collect()[0]
+    assert main["main_text"].startswith("The cat sat")
+    assert main["main_text"].endswith("theta")
+    assert "Home" not in main["main_text"]
+    assert main["n_kept"] == 2
