@@ -491,3 +491,65 @@ def host_language_profile(
             ).alias("dominant_share_ppm"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus collocation mining by pointwise mutual information in
+    integer log2 bits — the lexicon-induction companion of
+    :func:`lm_bits_score` (same bigram instances, opposite direction:
+    per-PAIR association instead of per-doc surprisal).
+
+    PMI = log2(P(w1,w2) / (P(w1)·P(w2))) = log2(c12·N / (c1·c2)),
+    computed FACTORIZED in bit lengths —
+    pmi_bits = bitlen(c12) + bitlen(N) − bitlen(c1) − bitlen(c2),
+    bitlen = length(bin(x)) — because the direct product c12·N
+    overflows BIGINT at web scale (counts ~10^12 → product ~10^24);
+    the factorized form is ±1-bit-accurate per factor, deterministic,
+    and engine-identical. c1/c2 are directional (w1 as bigram prefix,
+    w2 as suffix). Pairs below ``min_count`` joint occurrences drop
+    (PMI is noise on rare pairs).
+
+    Returns (w1, w2, c12, c1, c2, pmi_bits). Scale shape: bigram
+    posexplode → three vocabulary-dim HashAggregates (pair/prefix/
+    suffix counts) → equi-joins on the pair dim + one broadcast
+    single-row N. No window, no UDF, no collect.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_ts")).where(F.size("_ts") >= 2)
+    bigram_strs = F.expr(
+        "transform(sequence(0, size(_ts) - 2),"
+        " i -> array_join(slice(_ts, i + 1, 2), ' '))"
+    )
+    inst = base.select(F.posexplode(bigram_strs).alias("pos", "bigram")).select(
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    c12 = inst.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = inst.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    c2 = inst.groupBy("w2").agg(F.count("*").cast("long").alias("c2"))
+    n = inst.agg(F.count("*").cast("long").alias("n_total"))
+    bitlen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    return (
+        c12.where(F.col("c12") >= int(min_count))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (
+                bitlen(F.col("c12"))
+                + bitlen(F.col("n_total"))
+                - bitlen(F.col("c1"))
+                - bitlen(F.col("c2"))
+            ).alias("pmi_bits"),
+        )
+    )

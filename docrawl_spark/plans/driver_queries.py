@@ -2893,6 +2893,17 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation lexicon by integer-bits PMI
+    (datapipe/text.pmi_collocations): corpus bigram pairs with ≥3 joint
+    occurrences, association scored factorized in bit lengths
+    (overflow-proof at web-scale counts) — same bigram instances as
+    lm_bits_score, per-pair instead of per-doc."""
+    from docrawl_spark.datapipe.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=3)
+
+
 
 # --------------------------------------------------------------------------
 # Registry
@@ -3014,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circuit_breaker": q_circuit_breaker,
         "content_blocks": q_content_blocks,
         "main_text": q_main_text,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -5369,5 +5381,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN label IN ('good', 'near_good')
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM lb GROUP BY doc_id
+        """,
+        # PMI collocations: same bigram construction as lm_bits_score,
+        # factorized bit-length PMI (overflow-proof), min_count 3.
+        "pmi_collocations": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents),
+            inst AS (
+              SELECT UNNEST(list_transform(
+                       range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+              FROM toks WHERE len(ts) >= 2),
+            i2 AS (
+              SELECT string_split(bigram, ' ')[1] AS w1,
+                     string_split(bigram, ' ')[-1] AS w2
+              FROM inst),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM i2 GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM i2 GROUP BY w1),
+            c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM i2 GROUP BY w2),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM i2)
+            SELECT p.w1, p.w2, p.c12, c1.c1, c2.c2,
+                   CAST(length(bin(p.c12)) + length(bin(n.n_total))
+                        - length(bin(c1.c1)) - length(bin(c2.c2))
+                        AS BIGINT) AS pmi_bits
+            FROM c12 p JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+            WHERE p.c12 >= 3
         """,
     }

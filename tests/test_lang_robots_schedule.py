@@ -346,3 +346,28 @@ def test_boilerplate_block_labels_and_main_text(spark):
     assert main["main_text"].endswith("theta")
     assert "Home" not in main["main_text"]
     assert main["n_kept"] == 2
+
+
+def test_pmi_collocations_hand_case(spark):
+    """'new york' always co-occurs (high PMI); 'the of' pairs are
+    incidental (low/negative PMI); min_count prunes rare pairs.
+    Factorized bits: bitlen(c12)+bitlen(N)-bitlen(c1)-bitlen(c2)."""
+    from docrawl_spark.datapipe.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "new york " + "the of " * 3) for i in range(4)]
+        + [(99, "rare pair")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    assert ("rare", "pair") not in out  # c12 == 1 < min_count
+    ny = out[("new", "york")]
+    assert ny["c12"] == 4 and ny["c1"] == 4
+    # N = 4 docs * 7 bigrams = 28 -> bitlen 5; bitlen(4)=3, c2('york')=4
+    assert ny["pmi_bits"] == 3 + 5 - 3 - 3
+    to = out[("the", "of")]
+    assert to["c12"] == 12  # 3 direct 'the of' per doc... plus none across
+    assert to["pmi_bits"] < ny["pmi_bits"]
