@@ -2893,6 +2893,53 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical URL clustering — the site-asserted dedup signal
+    consumed: each doc's effective canonical key is its declared
+    canonical (same synthetic <head> as q_robots_meta) or its own URL;
+    clusters roll up member count, declared-count, and the min-doc_id
+    representative. At scale this replaces a content-similarity join
+    for every page that self-declares."""
+    from docrawl_spark.operators.meta_directives import rel_canonical_col
+
+    u = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    canon_url = F.concat(
+        F.lit("https://canon.test/"), F.expr("doc_id div 4").cast("string")
+    )
+    canon_part = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<link href="'), canon_url, F.lit('" rel="canonical">')),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), canon_url, F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = u.select(
+        "doc_id",
+        "url",
+        F.concat(F.lit("<html><head>"), canon_part, F.lit("</head></html>")).alias(
+            "html"
+        ),
+    )
+    eff = pages.select(
+        "doc_id",
+        rel_canonical_col(F.col("html")).alias("_canon"),
+        "url",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_canon"), F.col("url")).alias("cluster_url"),
+        F.col("_canon").isNotNull().alias("_declared"),
+    )
+    return eff.groupBy("cluster_url").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(F.col("_declared").cast("long")).cast("long").alias("n_declared"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation lexicon by integer-bits PMI
     (datapipe/text.pmi_collocations): corpus bigram pairs with ≥3 joint
@@ -3026,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_blocks": q_content_blocks,
         "main_text": q_main_text,
         "pmi_collocations": q_pmi_collocations,
+        "canonical_clusters": q_canonical_clusters,
     }
 
 
@@ -5408,5 +5456,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS pmi_bits
             FROM c12 p JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
             WHERE p.c12 >= 3
+        """,
+        # Canonical clustering: same synthetic <head> + href extraction
+        # as robots_meta, effective key = declared canonical else self.
+        "canonical_clusters": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url
+              FROM documents),
+            pg AS (
+              SELECT doc_id, url,
+                     '<html><head>' ||
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       '<link href="https://canon.test/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '" rel="canonical">'
+                     WHEN doc_id % 2 = 0 THEN
+                       '<link rel="canonical" href="https://canon.test/'
+                       || CAST(doc_id // 4 AS VARCHAR) || '">'
+                     ELSE '' END || '</head></html>' AS html
+              FROM u),
+            eff AS (
+              SELECT doc_id,
+                     NULLIF(trim(regexp_extract(
+                       regexp_extract(html,
+                         '(?i)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*>'),
+                       '(?i)href\s*=\s*["'']([^"'']*)["'']', 1)), '') AS canon,
+                     url
+              FROM pg)
+            SELECT COALESCE(canon, url) AS cluster_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(CASE WHEN canon IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_declared,
+                   MIN(doc_id) AS rep_doc
+            FROM eff GROUP BY COALESCE(canon, url)
         """,
     }
