@@ -379,3 +379,87 @@ def host_reciprocity(edges: DataFrame) -> DataFrame:
             F.expr("recip_w * 1000000L div out_w").alias("recip_ppm"),
         )
     )
+
+
+def trustrank_hosts(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    total_units: int = DEFAULT_TOTAL_UNITS,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen VLDB 2004): PageRank
+    with the teleport restricted to a vetted SEED set — trust flows
+    out of hand-checked good hosts and decays with link distance, so
+    spam farms that fabricate in-links from nowhere stay near zero.
+    The anti-spam complement of :func:`pagerank_hosts` (same exact
+    BIGINT fixed-point spec; only the base/teleport term differs):
+
+    - seeds start with r0 = total_units div n_seeds, non-seeds with 0;
+    - per iteration: rank'(v) = base(v) + d·Σ floor(rank(u)/10^6)·
+      share_ppm(u,v), where base(v) = (100−d)·r0 div 100 for seeds and
+      0 otherwise.
+
+    ``seeds``: (host) — must be a subset of ``nodes``; empty seeds →
+    all-zero trust (spec'd). Same scale shape as pagerank_hosts: one
+    host-dim shuffle per iteration, iteration-invariant edge shares.
+    Returns (host, trust_units).
+    """
+    n_seeds = seeds.count()  # seed list: tiny by definition
+    if n_seeds == 0:
+        return nodes.select("host", F.lit(0).cast("long").alias("trust_units"))
+    r0 = total_units // n_seeds
+    base_units = ((100 - damping_pct) * r0) // 100
+
+    out_w = edges.groupBy("src_host").agg(F.sum("weight").alias("out_w"))
+    ew = (
+        edges.join(out_w, "src_host")
+        .select(
+            "src_host",
+            "dst_host",
+            F.expr("weight * 1000000L div out_w").alias("share_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_dim = seeds.select("host", F.lit(True).alias("_seed"))
+    nodes_tagged = (
+        nodes.join(seed_dim, "host", "left")
+        .select("host", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = F.when(F.col("_seed"), F.lit(base_units)).otherwise(F.lit(0))
+
+    ranks = nodes_tagged.select(
+        "host",
+        F.when(F.col("_seed"), F.lit(r0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_units"),
+    )
+    for i in range(n_iter):
+        contrib = (
+            ew.join(ranks, ew.src_host == ranks.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(trust_units div 1000000L) * share_ppm").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_units"))
+        )
+        ranks = (
+            nodes_tagged.join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    base
+                    + F.expr(f"{damping_pct} * coalesce(in_units, 0L) div 100")
+                )
+                .cast("long")
+                .alias("trust_units"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -2893,6 +2893,22 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (datapipe/graph.trustrank_hosts, Gyöngyi et al. VLDB'04)
+    over the shared synthetic host graph: teleport restricted to a
+    deterministic md5-parity seed quarter, 3 iterations, exact BIGINT
+    fixed-point — the anti-spam complement of host_pagerank, bit-exact
+    vs a DuckDB oracle unrolling the same rounds."""
+    from docrawl_spark.datapipe.graph import trustrank_hosts
+
+    edges, hosts = _synthetic_host_graph(spark, sf_dir)
+    seeds = hosts.where(
+        F.conv(F.substring(F.md5(F.col("host")), 1, 1), 16, 10).cast("long") % 4
+        == 0
+    )
+    return trustrank_hosts(edges, hosts, seeds, n_iter=3)
+
+
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel=canonical URL clustering — the site-asserted dedup signal
     consumed: each doc's effective canonical key is its declared
@@ -3074,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_text": q_main_text,
         "pmi_collocations": q_pmi_collocations,
         "canonical_clusters": q_canonical_clusters,
+        "host_trustrank": q_host_trustrank,
     }
 
 
@@ -5490,5 +5507,61 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_declared,
                    MIN(doc_id) AS rep_doc
             FROM eff GROUP BY COALESCE(canon, url)
+        """,
+        # TrustRank: same edge CTE, teleport restricted to the md5-parity
+        # seed quarter, 3 unrolled rounds of the same BIGINT update.
+        "host_trustrank": _HOST_GRAPH_PREP_SQL + """
+            , seeds AS (
+              SELECT host FROM hosts
+              WHERE ('0x' || substr(md5(host), 1, 1))::BIGINT % 4 = 0),
+            sc AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+            consts AS (
+              SELECT CAST(1000000000000 // n_seeds AS BIGINT) AS r0,
+                     CAST((15 * (1000000000000 // n_seeds)) // 100 AS BIGINT)
+                       AS base
+              FROM sc),
+            t0 AS (
+              SELECT h.host,
+                     CAST(CASE WHEN s.host IS NOT NULL
+                               THEN (SELECT r0 FROM consts) ELSE 0 END AS BIGINT)
+                       AS trust_units
+              FROM hosts h LEFT JOIN seeds s USING (host)),
+            c1 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.trust_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN t0 r ON e.src_host = r.host GROUP BY 1),
+            t1 AS (
+              SELECT h.host,
+                     CAST(CASE WHEN s.host IS NOT NULL
+                               THEN (SELECT base FROM consts) ELSE 0 END
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT)
+                       AS trust_units
+              FROM hosts h LEFT JOIN seeds s USING (host)
+              LEFT JOIN c1 c USING (host)),
+            c2 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.trust_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN t1 r ON e.src_host = r.host GROUP BY 1),
+            t2 AS (
+              SELECT h.host,
+                     CAST(CASE WHEN s.host IS NOT NULL
+                               THEN (SELECT base FROM consts) ELSE 0 END
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT)
+                       AS trust_units
+              FROM hosts h LEFT JOIN seeds s USING (host)
+              LEFT JOIN c2 c USING (host)),
+            c3 AS (
+              SELECT e.dst_host AS host,
+                     SUM((r.trust_units // 1000000) * e.share_ppm) AS in_units
+              FROM ew e JOIN t2 r ON e.src_host = r.host GROUP BY 1),
+            t3 AS (
+              SELECT h.host,
+                     CAST(CASE WHEN s.host IS NOT NULL
+                               THEN (SELECT base FROM consts) ELSE 0 END
+                          + (85 * COALESCE(c.in_units, 0)) // 100 AS BIGINT)
+                       AS trust_units
+              FROM hosts h LEFT JOIN seeds s USING (host)
+              LEFT JOIN c3 c USING (host))
+            SELECT host, trust_units FROM t3
         """,
     }

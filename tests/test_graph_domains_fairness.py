@@ -187,3 +187,30 @@ def test_host_reciprocity_hand_case(spark):
     assert out["a"]["recip_ppm"] == 666_666
     assert (out["b"]["out_w"], out["b"]["recip_w"]) == (1, 1)
     assert out["b"]["recip_ppm"] == 1_000_000
+
+
+def test_trustrank_decay_and_spam_isolation(spark):
+    """Trust flows seed → linked chain and decays; a spam host with
+    fabricated in-links from OTHER spam only (no path from a seed)
+    stays at zero; empty seed set -> all-zero."""
+    from docrawl_spark.datapipe.graph import trustrank_hosts
+
+    nodes = spark.createDataFrame(
+        [("seed",), ("mid",), ("far",), ("spam1",), ("spam2",)], "host string"
+    )
+    links = spark.createDataFrame(
+        [("seed", "mid"), ("mid", "far"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "host string")
+    edges = host_edges(links)
+    out = {
+        r["host"]: r["trust_units"]
+        for r in trustrank_hosts(edges, nodes, seeds, n_iter=3).collect()
+    }
+    assert out["seed"] > out["mid"] > out["far"] > 0  # decay with distance
+    assert out["spam1"] == 0 and out["spam2"] == 0  # unreachable from seeds
+
+    empty = spark.createDataFrame([], "host string")
+    zeros = trustrank_hosts(edges, nodes, empty, n_iter=2).collect()
+    assert all(r["trust_units"] == 0 for r in zeros)
