@@ -479,3 +479,61 @@ def test_anchor_index_salted_equals_unsalted_topk(spark):
         .collect()
     }
     assert got == want
+
+
+def test_new_schedulers_are_window_free(spark):
+    """The round-3 scheduler/graph operators promise HashAggregate
+    max/join resolution instead of windows: a Window here would be a
+    skew exposure on a hot host at 10^10 frontier scale."""
+    for name in (
+        "robots_refetch",
+        "circuit_breaker",
+        "host_lang_profile",
+        "pmi_collocations",
+    ):
+        plan = plan_of(dq.queries()[name](spark, SF))
+        assert "Window" not in plan, f"{name} plan grew a Window:\n{plan}"
+
+    # graph operators checked directly (the shared synthetic-graph PREP
+    # legitimately uses the range-partitioned rank's bounded window)
+    from docrawl_spark.datapipe.graph import (
+        host_edges,
+        host_reciprocity,
+        opic_hosts,
+        trustrank_hosts,
+    )
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
+    links = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_host string, dst_host string"
+    )
+    edges = host_edges(links)
+    for label, df in (
+        ("opic", opic_hosts(edges, nodes, n_iter=2)),
+        ("trustrank", trustrank_hosts(edges, nodes, nodes, n_iter=2)),
+        ("reciprocity", host_reciprocity(edges)),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan, f"{label} plan grew a Window:\n{plan}"
+
+
+def test_classify_blocks_is_shuffle_free(spark):
+    """Block classification is a pure per-row pipeline (split →
+    posexplode → exprs): any Exchange before the caller's aggregate
+    would shuffle the full block table for nothing."""
+    from docrawl_spark.datapipe.boilerplate import classify_blocks
+
+    pages = dq._docs_as_pages(spark, SF)
+    plan = plan_of(classify_blocks(pages))
+    assert "Exchange" not in plan, plan
+
+
+def test_feed_entries_is_shuffle_free(spark):
+    """Feed parsing is from_xml + explode over the feed-corpus scan."""
+    from docrawl_spark.operators.feeds import feed_entries
+
+    feeds = spark.createDataFrame(
+        [("h", "<rss><channel></channel></rss>")], "host string, feed_xml string"
+    )
+    plan = plan_of(feed_entries(feeds, keep_cols=["host"]))
+    assert "Exchange" not in plan, plan
