@@ -247,3 +247,89 @@ def recrawl_by_staleness(
         .where(F.col("stale_prob") >= min_prob)
         .orderBy(F.col("stale_prob").desc(), F.col("url_hash"))
     )
+
+
+def snapshot_change_magnitude(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    version_col: str = "version",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """HOW MUCH a page changed between consecutive snapshots — the
+    magnitude signal :func:`change_rate_estimates`'s Poisson model
+    can't express (it only sees whether the content hash flipped).
+    Cho-style schedulers weight refresh value by both rate AND size of
+    change; this supplies the size as shingle-set Jaccard distance.
+
+    Per (url, version → version+1): the DISTINCT k-token shingle sets
+    of both versions, their intersection via one equi-join on
+    (url, shingle), and change_ppm = 10^6 − jaccard_ppm with
+    jaccard_ppm = |∩|·10^6 div |∪| (exact BIGINT). A pair row exists
+    only when BOTH versions have ≥ 1 shingle (shorter-than-k snapshots
+    have no set to compare). ``version`` must be densely numbered per
+    url (0,1,2,… — the snapshot store's sequence).
+
+    Returns (url, from_version, to_version, n_from, n_to, n_common,
+    jaccard_ppm, change_ppm). Scale shape: shingle explode → distinct
+    (map-side pre-combine) → per-(url,version) counts + ONE shifted
+    self-equi-join on (url, shingle, version+1) — shingle-keyed, never
+    a version cross-product; no window, no UDF.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard n >= k BEFORE building slice indices: sequence(0, -1)
+    # DESCENDS and slice(…, 0, …) raises (CLAUDE.md env facts)
+    shingle_strs = F.expr(
+        f"CASE WHEN size(_ts) >= {int(k)} THEN"
+        f" transform(sequence(0, size(_ts) - {int(k)}),"
+        f" i -> array_join(slice(_ts, i + 1, {int(k)}), ' '))"
+        f" ELSE CAST(array() AS array<string>) END"
+    )
+    grams = (
+        snapshots.select(
+            F.col(url_col).alias("url"),
+            F.col(version_col).cast("long").alias("version"),
+            toks.alias("_ts"),
+        )
+        .select("url", "version", F.explode(shingle_strs).alias("shingle"))
+        .distinct()
+    )
+    sizes = grams.groupBy("url", "version").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    nxt = grams.select(
+        "url", (F.col("version") - 1).alias("version"), F.col("shingle")
+    )
+    common = (
+        grams.join(nxt, ["url", "version", "shingle"])
+        .groupBy("url", "version")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    a = sizes.select(
+        "url", "version", F.col("n_shingles").alias("n_from")
+    )
+    b = sizes.select(
+        "url", (F.col("version") - 1).alias("version"),
+        F.col("n_shingles").alias("n_to"),
+    )
+    pairs = (
+        a.join(b, ["url", "version"])
+        .join(common, ["url", "version"], "left")
+        .select(
+            "url",
+            F.col("version").alias("from_version"),
+            (F.col("version") + 1).alias("to_version"),
+            "n_from",
+            "n_to",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        )
+    )
+    union = F.col("n_from") + F.col("n_to") - F.col("n_common")
+    jacc = F.when(union <= 0, F.lit(1_000_000).cast("long")).otherwise(
+        F.expr("n_common * 1000000L div (n_from + n_to - n_common)")
+    )
+    return pairs.select(
+        "url", "from_version", "to_version", "n_from", "n_to", "n_common",
+        jacc.alias("jaccard_ppm"),
+        (F.lit(1_000_000) - jacc).cast("long").alias("change_ppm"),
+    )

@@ -2893,6 +2893,39 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_snapshot_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change magnitude
+    (operators/recrawl.snapshot_change_magnitude): two synthetic
+    versions per URL — v1 appends an update suffix for most docs and
+    fully REVERSES the token order for every 10th (word-order reversal
+    destroys nearly all k=3 shingles, the 'rewritten page' case) —
+    scored as exact shingle-Jaccard change ppm. The refresh-value
+    signal the Poisson change rate can't express."""
+    from docrawl_spark.operators.recrawl import snapshot_change_magnitude
+
+    u = _doc_urls(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    v0 = u.select("url", F.lit(0).alias("version"), F.trim("text").alias("text"))
+    v1 = u.select(
+        "url",
+        F.lit(1).alias("version"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array_join(F.reverse(F.split(F.trim("text"), r"\s+")), " "),
+        )
+        .otherwise(
+            F.concat(
+                F.trim("text"),
+                F.lit(" updated content section "),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    return snapshot_change_magnitude(v0.unionByName(v1), k=3)
+
+
 def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (datapipe/graph.trustrank_hosts, Gyöngyi et al. VLDB'04)
     over the shared synthetic host graph: teleport restricted to a
@@ -3091,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "canonical_clusters": q_canonical_clusters,
         "host_trustrank": q_host_trustrank,
+        "snapshot_change": q_snapshot_change,
     }
 
 
@@ -5563,5 +5597,60 @@ def oracle_sql() -> dict[str, str]:
               FROM hosts h LEFT JOIN seeds s USING (host)
               LEFT JOIN c3 c USING (host))
             SELECT host, trust_units FROM t3
+        """,
+        # Snapshot change magnitude: identical two-version synthesis
+        # (suffix append / every-10th token reversal), distinct k=3
+        # shingle sets, exact Jaccard ppm via the shifted self-join.
+        "snapshot_change": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                     trim(text) AS text
+              FROM documents),
+            snaps AS (
+              SELECT url, 0 AS version, text FROM u
+              UNION ALL
+              SELECT url, 1 AS version,
+                     CASE WHEN doc_id % 10 = 0 THEN
+                       array_to_string(list_reverse(
+                         string_split_regex(text, '\s+')), ' ')
+                     ELSE text || ' updated content section '
+                          || CAST(doc_id AS VARCHAR) END AS text
+              FROM u),
+            toks AS (
+              SELECT url, version,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM snaps),
+            g0 AS (
+              SELECT url, version,
+                     UNNEST(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+              FROM toks WHERE len(ts) >= 3),
+            grams AS (SELECT DISTINCT url, version, shingle FROM g0),
+            sizes AS (
+              SELECT url, version, CAST(COUNT(*) AS BIGINT) AS n
+              FROM grams GROUP BY url, version),
+            common AS (
+              SELECT g.url, g.version, CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM grams g JOIN grams h
+                ON g.url = h.url AND g.shingle = h.shingle
+               AND h.version = g.version + 1
+              GROUP BY g.url, g.version),
+            pairs AS (
+              SELECT a.url, a.version AS from_version,
+                     a.version + 1 AS to_version,
+                     a.n AS n_from, b.n AS n_to,
+                     COALESCE(c.n_common, 0) AS n_common
+              FROM sizes a
+              JOIN sizes b ON a.url = b.url AND b.version = a.version + 1
+              LEFT JOIN common c ON a.url = c.url AND a.version = c.version)
+            SELECT url, from_version, to_version, n_from, n_to, n_common,
+                   n_common * 1000000 // (n_from + n_to - n_common)
+                     AS jaccard_ppm,
+                   CAST(1000000
+                        - n_common * 1000000 // (n_from + n_to - n_common)
+                        AS BIGINT) AS change_ppm
+            FROM pairs
         """,
     }

@@ -371,3 +371,29 @@ def test_pmi_collocations_hand_case(spark):
     to = out[("the", "of")]
     assert to["c12"] == 12  # 3 direct 'the of' per doc... plus none across
     assert to["pmi_bits"] < ny["pmi_bits"]
+
+
+def test_snapshot_change_magnitude_hand_cases(spark):
+    """Identical versions -> change 0; disjoint rewrites -> change 10^6;
+    a one-token append changes exactly the tail shingles; sub-k
+    snapshots produce no pair row."""
+    from docrawl_spark.operators.recrawl import snapshot_change_magnitude
+
+    rows = [
+        ("same", 0, "a b c d e"), ("same", 1, "a b c d e"),
+        ("gone", 0, "a b c d e"), ("gone", 1, "v w x y z"),
+        ("grow", 0, "a b c d"),   ("grow", 1, "a b c d e"),
+        ("tiny", 0, "a b"),       ("tiny", 1, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, version int, text string")
+    out = {
+        r["url"]: r for r in snapshot_change_magnitude(df, k=3).collect()
+    }
+    assert "tiny" not in out  # < k tokens: no shingle set to compare
+    assert out["same"]["change_ppm"] == 0
+    assert out["same"]["jaccard_ppm"] == 1_000_000
+    assert out["gone"]["n_common"] == 0
+    assert out["gone"]["change_ppm"] == 1_000_000
+    g = out["grow"]  # v0: {abc,bcd}; v1: adds {cde}; union 3, common 2
+    assert (g["n_from"], g["n_to"], g["n_common"]) == (2, 3, 2)
+    assert g["jaccard_ppm"] == 666_666 and g["change_ppm"] == 333_334
