@@ -484,3 +484,96 @@ def failure_circuit_breaker(
     return agg.select(
         "host", "n_fetches", "fail_streak", "last_fetch_us", state.alias("state")
     )
+
+
+def select_agent_rules(
+    hosts: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    blob_col: str = "robots_blob",
+) -> DataFrame:
+    """RFC 9309 §2.2.1 user-agent GROUP selection — the step
+    :func:`robots_rules_col` skips (it reads every rule in the blob,
+    which is only correct for single-group files): a robots.txt is a
+    sequence of groups (one or more ``User-agent:`` lines followed by
+    rules); a crawler obeys exactly the group(s) with the MOST SPECIFIC
+    matching user-agent — the longest token that case-insensitively
+    prefixes its product token — falling back to ``*`` (specificity 0),
+    and merges rules when several groups name that same best token.
+
+    Returns one row per governing rule: (host, matched_ua, allow,
+    path, rule_order) — feed the (allow, path) pairs into
+    :func:`robots_compile_col` for the wildcard/$-anchor algebra.
+    Hosts with no matching group (and no ``*``) contribute no rows =
+    no restrictions.
+
+    Scale shape: line posexplode over the ROBOTS DIM (host-dim sized,
+    KB-bounded blobs), two bounded per-host windows (lag for
+    group-start detection, running sum for group ids — each partition
+    is one robots file's lines, never frontier-scaled), then host-dim
+    joins to pick the best specificity. No UDF.
+    """
+    agent_l = agent.lower()
+    w = Window.partitionBy("host").orderBy("idx")
+    lines = (
+        hosts.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(blob_col), F.lit("")), "\r?\n")
+            ).alias("idx", "line"),
+        )
+        .withColumn("_is_ua", F.col("line").rlike(r"(?i)^user-agent:\s*\S"))
+        .withColumn(
+            "_gs",
+            (
+                F.col("_is_ua")
+                & ~F.coalesce(F.lag("_is_ua").over(w), F.lit(False))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_gid",
+            F.sum("_gs").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    uas = lines.where("_is_ua").select(
+        "host",
+        "_gid",
+        F.lower(
+            F.trim(F.regexp_extract("line", r"(?i)^user-agent:\s*(\S+)", 1))
+        ).alias("ua_tok"),
+    )
+    cand = uas.where(
+        (F.col("ua_tok") == "*")
+        | (
+            F.substring(F.lit(agent_l), 1, F.length("ua_tok"))
+            == F.col("ua_tok")
+        )
+    ).withColumn(
+        "_spec",
+        F.when(F.col("ua_tok") == "*", F.lit(0)).otherwise(F.length("ua_tok")),
+    )
+    best = cand.groupBy("host").agg(F.max("_spec").alias("_best"))
+    chosen = (
+        cand.join(best, "host")
+        .where(F.col("_spec") == F.col("_best"))
+        .select("host", "_gid", "ua_tok")
+        .distinct()
+    )
+    rules = lines.where(
+        F.col("line").rlike(r"(?i)^(allow|disallow):\s*\S")
+    ).select(
+        "host",
+        "_gid",
+        F.col("idx").alias("rule_order"),
+        F.col("line").rlike(r"(?i)^allow:").alias("allow"),
+        F.trim(F.regexp_replace("line", r"(?i)^(allow|disallow):\s*", "")).alias(
+            "path"
+        ),
+    )
+    return rules.join(chosen, ["host", "_gid"]).select(
+        "host",
+        F.col("ua_tok").alias("matched_ua"),
+        "allow",
+        "path",
+        "rule_order",
+    )

@@ -2893,6 +2893,40 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 user-agent group selection
+    (operators/politeness.select_agent_rules): multi-group robots blobs
+    — a googlebot group, (on even-md5 hosts) a two-UA docrawl group,
+    and the * fallback — resolved for product token 'docrawl-spark':
+    'docrawl' prefix-matches at specificity 7, beating *; odd hosts
+    fall back to the * group. Group ids from a bounded per-blob
+    lag/running-sum window pair."""
+    from docrawl_spark.operators.politeness import select_agent_rules
+
+    hosts = _doc_urls(spark, sf_dir).select("host").distinct()
+    is_even = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 1), 16, 10).cast("long") % 2
+        == 0
+    )
+    blob = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /g1\n"),
+        F.when(
+            is_even,
+            F.concat(
+                F.lit(
+                    "User-agent: docrawl\nUser-agent: docrawl-img\n"
+                    "Allow: /public\nDisallow: /private/"
+                ),
+                F.col("host"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /fallback"),
+    )
+    dim = hosts.select("host", blob.alias("robots_blob"))
+    return select_agent_rules(dim, agent="docrawl-spark")
+
+
 def q_snapshot_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change magnitude
     (operators/recrawl.snapshot_change_magnitude): two synthetic
@@ -3125,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_clusters": q_canonical_clusters,
         "host_trustrank": q_host_trustrank,
         "snapshot_change": q_snapshot_change,
+        "robots_agent_groups": q_robots_agent_groups,
     }
 
 
@@ -5652,5 +5687,66 @@ def oracle_sql() -> dict[str, str]:
                         - n_common * 1000000 // (n_from + n_to - n_common)
                         AS BIGINT) AS change_ppm
             FROM pairs
+        """,
+        # RFC 9309 group selection: identical multi-group blobs, the
+        # same lag/running-sum group ids, prefix-specificity best match.
+        "robots_agent_groups": r"""
+            WITH h AS (SELECT DISTINCT source || '.test' AS host FROM documents),
+            b AS (
+              SELECT host,
+                     'User-agent: googlebot' || chr(10) || 'Disallow: /g1'
+                     || chr(10) ||
+                     CASE WHEN ('0x' || substr(md5(host), 1, 1))::BIGINT % 2 = 0
+                          THEN 'User-agent: docrawl' || chr(10)
+                               || 'User-agent: docrawl-img' || chr(10)
+                               || 'Allow: /public' || chr(10)
+                               || 'Disallow: /private/' || host || chr(10)
+                          ELSE '' END
+                     || 'User-agent: *' || chr(10) || 'Disallow: /fallback'
+                       AS blob
+              FROM h),
+            sp AS (SELECT host, string_split(blob, chr(10)) AS parts FROM b),
+            lines AS (
+              SELECT host, CAST(i - 1 AS INT) AS idx, parts[i] AS line
+              FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+            f AS (
+              SELECT host, idx, line,
+                     regexp_matches(line, '(?i)^user-agent:\s*\S') AS is_ua
+              FROM lines),
+            f2 AS (
+              SELECT host, idx, line, is_ua,
+                     CASE WHEN is_ua AND NOT COALESCE(
+                            lag(is_ua) OVER (PARTITION BY host ORDER BY idx),
+                            false) THEN 1 ELSE 0 END AS gs
+              FROM f),
+            g AS (
+              SELECT host, idx, line, is_ua,
+                     SUM(gs) OVER (PARTITION BY host ORDER BY idx) AS gid
+              FROM f2),
+            uas AS (
+              SELECT host, gid,
+                     lower(trim(regexp_extract(line,
+                       '(?i)^user-agent:\s*(\S+)', 1))) AS ua_tok
+              FROM g WHERE is_ua),
+            cand AS (
+              SELECT host, gid, ua_tok,
+                     CASE WHEN ua_tok = '*' THEN 0
+                          ELSE length(ua_tok) END AS spec
+              FROM uas
+              WHERE ua_tok = '*'
+                 OR substr('docrawl-spark', 1, length(ua_tok)) = ua_tok),
+            best AS (SELECT host, MAX(spec) AS best FROM cand GROUP BY host),
+            chosen AS (
+              SELECT DISTINCT c.host, c.gid, c.ua_tok
+              FROM cand c JOIN best b2 ON c.host = b2.host AND c.spec = b2.best),
+            rules AS (
+              SELECT host, gid, idx AS rule_order,
+                     regexp_matches(line, '(?i)^allow:') AS allow,
+                     trim(regexp_replace(line,
+                       '(?i)^(allow|disallow):\s*', '')) AS path
+              FROM g WHERE regexp_matches(line, '(?i)^(allow|disallow):\s*\S'))
+            SELECT r.host, c.ua_tok AS matched_ua, r.allow, r.path,
+                   r.rule_order
+            FROM rules r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
         """,
     }

@@ -397,3 +397,36 @@ def test_snapshot_change_magnitude_hand_cases(spark):
     g = out["grow"]  # v0: {abc,bcd}; v1: adds {cde}; union 3, common 2
     assert (g["n_from"], g["n_to"], g["n_common"]) == (2, 3, 2)
     assert g["jaccard_ppm"] == 666_666 and g["change_ppm"] == 333_334
+
+
+def test_robots_agent_group_selection(spark):
+    """RFC 9309 §2.2.1: most-specific prefix-matching UA wins over *;
+    multi-UA groups select as a unit; same-token groups MERGE; hosts
+    with no matching group and no * contribute no rows."""
+    from docrawl_spark.operators.politeness import select_agent_rules
+
+    blob_specific = (
+        "User-agent: googlebot\nDisallow: /g\n"
+        "User-agent: docrawl\nUser-agent: other\nAllow: /a\nDisallow: /b\n"
+        "User-agent: DOCRAWL\nDisallow: /second-group\n"  # same token -> merge
+        "User-agent: *\nDisallow: /star"
+    )
+    blob_star_only = "User-agent: googlebot\nDisallow: /g\nUser-agent: *\nDisallow: /star"
+    blob_no_match = "User-agent: googlebot\nDisallow: /g"
+    dim = spark.createDataFrame(
+        [("s.test", blob_specific), ("w.test", blob_star_only), ("n.test", blob_no_match)],
+        "host string, robots_blob string",
+    )
+    rows = select_agent_rules(dim, agent="docrawl-spark").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    s = sorted(by_host["s.test"], key=lambda r: r["rule_order"])
+    # merged rules from BOTH docrawl groups, none from googlebot or *
+    assert [(r["allow"], r["path"]) for r in s] == [
+        (True, "/a"), (False, "/b"), (False, "/second-group")
+    ]
+    assert all(r["matched_ua"] == "docrawl" for r in s)
+    w = by_host["w.test"]
+    assert [(r["matched_ua"], r["path"]) for r in w] == [("*", "/star")]
+    assert "n.test" not in by_host  # no group applies -> unrestricted
