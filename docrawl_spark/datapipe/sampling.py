@@ -145,3 +145,41 @@ def temperature_resample(
         .where(_hash_ppm(F.col(id_col), salt, hash_mode) < F.col("_keep_ppm"))
         .drop("_keep_ppm")
     )
+
+
+def corpus_mix_report(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The "what's in my corpus" report every training-data pipeline
+    runs before (and after) mixing: per group (default source × lang),
+    document and whitespace-token counts with exact ppm shares of the
+    corpus totals — the observed mixture that temperature_weights /
+    temperature_resample then reshape. doc_share_ppm/token_share_ppm
+    are BIGINT ``div`` (truncating, engine-identical); groups are
+    whatever dimension columns the corpus carries.
+
+    Scale shape: one map-side-combinable HashAggregate to the group
+    grain (tokens counted per row inside the scan, never exploded),
+    then a broadcast single-row totals join. No window, no UDF.
+    """
+    groups = group_cols or ["source", "lang"]
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    per = df.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *groups,
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 1000000L div _td").alias("doc_share_ppm"),
+            F.expr("n_tokens * 1000000L div _tt").alias("token_share_ppm"),
+        )
+    )

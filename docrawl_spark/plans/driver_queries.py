@@ -2893,6 +2893,16 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report (datapipe/sampling.corpus_mix_report):
+    docs + whitespace tokens per source × lang with exact ppm shares of
+    the corpus totals — the observed mixture the temperature ops
+    reshape. One HashAggregate + a broadcast totals row."""
+    from docrawl_spark.datapipe.sampling import corpus_mix_report
+
+    return corpus_mix_report(_t(spark, sf_dir, "documents"))
+
+
 def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.2.1 user-agent group selection
     (operators/politeness.select_agent_rules): multi-group robots blobs
@@ -3160,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "snapshot_change": q_snapshot_change,
         "robots_agent_groups": q_robots_agent_groups,
+        "corpus_mix_report": q_corpus_mix_report,
     }
 
 
@@ -5748,5 +5759,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.host, c.ua_tok AS matched_ua, r.allow, r.path,
                    r.rule_order
             FROM rules r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
+        """,
+        # Corpus mixture report: same whitespace token count, exact
+        # BIGINT ppm shares of single-row totals.
+        "corpus_mix_report": r"""
+            WITH per AS (
+              SELECT source, lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source, lang),
+            tot AS (
+              SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tt
+              FROM per)
+            SELECT source, lang, n_docs, n_tokens,
+                   n_docs * 1000000 // tot.td AS doc_share_ppm,
+                   n_tokens * 1000000 // tot.tt AS token_share_ppm
+            FROM per CROSS JOIN tot
         """,
     }
