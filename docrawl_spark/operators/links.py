@@ -164,3 +164,47 @@ def anchor_term_index(
     )
     w2 = Window.partitionBy("target").orderBy(*ordering)
     return phase1.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def path_prefix_profile(
+    urls: DataFrame,
+    depth: int = 1,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host URL histogram by leading path segments — the site-map
+    shape a crawl planner budgets by (a /calendar/ section with 10^6
+    near-identical URLs is a trap surface; /docs/ with steady yield is
+    where budget belongs). ``depth`` = number of leading segments kept
+    ('' for root); prefixes are exact strings, counts per (host,
+    prefix) with the host's total and an exact ppm share.
+
+    Scale shape: pure string exprs in the scan → one HashAggregate to
+    (host, prefix) → host-dim totals join (AQE broadcasts). Returns
+    (host, prefix, n_urls, host_urls, share_ppm).
+    """
+    from docrawl_spark.functions.canon import path_of_col
+
+    segs = F.filter(
+        F.split(path_of_col(F.col(url_col)), "/"), lambda s: s != ""
+    )
+    prefix = F.concat(
+        F.lit("/"),
+        F.array_join(F.slice(segs, 1, int(depth)), "/"),
+    )
+    per = (
+        urls.select(F.col(host_col).alias("host"), prefix.alias("prefix"))
+        .groupBy("host", "prefix")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    tot = per.groupBy("host").agg(F.sum("n_urls").alias("host_urls"))
+    return (
+        per.join(tot, "host")
+        .select(
+            "host",
+            "prefix",
+            "n_urls",
+            "host_urls",
+            F.expr("n_urls * 1000000L div host_urls").alias("share_ppm"),
+        )
+    )

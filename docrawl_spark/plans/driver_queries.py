@@ -2893,6 +2893,51 @@ def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_text(_docs_as_pages(spark, sf_dir))
 
 
+def q_path_prefix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host site-section histogram
+    (operators/links.path_prefix_profile): synthetic section paths
+    (/doc /tag /cat /media by doc_id mod), counted per (host, leading
+    segment) with exact ppm shares — the section-budget / trap-surface
+    planner view."""
+    from docrawl_spark.operators.links import path_prefix_profile
+
+    sect = F.element_at(
+        F.array(F.lit("doc"), F.lit("tag"), F.lit("cat"), F.lit("media")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".test/"), sect,
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return path_prefix_profile(urls, depth=1)
+
+
+def q_lang_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-quality audit: per source, how often the PREDICTED
+    language (datapipe/text.langid_col) agrees with the stored lang
+    metadata column — exact ppm agreement; the sanity gate before
+    trusting either signal for mixing."""
+    from docrawl_spark.datapipe.text import langid_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang", langid_col(F.col("text")).alias("pred")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("pred") == F.col("lang")).cast("long"))
+        .cast("long")
+        .alias("n_match"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_match",
+        F.expr("n_match * 1000000L div n_docs").alias("match_ppm"),
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report (datapipe/sampling.corpus_mix_report):
     docs + whitespace tokens per source × lang with exact ppm shares of
@@ -3171,6 +3216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_change": q_snapshot_change,
         "robots_agent_groups": q_robots_agent_groups,
         "corpus_mix_report": q_corpus_mix_report,
+        "path_prefix_profile": q_path_prefix_profile,
+        "lang_metadata_audit": q_lang_metadata_audit,
     }
 
 
@@ -5777,5 +5824,54 @@ def oracle_sql() -> dict[str, str]:
                    n_docs * 1000000 // tot.td AS doc_share_ppm,
                    n_tokens * 1000000 // tot.tt AS token_share_ppm
             FROM per CROSS JOIN tot
+        """,
+        # Path-prefix profile: identical section synthesis, the same
+        # leading-segment grouping + exact ppm shares.
+        "path_prefix_profile": """
+            WITH u AS (
+              SELECT source || '.test' AS host,
+                     '/' || ['doc', 'tag', 'cat', 'media']
+                             [CAST(doc_id % 4 AS INT) + 1] AS prefix
+              FROM documents),
+            per AS (
+              SELECT host, prefix, CAST(COUNT(*) AS BIGINT) AS n_urls
+              FROM u GROUP BY host, prefix),
+            tot AS (
+              SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls
+              FROM per GROUP BY host)
+            SELECT per.host, prefix, n_urls, host_urls,
+                   n_urls * 1000000 // host_urls AS share_ppm
+            FROM per JOIN tot ON per.host = tot.host
+        """,
+        # Lang-metadata audit: the langid marker algebra vs the stored
+        # lang column, exact ppm agreement per source.
+        "lang_metadata_audit": r"""
+            WITH t AS (
+              SELECT doc_id, source, lang,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, source, lang,
+                len(list_intersect(toks, ['the','and','of','to','a','in','is','that'])) AS en,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS de,
+                len(list_intersect(toks, ['le','la','les','et','est','un','une','que'])) AS fr,
+                len(list_intersect(toks, ['el','la','los','de','que','es','un','una'])) AS es,
+                len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS zh
+              FROM t),
+            p AS (
+              SELECT source, lang,
+                     CASE WHEN GREATEST(en,de,fr,es,zh) = 0 THEN 'und'
+                          WHEN de = GREATEST(en,de,fr,es,zh) THEN 'de'
+                          WHEN en = GREATEST(en,de,fr,es,zh) THEN 'en'
+                          WHEN es = GREATEST(en,de,fr,es,zh) THEN 'es'
+                          WHEN fr = GREATEST(en,de,fr,es,zh) THEN 'fr'
+                          ELSE 'zh' END AS pred
+              FROM h)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_match,
+                   CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1000000 // CAST(COUNT(*) AS BIGINT) AS match_ppm
+            FROM p GROUP BY source
         """,
     }
