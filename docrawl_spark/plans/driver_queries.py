@@ -180,6 +180,67 @@ _BLOCKS_PREP_SQL = r"""
       FROM ft)
 """
 
+# Shared CTE prefix for the RFC 9309 group-selection oracles: the
+# multi-group blob synthesis, line numbering, lag/running-sum group
+# ids, UA prefix-specificity choice, and the per-group rule rows.
+_ROBOTS_GROUPS_PREP_SQL = r"""
+
+            WITH h AS (SELECT DISTINCT source || '.test' AS host FROM documents),
+            b AS (
+              SELECT host,
+                     'User-agent: googlebot' || chr(10) || 'Disallow: /g1'
+                     || chr(10) ||
+                     CASE WHEN ('0x' || substr(md5(host), 1, 1))::BIGINT % 2 = 0
+                          THEN 'User-agent: docrawl' || chr(10)
+                               || 'User-agent: docrawl-img' || chr(10)
+                               || 'Allow: /public' || chr(10)
+                               || 'Disallow: /private/' || host || chr(10)
+                          ELSE '' END
+                     || 'User-agent: *' || chr(10) || 'Disallow: /fallback'
+                       AS blob
+              FROM h),
+            sp AS (SELECT host, string_split(blob, chr(10)) AS parts FROM b),
+            lines AS (
+              SELECT host, CAST(i - 1 AS INT) AS idx, parts[i] AS line
+              FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+            f AS (
+              SELECT host, idx, line,
+                     regexp_matches(line, '(?i)^user-agent:\s*\S') AS is_ua
+              FROM lines),
+            f2 AS (
+              SELECT host, idx, line, is_ua,
+                     CASE WHEN is_ua AND NOT COALESCE(
+                            lag(is_ua) OVER (PARTITION BY host ORDER BY idx),
+                            false) THEN 1 ELSE 0 END AS gs
+              FROM f),
+            g AS (
+              SELECT host, idx, line, is_ua,
+                     SUM(gs) OVER (PARTITION BY host ORDER BY idx) AS gid
+              FROM f2),
+            uas AS (
+              SELECT host, gid,
+                     lower(trim(regexp_extract(line,
+                       '(?i)^user-agent:\s*(\S+)', 1))) AS ua_tok
+              FROM g WHERE is_ua),
+            cand AS (
+              SELECT host, gid, ua_tok,
+                     CASE WHEN ua_tok = '*' THEN 0
+                          ELSE length(ua_tok) END AS spec
+              FROM uas
+              WHERE ua_tok = '*'
+                 OR substr('docrawl-spark', 1, length(ua_tok)) = ua_tok),
+            best AS (SELECT host, MAX(spec) AS best FROM cand GROUP BY host),
+            chosen AS (
+              SELECT DISTINCT c.host, c.gid, c.ua_tok
+              FROM cand c JOIN best b2 ON c.host = b2.host AND c.spec = b2.best),
+            rules AS (
+              SELECT host, gid, idx AS rule_order,
+                     regexp_matches(line, '(?i)^allow:') AS allow,
+                     trim(regexp_replace(line,
+                       '(?i)^(allow|disallow):\s*', '')) AS path
+              FROM g WHERE regexp_matches(line, '(?i)^(allow|disallow):\s*\S'))
+"""
+
 
 # --------------------------------------------------------------------------
 # Crawl-engine relational sub-operators
@@ -2958,6 +3019,14 @@ def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/running-sum window pair."""
     from docrawl_spark.operators.politeness import select_agent_rules
 
+    return select_agent_rules(
+        _robots_multi_group_dim(spark, sf_dir), agent="docrawl-spark"
+    )
+
+
+def _robots_multi_group_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host dim with the shared multi-group robots blob: a googlebot
+    group, (even-md5 hosts) a two-UA docrawl group, the * fallback."""
     hosts = _doc_urls(spark, sf_dir).select("host").distinct()
     is_even = (
         F.conv(F.substring(F.md5(F.col("host")), 1, 1), 16, 10).cast("long") % 2
@@ -2978,8 +3047,56 @@ def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("User-agent: *\nDisallow: /fallback"),
     )
-    dim = hosts.select("host", blob.alias("robots_blob"))
-    return select_agent_rules(dim, agent="docrawl-spark")
+    return hosts.select("host", blob.alias("robots_blob"))
+
+
+def q_robots_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Robots Exclusion Protocol evaluation: §2.2.1 group
+    selection (select_agent_rules) → rule compilation
+    (robots_compile_col) → §2.2.2 longest-match verdict
+    (robots_allowed_rfc_col), over the shared multi-group blobs and
+    four synthetic path families per host. Even-md5 hosts obey their
+    docrawl group (/public allowed, /private/<host> blocked); odd
+    hosts fall back to * (/fallback blocked)."""
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_rfc_col,
+        robots_compile_col,
+        select_agent_rules,
+    )
+
+    dim = _robots_multi_group_dim(spark, sf_dir)
+    rules = select_agent_rules(dim, agent="docrawl-spark")
+    compiled = (
+        rules.groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rule_order", "allow", "path"))
+                ),
+                lambda s: F.struct(
+                    s.getField("allow").alias("allow"),
+                    s.getField("path").alias("path"),
+                ),
+            ).alias("_rules")
+        )
+        .select("host", robots_compile_col(F.col("_rules")).alias("_compiled"))
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/public/p"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), F.col("host"), F.lit("/q")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/fallback/r"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/misc/s"), F.col("doc_id").cast("string")))
+    )
+    urls = _doc_urls(spark, sf_dir).select(
+        "doc_id",
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), path).alias("url"),
+    )
+    return urls.join(compiled, "host").select(
+        "doc_id",
+        "host",
+        robots_allowed_rfc_col(F.col("url"), F.col("_compiled")).alias("allowed"),
+    )
 
 
 def q_snapshot_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3218,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "path_prefix_profile": q_path_prefix_profile,
         "lang_metadata_audit": q_lang_metadata_audit,
+        "robots_full_gate": q_robots_full_gate,
     }
 
 
@@ -5748,64 +5866,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # RFC 9309 group selection: identical multi-group blobs, the
         # same lag/running-sum group ids, prefix-specificity best match.
-        "robots_agent_groups": r"""
-            WITH h AS (SELECT DISTINCT source || '.test' AS host FROM documents),
-            b AS (
-              SELECT host,
-                     'User-agent: googlebot' || chr(10) || 'Disallow: /g1'
-                     || chr(10) ||
-                     CASE WHEN ('0x' || substr(md5(host), 1, 1))::BIGINT % 2 = 0
-                          THEN 'User-agent: docrawl' || chr(10)
-                               || 'User-agent: docrawl-img' || chr(10)
-                               || 'Allow: /public' || chr(10)
-                               || 'Disallow: /private/' || host || chr(10)
-                          ELSE '' END
-                     || 'User-agent: *' || chr(10) || 'Disallow: /fallback'
-                       AS blob
-              FROM h),
-            sp AS (SELECT host, string_split(blob, chr(10)) AS parts FROM b),
-            lines AS (
-              SELECT host, CAST(i - 1 AS INT) AS idx, parts[i] AS line
-              FROM sp, UNNEST(range(1, len(parts) + 1)) AS t(i)),
-            f AS (
-              SELECT host, idx, line,
-                     regexp_matches(line, '(?i)^user-agent:\s*\S') AS is_ua
-              FROM lines),
-            f2 AS (
-              SELECT host, idx, line, is_ua,
-                     CASE WHEN is_ua AND NOT COALESCE(
-                            lag(is_ua) OVER (PARTITION BY host ORDER BY idx),
-                            false) THEN 1 ELSE 0 END AS gs
-              FROM f),
-            g AS (
-              SELECT host, idx, line, is_ua,
-                     SUM(gs) OVER (PARTITION BY host ORDER BY idx) AS gid
-              FROM f2),
-            uas AS (
-              SELECT host, gid,
-                     lower(trim(regexp_extract(line,
-                       '(?i)^user-agent:\s*(\S+)', 1))) AS ua_tok
-              FROM g WHERE is_ua),
-            cand AS (
-              SELECT host, gid, ua_tok,
-                     CASE WHEN ua_tok = '*' THEN 0
-                          ELSE length(ua_tok) END AS spec
-              FROM uas
-              WHERE ua_tok = '*'
-                 OR substr('docrawl-spark', 1, length(ua_tok)) = ua_tok),
-            best AS (SELECT host, MAX(spec) AS best FROM cand GROUP BY host),
-            chosen AS (
-              SELECT DISTINCT c.host, c.gid, c.ua_tok
-              FROM cand c JOIN best b2 ON c.host = b2.host AND c.spec = b2.best),
-            rules AS (
-              SELECT host, gid, idx AS rule_order,
-                     regexp_matches(line, '(?i)^allow:') AS allow,
-                     trim(regexp_replace(line,
-                       '(?i)^(allow|disallow):\s*', '')) AS path
-              FROM g WHERE regexp_matches(line, '(?i)^(allow|disallow):\s*\S'))
+        "robots_agent_groups": _ROBOTS_GROUPS_PREP_SQL + """
             SELECT r.host, c.ua_tok AS matched_ua, r.allow, r.path,
                    r.rule_order
             FROM rules r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
+        """,
+        # End-to-end REP: group selection (prep above) -> ordered rule
+        # list -> the same compile/longest-match lambdas as
+        # robots_rfc_gate, over four path families per host.
+        "robots_full_gate": _ROBOTS_GROUPS_PREP_SQL + r"""
+            , sel AS (
+              SELECT r.host,
+                     list(struct_pack(allow := r.allow, path := r.path)
+                          ORDER BY r.rule_order) AS rls
+              FROM rules r JOIN chosen c ON r.host = c.host AND r.gid = c.gid
+              GROUP BY r.host),
+            comp AS (
+              SELECT host,
+                     list_transform(rls, x -> {
+                       'allow': x.allow,
+                       'spec': len(x.path),
+                       'pattern': '^' ||
+                         regexp_replace(
+                           regexp_replace(
+                             CASE WHEN x.path LIKE '%$'
+                                  THEN substr(x.path, 1, len(x.path) - 1)
+                                  ELSE x.path END,
+                             '([.\\+?(){}\[\]|^$])', '\\\1', 'g'),
+                           '\*', '.*', 'g')
+                         || CASE WHEN x.path LIKE '%$' THEN '$' ELSE '' END
+                     }) AS compiled
+              FROM sel),
+            du AS (
+              SELECT doc_id, source || '.test' AS host,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/' || source || '.test/q'
+                       WHEN 2 THEN '/fallback/r' || CAST(doc_id AS VARCHAR)
+                       ELSE '/misc/s' || CAST(doc_id AS VARCHAR) END AS path
+              FROM documents),
+            m AS (
+              SELECT du.doc_id, du.host,
+                     list_transform(
+                       list_filter(comp.compiled,
+                                   x -> regexp_matches(du.path, x.pattern)),
+                       x -> x.spec * 2 + CAST(x.allow AS INT)) AS packed
+              FROM du JOIN comp ON du.host = comp.host)
+            SELECT doc_id, host,
+                   CASE WHEN len(packed) = 0 THEN true
+                        ELSE list_aggregate(packed, 'max') % 2 = 1 END AS allowed
+            FROM m
         """,
         # Corpus mixture report: same whitespace token count, exact
         # BIGINT ppm shares of single-row totals.

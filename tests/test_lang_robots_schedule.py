@@ -430,3 +430,57 @@ def test_robots_agent_group_selection(spark):
     w = by_host["w.test"]
     assert [(r["matched_ua"], r["path"]) for r in w] == [("*", "/star")]
     assert "n.test" not in by_host  # no group applies -> unrestricted
+
+
+def test_robots_full_gate_end_to_end(spark):
+    """Group selection feeds the compiled longest-match evaluator: the
+    docrawl group's Allow/Disallow govern a matching agent while the *
+    group's rules do NOT leak in (and vice versa for a non-matching
+    agent)."""
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_rfc_col,
+        robots_compile_col,
+        select_agent_rules,
+    )
+
+    blob = (
+        "User-agent: docrawl\nAllow: /public\nDisallow: /private\n"
+        "User-agent: *\nDisallow: /fallback"
+    )
+    dim = spark.createDataFrame([("h.test", blob)], "host string, robots_blob string")
+
+    def gate(agent):
+        rules = select_agent_rules(dim, agent=agent)
+        compiled = (
+            rules.groupBy("host")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rule_order", "allow", "path"))
+                    ),
+                    lambda s: F.struct(
+                        s.getField("allow").alias("allow"),
+                        s.getField("path").alias("path"),
+                    ),
+                ).alias("_rules")
+            )
+            .select("host", robots_compile_col(F.col("_rules")).alias("_c"))
+        )
+        urls = spark.createDataFrame(
+            [("h.test", f"https://h.test{p}") for p in
+             ("/public/x", "/private/y", "/fallback/z")],
+            "host string, url string",
+        )
+        return {
+            r["url"].split("h.test")[1]: r["ok"]
+            for r in urls.join(compiled, "host")
+            .select("url", robots_allowed_rfc_col(F.col("url"), F.col("_c")).alias("ok"))
+            .collect()
+        }
+
+    as_docrawl = gate("docrawl-spark")
+    assert as_docrawl == {"/public/x": True, "/private/y": False,
+                          "/fallback/z": True}  # * rules don't leak in
+    as_other = gate("randombot")
+    assert as_other == {"/public/x": True, "/private/y": True,
+                        "/fallback/z": False}  # only the * group governs
