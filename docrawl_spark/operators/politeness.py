@@ -577,3 +577,116 @@ def select_agent_rules(
         "path",
         "rule_order",
     )
+
+
+def breaker_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    failure_min_status: int = 500,
+    host_col: str = "host",
+    ts_col: str = "fetched_at",
+    status_col: str = "status",
+    tie_col: str = "fetch_id",
+) -> DataFrame:
+    """Incremental (streaming-fold) form of
+    :func:`failure_circuit_breaker`: fold one micro-batch of fetch
+    rows into the per-host breaker state — the foreachBatch shape
+    (transformWithStateInPandas needs protobuf, absent here; the fold
+    is engine-agnostic and exactly equivalent, see the property test).
+
+    State schema: (host, n_fetches, fail_streak, last_fetch_us).
+    Batches MUST arrive in (timestamp, tie) order across batch
+    boundaries (the stream's watermark guarantee); within a batch any
+    order is fine — the same max/join resolution as the batch operator
+    runs per micro-batch. Merge rule: a batch containing a success
+    RESETS the streak to its own post-success count; an all-failure
+    batch adds its rows to the carried streak.
+
+    Returns the NEW state frame (one row per host ever seen). Apply
+    :func:`failure_circuit_breaker`'s trip/cooldown classification to
+    the final state via ``breaker_state_classify``.
+    """
+    from docrawl_spark.operators.recrawl import _micros
+
+    b = batch.select(
+        F.col(host_col).alias("host"),
+        _micros(F.col(ts_col)).alias("_us"),
+        (F.col(status_col) < failure_min_status).alias("_ok"),
+        F.col(tie_col).alias("_tie"),
+    )
+    s_us = (
+        b.where("_ok")
+        .groupBy("host")
+        .agg(F.max("_us").alias("_s_us"))
+        .select(F.col("host").alias("_shost"), "_s_us")
+    )
+    s_tie = (
+        b.where("_ok")
+        .join(s_us, (F.col("host") == F.col("_shost")) & (F.col("_us") == F.col("_s_us")))
+        .groupBy("host", "_s_us")
+        .agg(F.max("_tie").alias("_s_tie"))
+        .select(F.col("host").alias("_jhost"), "_s_us", "_s_tie")
+    )
+    tagged = b.join(F.broadcast(s_tie), F.col("host") == F.col("_jhost"), "left")
+    after = F.when(F.col("_s_us").isNull(), F.lit(True)).otherwise(
+        (F.col("_us") > F.col("_s_us"))
+        | ((F.col("_us") == F.col("_s_us")) & (F.col("_tie") > F.col("_s_tie")))
+    )
+    binc = tagged.groupBy("host").agg(
+        F.count("*").cast("long").alias("_b_n"),
+        F.sum(after.cast("long")).cast("long").alias("_b_streak"),
+        F.max(F.col("_ok").cast("int")).alias("_b_has_ok"),
+        F.max("_us").alias("_b_last_us"),
+    )
+    if state is None:
+        return binc.select(
+            "host",
+            F.col("_b_n").alias("n_fetches"),
+            F.col("_b_streak").alias("fail_streak"),
+            F.col("_b_last_us").alias("last_fetch_us"),
+        )
+    merged = state.join(binc, "host", "full_outer")
+    return merged.select(
+        "host",
+        (F.coalesce("n_fetches", F.lit(0)) + F.coalesce("_b_n", F.lit(0)))
+        .cast("long")
+        .alias("n_fetches"),
+        F.when(F.col("_b_n").isNull(), F.col("fail_streak"))
+        .when(F.col("_b_has_ok") == 1, F.col("_b_streak"))
+        .otherwise(F.coalesce("fail_streak", F.lit(0)) + F.col("_b_streak"))
+        .cast("long")
+        .alias("fail_streak"),
+        F.greatest(
+            F.coalesce("last_fetch_us", F.lit(0)),
+            F.coalesce("_b_last_us", F.lit(0)),
+        )
+        .cast("long")
+        .alias("last_fetch_us"),
+    )
+
+
+def breaker_state_classify(
+    state: DataFrame,
+    as_of: Column,
+    trip_threshold: int = 5,
+    cooldown_hours: int = 24,
+) -> DataFrame:
+    """The trip/cooldown classification of
+    :func:`failure_circuit_breaker`, applied to a folded state frame —
+    so batch and incremental paths share the exact policy."""
+    from docrawl_spark.operators.recrawl import _micros
+
+    tripped = F.col("fail_streak") >= F.lit(int(trip_threshold))
+    cooled = (_micros(as_of) - F.col("last_fetch_us")) >= F.lit(
+        int(cooldown_hours) * 3_600_000_000
+    )
+    return state.select(
+        "host",
+        "n_fetches",
+        "fail_streak",
+        "last_fetch_us",
+        F.when(tripped & cooled, F.lit("half_open"))
+        .when(tripped, F.lit("open"))
+        .otherwise(F.lit("closed"))
+        .alias("state"),
+    )

@@ -484,3 +484,54 @@ def test_robots_full_gate_end_to_end(spark):
     as_other = gate("randombot")
     assert as_other == {"/public/x": True, "/private/y": True,
                         "/fallback/z": False}  # only the * group governs
+
+
+def test_breaker_fold_equals_batch(spark):
+    """Folding (ts, id)-ordered micro-batches through breaker_fold_batch
+    and classifying the final state is EXACTLY the one-shot
+    failure_circuit_breaker — across uneven splits, batch-boundary
+    successes, hosts absent from some batches, and same-µs ties."""
+    import random
+
+    from docrawl_spark.operators.politeness import (
+        breaker_fold_batch,
+        breaker_state_classify,
+        failure_circuit_breaker,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    fid = 0
+    for h in ("a", "b", "c", "d"):
+        for i in range(12):
+            fid += 1
+            status = 503 if rng.random() < 0.45 else (404 if rng.random() < 0.2 else 200)
+            rows.append((h, _ts("2024-01-01 00:00:00")
+                         + __import__("datetime").timedelta(hours=i), status, fid))
+    # same-microsecond tie at a boundary-prone spot
+    rows.append(("a", _ts("2024-01-01 05:00:00"), 200, fid + 1))
+    rows.sort(key=lambda r: (r[1], r[3]))
+    schema = "host string, fetched_at timestamp, status int, fetch_id long"
+    full = spark.createDataFrame(rows, schema)
+    as_of = F.to_timestamp(F.lit("2024-01-03 00:00:00"))
+
+    want = sorted(
+        map(tuple, failure_circuit_breaker(
+            full, as_of, trip_threshold=3, cooldown_hours=30
+        ).collect())
+    )
+    for cuts in ([15, 30], [1, 2, 40], [25]):
+        state = None
+        prev = 0
+        for c in cuts + [len(rows)]:
+            chunk = rows[prev:c]
+            prev = c
+            if not chunk:
+                continue
+            state = breaker_fold_batch(state, spark.createDataFrame(chunk, schema))
+        got = sorted(
+            map(tuple, breaker_state_classify(
+                state, as_of, trip_threshold=3, cooldown_hours=30
+            ).collect())
+        )
+        assert got == want, f"split {cuts} diverged"
