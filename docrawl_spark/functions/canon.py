@@ -802,3 +802,36 @@ def url_hash_col(url: Column | str) -> Column:
     cheap (JVM, codegen) — the right key for a 10^10-row seen set."""
     c = F.col(url) if isinstance(url, str) else url
     return F.xxhash64(c)
+
+
+def percent_normalize_col(url: Column | str) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the
+    canonicalization gap :func:`dedup_normalize_url_col` leaves open:
+    ``%2e`` vs ``%2E`` vs a literal ``.`` are the SAME resource, and a
+    frontier keyed on the raw string fetches it up to three times.
+
+    Per §6.2.2.1–2: decode escapes of UNRESERVED characters
+    (ALPHA / DIGIT / ``-._~``) to the literal; uppercase the hex of
+    every other escape; pass malformed escapes (non-hex, truncated)
+    through untouched. Pure split + bounded per-row transform (a URL
+    carries a handful of escapes — not a corpus-shaped HOF hot path);
+    identical algebra in the DuckDB oracle.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    parts = F.split(c, "%", -1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def _fix(p: Column) -> Column:
+        hexs = F.upper(F.substring(p, 1, 2))
+        ch = F.char(F.conv(hexs, 16, 10).cast("int"))
+        rest = F.substring(p, 3, 1_000_000)
+        return F.when(
+            p.rlike(r"^[0-9A-Fa-f]{2}"),
+            F.when(ch.rlike(r"^[A-Za-z0-9._~-]$"), F.concat(ch, rest)).otherwise(
+                F.concat(F.lit("%"), hexs, rest)
+            ),
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, _fix), "")
+    )

@@ -2999,6 +2999,31 @@ def q_lang_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percent_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §6.2.2 percent-encoding normalization
+    (functions/canon.percent_normalize_col): synthetic URLs carrying
+    unreserved escapes (%2e → '.', %7e → '~'), reserved escapes in
+    both hex cases (%2f → %2F), malformed escapes (%zz) and a bare
+    trailing '%' — all normalized to one frontier key form."""
+    from docrawl_spark.functions.canon import percent_normalize_col
+
+    m = F.col("doc_id") % 6
+    suffix = (
+        F.when(m == 0, F.lit("%2epath"))
+        .when(m == 1, F.lit("%2fquery"))
+        .when(m == 2, F.lit("%7Euser"))
+        .when(m == 3, F.lit("%zzbad"))
+        .when(m == 4, F.lit("%"))
+        .otherwise(F.lit("plain"))
+    )
+    u = _doc_urls(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("url"), F.lit("/"), suffix).alias("url")
+    )
+    return u.select(
+        "doc_id", "url", percent_normalize_col(F.col("url")).alias("normalized")
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report (datapipe/sampling.corpus_mix_report):
     docs + whitespace tokens per source × lang with exact ppm shares of
@@ -3336,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_prefix_profile": q_path_prefix_profile,
         "lang_metadata_audit": q_lang_metadata_audit,
         "robots_full_gate": q_robots_full_gate,
+        "percent_normalize": q_percent_normalize,
     }
 
 
@@ -5934,6 +5960,37 @@ def oracle_sql() -> dict[str, str]:
                    n_docs * 1000000 // tot.td AS doc_share_ppm,
                    n_tokens * 1000000 // tot.tt AS token_share_ppm
             FROM per CROSS JOIN tot
+        """,
+        # Percent normalization: the same split-on-% algebra — decode
+        # unreserved escapes, uppercase the rest, pass malformed through.
+        "percent_normalize": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR)
+                     || '/' ||
+                     CASE CAST(doc_id % 6 AS INT)
+                       WHEN 0 THEN '%2epath'
+                       WHEN 1 THEN '%2fquery'
+                       WHEN 2 THEN '%7Euser'
+                       WHEN 3 THEN '%zzbad'
+                       WHEN 4 THEN '%'
+                       ELSE 'plain' END AS url
+              FROM documents),
+            sp AS (SELECT doc_id, url, string_split(url, '%') AS parts FROM u)
+            SELECT doc_id, url,
+                   parts[1] || COALESCE(array_to_string(
+                     list_transform(parts[2:], p ->
+                       CASE WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}') THEN
+                         CASE WHEN regexp_matches(
+                                chr(('0x' || upper(substr(p, 1, 2)))::INT),
+                                '^[A-Za-z0-9._~-]$')
+                              THEN chr(('0x' || upper(substr(p, 1, 2)))::INT)
+                                   || substr(p, 3)
+                              ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+                         END
+                       ELSE '%' || p END),
+                     ''), '') AS normalized
+            FROM sp
         """,
         # Path-prefix profile: identical section synthesis, the same
         # leading-segment grouping + exact ppm shares.

@@ -314,3 +314,29 @@ def test_arrow_strategy_equals_udf(spark):
     assert set(got) == set(exp) and len(got) == len(rows)
     diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not diffs, f"{len(diffs)} arrow/udf mismatches, e.g. {list(diffs.items())[:5]}"
+
+
+def test_percent_normalize_rfc3986(spark):
+    """§6.2.2: unreserved escapes decode, reserved escapes uppercase,
+    malformed/truncated escapes pass through, multiple escapes in one
+    URL all resolve."""
+    from docrawl_spark.functions.canon import percent_normalize_col
+
+    cases = {
+        "http://h/%2e%2E": "http://h/..",          # unreserved decodes
+        "http://h/a%2fb": "http://h/a%2Fb",        # reserved uppercases
+        "http://h/%7euser": "http://h/~user",
+        "http://h/%zz": "http://h/%zz",            # malformed untouched
+        "http://h/x%": "http://h/x%",              # trailing bare %
+        "http://h/%4": "http://h/%4",              # truncated escape
+        "http://h/plain": "http://h/plain",
+        "http://h/%41%2f%2d": "http://h/A%2F-",    # mixed in one URL
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select(
+            "url", percent_normalize_col("url").alias("n")
+        ).collect()
+    }
+    assert got == cases
