@@ -690,3 +690,32 @@ def breaker_state_classify(
         .otherwise(F.lit("closed"))
         .alias("state"),
     )
+
+
+def retry_after_us_col(header: Column, received_at: Column) -> Column:
+    """``Retry-After`` (RFC 9110 §10.2.3) → the epoch-microsecond
+    instant before which the host must not be re-contacted. Both wire
+    forms: delay-seconds (digits; relative to ``received_at``) and
+    IMF-fixdate (``Mon, 15 Jan 2026 10:30:00 GMT``; absolute).
+    Unparseable / missing headers → NULL (caller falls back to its own
+    backoff — the breaker cooldown or AIMD delay). The 429/503
+    Retry-After is the SERVER'S backoff ask; honoring it beats any
+    client-side guess.
+    """
+    from docrawl_spark.operators.recrawl import _micros
+
+    h = F.trim(F.coalesce(header, F.lit("")))
+    secs = F.when(
+        h.rlike(r"^[0-9]{1,9}$"), h.cast("long") * F.lit(1_000_000)
+    )
+    # IMF-fixdate is always GMT; the session timezone is pinned UTC, so
+    # parsing the date-time portion as a naive timestamp is exact.
+    dt = F.try_to_timestamp(
+        F.regexp_extract(h, r"^[A-Za-z]{3}, (\d{2} [A-Za-z]{3} \d{4} \d{2}:\d{2}:\d{2}) GMT$", 1),
+        F.lit("dd MMM yyyy HH:mm:ss"),
+    )
+    return (
+        F.when(secs.isNotNull(), _micros(received_at) + secs)
+        .when(dt.isNotNull(), _micros(dt))
+        .otherwise(F.lit(None).cast("long"))
+    )

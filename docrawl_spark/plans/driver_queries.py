@@ -2999,6 +2999,35 @@ def q_lang_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After parsing (operators/politeness.retry_after_us_col,
+    RFC 9110 §10.2.3): delay-seconds and IMF-fixdate forms (the date
+    round-trips through Spark's formatter+parser; the oracle computes
+    the expected instant directly — the parser is the DUT), garbage
+    and NULL → NULL."""
+    from docrawl_spark.operators.politeness import retry_after_us_col
+
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    header = (
+        F.when(m == 0, (F.col("event_id") % 300 + 30).cast("string"))
+        .when(
+            m == 1,
+            F.concat(
+                F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT")
+            ),
+        )
+        .when(m == 2, F.lit("soon"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rx = F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+    return ev.select(
+        "event_id",
+        header.alias("header"),
+        retry_after_us_col(header, rx).alias("retry_at_us"),
+    )
+
+
 def q_percent_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 §6.2.2 percent-encoding normalization
     (functions/canon.percent_normalize_col): synthetic URLs carrying
@@ -3362,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_metadata_audit": q_lang_metadata_audit,
         "robots_full_gate": q_robots_full_gate,
         "percent_normalize": q_percent_normalize,
+        "retry_after": q_retry_after,
     }
 
 
@@ -5991,6 +6021,23 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '%' || p END),
                      ''), '') AS normalized
             FROM sp
+        """,
+        # Retry-After: the oracle computes each form's expected instant
+        # directly (seconds offset / second-truncated source ts); the
+        # Spark parser must land on it exactly.
+        "retry_after": """
+            SELECT event_id,
+                   CASE CAST(event_id % 4 AS INT)
+                     WHEN 0 THEN CAST(event_id % 300 + 30 AS VARCHAR)
+                     WHEN 1 THEN strftime(ts, '%a, %d %b %Y %H:%M:%S') || ' GMT'
+                     WHEN 2 THEN 'soon'
+                   END AS header,
+                   CASE CAST(event_id % 4 AS INT)
+                     WHEN 0 THEN epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                                 + (event_id % 300 + 30) * 1000000
+                     WHEN 1 THEN epoch_us(date_trunc('second', ts))
+                   END AS retry_at_us
+            FROM events
         """,
         # Path-prefix profile: identical section synthesis, the same
         # leading-segment grouping + exact ppm shares.

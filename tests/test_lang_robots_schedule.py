@@ -535,3 +535,32 @@ def test_breaker_fold_equals_batch(spark):
             ).collect())
         )
         assert got == want, f"split {cuts} diverged"
+
+
+def test_retry_after_forms(spark):
+    """Delay-seconds is relative to receipt; IMF-fixdate is absolute;
+    whitespace tolerated; garbage, negatives, and huge digit strings
+    (> 9 digits, overflow guard) -> NULL."""
+    from docrawl_spark.operators.politeness import retry_after_us_col
+
+    rx = _ts("2024-02-01 00:00:00")
+    rows = [
+        (1, "0"), (2, " 3600 "), (3, "Mon, 15 Jan 2024 10:30:00 GMT"),
+        (4, "tomorrow"), (5, None), (6, "-5"), (7, "99999999999"),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string").withColumn(
+        "rx", F.lit(rx)
+    )
+    out = {
+        r["id"]: r["us"]
+        for r in df.select(
+            "id", retry_after_us_col(F.col("h"), F.col("rx")).alias("us")
+        ).collect()
+    }
+    base = 1706745600000000  # 2024-02-01 00:00:00 UTC in micros
+    assert out[1] == base
+    assert out[2] == base + 3600 * 1_000_000
+    assert out[3] == 1705314600000000  # 2024-01-15 10:30:00 UTC
+    assert out[4] is None and out[5] is None
+    assert out[6] is None  # negative not a valid delay-seconds
+    assert out[7] is None  # 11 digits: outside the sane-delay guard
