@@ -83,6 +83,11 @@ HEADLINE = [
     "substring_dup_spans",
     "lm_bits_score",
     "pack_manifest",
+    "host_template_strip",
+    "content_blocks",
+    "host_opic",
+    "snapshot_change",
+    "robots_full_gate",
 ]
 
 
