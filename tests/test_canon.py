@@ -340,3 +340,44 @@ def test_percent_normalize_rfc3986(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_percent_normalize_matches_python_spec_and_is_idempotent(spark):
+    """500 seeded random URLs (hex escapes, malformed escapes, bare %,
+    unicode) must match an independent pure-Python implementation of
+    RFC 3986 §6.2.2, and normalizing twice must equal normalizing
+    once."""
+    import random
+    import string
+
+    from docrawl_spark.functions.canon import percent_normalize_col
+
+    def py_norm(u: str) -> str:
+        parts = u.split("%")
+        out = [parts[0]]
+        unreserved = set(string.ascii_letters + string.digits + "-._~")
+        for p in parts[1:]:
+            if len(p) >= 2 and all(c in string.hexdigits for c in p[:2]):
+                ch = chr(int(p[:2], 16))
+                if ch in unreserved:
+                    out.append(ch + p[2:])
+                else:
+                    out.append("%" + p[:2].upper() + p[2:])
+            else:
+                out.append("%" + p)
+        return "".join(out)
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "/.%~:?=&-_ä%%"
+    urls = []
+    for i in range(500):
+        n = rng.randint(1, 40)
+        urls.append("http://h/" + "".join(rng.choice(alphabet) for _ in range(n)))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", percent_normalize_col("url").alias("n1"))
+    both = once.select(
+        "url", "n1", percent_normalize_col(F.col("n1")).alias("n2")
+    ).collect()
+    for r in both:
+        assert r["n1"] == py_norm(r["url"]), r["url"]
+        assert r["n2"] == r["n1"], f"not idempotent: {r['url']}"
