@@ -553,3 +553,55 @@ def pmi_collocations(
             ).alias("pmi_bits"),
         )
     )
+
+
+_NAMED_ENTITIES = [  # the XML/HTML core set; longest names first
+    ("quot;", '"'),
+    ("apos;", "'"),
+    ("amp;", "&"),
+    ("lt;", "<"),
+    ("gt;", ">"),
+]
+
+
+def html_unescape_col(text: Column) -> Column:
+    """Single-pass HTML entity decoding for extracted text — the core
+    named set (&amp; &lt; &gt; &quot; &apos;) plus numeric character
+    references up to ASCII 127 (decimal ``&#39;`` and hex ``&#x27;``
+    forms; higher code points pass through untouched — Spark's
+    ``char()`` is mod-256/byte-level, not Unicode-safe, so decoding
+    beyond ASCII would corrupt UTF-8). Single-pass means ``&amp;lt;``
+    decodes to the literal ``&lt;`` and STOPS — the split-on-&
+    structure makes double-decoding impossible by construction (same
+    discipline as functions/canon.percent_normalize_col).
+    """
+    parts = F.split(F.coalesce(text, F.lit("")), "&", -1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def _fix(p: Column) -> Column:
+        dec = F.regexp_extract(p, r"^#([0-9]{1,3});", 1)
+        hexe = F.regexp_extract(p, r"^#[xX]([0-9A-Fa-f]{1,2});", 1)
+        dec_ok = (dec != "") & (dec.cast("int") <= 127)
+        hex_ok = (hexe != "") & (F.conv(hexe, 16, 10).cast("int") <= 127)
+        result = F.concat(F.lit("&"), p)  # fallback: not an entity
+        result = F.when(
+            dec_ok,
+            F.concat(F.char(dec.cast("int")), p.substr(F.length(dec) + F.lit(3), F.lit(1_000_000))),
+        ).otherwise(result)
+        result = F.when(
+            hex_ok,
+            F.concat(
+                F.char(F.conv(hexe, 16, 10).cast("int")),
+                p.substr(F.length(hexe) + F.lit(4), F.lit(1_000_000)),
+            ),
+        ).otherwise(result)
+        for name, ch in _NAMED_ENTITIES:
+            result = F.when(
+                p.startswith(name),
+                F.concat(F.lit(ch), F.substring(p, len(name) + 1, 1_000_000)),
+            ).otherwise(result)
+        return result
+
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, _fix), "")
+    )

@@ -2999,6 +2999,28 @@ def q_lang_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass HTML entity decoding (datapipe/text.html_unescape_col):
+    per-doc synthetic text exercising the named core set, decimal and
+    hex numeric refs (ASCII only), the &amp;lt; no-double-decode rule,
+    out-of-range refs, and non-entities."""
+    from docrawl_spark.datapipe.text import html_unescape_col
+
+    m = F.col("doc_id") % 7
+    t = (
+        F.when(m == 0, F.lit("a &amp; b &lt;c&gt;"))
+        .when(m == 1, F.lit("it&#39;s &quot;here&quot;"))
+        .when(m == 2, F.lit("hex it&#x27;s fine"))
+        .when(m == 3, F.lit("&amp;lt; decodes ONCE"))
+        .when(m == 4, F.lit("&#8212; and &#x2014; pass through"))
+        .when(m == 5, F.lit("&unknown; tail& plain"))
+        .otherwise(F.lit("no entities at all"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", t.alias("text"), html_unescape_col(t).alias("unescaped")
+    )
+
+
 def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retry-After parsing (operators/politeness.retry_after_us_col,
     RFC 9110 §10.2.3): delay-seconds and IMF-fixdate forms (the date
@@ -3392,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_full_gate": q_robots_full_gate,
         "percent_normalize": q_percent_normalize,
         "retry_after": q_retry_after,
+        "html_unescape": q_html_unescape,
     }
 
 
@@ -6038,6 +6061,50 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN epoch_us(date_trunc('second', ts))
                    END AS retry_at_us
             FROM events
+        """,
+        # HTML entity decode: the same split-on-& single-pass algebra —
+        # named core set, ASCII-only numeric refs, fallback untouched.
+        "html_unescape": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 7 AS INT)
+                       WHEN 0 THEN 'a &amp; b &lt;c&gt;'
+                       WHEN 1 THEN 'it&#39;s &quot;here&quot;'
+                       WHEN 2 THEN 'hex it&#x27;s fine'
+                       WHEN 3 THEN '&amp;lt; decodes ONCE'
+                       WHEN 4 THEN '&#8212; and &#x2014; pass through'
+                       WHEN 5 THEN '&unknown; tail& plain'
+                       ELSE 'no entities at all'
+                     END AS text
+              FROM documents),
+            sp AS (SELECT doc_id, text, string_split(text, '&') AS parts FROM d)
+            SELECT doc_id, text,
+                   parts[1] || COALESCE(array_to_string(
+                     list_transform(parts[2:], p ->
+                       CASE
+                         WHEN starts_with(p, 'quot;') THEN '"' || substr(p, 6)
+                         WHEN starts_with(p, 'apos;') THEN chr(39) || substr(p, 6)
+                         WHEN starts_with(p, 'amp;') THEN '&' || substr(p, 5)
+                         WHEN starts_with(p, 'lt;') THEN '<' || substr(p, 4)
+                         WHEN starts_with(p, 'gt;') THEN '>' || substr(p, 4)
+                         WHEN regexp_extract(p, '^#([0-9]{1,3});', 1) <> ''
+                              AND CAST(regexp_extract(p, '^#([0-9]{1,3});', 1)
+                                       AS INT) <= 127
+                           THEN chr(CAST(regexp_extract(p, '^#([0-9]{1,3});', 1)
+                                         AS INT))
+                                || substr(p, length(regexp_extract(p,
+                                     '^#([0-9]{1,3});', 1)) + 3)
+                         WHEN regexp_extract(p, '^#[xX]([0-9A-Fa-f]{1,2});', 1) <> ''
+                              AND ('0x' || regexp_extract(p,
+                                    '^#[xX]([0-9A-Fa-f]{1,2});', 1))::INT <= 127
+                           THEN chr(('0x' || regexp_extract(p,
+                                      '^#[xX]([0-9A-Fa-f]{1,2});', 1))::INT)
+                                || substr(p, length(regexp_extract(p,
+                                     '^#[xX]([0-9A-Fa-f]{1,2});', 1)) + 4)
+                         ELSE '&' || p
+                       END),
+                     ''), '') AS unescaped
+            FROM sp
         """,
         # Path-prefix profile: identical section synthesis, the same
         # leading-segment grouping + exact ppm shares.

@@ -564,3 +564,30 @@ def test_retry_after_forms(spark):
     assert out[4] is None and out[5] is None
     assert out[6] is None  # negative not a valid delay-seconds
     assert out[7] is None  # 11 digits: outside the sane-delay guard
+
+
+def test_html_unescape_single_pass(spark):
+    """Named core set + ASCII numeric refs decode; &amp;lt; decodes
+    exactly once; out-of-ASCII refs and unknown entities pass through;
+    NULL-safe."""
+    from docrawl_spark.datapipe.text import html_unescape_col
+
+    cases = {
+        "a &amp; b": "a & b",
+        "&lt;tag&gt;": "<tag>",
+        "it&#39;s": "it's",
+        "it&#x27;s": "it's",
+        "&amp;lt; stays": "&lt; stays",
+        "&#8212; passes": "&#8212; passes",
+        "&unknown; stays": "&unknown; stays",
+        "tail&": "tail&",
+        "&quot;q&quot;": '"q"',
+        "&apos;a&apos;": "'a'",
+        "no entities": "no entities",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "t string")
+    got = {
+        r["t"]: r["u"]
+        for r in df.select("t", html_unescape_col(F.col("t")).alias("u")).collect()
+    }
+    assert got == cases
