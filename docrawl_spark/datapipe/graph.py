@@ -245,7 +245,6 @@ def opic_hosts(
     nodes: DataFrame,
     n_iter: int = 3,
     total_units: int = DEFAULT_TOTAL_UNITS,
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point batch OPIC (On-line Page Importance Computation,
     Abiteboul/Preda/Cobéna WWW 2003) over the host graph — THE classic
@@ -333,7 +332,11 @@ def opic_hosts(
                 .alias("cash_units"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+        # Unlike pagerank (one reference to ranks per round), each OPIC
+        # round references state THREE times (dangling sum, contribution
+        # join, carry-forward) — without truncation the plan subtree
+        # TRIPLES per round (3^n growth), so checkpoint every round.
+        if i + 1 < n_iter:
             state = state.localCheckpoint(eager=True)
     return state.select(
         "host",
