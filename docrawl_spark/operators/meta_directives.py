@@ -112,3 +112,45 @@ def drop_nofollow_edges(
         F.col(id_col).alias(src_col)
     )
     return links.join(nofollow_ids, src_col, "left_anti")
+
+
+_LINK_TAG_RE = r"(?i)<link[^>]*>"
+_REL_ALTERNATE_RE = r"""(?i)rel\s*=\s*["']?alternate["']?"""
+_HREFLANG_RE = r"""(?i)hreflang\s*=\s*["']?([a-zA-Z0-9-]+)["']?"""
+
+
+def hreflang_alternates(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<link rel="alternate" hreflang="…" href="…">`` extraction —
+    the multilingual companion of :func:`rel_canonical_col`: a page
+    declares its language variants, and a corpus builder uses the
+    cluster to (a) pick one variant per language and (b) avoid
+    counting translations as near-dups. One row per declared variant:
+    (id_col, hreflang lowercase, href), tag order preserved via
+    ``alt_order``. Same two-stage lookahead-free tag→attribute
+    regexes; ``x-default`` comes through as the literal token.
+
+    Scale shape: extract-all → posexplode → filter + per-tag attribute
+    extraction — pure scan pipeline, no shuffle.
+    """
+    tags = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")), F.lit(_LINK_TAG_RE), 0
+            )
+        ).alias("alt_order", "_tag"),
+    )
+    lang = F.lower(F.regexp_extract("_tag", _HREFLANG_RE, 1))
+    href = F.trim(F.regexp_extract("_tag", _HREF_RE, 1))
+    return (
+        tags.where(F.regexp_like(F.col("_tag"), F.lit(_REL_ALTERNATE_RE)))
+        .select(
+            id_col,
+            "alt_order",
+            lang.alias("hreflang"),
+            href.alias("href"),
+        )
+        .where((F.col("hreflang") != "") & (F.col("href") != ""))
+    )

@@ -2999,6 +2999,38 @@ def q_lang_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction
+    (operators/meta_directives.hreflang_alternates): synthetic heads
+    with a stylesheet decoy, attribute-order/case variation, an
+    x-default on every third doc, and a rel=canonical that must NOT
+    match the alternate filter."""
+    from docrawl_spark.operators.meta_directives import hreflang_alternates
+
+    did = F.col("doc_id").cast("string")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<head><link rel="stylesheet" href="/s.css">'
+                  '<link rel="alternate" hreflang="en" href="https://h/en/'),
+            did,
+            F.lit('"><link hreflang="DE-de" rel=alternate href="https://h/de/'),
+            did,
+            F.lit('">'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="x-default" href="https://h/'),
+                    did,
+                    F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<link rel="canonical" href="https://h/c"></head>'),
+        ).alias("html"),
+    )
+    return hreflang_alternates(pages)
+
+
 def q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass HTML entity decoding (datapipe/text.html_unescape_col):
     per-doc synthetic text exercising the named core set, decimal and
@@ -3415,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_normalize": q_percent_normalize,
         "retry_after": q_retry_after,
         "html_unescape": q_html_unescape,
+        "hreflang_alternates": q_hreflang_alternates,
     }
 
 
@@ -6105,6 +6138,41 @@ def oracle_sql() -> dict[str, str]:
                        END),
                      ''), '') AS unescaped
             FROM sp
+        """,
+        # hreflang alternates: identical heads, the same two-stage
+        # link-tag -> attribute extraction, decoys filtered.
+        "hreflang_alternates": r"""
+            WITH pg AS (
+              SELECT doc_id,
+                     '<head><link rel="stylesheet" href="/s.css">'
+                     || '<link rel="alternate" hreflang="en" href="https://h/en/'
+                     || CAST(doc_id AS VARCHAR) || '">'
+                     || '<link hreflang="DE-de" rel=alternate href="https://h/de/'
+                     || CAST(doc_id AS VARCHAR) || '">'
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          '<link rel="alternate" hreflang="x-default" href="https://h/'
+                          || CAST(doc_id AS VARCHAR) || '">'
+                        ELSE '' END
+                     || '<link rel="canonical" href="https://h/c"></head>' AS html
+              FROM documents),
+            tg AS (
+              SELECT doc_id, regexp_extract_all(html, '(?i)<link[^>]*>') AS tags
+              FROM pg),
+            ex AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS alt_order, tags[i] AS tag
+              FROM tg, UNNEST(range(1, len(tags) + 1)) AS t(i))
+            SELECT doc_id, alt_order,
+                   lower(regexp_extract(tag,
+                     '(?i)hreflang\s*=\s*["'']?([a-zA-Z0-9-]+)["'']?', 1))
+                     AS hreflang,
+                   trim(regexp_extract(tag,
+                     '(?i)href\s*=\s*["'']([^"'']*)["'']', 1)) AS href
+            FROM ex
+            WHERE regexp_matches(tag, '(?i)rel\s*=\s*["'']?alternate["'']?')
+              AND lower(regexp_extract(tag,
+                    '(?i)hreflang\s*=\s*["'']?([a-zA-Z0-9-]+)["'']?', 1)) <> ''
+              AND trim(regexp_extract(tag,
+                    '(?i)href\s*=\s*["'']([^"'']*)["'']', 1)) <> ''
         """,
         # Path-prefix profile: identical section synthesis, the same
         # leading-segment grouping + exact ppm shares.

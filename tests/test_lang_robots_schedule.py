@@ -591,3 +591,29 @@ def test_html_unescape_single_pass(spark):
         for r in df.select("t", html_unescape_col(F.col("t")).alias("u")).collect()
     }
     assert got == cases
+
+
+def test_hreflang_alternates_extraction(spark):
+    """Attribute order/case robust; stylesheet and canonical links
+    filtered; lowercased lang tags; x-default literal; blank href
+    dropped."""
+    from docrawl_spark.operators.meta_directives import hreflang_alternates
+
+    html = (
+        '<head><link rel="stylesheet" href="/s.css">'
+        '<link rel="alternate" hreflang="EN" href="https://h/en">'
+        "<link hreflang='de-AT' rel=alternate href='https://h/de'>"
+        '<link rel="alternate" hreflang="x-default" href="https://h/">'
+        '<link rel="alternate" hreflang="fr" href="">'
+        '<link rel="canonical" href="https://h/c"></head>'
+    )
+    df = spark.createDataFrame([(1, html), (2, "<p>none</p>"), (3, None)],
+                               "doc_id long, html string")
+    rows = sorted(
+        hreflang_alternates(df).collect(), key=lambda r: r["alt_order"]
+    )
+    assert [(r["hreflang"], r["href"]) for r in rows] == [
+        ("en", "https://h/en"), ("de-at", "https://h/de"),
+        ("x-default", "https://h/"),
+    ]
+    assert all(r["doc_id"] == 1 for r in rows)
