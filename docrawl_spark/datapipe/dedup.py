@@ -581,6 +581,83 @@ def embedding_neardup_bucketed(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus coarsely, then
+    dedup only WITHIN clusters — the cluster bound is what turns the
+    O(N²) semantic-similarity matrix into sum-of-cluster-size²
+    (with k ∝ N, per-cluster size is ~constant and total work is O(N)).
+
+    Stage 1 assigns every vector to its nearest centroid
+    (``similarity.centroid_assign_exact``: broadcast k-row centroid
+    join, integer-packed HashAggregate argmax). Stage 2 self-joins on
+    ``cluster_id`` ONLY — never the corpus — and drops every vector j
+    for which some i < j in the same cluster has
+    round(cosine(i,j), 6) ≥ threshold (keep-lowest-id, the same
+    canonical-representative rule as ``near_dedup``).
+
+    Returns (id, cluster_id, kept): all vectors with their cluster
+    and a kept flag, so downstream can either filter kept or audit the
+    drop rate per cluster. At 100 TB the cluster equi-join shuffles on
+    cluster_id; skewed (oversized) clusters are the known SemDeDup
+    failure mode — cap them upstream by raising k (centroid count),
+    not by letting one cluster own a task.
+    """
+    from docrawl_spark.datapipe.similarity import centroid_assign_exact
+
+    assign = centroid_assign_exact(
+        emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+    ).select(id_col, "cluster_id")
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    v = v.withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    withvec = assign.join(v, id_col)
+    a = withvec.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+    )
+    b = withvec.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b"))
+    ).otherwise(F.lit(0.0))
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cos, 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assign.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Line-level boilerplate removal (the CCNet/RefinedWeb paragraph-dedup
 # family): lines repeated verbatim across many documents are navigation

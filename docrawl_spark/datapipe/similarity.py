@@ -230,6 +230,55 @@ def ivf_topk(
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
+def centroid_assign_exact(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """(id, cluster_id, cosine): nearest centroid by cosine — the
+    coarse-clustering stage of SemDeDup-style semantic dedup.
+
+    Exact-arithmetic twin of ``ivf_assign`` (which does the same
+    assignment via an Arrow matmul UDF): cosines are rounded to 6
+    decimals BEFORE the argmax so a SQL oracle computing the same
+    rounded score picks the same centroid, ties broken by the LOWEST
+    centroid id. The argmax itself is an integer-packed MAX —
+    ``round(cos*1e6)*4096 + (4095 - cent_id)`` — so the aggregate stays
+    a HashAggregate with map-side combine (a struct-max would demote to
+    SortAggregate; CLAUDE.md). Works for negative cosines: the packed
+    value is plain arithmetic, monotone in (cos_ppm, -cent_id).
+
+    Scale shape: centroids are a broadcast nested-loop join (k rows —
+    k is corpus_size/avg_cluster_size, thousands at 100 TB, still a
+    broadcast), then ONE shuffle of N pre-combined rows for the argmax.
+    Requires ``cent_id`` in [0, 4096).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = F.transform(F.col(cent_vec_col), lambda x: x.cast("double"))
+    cos = F.when(
+        (_norm(v) > 0) & (_norm(cv) > 0), _dot(v, cv) / (_norm(v) * _norm(cv))
+    ).otherwise(F.lit(0.0))
+    ppm = F.round(F.round(cos, 6) * F.lit(1000000.0)).cast("long")
+    packed = ppm * F.lit(4096).cast("long") + (
+        F.lit(4095).cast("long") - F.col(cent_id_col).cast("long")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), packed.alias("_packed")
+    )
+    best = scored.groupBy(id_col).agg(F.max("_packed").alias("_best"))
+    r = F.pmod(F.col("_best"), F.lit(4096).cast("long"))
+    return best.select(
+        F.col(id_col),
+        (F.lit(4095).cast("long") - r).alias("cluster_id"),
+        (((F.col("_best") - r) / F.lit(4096).cast("long")) / F.lit(1000000.0)).alias(
+            "cosine"
+        ),
+    )
+
+
 def knn_pairs_blocked(
     emb: DataFrame,
     block_col: Column,

@@ -705,6 +705,52 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic coarse centroids for the SemDeDup oracle pair: the
+    8 lowest-vec_id embeddings, re-labelled 0..7. (Production uses
+    ``similarity.ivf_train``'s Lloyd's-iterated centroids — the fixed
+    pick keeps both engines bit-comparable; assignment math is
+    identical either way.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    return (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1 — coarse cluster assignment: nearest of 8 fixed
+    centroids by cosine (rounded to 6 dp before the argmax, ties to the
+    lowest centroid id). Broadcast k-row centroid join + integer-packed
+    HashAggregate argmax (similarity.centroid_assign_exact)."""
+    from docrawl_spark.datapipe.similarity import centroid_assign_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_assign_exact(emb, _semantic_centroids(spark, sf_dir))
+    return out.select(
+        "vec_id", "cluster_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 2 — within-cluster semantic dedup (Abbas et al.
+    2023): drop vector j when some i < j in the SAME coarse cluster has
+    cosine(i,j) ≥ 0.4. The pair join is an equi-join on cluster_id —
+    the cluster bound is what keeps the similarity matrix off the
+    corpus self-join (datapipe.dedup.semantic_dedup)."""
+    from docrawl_spark.datapipe.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, _semantic_centroids(spark, sf_dir), threshold=0.4
+    )
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — xxhash64-based, no SQL oracle (driver
     records a rows-only check). hamming ≤ 3 with 4 blocks of 16 bits
@@ -3347,6 +3393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_json_requests": q_fetch_json_requests,
         "extract_matrix": q_extract_matrix,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_clusters": q_semantic_clusters,
+        "semantic_dedup_docs": q_semantic_dedup_docs,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3932,6 +3980,55 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id
              AND bit_count(xor(a.bucket, b.bucket)) <= 1
             WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "semantic_clusters": """
+            WITH c AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            s AS (
+              SELECT e.vec_id, c.cid,
+                     ROUND(list_cosine_similarity(v, cv), 6) AS cos
+              FROM e, c),
+            a AS (
+              SELECT vec_id, cid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, cid ASC) AS rn
+              FROM s)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+                   ROUND(cos, 6) AS cosine
+            FROM a WHERE rn = 1
+        """,
+        "semantic_dedup_docs": """
+            WITH c AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            s AS (
+              SELECT e.vec_id, c.cid,
+                     ROUND(list_cosine_similarity(v, cv), 6) AS cos
+              FROM e, c),
+            a AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid ASC) AS rn
+                FROM s) WHERE rn = 1),
+            p AS (
+              SELECT y.vec_id AS id_b
+              FROM a x
+              JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              JOIN e ex ON ex.vec_id = x.vec_id
+              JOIN e ey ON ey.vec_id = y.vec_id
+              WHERE ROUND(list_cosine_similarity(ex.v, ey.v), 6) >= 0.4),
+            d AS (SELECT DISTINCT id_b FROM p)
+            SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+                   (d.id_b IS NULL) AS kept
+            FROM a LEFT JOIN d ON a.vec_id = d.id_b
         """,
         "ngram_jaccard_pairs": r"""
             -- mine (MinHash-LSH md5 mode, same params as the Spark

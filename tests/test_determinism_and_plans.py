@@ -537,3 +537,64 @@ def test_feed_entries_is_shuffle_free(spark):
     )
     plan = plan_of(feed_entries(feeds, keep_cols=["host"]))
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_plan_and_greedy_reference(spark):
+    """SemDeDup's two scale invariants: (1) the centroid join is a
+    broadcast of the k-row centroid table (never a shuffle of the
+    corpus against it) feeding a HashAggregate argmax — no
+    SortAggregate demotion, no Window; (2) the pair stage is an
+    equi-join on cluster_id, never a corpus cartesian. Values: the
+    kept set must equal a pure-Python greedy keep-lowest-id reference
+    over the same assignment."""
+    import math
+
+    from docrawl_spark.datapipe.dedup import semantic_dedup
+    from docrawl_spark.datapipe.similarity import centroid_assign_exact
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = dq._semantic_centroids(spark, SF)
+
+    assign = centroid_assign_exact(emb, cents)
+    aplan = plan_of(assign)
+    assert "BroadcastNestedLoopJoin" in aplan or "BroadcastExchange" in aplan
+    # the argmax is the packed-BIGINT HashAggregate, not a per-vector
+    # window and not a SortAggregate demotion (the only Window allowed
+    # is the 8-row centroid labeling under its TakeOrderedAndProject)
+    assert "HashAggregate" in aplan
+    assert "SortAggregate" not in aplan
+    assert aplan.count("- Window") <= 1
+
+    out = semantic_dedup(emb, cents, threshold=0.4)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan  # the bounded equi-join key
+
+    # pure-Python reference on the collected fixture
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    cvs = {r["cent_id"]: [float(x) for x in r["cent_vec"]] for r in cents.collect()}
+
+    def cos6(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 6)
+
+    ref_assign = {}
+    for vid, v in vecs.items():
+        best = max(cvs, key=lambda c: (cos6(v, cvs[c]), -c))
+        ref_assign[vid] = best
+    ref_kept = {}
+    for vid in sorted(vecs):
+        cl = ref_assign[vid]
+        dup = any(
+            ref_assign[o] == cl and cos6(vecs[o], vecs[vid]) >= 0.4
+            for o in sorted(vecs)
+            if o < vid
+        )
+        ref_kept[vid] = not dup
+
+    got = {(r["vec_id"]): (r["cluster_id"], r["kept"]) for r in out.collect()}
+    assert got == {v: (ref_assign[v], ref_kept[v]) for v in vecs}
+    assert any(not k for _, k in got.values())  # threshold actually bites
