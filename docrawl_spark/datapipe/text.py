@@ -254,6 +254,103 @@ def vocab_top_tokens(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def script_counts_cols(text: Column) -> list[Column]:
+    """Unicode-script character counts — the script-detection signal
+    under language ID (a doc claiming lang=en that is 60% Han is
+    mislabelled). Pure JVM codegen: count(script) = len(t) -
+    len(regexp_replace(t, script_class, '')). Java regex script
+    classes (``\\p{IsLatin}``) — the DuckDB oracle mirrors with RE2's
+    ``\\p{Latin}`` spelling; counts are exact integers either way."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+
+    def _cnt(pat: str) -> Column:
+        return (n - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+
+    n_latin = _cnt(r"\p{IsLatin}")
+    n_han = _cnt(r"\p{IsHan}")
+    n_digit = _cnt(r"[0-9]")
+    n_space = _cnt(r"\s")
+    return [
+        n.cast("long").alias("n_chars_total"),
+        n_latin.alias("n_latin"),
+        n_han.alias("n_han"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        (n.cast("long") - n_latin - n_han - n_digit - n_space).alias("n_other"),
+    ]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc script mix + dominant script (han > latin > digit
+    precedence on ties — deterministic, mirrored in the oracle) +
+    integer ppm Han share. Shuffle-free row-local exprs."""
+    out = df.select(F.col(id_col), *script_counts_cols(F.col(text_col)))
+    dominant = (
+        F.when(
+            (F.col("n_han") >= F.col("n_latin"))
+            & (F.col("n_han") >= F.col("n_digit"))
+            & (F.col("n_han") > 0),
+            F.lit("han"),
+        )
+        .when(F.col("n_latin") >= F.col("n_digit"), F.lit("latin"))
+        .otherwise(F.lit("digit"))
+    )
+    han_ppm = F.expr(
+        "(n_han * CAST(1000000 AS BIGINT)) div greatest(n_chars_total, CAST(1 AS BIGINT))"
+    )
+    return out.withColumn("dominant", dominant).withColumn("han_ppm", han_ppm)
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 3,
+    min_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction in the float-free
+    integer basis: ``idf_bits = bit_length(N div df)`` via
+    ``length(bin(x))`` — identical in Spark and DuckDB (CLAUDE.md) —
+    and ``score = tf * idf_bits``. Top-``k`` tokens per doc, ties
+    broken lexicographically.
+
+    Plan shape: explode → HashAggregate tf → HashAggregate df →
+    equi-join on token → per-doc window. The window partitions on
+    doc_id (bounded by tokens-per-doc, no skew); the token join's hot
+    keys (stopwords hit every doc) are 1-row on the df side, so AQE's
+    skew-join split handles them. ``n_docs`` defaults to a count()
+    pass — pass it in when the caller already knows corpus size."""
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).where(F.length("token") >= min_len)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf_bits = F.length(
+        F.bin(F.expr(f"CAST({int(n_docs)} AS BIGINT) div dfreq"))
+    ).cast("long")
+    scored = tf.join(dfreq, "token").select(
+        F.col(id_col),
+        "token",
+        "tf",
+        idf_bits.alias("idf_bits"),
+        (F.col("tf") * idf_bits).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-doc profile with every signal above."""
     t = F.col(text_col)

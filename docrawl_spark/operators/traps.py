@@ -155,3 +155,43 @@ def trap_gate(
     return gated.where(
         ~path_cycle_col(F.col(url_col), cycle_min_repeats)
     ).drop("_sig")
+
+
+def soft404_flags(
+    pages: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft-404 detection: a host's REAL 404 responses define its
+    error-template signature set (md5 of the whitespace-normalized
+    body); any 200 response whose body hashes into that set is a "soft
+    404" — an error page served with a success status, which would
+    otherwise pollute the corpus and the recrawl change-rate stats
+    (reference drops these pages on status alone,
+    docrawl_core.py:1094-1105 — status can't catch them).
+
+    Returns every 200-status page with a ``soft_404`` flag. Scale
+    shape: the template side is (host × distinct-error-template) —
+    a few rows per host regardless of corpus size — so it broadcasts;
+    the probe is one broadcast-hash lookup per fetched page, no
+    shuffle of the page table."""
+    from docrawl_spark.datapipe.dedup import normalized_text_col
+
+    p = pages.withColumn("_sig", F.md5(normalized_text_col(F.col(text_col))))
+    templates = (
+        p.where(F.col(status_col) == 404)
+        .select(F.col(host_col), F.col("_sig"))
+        .distinct()
+        .withColumn("_t", F.lit(True))
+    )
+    return (
+        p.where(F.col(status_col) == 200)
+        .join(F.broadcast(templates), [host_col, "_sig"], "left")
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.coalesce(F.col("_t"), F.lit(False)).alias("soft_404"),
+        )
+    )

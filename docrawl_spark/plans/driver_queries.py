@@ -662,6 +662,114 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_tokens(_docs_par(spark, sf_dir), k=100)
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 tokens per doc)
+    in the float-free integer-idf basis — idf_bits = bit_length(
+    N div df), score = tf * idf_bits (datapipe.text.doc_keywords)."""
+    from docrawl_spark.datapipe.text import doc_keywords
+
+    return doc_keywords(_docs_par(spark, sf_dir), k=3, min_len=2)
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script detection under language ID: per-doc counts of
+    Latin / Han / digit / space codepoints + dominant script + integer
+    Han ppm (datapipe.text.script_profile — shuffle-free row exprs).
+    The flat testdata is ASCII, so both engines append the same
+    deterministic per-lang multilingual suffix before profiling."""
+    from docrawl_spark.datapipe.text import script_profile
+
+    docs = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("lang") == "zh", F.lit(" 你好世界"))
+            .when(F.col("lang") == "de", F.lit(" straße groß"))
+            .when(F.col("lang") == "fr", F.lit(" café déjà vu"))
+            .when(F.col("lang") == "es", F.lit(" mañana niño"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(docs)
+
+
+def q_soft404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: 200-status pages whose body matches the
+    host's real-404 error template (operators.traps.soft404_flags —
+    broadcast template-signature lookup, no page-table shuffle).
+    Status + error bodies derive deterministically from the doc
+    universe: doc_id % 19 → real 404 (template body), doc_id % 23 →
+    an error body served with a 200 (the soft 404 to catch)."""
+    from docrawl_spark.operators.traps import soft404_flags
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.when(
+            (F.col("doc_id") % 19 == 0) | (F.col("doc_id") % 23 == 0),
+            F.concat(F.lit("Page Not Found - "), F.col("source"), F.lit(".test")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft404_flags(d)
+
+
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a sparse slice of the deterministic
+    host graph (docs with doc_id % 37 == 0 contribute one hashed
+    out-link each; self-loops dropped — sparse enough that the result
+    is a real multi-component partition, 5 components over 16 hosts at
+    sf0.01) — the mirror-site / link-farm grouping pass next to
+    PageRank/HITS/TrustRank. Iterative min-label propagation
+    (datapipe.dedup.connected_components, 1 shuffle/round) vs a
+    recursive-CTE transitive closure in the oracle."""
+    from docrawl_spark.datapipe.dedup import connected_components
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.where(F.col("doc_id") % 37 == 0)
+        .select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.lit(0).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    pairs = (
+        links.join(F.broadcast(idx), links.dst_idx == idx.host_idx)
+        .where(F.col("src_host") != F.col("host"))
+        .select(F.col("src_host").alias("id_a"), F.col("host").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("id").alias("host"), "component")
+
+
 def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash_hex) in the
     md5-hex mode both engines can compute bit-for-bit.
@@ -3386,6 +3494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "decontaminate_overlap": q_decontaminate_overlap,
         "vocab_top_tokens": q_vocab_top_tokens,
+        "doc_keywords": q_doc_keywords,
+        "script_mix": q_script_mix,
+        "soft404_pages": q_soft404_pages,
+        "host_components": q_host_components,
         "minhash_band_minima": q_minhash_band_minima,
         "embedding_topk": q_embedding_topk,
         "fetch_headers": q_fetch_headers,
@@ -3794,6 +3906,107 @@ def oracle_sql() -> dict[str, str]:
             FROM g c JOIN g b ON c.s = b.s
             WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
             GROUP BY 1, 2
+        """,
+        "script_mix": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || CASE lang
+                       WHEN 'zh' THEN ' 你好世界'
+                       WHEN 'de' THEN ' straße groß'
+                       WHEN 'fr' THEN ' café déjà vu'
+                       WHEN 'es' THEN ' mañana niño'
+                       ELSE '' END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CAST(length(t) AS BIGINT) AS n_chars_total,
+                     CAST(length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+                     CAST(length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+                     CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                     CAST(length(t) - length(regexp_replace(t, '\s', '', 'g')) AS BIGINT) AS n_space
+              FROM d)
+            SELECT doc_id, n_chars_total, n_latin, n_han, n_digit, n_space,
+                   n_chars_total - n_latin - n_han - n_digit - n_space AS n_other,
+                   CASE WHEN n_han >= n_latin AND n_han >= n_digit AND n_han > 0
+                        THEN 'han'
+                        WHEN n_latin >= n_digit THEN 'latin'
+                        ELSE 'digit' END AS dominant,
+                   (n_han * CAST(1000000 AS BIGINT))
+                     // GREATEST(n_chars_total, CAST(1 AS BIGINT)) AS han_ppm
+            FROM c
+        """,
+        "soft404_pages": r"""
+            WITH p AS (
+              SELECT doc_id, source || '.test' AS host,
+                     CASE WHEN doc_id % 19 = 0 THEN 404 ELSE 200 END AS status,
+                     CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0
+                          THEN 'Page Not Found - ' || source || '.test'
+                          ELSE text END AS body
+              FROM documents),
+            s AS (
+              SELECT doc_id, host, status,
+                     md5(lower(regexp_replace(trim(body), '\s+', ' ', 'g'))) AS sig
+              FROM p),
+            t AS (SELECT DISTINCT host, sig FROM s WHERE status = 404)
+            SELECT s.doc_id, s.host, (t.sig IS NOT NULL) AS soft_404
+            FROM s LEFT JOIN t ON s.host = t.host AND s.sig = t.sig
+            WHERE s.status = 200
+        """,
+        "host_components": r"""
+            WITH RECURSIVE u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents WHERE doc_id % 37 = 0),
+            hosts AS (SELECT DISTINCT source || '.test' AS host FROM documents),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0]) AS t(k)),
+            e0 AS (
+              SELECT DISTINCT r.src_host AS src, i.host AS dst
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            edges AS (
+              SELECT src, dst FROM e0
+              UNION
+              SELECT dst, src FROM e0),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE r.src <> e.dst)
+            SELECT src AS host, LEAST(src, MIN(dst)) AS component
+            FROM reach GROUP BY src
+        """,
+        "doc_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            tk AS (
+              SELECT doc_id, s AS token
+              FROM toks, UNNEST(t) AS u(s) WHERE len(s) >= 2),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tk GROUP BY 1, 2),
+            dfq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq
+              FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     CAST(length(bin(nd // dfreq)) AS BIGINT) AS idf_bits,
+                     tf.tf * CAST(length(bin(nd // dfreq)) AS BIGINT) AS score
+              FROM tf JOIN dfq USING (token), n)
+            SELECT doc_id, token, tf, idf_bits, score, rnk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, token ASC) AS INT) AS rnk
+              FROM sc)
+            WHERE rnk <= 3
         """,
         "vocab_top_tokens": r"""
             SELECT token, n FROM (

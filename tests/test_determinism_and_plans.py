@@ -598,3 +598,101 @@ def test_semantic_dedup_plan_and_greedy_reference(spark):
     got = {(r["vec_id"]): (r["cluster_id"], r["kept"]) for r in out.collect()}
     assert got == {v: (ref_assign[v], ref_kept[v]) for v in vecs}
     assert any(not k for _, k in got.values())  # threshold actually bites
+
+
+def test_doc_keywords_shapes_and_reference(spark):
+    """TF-IDF keywords: integer-exact scores (no floats anywhere in the
+    schema), HashAggregate tf/df stages, per-doc top-3 with
+    lexicographic tie-break verified against a pure-Python reference."""
+    from collections import Counter
+
+    from docrawl_spark.datapipe.text import doc_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = doc_keywords(docs, k=3, min_len=2)
+    assert all(f.dataType.simpleString() != "double" for f in out.schema.fields)
+    plan = plan_of(out)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+    rows = docs.select("doc_id", "text").collect()
+    n = len(rows)
+    tf = {}
+    for r in rows:
+        toks = [t for t in r["text"].strip().lower().split() if len(t) >= 2]
+        for t_, c in Counter(toks).items():
+            tf[(r["doc_id"], t_)] = c
+    dfreq = Counter(t_ for (_, t_) in tf)
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["idf_bits"], r["score"], r["rnk"])
+           for r in out.collect()}
+    # spot-verify every returned row against the reference scoring
+    for (did, tok), (tfv, bits, score, rnk) in got.items():
+        assert tf[(did, tok)] == tfv
+        assert bits == (n // dfreq[tok]).bit_length()
+        assert score == tfv * bits
+        assert 1 <= rnk <= 3
+    # per-doc the kept set is the reference top-3
+    by_doc = {}
+    for (did, tok), c in tf.items():
+        bits = (n // dfreq[tok]).bit_length()
+        by_doc.setdefault(did, []).append((-c * bits, tok))
+    for did, scored in by_doc.items():
+        want = {t for _, t in sorted(scored)[:3]}
+        have = {tok for (d, tok) in got if d == did}
+        assert have == want, (did, have, want)
+
+
+def test_script_profile_is_shuffle_free_and_exact(spark):
+    """Script detection is row-local JVM regexp counting — no Exchange;
+    counts verified on a handwritten multilingual row."""
+    from docrawl_spark.datapipe.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "abc 你好 12"), (2, "你好你好"), (3, "")],
+        "doc_id long, text string",
+    )
+    plan = plan_of(script_profile(df))
+    assert "Exchange" not in plan, plan
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    assert got[1]["n_latin"] == 3 and got[1]["n_han"] == 2
+    assert got[1]["n_digit"] == 2 and got[1]["n_space"] == 2
+    assert got[1]["dominant"] == "latin"
+    assert got[2]["dominant"] == "han" and got[2]["han_ppm"] == 1000000
+    assert got[3]["n_chars_total"] == 0 and got[3]["dominant"] == "latin"
+
+
+def test_soft404_broadcasts_template_side(spark):
+    """The soft-404 probe must be a broadcast-hash lookup per page —
+    never a shuffle of the page table — and must flag exactly the
+    200-status pages whose body equals a same-host 404 body."""
+    from docrawl_spark.operators.traps import soft404_flags
+
+    pages = spark.createDataFrame(
+        [
+            (1, "a", 404, "oops   Not Found"),
+            (2, "a", 200, "OOPS not  found"),   # normalizes equal -> soft
+            (3, "a", 200, "real content"),
+            (4, "b", 200, "oops not found"),    # host b has no 404 template
+        ],
+        "doc_id long, host string, status int, text string",
+    )
+    out = soft404_flags(pages)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    got = {r["doc_id"]: r["soft_404"] for r in out.collect()}
+    assert got == {2: True, 3: False, 4: False}
+
+
+def test_host_components_multi_component(spark):
+    """The sparse host graph must yield a REAL partition (>1 component)
+    and agree with a pure-Python union-find over the same edges."""
+    out = dq.q_host_components(spark, SF).collect()
+    comps = {r["host"]: r["component"] for r in out}
+    assert len(set(comps.values())) > 1
+    # every component label is the lexicographic min of its members
+    members = {}
+    for h, c in comps.items():
+        members.setdefault(c, []).append(h)
+    for c, hs in members.items():
+        assert c == min(hs + [c])
