@@ -208,3 +208,60 @@ def path_prefix_profile(
             F.expr("n_urls * 1000000L div host_urls").alias("share_ppm"),
         )
     )
+
+
+def pagination_page_col(url: Column) -> Column:
+    """Page number from a ``?page=N`` / ``&page=N`` query param (the
+    dominant pagination idiom); NULL when the URL carries none.
+    Lookahead-free regex so Java and RE2 agree."""
+    return F.nullif(
+        F.regexp_extract(url, r"[?&]page=([0-9]+)", 1), F.lit("")
+    ).cast("long")
+
+
+def pagination_series_col(url: Column) -> Column:
+    """The pagination SERIES key: the URL with its page param removed
+    and the query string re-normalized (``?&``→``?``, trailing
+    separators stripped) — every page of one listing collapses to one
+    key. Row-local JVM regexp, shuffle-free."""
+    s = F.regexp_replace(url, r"([?&])page=[0-9]+", r"$1")
+    s = F.regexp_replace(s, r"\?&", "?")
+    return F.regexp_replace(s, r"[?&]+$", "")
+
+
+def pagination_chains(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group paginated URLs into chains: (id, series_key, page_no,
+    chain_len, pos, is_first, is_last). A crawler uses this to bound
+    chain depth (trap defense shares the signature idea) and to treat
+    a listing's pages as ONE logical document for dedup/extraction.
+
+    The window partitions on series_key — chains are bounded by the
+    site's real pagination depth, so no skew; non-paginated URLs
+    (NULL page) are excluded rather than forced into fake singleton
+    chains."""
+    from pyspark.sql import Window
+
+    parsed = df.select(
+        F.col(id_col),
+        pagination_series_col(F.col(url_col)).alias("series_key"),
+        pagination_page_col(F.col(url_col)).alias("page_no"),
+    ).where(F.col("page_no").isNotNull())
+    w = Window.partitionBy("series_key").orderBy(
+        F.col("page_no").asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("series_key")
+    return (
+        parsed.withColumn("pos", F.row_number().over(w))
+        .withColumn("chain_len", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            "series_key",
+            "page_no",
+            "chain_len",
+            "pos",
+            (F.col("pos") == 1).alias("is_first"),
+            (F.col("pos") == F.col("chain_len")).alias("is_last"),
+        )
+    )

@@ -770,6 +770,41 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("host"), "component")
 
 
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-chain detection: ``?page=N`` URLs grouped into their
+    listing series (page param stripped → series key), with chain
+    length and position (operators.links.pagination_chains). The
+    paginated URL universe derives deterministically: docs with
+    doc_id % 3 < 2 become pages of listing doc_id div 7 (the listing's
+    host derives from the SERIES id so a chain's pages co-locate) —
+    with the page param leading in one layout and trailing in the
+    other, so the param-strip normalization must actually unify them
+    for chains to form."""
+    from docrawl_spark.operators.links import pagination_chains
+
+    d = _t(spark, sf_dir, "documents")
+    series = F.expr("doc_id div 7")
+    base = F.concat(
+        F.lit("https://src"),
+        (series % 7).cast("string"),
+        F.lit(".test/list/"),
+        series.cast("string"),
+    )
+    pn = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(base, F.lit("?page="), pn, F.lit("&sort=asc")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(base, F.lit("?sort=asc&page="), pn),
+        )
+        .otherwise(base)
+    )
+    return pagination_chains(d.select("doc_id", url.alias("url")))
+
+
 def q_minhash_band_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash_hex) in the
     md5-hex mode both engines can compute bit-for-bit.
@@ -3496,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": q_vocab_top_tokens,
         "doc_keywords": q_doc_keywords,
         "script_mix": q_script_mix,
+        "pagination_chains": q_pagination_chains,
         "soft404_pages": q_soft404_pages,
         "host_components": q_host_components,
         "minhash_band_minima": q_minhash_band_minima,
@@ -3934,6 +3970,45 @@ def oracle_sql() -> dict[str, str]:
                    (n_han * CAST(1000000 AS BIGINT))
                      // GREATEST(n_chars_total, CAST(1 AS BIGINT)) AS han_ppm
             FROM c
+        """,
+        "pagination_chains": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         'https://src' || CAST((doc_id // 7) % 7 AS VARCHAR)
+                           || '.test/list/' || CAST(doc_id // 7 AS VARCHAR)
+                           || '?page=' || CAST(doc_id % 7 AS VARCHAR) || '&sort=asc'
+                       WHEN doc_id % 3 = 1 THEN
+                         'https://src' || CAST((doc_id // 7) % 7 AS VARCHAR)
+                           || '.test/list/' || CAST(doc_id // 7 AS VARCHAR)
+                           || '?sort=asc&page=' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE 'https://src' || CAST((doc_id // 7) % 7 AS VARCHAR)
+                           || '.test/list/' || CAST(doc_id // 7 AS VARCHAR)
+                     END AS url
+              FROM documents),
+            parsed AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url, '([?&])page=[0-9]+', '\1', 'g'),
+                         '\?&', '?', 'g'),
+                       '[?&]+$', '', 'g') AS series_key,
+                     CAST(NULLIF(regexp_extract(url, '[?&]page=([0-9]+)', 1), '')
+                          AS BIGINT) AS page_no
+              FROM u),
+            p AS (SELECT * FROM parsed WHERE page_no IS NOT NULL),
+            r AS (
+              SELECT doc_id, series_key, page_no,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY series_key
+                          ORDER BY page_no ASC, doc_id ASC) AS INT) AS pos,
+                     CAST(COUNT(*) OVER (PARTITION BY series_key) AS BIGINT)
+                       AS chain_len
+              FROM p)
+            SELECT doc_id, series_key, page_no, chain_len, pos,
+                   (pos = 1) AS is_first,
+                   (pos = chain_len) AS is_last
+            FROM r
         """,
         "soft404_pages": r"""
             WITH p AS (

@@ -696,3 +696,29 @@ def test_host_components_multi_component(spark):
         members.setdefault(c, []).append(h)
     for c, hs in members.items():
         assert c == min(hs + [c])
+
+
+def test_pagination_chains_normalizes_layouts(spark):
+    """Both param layouts of one listing must collapse to ONE series
+    key; position/first/last follow page order; non-paginated URLs are
+    excluded."""
+    from docrawl_spark.operators.links import pagination_chains
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.test/l?page=2&sort=asc"),
+            (2, "https://h.test/l?sort=asc&page=1"),
+            (3, "https://h.test/l?sort=asc&page=10"),
+            (4, "https://h.test/other"),
+            (5, "https://h.test/l?sort=desc&page=1"),  # different series
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pagination_chains(df).collect()}
+    assert 4 not in rows
+    assert rows[1]["series_key"] == rows[2]["series_key"] == rows[3]["series_key"]
+    assert rows[5]["series_key"] != rows[1]["series_key"]
+    assert (rows[2]["pos"], rows[1]["pos"], rows[3]["pos"]) == (1, 2, 3)
+    assert rows[2]["is_first"] and rows[3]["is_last"] and not rows[1]["is_first"]
+    assert rows[3]["page_no"] == 10 and rows[1]["chain_len"] == 3
+    assert rows[5]["chain_len"] == 1 and rows[5]["is_first"] and rows[5]["is_last"]
