@@ -459,6 +459,61 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_containment_ppm: int = 50000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT over candidate pairs — the
+    syndication / quotation detector Jaccard misses: a short article
+    fully embedded in a longer page has low Jaccard (union is big) but
+    containment ≈ 1 on the short side. cont_x_ppm =
+    |A∩B| * 10^6 div |X| — all-integer, exactly mirrorable in SQL.
+
+    Same scale shape as ``ngram_jaccard_pairs``: shingle sets join
+    onto the bounded candidate set (LSH output), the corpus never
+    self-joins. Keeps a pair when EITHER direction clears
+    ``min_containment_ppm``."""
+    sets = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        candidate_pairs.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        ).join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+    )
+    sized = j.select(
+        "id_a",
+        "id_b",
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+    )
+    out = sized.select(
+        "id_a",
+        "id_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.expr(
+            "CASE WHEN n_a > 0 THEN n_inter * CAST(1000000 AS BIGINT) div n_a "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("cont_a_ppm"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN n_inter * CAST(1000000 AS BIGINT) div n_b "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("cont_b_ppm"),
+    )
+    return out.where(
+        F.greatest("cont_a_ppm", "cont_b_ppm") >= F.lit(int(min_containment_ppm))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

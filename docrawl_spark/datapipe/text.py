@@ -254,6 +254,35 @@ def vocab_top_tokens(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def bpe_pair_stats(
+    df: DataFrame, k: int = 20, text_col: str = "text", min_word_len: int = 2
+) -> DataFrame:
+    """The first BPE-training iteration: adjacent-symbol (character)
+    pair frequencies over the word-frequency table, top-``k`` merge
+    candidates. This is the counting kernel a distributed BPE trainer
+    repeats per merge round; expressed as explode → HashAggregate so
+    the corpus pass is map-side combinable and the per-word pair
+    explode runs over the (much smaller) DISTINCT-word table, not the
+    token stream.
+
+    ``sequence(1, length-1)`` would DESCEND for 1-char words
+    (CLAUDE.md) — the ``min_word_len`` filter guards it."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+    wf = (
+        toks.where(F.length("word") >= max(2, min_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    stats = pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    return stats.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).limit(k)
+
+
 def script_counts_cols(text: Column) -> list[Column]:
     """Unicode-script character counts — the script-detection signal
     under language ID (a doc claiming lang=en that is 60% Han is

@@ -928,6 +928,31 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment over the same MinHash-LSH
+    candidates as the Jaccard verify — syndication/quotation detection
+    in integer ppm (dedup.ngram_containment_pairs)."""
+    from docrawl_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_containment_pairs,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    return ngram_containment_pairs(
+        docs, cands, shingle_k=2, min_containment_ppm=50000
+    )
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: top-20 adjacent character pairs by
+    corpus frequency over the distinct-word table
+    (datapipe.text.bpe_pair_stats)."""
+    from docrawl_spark.datapipe.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs_par(spark, sf_dir), k=20)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint sets (xxhash64-based — rows-only check)."""
     from docrawl_spark.datapipe.text import winnow_fingerprints_col
@@ -3530,6 +3555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": q_decontaminate_overlap,
         "vocab_top_tokens": q_vocab_top_tokens,
         "doc_keywords": q_doc_keywords,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "ngram_containment_pairs": q_ngram_containment_pairs,
         "script_mix": q_script_mix,
         "pagination_chains": q_pagination_chains,
         "soft404_pages": q_soft404_pages,
@@ -4359,6 +4386,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN d b ON b.doc_id = c.id_b
             WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+        """,
+        "ngram_containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh3 AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh3, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - 1, 0) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS sh
+              FROM toks),
+            sized AS (
+              SELECT c.id_a, c.id_b,
+                     CAST(len(a.sh) AS BIGINT) AS n_a,
+                     CAST(len(b.sh) AS BIGINT) AS n_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter
+              FROM cand c
+              JOIN d a ON a.doc_id = c.id_a
+              JOIN d b ON b.doc_id = c.id_b),
+            o AS (
+              SELECT id_a, id_b, n_a, n_b, n_inter,
+                     CASE WHEN n_a > 0 THEN n_inter * CAST(1000000 AS BIGINT) // n_a
+                          ELSE CAST(0 AS BIGINT) END AS cont_a_ppm,
+                     CASE WHEN n_b > 0 THEN n_inter * CAST(1000000 AS BIGINT) // n_b
+                          ELSE CAST(0 AS BIGINT) END AS cont_b_ppm
+              FROM sized)
+            SELECT * FROM o
+            WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 50000
+        """,
+        "bpe_pair_stats": r"""
+            WITH toks AS (
+              SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            tk AS (SELECT s AS word FROM toks, UNNEST(t) AS u(s)),
+            wf AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tk WHERE len(word) >= 2 GROUP BY word),
+            p AS (
+              SELECT word[i:i+1] AS pair, n
+              FROM wf, UNNEST(range(1, len(word))) AS t(i))
+            SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+            FROM p GROUP BY pair
+            ORDER BY pair_count DESC, pair ASC LIMIT 20
         """,
         "order_ship_lag": """
             SELECT o_orderpriority,

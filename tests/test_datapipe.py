@@ -715,3 +715,48 @@ def test_temperature_resample_deterministic_and_sized(spark):
     # a smaller target selects a SUBSET (threshold predicate monotone)
     kept_half = {r["doc_id"] for r in temperature_resample(df, 1000).collect()}
     assert kept_half < kept1
+
+
+def test_ngram_containment_detects_embedded_doc(spark):
+    """A short doc fully contained in a longer one: containment on the
+    short side must be 1e6 ppm even though Jaccard is low; the pair set
+    rides on the provided candidates only (no corpus self-join)."""
+    from docrawl_spark.datapipe.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta"
+    longer = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, longer), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r.asDict()
+           for r in ngram_containment_pairs(docs, cands, shingle_k=2).collect()}
+    assert (1, 2) in out and (1, 3) not in out
+    r = out[(1, 2)]
+    assert r["cont_a_ppm"] == 1000000          # short side fully contained
+    assert r["cont_b_ppm"] < 200000            # long side barely overlaps
+    assert r["n_inter"] == 3                    # the 3 bigrams of the short doc
+
+
+def test_bpe_pair_stats_reference(spark):
+    """Pair counts weighted by word frequency match a pure-Python BPE
+    first-round counter; single-char words are excluded (the
+    sequence(1,0)-descends guard)."""
+    from collections import Counter
+
+    from docrawl_spark.datapipe.text import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab x banana"), (2, "aab banana banana")],
+        "doc_id long, text string",
+    )
+    ref = Counter()
+    words = Counter("aab aab x banana aab banana banana".split())
+    for w, n in words.items():
+        if len(w) < 2:
+            continue
+        for i in range(len(w) - 1):
+            ref[w[i:i+2]] += n
+    got = {r["pair"]: r["pair_count"] for r in bpe_pair_stats(docs, k=50).collect()}
+    assert got == dict(ref)
