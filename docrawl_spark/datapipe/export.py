@@ -72,3 +72,36 @@ def write_training_shards(
     return shard_manifest(
         warehouse.read(table), n_shards, id_col, payload_col
     )
+
+
+def zorder_key_col(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton / Z-order bit-interleave of two non-negative integer
+    ranks — the multi-dimensional clustering key for warehouse writes:
+    sorting (and thus file-splitting) by zkey keeps each file's rows
+    inside a small rectangle of (x, y) space, so parquet min/max stats
+    prune reads on EITHER dimension (the Delta/Iceberg OPTIMIZE ZORDER
+    trick, here as a plain deterministic column). Unrolled JVM
+    bit-exprs — whole-stage codegen, no UDF; shift amounts are Python
+    ints (column shift amounts demote, CLAUDE.md)."""
+    k = F.lit(0).cast("long")
+    xl = x.cast("long")
+    yl = y.cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        k = k.bitwiseOR(
+            F.shiftleft(F.shiftright(xl, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yl, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return k
+
+
+def zorder_sql_expr(x: str, y: str, bits: int = 8) -> str:
+    """The DuckDB/ANSI mirror of ``zorder_key_col`` — same unrolled
+    interleave as a SQL expression string (for oracles and pushdown
+    into engines without the helper)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

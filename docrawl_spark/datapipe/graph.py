@@ -470,3 +470,52 @@ def trustrank_hosts(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 30,
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, dist): shortest hop count from the seed set over the
+    directed host graph — the seed-proximity metric behind crawl-depth
+    budgeting (pages far from any seed are late-wave, low-trust
+    territory; TrustRank uses the same seed notion for rank mass,
+    this gives the HOP metric).
+
+    Iterative min-distance relaxation: each round the frontier's
+    neighbors get dist+1, union + groupBy-min folds them in, early
+    stop when no distance changed (converges in graph-diameter
+    rounds; one shuffle pair per round, localCheckpoint truncates the
+    growing plan exactly like connected_components). Unreached hosts
+    are excluded rather than given a sentinel."""
+    e = edges.select("src_host", "dst_host").distinct().persist()
+    dist = sources.select(
+        F.col(host_col).alias("host"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            e.join(dist, e["src_host"] == dist["host"])
+            .select(F.col("dst_host").alias("host"), (F.col("dist") + 1).alias("dist"))
+        )
+        new = (
+            dist.union(nbr).groupBy("host").agg(F.min("dist").alias("dist"))
+        ).localCheckpoint()
+        stats = new.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).first()
+        old = dist.agg(F.count("*").alias("n"), F.sum("dist").alias("s")).first()
+        dist = new
+        if (stats["n"], stats["s"]) == (old["n"], old["s"]):
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"bfs_distances did not converge in {max_iter} rounds — the "
+            "graph diameter exceeds max_iter; raise it (partial distances "
+            "would silently overstate seed proximity)"
+        )
+    return dist

@@ -770,6 +770,89 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("host"), "component")
 
 
+def _host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic directed host-link universe shared by the
+    graph-family oracles (same derivation as q_host_pagerank: 3
+    md5-hashed out-links per doc onto the global host index,
+    self-loops dropped)."""
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    return (
+        links.join(F.broadcast(idx), links.dst_idx == idx.host_idx)
+        .where(F.col("src_host") != F.col("host"))
+        .select("src_host", F.col("host").alias("dst_host"))
+    )
+
+
+def q_host_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the seed-host set over the directed host
+    graph — the seed-proximity metric behind crawl-depth budgeting
+    (datapipe.graph.bfs_distances: iterative min-distance relaxation,
+    early-stop at the graph diameter). Seeds: hosts whose md5 leading
+    nibble ≡ 0 (mod 5) — the same deterministic seed notion the
+    TrustRank query uses."""
+    from docrawl_spark.datapipe.graph import bfs_distances
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    seeds = hosts.where(
+        F.conv(F.substring(F.md5("host"), 1, 1), 16, 10).cast("long") % 5 == 0
+    )
+    edges = _host_link_edges(spark, sf_dir)
+    return bfs_distances(edges, seeds)
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over the (source-rank,
+    lang-rank) plane — the warehouse write-layout key that makes
+    parquet min/max stats prunable on BOTH dimensions
+    (datapipe.export.zorder_key_col; ranks come from the broadcast
+    dimension tables, never a global window over the corpus)."""
+    from docrawl_spark.datapipe.export import zorder_key_col
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    sx = with_global_rank(d.select("source").distinct(), ["source"], rank_col="x")
+    sy = with_global_rank(d.select("lang").distinct(), ["lang"], rank_col="y")
+    j = d.select("doc_id", "source", "lang").join(F.broadcast(sx), "source").join(
+        F.broadcast(sy), "lang"
+    )
+    out = j.select(
+        "doc_id",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        zorder_key_col(F.col("x"), F.col("y"), bits=8).alias("zkey"),
+    )
+    return out.withColumn("zbucket", F.expr("zkey div 16"))
+
+
 def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pagination-chain detection: ``?page=N`` URLs grouped into their
     listing series (page param stripped → series key), with chain
@@ -3559,6 +3642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_pairs": q_ngram_containment_pairs,
         "script_mix": q_script_mix,
         "pagination_chains": q_pagination_chains,
+        "host_seed_distance": q_host_seed_distance,
+        "zorder_keys": q_zorder_keys,
         "soft404_pages": q_soft404_pages,
         "host_components": q_host_components,
         "minhash_band_minima": q_minhash_band_minima,
@@ -3675,6 +3760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from docrawl_spark.datapipe.export import zorder_sql_expr
+
     return {
         "frontier_candidates": f"""
             SELECT doc_id, url, host, path FROM ({_DOC_URLS_SQL})
@@ -3997,6 +4084,52 @@ def oracle_sql() -> dict[str, str]:
                    (n_han * CAST(1000000 AS BIGINT))
                      // GREATEST(n_chars_total, CAST(1 AS BIGINT)) AS han_ppm
             FROM c
+        """,
+        "host_seed_distance": r"""
+            WITH RECURSIVE u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            edges AS (
+              SELECT DISTINCT r.src_host AS src, i.host AS dst
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            seeds AS (
+              SELECT host FROM hosts
+              WHERE ('0x' || substr(md5(host), 1, 1))::BIGINT % 5 = 0),
+            walk(host, dist) AS (
+              SELECT host, 0 FROM seeds
+              UNION
+              SELECT e.dst, w.dist + 1
+              FROM walk w JOIN edges e ON w.host = e.src
+              WHERE w.dist < 30)
+            SELECT host, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY host
+        """,
+        "zorder_keys": f"""
+            WITH sx AS (
+              SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS x
+              FROM (SELECT DISTINCT source FROM documents)),
+            sy AS (
+              SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS y
+              FROM (SELECT DISTINCT lang FROM documents)),
+            d AS (
+              SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+              FROM documents JOIN sx USING (source) JOIN sy USING (lang)),
+            z AS (
+              SELECT doc_id, x, y,
+                     CAST({zorder_sql_expr('x', 'y', 8)} AS BIGINT) AS zkey
+              FROM d)
+            SELECT doc_id, x, y, zkey, zkey // 16 AS zbucket FROM z
         """,
         "pagination_chains": r"""
             WITH u AS (

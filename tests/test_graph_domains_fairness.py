@@ -214,3 +214,61 @@ def test_trustrank_decay_and_spam_isolation(spark):
     empty = spark.createDataFrame([], "host string")
     zeros = trustrank_hosts(edges, nodes, empty, n_iter=2).collect()
     assert all(r["trust_units"] == 0 for r in zeros)
+
+
+def test_bfs_distances_multi_hop_chain(spark):
+    """Path graph a->b->c->d plus unreachable z and a 2-cycle: exact
+    hop counts, early convergence, unreached nodes excluded."""
+    from docrawl_spark.datapipe.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("a",)], "host string")
+    got = {r["host"]: r["dist"] for r in bfs_distances(edges, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_distances_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from docrawl_spark.datapipe.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src_host string, dst_host string"
+    )
+    seeds = spark.createDataFrame([("a",)], "host string")
+    with _pytest.raises(RuntimeError):
+        bfs_distances(edges, seeds, max_iter=2)
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """zkey == the bit-interleave reference, and z-ordering clusters:
+    any 16-key bucket spans at most a 4x4 (x, y) rectangle."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.datapipe.export import zorder_key_col
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    rows = df.select(
+        "x", "y", zorder_key_col(F.col("x"), F.col("y"), bits=8).alias("zkey")
+    ).collect()
+
+    def ref(x, y):
+        k = 0
+        for i in range(8):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    buckets = {}
+    for r in rows:
+        assert r["zkey"] == ref(r["x"], r["y"])
+        buckets.setdefault(r["zkey"] // 16, []).append((r["x"], r["y"]))
+    for pts in buckets.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3
