@@ -719,3 +719,26 @@ def retry_after_us_col(header: Column, received_at: Column) -> Column:
         .when(dt.isNotNull(), _micros(dt))
         .otherwise(F.lit(None).cast("long"))
     )
+
+
+def robots_change_impact(
+    urls: DataFrame,
+    old_blob_col: Column,
+    new_blob_col: Column,
+    url_col: str = "url",
+) -> DataFrame:
+    """Which URLs change verdict when a host ships a new robots.txt —
+    the planning step after a robots refetch (operators/recrawl retires
+    what this flags): rows newly *blocked* must be retired from the
+    frontier/index, rows newly *allowed* become seed candidates.
+
+    Row-local: two prefix-gate evaluations per URL against the old and
+    new blob columns — shuffle-free, whole-stage codegen; only rows
+    whose verdict changed survive."""
+    out = urls.withColumn(
+        "was_allowed", robots_allowed_col(F.col(url_col), old_blob_col)
+    ).withColumn("now_allowed", robots_allowed_col(F.col(url_col), new_blob_col))
+    return out.where(F.col("was_allowed") != F.col("now_allowed")).withColumn(
+        "transition",
+        F.when(F.col("now_allowed"), F.lit("allowed")).otherwise(F.lit("blocked")),
+    )

@@ -145,3 +145,47 @@ def discover_sitemaps(
             "sitemap_order", "sitemap_url"
         ),
     ).select("host", "sitemap_url", "sitemap_order")
+
+
+def sitemap_coverage(
+    crawled: DataFrame,
+    sitemap_urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl-vs-sitemap audit: how much of what was crawled
+    the host actually declares (coverage), what was crawled organically
+    that the sitemap omits, and what the sitemap promises that was
+    never fetched (the gap → seed candidates for the next wave).
+
+    One full-outer equi-join on (host, url) + one host aggregate —
+    both shuffle on keys the data is naturally spread over; the ppm
+    coverage is integer-exact."""
+    c = crawled.select(
+        F.col(host_col).alias("_ch"), F.col(url_col).alias("_u")
+    ).withColumn("_c", F.lit(1))
+    s = sitemap_urls.select(
+        F.col(host_col).alias("_sh"), F.col(url_col).alias("_u")
+    ).withColumn("_s", F.lit(1))
+    j = c.join(s, "_u", "full_outer").select(
+        F.coalesce("_ch", "_sh").alias("host"), "_c", "_s"
+    )
+    agg = j.groupBy("host").agg(
+        F.sum(F.coalesce("_c", F.lit(0))).alias("n_crawled"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0)
+        ).alias("n_in_sitemap"),
+        F.sum(
+            F.when(F.col("_c").isNotNull() & F.col("_s").isNull(), 1).otherwise(0)
+        ).alias("n_organic_only"),
+        F.sum(
+            F.when(F.col("_c").isNull() & F.col("_s").isNotNull(), 1).otherwise(0)
+        ).alias("n_sitemap_only"),
+    )
+    return agg.withColumn(
+        "coverage_ppm",
+        F.expr(
+            "n_in_sitemap * CAST(1000000 AS BIGINT) "
+            "div greatest(n_crawled, CAST(1 AS BIGINT))"
+        ),
+    )

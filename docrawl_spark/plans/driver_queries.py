@@ -463,6 +463,41 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "host")
 
 
+def q_robots_change_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-refetch impact planning: URLs whose verdict flips when a
+    host ships a new robots.txt (operators/politeness.
+    robots_change_impact — two row-local prefix-gate evaluations,
+    shuffle-free). v1 = the robots_gate rule (even-digit hosts block
+    /doc/1,/doc/3); v2 swaps /doc/3 for /doc/2 on those hosts and adds
+    /doc/5 on the odd-digit ones — so both newly-blocked AND
+    newly-allowed transitions occur."""
+    from docrawl_spark.operators.politeness import robots_change_impact
+
+    urls = _doc_urls(spark, sf_dir)
+    even = F.substring(F.col("source"), -1, 1).cast("int") % 2 == 0
+    old_blob = F.when(even, F.lit("/doc/1\n/doc/3")).otherwise(F.lit(""))
+    new_blob = F.when(even, F.lit("/doc/1\n/doc/2")).otherwise(F.lit("/doc/5"))
+    return robots_change_impact(urls, old_blob, new_blob).select(
+        "doc_id", "url", "host", "was_allowed", "now_allowed", "transition"
+    )
+
+
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-vs-sitemap audit per host (operators/sitemap.
+    sitemap_coverage): hosts declare 3/4 of their crawled URLs
+    (doc_id % 4 != 0) plus a sitemap-only page per doc_id % 10 == 0 —
+    coverage, organic-only, and sitemap-only gap in one pass."""
+    from docrawl_spark.operators.sitemap import sitemap_coverage
+
+    urls = _doc_urls(spark, sf_dir)
+    crawled = urls.select("host", "url")
+    sm = urls.where(F.col("doc_id") % 4 != 0).select("host", "url")
+    extra = urls.where(F.col("doc_id") % 10 == 0).select(
+        "host", F.concat(F.col("url"), F.lit("/x")).alias("url")
+    )
+    return sitemap_coverage(crawled, sm.union(extra))
+
+
 def q_within_wave_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup (operators/links.dedup_within_wave shape): one
     row per url keeping the smallest (parent_rank, offset). Candidates
@@ -3644,6 +3679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "host_seed_distance": q_host_seed_distance,
         "zorder_keys": q_zorder_keys,
+        "robots_change_impact": q_robots_change_impact,
+        "sitemap_coverage": q_sitemap_coverage,
         "soft404_pages": q_soft404_pages,
         "host_components": q_host_components,
         "minhash_band_minima": q_minhash_band_minima,
@@ -3891,6 +3928,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (
               CAST(substr(source, length(source), 1) AS INT) % 2 = 0
               AND (path LIKE '/doc/1%' OR path LIKE '/doc/3%'))
+        """,
+        "robots_change_impact": f"""
+            WITH v AS (
+              SELECT doc_id, url, host,
+                     NOT (CAST(substr(source, length(source), 1) AS INT) % 2 = 0
+                          AND (path LIKE '/doc/1%' OR path LIKE '/doc/3%'))
+                       AS was_allowed,
+                     NOT (CASE
+                            WHEN CAST(substr(source, length(source), 1) AS INT) % 2 = 0
+                            THEN (path LIKE '/doc/1%' OR path LIKE '/doc/2%')
+                            ELSE path LIKE '/doc/5%'
+                          END) AS now_allowed
+              FROM ({_DOC_URLS_SQL}))
+            SELECT doc_id, url, host, was_allowed, now_allowed,
+                   CASE WHEN now_allowed THEN 'allowed' ELSE 'blocked' END
+                     AS transition
+            FROM v WHERE was_allowed <> now_allowed
+        """,
+        "sitemap_coverage": f"""
+            WITH c AS (SELECT host, url FROM ({_DOC_URLS_SQL})),
+            s AS (
+              SELECT host, url FROM ({_DOC_URLS_SQL}) WHERE doc_id % 4 <> 0
+              UNION ALL
+              SELECT host, url || '/x' FROM ({_DOC_URLS_SQL}) WHERE doc_id % 10 = 0),
+            j AS (
+              SELECT COALESCE(c.host, s.host) AS host,
+                     (c.url IS NOT NULL) AS in_c, (s.url IS NOT NULL) AS in_s
+              FROM c FULL OUTER JOIN s ON c.url = s.url),
+            a AS (
+              SELECT host,
+                     CAST(SUM(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+                     CAST(SUM(CASE WHEN in_c AND in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_in_sitemap,
+                     CAST(SUM(CASE WHEN in_c AND NOT in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_organic_only,
+                     CAST(SUM(CASE WHEN NOT in_c AND in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sitemap_only
+              FROM j GROUP BY host)
+            SELECT host, n_crawled, n_in_sitemap, n_organic_only, n_sitemap_only,
+                   n_in_sitemap * CAST(1000000 AS BIGINT)
+                     // GREATEST(n_crawled, CAST(1 AS BIGINT)) AS coverage_ppm
+            FROM a
         """,
         "within_wave_dedup": """
             SELECT url, parent_rank, offset_ AS "offset" FROM (

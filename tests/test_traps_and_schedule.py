@@ -186,3 +186,50 @@ def test_sessionize_streaming_plan_builds(spark, tmp_path):
         q.awaitTermination(60)
     finally:
         q.stop()
+
+
+def test_robots_change_impact_transitions(spark):
+    """Verdict-flip planning: newly-blocked and newly-allowed rows both
+    surface with the right labels; unchanged rows are dropped; the plan
+    is shuffle-free (two row-local gate evaluations)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.operators.politeness import robots_change_impact
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h.test/a/1",),
+            ("https://h.test/b/1",),
+            ("https://h.test/c/1",),
+        ],
+        "url string",
+    )
+    out = robots_change_impact(
+        urls, F.lit("/a"), F.lit("/b")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    got = {r["url"].rsplit("/", 2)[-2]: r["transition"] for r in out.collect()}
+    assert got == {"a": "allowed", "b": "blocked"}
+
+
+def test_sitemap_coverage_counts(spark):
+    from docrawl_spark.operators.sitemap import sitemap_coverage
+
+    crawled = spark.createDataFrame(
+        [("h", "u1"), ("h", "u2"), ("h", "u3"), ("g", "v1")],
+        "host string, url string",
+    )
+    sm = spark.createDataFrame(
+        [("h", "u1"), ("h", "u9"), ("g", "v1")], "host string, url string"
+    )
+    got = {r["host"]: r.asDict() for r in sitemap_coverage(crawled, sm).collect()}
+    assert got["h"]["n_crawled"] == 3 and got["h"]["n_in_sitemap"] == 1
+    assert got["h"]["n_organic_only"] == 2 and got["h"]["n_sitemap_only"] == 1
+    assert got["h"]["coverage_ppm"] == 333333
+    assert got["g"]["coverage_ppm"] == 1000000
