@@ -279,6 +279,91 @@ def centroid_assign_exact(
     )
 
 
+def pq_codebooks(
+    emb: DataFrame,
+    n_blocks: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: (block, code, cvec) — per-block
+    sub-vector centroids taken deterministically from the ``n_codes``
+    lowest-id vectors (the exact-arithmetic twin of per-block k-means;
+    production Lloyd-iterates these exactly like ``ivf_train``).
+    8×16 rows for the default parameters — always broadcast-sized."""
+    from pyspark.sql import Window
+
+    dim_df = emb.select(F.size(vec_col).alias("d")).first()
+    block_dim = dim_df["d"] // n_blocks
+    w = Window.orderBy(id_col)
+    base = (
+        emb.orderBy(id_col)
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("code"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+    )
+    slices = F.array(
+        *[F.slice("_v", b * block_dim + 1, block_dim) for b in range(n_blocks)]
+    )
+    return base.select("code", F.posexplode(slices).alias("block", "cvec"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    n_blocks: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding — the memory-compression leg of
+    the ANN family (IVF picks the cells, PQ shrinks the residuals:
+    64 float32 dims → 8 one-byte codes, a 32× footprint cut, with
+    asymmetric-distance search done on codebook lookup tables).
+
+    (id, block, code, dist2): per block the nearest codebook entry by
+    squared L2, distance rounded to 6 dp BEFORE the argmin (ties to
+    the lowest code) so a SQL oracle agrees bit-for-bit. Same
+    integer-packed MIN aggregate as ``centroid_assign_exact`` —
+    HashAggregate with map-side combine, codebooks broadcast, one
+    shuffle of N·n_blocks pre-combined rows."""
+    dim_df = emb.select(F.size(vec_col).alias("d")).first()
+    block_dim = dim_df["d"] // n_blocks
+    v = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    slices = F.array(
+        *[F.slice("_v", b * block_dim + 1, block_dim) for b in range(n_blocks)]
+    )
+    blocks = v.select(F.col(id_col), F.posexplode(slices).alias("block", "xv"))
+    j = blocks.join(F.broadcast(codebooks), "block")
+    d2 = F.aggregate(
+        F.zip_with("xv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ppm = F.round(F.round(d2, 6) * F.lit(1000000.0)).cast("long")
+    packed = ppm * F.lit(int(n_codes)).cast("long") + F.col("code")
+    best = (
+        j.select(F.col(id_col), "block", packed.alias("_p"))
+        .groupBy(id_col, "block")
+        .agg(F.min("_p").alias("_b"))
+    )
+    code = F.pmod(F.col("_b"), F.lit(int(n_codes)).cast("long"))
+    return best.select(
+        F.col(id_col),
+        F.col("block").cast("int").alias("block"),
+        code.alias("code"),
+        (
+            ((F.col("_b") - code) / F.lit(int(n_codes)).cast("long"))
+            / F.lit(1000000.0)
+        ).alias("dist2"),
+    )
+
+
 def knn_pairs_blocked(
     emb: DataFrame,
     block_col: Column,

@@ -254,6 +254,42 @@ def vocab_top_tokens(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def oov_rates(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a fixed token
+    vocabulary — the tokenizer-coverage / fertility audit run before
+    committing a vocab to a training corpus (high OOV ⇒ the tokenizer
+    shatters that doc into bytes). (id, n_tokens, n_oov, oov_ppm),
+    integer-exact.
+
+    The vocab is a broadcast dim (even a 256k-entry real vocab
+    broadcasts); the probe is one broadcast-hash lookup per token and
+    the per-doc aggregate is map-side combinable. Docs with zero
+    tokens have no rows (no fake 0/0 rates)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).where(F.length("token") >= 1)
+    v = vocab.select(F.col(token_col).alias("token")).distinct().withColumn(
+        "_v", F.lit(1)
+    )
+    j = toks.join(F.broadcast(v), "token", "left")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.withColumn(
+        "oov_ppm",
+        F.expr(
+            "n_oov * CAST(1000000 AS BIGINT) div greatest(n_tokens, CAST(1 AS BIGINT))"
+        ),
+    )
+
+
 def bpe_pair_stats(
     df: DataFrame, k: int = 20, text_col: str = "text", min_word_len: int = 2
 ) -> DataFrame:

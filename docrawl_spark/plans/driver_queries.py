@@ -1012,6 +1012,29 @@ def q_semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-coverage audit: per-doc OOV rate against the
+    corpus's own top-12 vocabulary head (datapipe.text.oov_rates —
+    broadcast vocab probe, map-side-combinable per-doc aggregate)."""
+    from docrawl_spark.datapipe.text import oov_rates, vocab_top_tokens
+
+    docs = _docs_par(spark, sf_dir)
+    vocab = vocab_top_tokens(docs, k=12)
+    return oov_rates(docs, vocab)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_encode): 64-dim
+    vectors → 8 blocks × 16-entry codebooks, nearest sub-centroid per
+    block by squared L2 (rounded 6 dp before the argmin, ties to the
+    lowest code) — the memory-compression leg of the ANN family."""
+    from docrawl_spark.datapipe.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, n_blocks=8, n_codes=16)
+    return pq_encode(emb, cb, n_blocks=8, n_codes=16)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — xxhash64-based, no SQL oracle (driver
     records a rows-only check). hamming ≤ 3 with 4 blocks of 16 bits
@@ -3692,6 +3715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_clusters": q_semantic_clusters,
         "semantic_dedup_docs": q_semantic_dedup_docs,
+        "pq_codes": q_pq_codes,
+        "oov_rates": q_oov_rates,
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_md5": q_simhash_neardup_md5,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -4553,6 +4578,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
                    (d.id_b IS NULL) AS kept
             FROM a LEFT JOIN d ON a.vec_id = d.id_b
+        """,
+        "oov_rates": r"""
+            WITH toks AS (
+              SELECT doc_id, s AS token
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                    FROM documents), UNNEST(t) AS u(s)
+              WHERE len(s) >= 1),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+              ORDER BY n DESC, token ASC LIMIT 12),
+            j AS (
+              SELECT t.doc_id, (v.token IS NOT NULL) AS in_v
+              FROM toks t LEFT JOIN vocab v ON t.token = v.token),
+            a AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+              FROM j GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_oov,
+                   n_oov * CAST(1000000 AS BIGINT)
+                     // GREATEST(n_tokens, CAST(1 AS BIGINT)) AS oov_ppm
+            FROM a
+        """,
+        "pq_codes": """
+            WITH c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+            blocks AS (SELECT UNNEST(range(0, 8)) AS block),
+            cb AS (
+              SELECT b.block, c0.code,
+                     list_transform(range(1, 9),
+                                    i -> v[CAST(b.block * 8 + i AS INT)]) AS cv
+              FROM c0, blocks b),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            eb AS (
+              SELECT e.vec_id, b.block,
+                     list_transform(range(1, 9),
+                                    i -> v[CAST(b.block * 8 + i AS INT)]) AS xv
+              FROM e, blocks b),
+            d AS (
+              SELECT eb.vec_id, eb.block, cb.code,
+                     ROUND(list_sum(list_transform(range(1, 9),
+                       i -> (xv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                          * (xv[CAST(i AS INT)] - cv[CAST(i AS INT)]))), 6) AS d2
+              FROM eb JOIN cb USING (block)),
+            a AS (
+              SELECT vec_id, block, code, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, block
+                                        ORDER BY d2 ASC, code ASC) AS rn
+              FROM d)
+            SELECT vec_id, CAST(block AS INT) AS block,
+                   CAST(code AS BIGINT) AS code, d2 AS dist2
+            FROM a WHERE rn = 1
         """,
         "ngram_jaccard_pairs": r"""
             -- mine (MinHash-LSH md5 mode, same params as the Spark

@@ -760,3 +760,47 @@ def test_bpe_pair_stats_reference(spark):
             ref[w[i:i+2]] += n
     got = {r["pair"]: r["pair_count"] for r in bpe_pair_stats(docs, k=50).collect()}
     assert got == dict(ref)
+
+
+def test_pq_encode_reference_and_reconstruction(spark):
+    """PQ codes match a pure-Python per-block argmin, and
+    reconstruction error (sum of per-block dist2) is no worse than
+    quantizing everything to a single fixed centroid — the compression
+    actually uses the codebook."""
+    from docrawl_spark.datapipe.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(emb, n_blocks=8, n_codes=16)
+    out = pq_encode(emb, cb, n_blocks=8, n_codes=16)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    books = {}
+    for r in cb.collect():
+        books.setdefault(r["block"], {})[r["code"]] = [float(x) for x in r["cvec"]]
+
+    def d2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return round(s, 6)
+
+    got = {(r["vec_id"], r["block"]): (r["code"], r["dist2"]) for r in out.collect()}
+    assert len(got) == len(vecs) * 8
+    for (vid, blk), (code, dist2) in got.items():
+        sub = vecs[vid][blk * 8:(blk + 1) * 8]
+        want = min(books[blk], key=lambda c: (d2(sub, books[blk][c]), c))
+        assert code == want, (vid, blk)
+        assert abs(dist2 - d2(sub, books[blk][want])) < 1e-9
+
+
+def test_oov_rates_counts(spark):
+    from docrawl_spark.datapipe.text import oov_rates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a"), (3, "x y")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    got = {r["doc_id"]: r.asDict() for r in oov_rates(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 2
+    assert got[1]["oov_ppm"] == 500000
+    assert got[2]["n_oov"] == 0 and got[3]["oov_ppm"] == 1000000
