@@ -265,3 +265,70 @@ def pagination_chains(
             (F.col("pos") == F.col("chain_len")).alias("is_last"),
         )
     )
+
+
+def url_template_col(path: Column) -> Column:
+    """Generalize a URL path into its *template*: long hex runs (ids,
+    digests; >=8 chars) become ``{h}`` first, then any digit run
+    becomes ``{d}``. ``/doc/2024/07/a3f9c2d1e4b50000`` →
+    ``/doc/{d}/{d}/{h}``.
+
+    Order matters (hex before digits: a digit run is also a hex run);
+    both regexes are lookahead-free and lazy-free so Java regex and
+    DuckDB's RE2 agree byte-for-byte (CLAUDE.md round-3 trap notes).
+    """
+    hexed = F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}")
+    return F.regexp_replace(hexed, r"[0-9]+", "{d}")
+
+
+def url_template_profile(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    yield_col: str | None = None,
+) -> DataFrame:
+    """Mine per-(host, template) URL-template statistics — the
+    crawl-scheduler's section map one level finer than
+    ``path_prefix_profile``.
+
+    Real sites serve most of their pages through a handful of URL
+    templates (``/doc/{d}``, ``/tag/{d}/page/{d}``, …); template-level
+    stats tell the scheduler which patterns are page factories worth
+    budget and which are parameter traps (huge n_pages with near-zero
+    yield). Reference analogue: docrawl has no scheduler at all — this
+    generalizes the implicit "crawl whatever the user scripted"
+    (``/root/reference/docrawl/docrawl_core.py:1039-1123``) into a
+    prioritizable surface.
+
+    Per (host, template): ``n_pages``, ``n_paths`` (distinct concrete
+    paths — n_pages > n_paths flags refetch/alias pressure),
+    ``example_path`` (lexicographic min, a stable representative), and
+    — when ``yield_col`` is given — exact BIGINT ``sum_yield`` plus
+    ``yield_per_page`` (integer div). 100 TB shape: one map-side
+    combinable HashAggregate on (host, template); template cardinality
+    is tiny relative to URLs, so the shuffle carries only the
+    aggregated dimension.
+    """
+    base = urls.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        url_template_col(F.col(path_col)).alias("template"),
+        *(
+            [F.col(yield_col).cast("long").alias("_yield")]
+            if yield_col
+            else []
+        ),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+        F.min("path").alias("example_path"),
+    ]
+    if yield_col:
+        aggs.append(F.sum("_yield").cast("long").alias("sum_yield"))
+    out = base.groupBy("host", "template").agg(*aggs)
+    if yield_col:
+        out = out.withColumn(
+            "yield_per_page", F.expr("sum_yield div n_pages").cast("long")
+        )
+    return out

@@ -3675,6 +3675,43 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining (operators/links.url_template_profile):
+    synthetic per-doc paths exercising all four template shapes —
+    plain ids, nested tag/page params, 16-hex-char digest segments
+    ({h} generalization), and year/month archives — aggregated per
+    (host, template) with exact BIGINT page counts and n_chars yield.
+    The scheduler's page-factory-vs-parameter-trap view."""
+    from docrawl_spark.operators.links import url_template_profile
+
+    d = _t(spark, sf_dir, "documents")
+    path = F.element_at(
+        F.array(
+            F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")),
+            F.concat(
+                F.lit("/tag/"), (F.col("doc_id") % 50).cast("string"),
+                F.lit("/page/"), (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.concat(
+                F.lit("/a/"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16),
+            ),
+            F.concat(
+                F.lit("/archive/"),
+                (F.lit(2000) + F.col("doc_id") % 25).cast("string"),
+                F.lit("/"), (F.col("doc_id") % 12 + 1).cast("string"),
+            ),
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    urls = d.select(
+        F.concat(F.col("source"), F.lit(".test")).alias("host"),
+        path.alias("path"),
+        "n_chars",
+    )
+    return url_template_profile(urls, yield_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3818,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_after": q_retry_after,
         "html_unescape": q_html_unescape,
         "hreflang_alternates": q_hreflang_alternates,
+        "url_templates": q_url_templates,
     }
 
 
@@ -6988,5 +7026,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
                      * 1000000 // CAST(COUNT(*) AS BIGINT) AS match_ppm
             FROM p GROUP BY source
+        """,
+        # URL-template mining: hex-run ({h}, >=8 chars) before digit-run
+        # ({d}) generalization; both regexes RE2/Java-agreeing; 'g' flag
+        # required (DuckDB replaces first match only by default).
+        "url_templates": """
+            WITH u AS (
+              SELECT source || '.test' AS host,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/tag/' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '/page/' || CAST(doc_id % 7 AS VARCHAR)
+                       WHEN 2 THEN '/a/'
+                                 || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                       ELSE '/archive/' || CAST(2000 + doc_id % 25 AS VARCHAR)
+                                 || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                     END AS path,
+                     n_chars
+              FROM documents),
+            t AS (
+              SELECT host, path, n_chars,
+                     regexp_replace(
+                       regexp_replace(path, '[0-9a-f]{8,}', '{h}', 'g'),
+                       '[0-9]+', '{d}', 'g') AS template
+              FROM u)
+            SELECT host, template,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+                   MIN(path) AS example_path,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_yield,
+                   CAST(SUM(n_chars) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                     AS yield_per_page
+            FROM t GROUP BY host, template
         """,
     }

@@ -722,3 +722,30 @@ def test_pagination_chains_normalizes_layouts(spark):
     assert rows[2]["is_first"] and rows[3]["is_last"] and not rows[1]["is_first"]
     assert rows[3]["page_no"] == 10 and rows[1]["chain_len"] == 3
     assert rows[5]["chain_len"] == 1 and rows[5]["is_first"] and rows[5]["is_last"]
+
+
+def test_url_template_generalization(spark):
+    """Hex runs (>=8 chars) generalize before digit runs; short hex
+    stays literal; (host, template) aggregation is exact: n_pages vs
+    n_paths separates refetch pressure from template breadth."""
+    from docrawl_spark.operators.links import url_template_profile
+
+    rows = [
+        ("h.test", "/doc/123", 10),
+        ("h.test", "/doc/456", 20),
+        ("h.test", "/doc/456", 30),          # duplicate concrete path
+        ("h.test", "/a/deadbeefcafe0123", 40),   # 16 hex chars -> {h}
+        ("h.test", "/a/beef", 50),           # 4 hex chars -> literal
+        ("h.test", "/archive/2024/7", 60),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string, n long")
+    out = {
+        r["template"]: r
+        for r in url_template_profile(df, yield_col="n").collect()
+    }
+    assert set(out) == {"/doc/{d}", "/a/{h}", "/a/beef", "/archive/{d}/{d}"}
+    d = out["/doc/{d}"]
+    assert (d["n_pages"], d["n_paths"], d["sum_yield"]) == (3, 2, 60)
+    assert d["example_path"] == "/doc/123"
+    assert d["yield_per_page"] == 20
+    assert out["/a/{h}"]["n_pages"] == 1
