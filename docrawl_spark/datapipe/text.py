@@ -767,3 +767,55 @@ def html_unescape_col(text: Column) -> Column:
     return F.concat(
         F.element_at(parts, 1), F.array_join(F.transform(tail, _fix), "")
     )
+
+
+def c4_line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning audit (Raffel et al. 2020, §2.2 of
+    the T5 paper — the public recipe behind the C4 corpus).
+
+    Per document, over its non-empty trimmed lines:
+
+    - ``n_lines``  — non-empty lines;
+    - ``n_kept``   — lines that end in terminal punctuation (``.!?"``)
+      AND contain ≥5 words AND do not mention ``javascript``
+      (case-insensitive) — exactly C4's retained-line rule;
+    - ``kept_ppm`` — exact integer retention share;
+    - ``has_lorem`` / ``has_curly`` — document-level kill signals
+      (any ``lorem ipsum``, any ``{``);
+    - ``keep_doc`` — C4's page rule: ≥3 retained lines and neither
+      kill signal.
+
+    100 TB shape: split → posexplode → one map-side-combinable
+    HashAggregate per doc (the explode→HashAggregate form CLAUDE.md
+    measured 30-40× faster than nested HOFs at sf0.1); no window, no
+    UDF — every predicate is codegen'd JVM string ops.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("_raw"),
+    ).select(
+        id_col, F.trim(F.col("_raw")).alias("line")
+    ).where(F.col("line") != "")
+    flags = lines.select(
+        id_col,
+        "line",
+        (
+            F.col("line").rlike(r'[.!?"]$')
+            & (F.size(F.split(F.col("line"), r" +", -1)) >= 5)
+            & ~F.lower(F.col("line")).contains("javascript")
+        ).cast("long").alias("_kept"),
+        F.lower(F.col("line")).contains("lorem ipsum").cast("long").alias("_lorem"),
+        F.col("line").contains("{").cast("long").alias("_curly"),
+    )
+    return flags.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.expr("sum(_kept) * 1000000L div count(*)").alias("kept_ppm"),
+        (F.sum("_lorem") > 0).alias("has_lorem"),
+        (F.sum("_curly") > 0).alias("has_curly"),
+        (
+            (F.sum("_kept") >= 3) & (F.sum("_lorem") == 0) & (F.sum("_curly") == 0)
+        ).alias("keep_doc"),
+    )

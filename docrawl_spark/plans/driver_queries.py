@@ -3712,6 +3712,35 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_template_profile(urls, yield_col="n_chars")
 
 
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-cleaning audit (datapipe/text.c4_line_stats):
+    docs re-lined into 6-word lines, terminal punctuation added by a
+    content rule ([a-m] line endings), plus injected kill/drop signals
+    (a javascript line every 13th doc, lorem ipsum every 17th, a curly
+    brace every 23rd) — per-doc retained-line counts, exact ppm
+    retention, and the C4 page-keep verdict."""
+    from docrawl_spark.datapipe.text import c4_line_stats
+
+    d = _t(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.col("text"), r"((\S+ ){5}\S+) ", "$1\n")
+    t2 = F.regexp_replace(t1, r"([a-m])(\n|$)", "$1.$2")
+    txt = F.concat(
+        t2,
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nenable javascript to view this page."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\nlorem ipsum dolor sit amet today."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 0, F.lit("\nconfig { value }")
+        ).otherwise(F.lit("")),
+    )
+    return c4_line_stats(d.select("doc_id", txt.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3856,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_unescape": q_html_unescape,
         "hreflang_alternates": q_hreflang_alternates,
         "url_templates": q_url_templates,
+        "c4_line_filters": q_c4_line_filters,
     }
 
 
@@ -7059,4 +7089,51 @@ def oracle_sql() -> dict[str, str]:
                      AS yield_per_page
             FROM t GROUP BY host, template
         """,
+        # C4 line filters: same re-lining + punct rule + injections in
+        # DuckDB ('g' flag on both regexp_replace calls), then the
+        # retained-line algebra over UNNESTed trimmed lines.
+        "c4_line_filters": r'''
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '((\S+ ){5}\S+) ',
+                                      '\1' || chr(10), 'g'),
+                       '([a-m])(' || chr(10) || '|$)', '\1.\2', 'g')
+                     || CASE WHEN doc_id % 13 = 0
+                        THEN chr(10) || 'enable javascript to view this page.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                        THEN chr(10) || 'lorem ipsum dolor sit amet today.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 23 = 0
+                        THEN chr(10) || 'config { value }'
+                        ELSE '' END AS text
+              FROM documents),
+            parts AS (
+              SELECT doc_id, string_split(text, chr(10)) AS p FROM d),
+            lines AS (
+              SELECT doc_id, trim(p[i]) AS line
+              FROM parts, UNNEST(range(1, len(p) + 1)) AS t(i)
+              WHERE trim(p[i]) <> ''),
+            flags AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(line, '[.!?"]$')
+                           AND len(string_split_regex(line, ' +')) >= 5
+                           AND NOT contains(lower(line), 'javascript')
+                          THEN 1 ELSE 0 END AS kept,
+                     CASE WHEN contains(lower(line), 'lorem ipsum')
+                          THEN 1 ELSE 0 END AS lorem,
+                     CASE WHEN contains(line, '{') THEN 1 ELSE 0 END AS curly
+              FROM lines)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(SUM(kept) AS BIGINT) * 1000000
+                     // CAST(COUNT(*) AS BIGINT) AS kept_ppm,
+                   SUM(lorem) > 0 AS has_lorem,
+                   SUM(curly) > 0 AS has_curly,
+                   (SUM(kept) >= 3 AND SUM(lorem) = 0 AND SUM(curly) = 0)
+                     AS keep_doc
+            FROM flags GROUP BY doc_id
+        ''',
     }

@@ -804,3 +804,28 @@ def test_oov_rates_counts(spark):
     assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 2
     assert got[1]["oov_ppm"] == 500000
     assert got[2]["n_oov"] == 0 and got[3]["oov_ppm"] == 1000000
+
+
+def test_c4_line_stats_rules(spark):
+    """Every C4 rule in isolation: terminal punct required, >=5 words
+    required, javascript lines never kept, lorem/curly kill the doc,
+    keep_doc needs >=3 retained lines; empty lines don't count."""
+    from docrawl_spark.datapipe.text import c4_line_stats
+
+    good = "alpha beta gamma delta epsilon."
+    rows = [
+        # doc 1: 3 good lines + chaff -> kept
+        (1, f"{good}\n{good}\n{good}\nno punct line here\nshort one."),
+        # doc 2: good lines but a curly brace -> killed
+        (2, f"{good}\n{good}\n{good}\nconfig {{ x }}"),
+        # doc 3: only 2 good lines -> not kept; javascript line dropped
+        (3, f"{good}\n{good}\nenable Javascript to view this page.\n\n  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_stats(df).collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["keep_doc"]) == (5, 3, True)
+    assert out[1]["kept_ppm"] == 600000
+    assert out[2]["has_curly"] and not out[2]["keep_doc"]
+    assert out[2]["n_kept"] == 3  # retained lines counted even when doc dies
+    assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["keep_doc"]) == (3, 2, False)
+    assert not out[3]["has_lorem"]
