@@ -183,3 +183,89 @@ def corpus_mix_report(
             F.expr("n_tokens * 1000000L div _tt").alias("token_share_ppm"),
         )
     )
+
+
+def dsir_bits(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") in exact integer
+    log2 bits.
+
+    DSIR scores a raw document by how much more likely its hashed
+    n-gram features are under a small TARGET distribution (the data
+    you want more of) than under the raw BACKGROUND — then resamples
+    by that weight. Here: unigram features hashed into ``n_buckets``
+    md5 buckets; per-bucket add-one-smoothed counts from the target
+    subset (rows where ``target_col`` is true) and from the whole
+    corpus; per-bucket weight in *bits* via the factorized bit-length
+    log2 (CLAUDE.md: ``length(bin(x))`` is engine-identical, and
+    factorized bits never overflow where the probability product
+    would). Per doc: ``n_tokens`` and ``dsir_bits`` =
+    Σ_buckets cnt·bits — positive ⇒ looks like the target.
+
+    100 TB shape: explode → one per-(doc,bucket) HashAggregate (map-
+    side combinable); both bucket dims are ``n_buckets`` rows, joined
+    broadcast; totals are single-row broadcasts. No window, no UDF.
+    """
+    from docrawl_spark.datapipe.text import tokens_col
+
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731 — integer log2+1
+    tok = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_is_target"),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    per_doc_bucket = tok.select(
+        id_col,
+        "_is_target",
+        (
+            F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    ).groupBy(id_col, "_is_target", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    bg = per_doc_bucket.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cb")
+    )
+    tg = (
+        per_doc_bucket.where(F.col("_is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("ct"))
+    )
+    dim = (
+        bg.join(tg, "bucket", "left")
+        .select("bucket", "cb", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .crossJoin(
+            F.broadcast(
+                bg.agg(F.sum("cb").cast("long").alias("nb")).crossJoin(
+                    # empty target set -> SUM is NULL -> treat as 0
+                    tg.agg(
+                        F.coalesce(F.sum("ct"), F.lit(0))
+                        .cast("long")
+                        .alias("nt")
+                    )
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                (bitlen(F.col("ct") + 1) - bitlen(F.col("nt") + n_buckets))
+                - (bitlen(F.col("cb") + 1) - bitlen(F.col("nb") + n_buckets))
+            ).cast("long").alias("bits"),
+        )
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(dim), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("bits")).cast("long").alias("dsir_bits"),
+        )
+    )

@@ -3741,6 +3741,19 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_stats(d.select("doc_id", txt.alias("text")))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (datapipe/sampling.dsir_bits): target =
+    the lang='en' subset, background = the whole corpus; per doc the
+    exact integer-bits log-ratio of hashed-unigram likelihoods — the
+    resampling weight that upsamples target-looking raw docs."""
+    from docrawl_spark.datapipe.sampling import dsir_bits
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    return dsir_bits(d, target_col="is_en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3886,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alternates": q_hreflang_alternates,
         "url_templates": q_url_templates,
         "c4_line_filters": q_c4_line_filters,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -7135,5 +7149,41 @@ def oracle_sql() -> dict[str, str]:
                    (SUM(kept) >= 3 AND SUM(lorem) = 0 AND SUM(curly) = 0)
                      AS keep_doc
             FROM flags GROUP BY doc_id
+        ''',
+        # DSIR bits: md5 unigram buckets, add-one smoothing, factorized
+        # integer log2 via length(bin(x)) (engine-identical bit length).
+        "dsir_weights": r'''
+            WITH tok AS (
+              SELECT doc_id, lang = 'en' AS is_t, t.tok AS tok
+              FROM documents,
+                   UNNEST(string_split_regex(trim(lower(text)), '\s+'))
+                     AS t(tok)
+              WHERE t.tok <> ''),
+            pdb AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM tok GROUP BY doc_id, is_t, bucket),
+            bg AS (
+              SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cb
+              FROM pdb GROUP BY bucket),
+            tg AS (
+              SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS ct
+              FROM pdb WHERE is_t GROUP BY bucket),
+            tot AS (
+              SELECT (SELECT CAST(SUM(cb) AS BIGINT) FROM bg) AS nb,
+                     (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tg)
+                       AS nt),
+            dim AS (
+              SELECT bg.bucket,
+                     CAST((length(bin(COALESCE(ct, 0) + 1))
+                           - length(bin(nt + 64)))
+                        - (length(bin(cb + 1)) - length(bin(nb + 64)))
+                       AS BIGINT) AS bits
+              FROM bg LEFT JOIN tg ON bg.bucket = tg.bucket, tot)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(cnt * bits) AS BIGINT) AS dsir_bits
+            FROM pdb JOIN dim USING (bucket) GROUP BY doc_id
         ''',
     }

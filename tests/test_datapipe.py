@@ -829,3 +829,27 @@ def test_c4_line_stats_rules(spark):
     assert out[2]["n_kept"] == 3  # retained lines counted even when doc dies
     assert (out[3]["n_lines"], out[3]["n_kept"], out[3]["keep_doc"]) == (3, 2, False)
     assert not out[3]["has_lorem"]
+
+
+def test_dsir_bits_prefers_target_vocabulary(spark):
+    """Docs written in the target vocabulary must score strictly higher
+    than background-vocabulary docs; scores are deterministic and the
+    empty-target edge doesn't divide by zero."""
+    from docrawl_spark.datapipe.sampling import dsir_bits
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", True),
+        (2, "alpha beta beta alpha beta", True),
+        (3, "zulu yankee zulu yankee zulu", False),
+        (4, "alpha beta alpha yankee beta", False),  # target-looking raw doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r["dsir_bits"] for r in dsir_bits(df, "is_t").collect()}
+    assert out[4] > out[3], out  # mostly-target vocab beats pure background
+    assert out[1] > out[3] and out[2] > out[3]
+    # determinism
+    out2 = {r["doc_id"]: r["dsir_bits"] for r in dsir_bits(df, "is_t").collect()}
+    assert out == out2
+    # empty target set: all-false flags still compute (nt=0 smoothing)
+    df0 = df.select("doc_id", "text", F.lit(False).alias("is_t"))
+    assert dsir_bits(df0, "is_t").count() == 4
