@@ -332,3 +332,49 @@ def url_template_profile(
             "yield_per_page", F.expr("sum_yield div n_pages").cast("long")
         )
     return out
+
+
+def outlink_diversity(
+    edges: DataFrame,
+    suffixes: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-source-host outlink diversity — the classic URL-graph spam
+    signal (link farms emit thousands of edges into a handful of
+    registrable domains; organic sites don't).
+
+    Per ``src_host``: ``n_outlinks`` (edge multiset size),
+    ``n_dst_hosts`` (distinct targets), ``n_dst_domains`` (distinct
+    registrable domains of targets, eTLD+1 via functions/domains —
+    NULL-domain targets, i.e. hosts that ARE a public suffix, count as
+    their own host), ``self_ppm`` (share of edges pointing back at the
+    source host itself), ``diversity_ppm`` (distinct dst domains per
+    outlink). All exact BIGINT ppm.
+
+    100 TB shape: edges aggregate host-dim → one HashAggregate; the
+    registrable-domain map is host-dim sized and broadcast-joined; no
+    window, no page-level blowup.
+    """
+    from docrawl_spark.functions.domains import registrable_domains
+
+    dsts = edges.select(F.col(dst_col).alias("host")).distinct()
+    dom = registrable_domains(dsts, suffixes).select(
+        F.col("host").alias("_dst"),
+        F.coalesce("registrable_domain", "host").alias("_dst_dom"),
+    )
+    e = edges.select(
+        F.col(src_col).alias("src_host"), F.col(dst_col).alias("_dst")
+    ).join(F.broadcast(dom), "_dst")
+    return e.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_outlinks"),
+        F.countDistinct("_dst").cast("long").alias("n_dst_hosts"),
+        F.countDistinct("_dst_dom").cast("long").alias("n_dst_domains"),
+        F.expr(
+            "sum(case when src_host = _dst then 1L else 0L end)"
+            " * 1000000L div count(*)"
+        ).alias("self_ppm"),
+        F.expr(
+            "count(distinct _dst_dom) * 1000000L div count(*)"
+        ).alias("diversity_ppm"),
+    )

@@ -3754,6 +3754,51 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_bits(d, target_col="is_en")
 
 
+def q_outlink_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink-diversity spam signal (operators/links.outlink_diversity):
+    synthetic per-doc outlinks whose targets span subdomain collapse
+    (a.b.example.com + example.com -> one eTLD+1), multi-label
+    suffixes (co.uk), a private registry (github.io, where each cdnN
+    IS its own registrable domain), self-links, and an .org spread —
+    per source host the exact BIGINT host/domain fan-out and self/
+    diversity ppm."""
+    from docrawl_spark.functions.domains import suffix_dim
+    from docrawl_spark.operators.links import outlink_diversity
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("did"),
+        F.concat(F.col("source"), F.lit(".test")).alias("src_host"),
+    )
+    e0 = d.select(
+        "doc_id", "did", "src_host",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 6
+    ).cast("int")
+    dst = F.element_at(
+        F.array(
+            F.lit("a.b.example.com"),
+            F.lit("example.com"),
+            F.lit("w.example.co.uk"),
+            F.col("src_host"),
+            F.concat(F.lit("cdn"), (F.col("doc_id") % 5).cast("string"), F.lit(".github.io")),
+            F.concat(F.lit("news"), (F.col("doc_id") % 7).cast("string"), F.lit(".org")),
+        ),
+        pick + 1,
+    )
+    edges = e0.select("src_host", dst.alias("dst_host"))
+    return outlink_diversity(edges, suffix_dim(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3900,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "c4_line_filters": q_c4_line_filters,
         "dsir_weights": q_dsir_weights,
+        "outlink_diversity": q_outlink_diversity,
     }
 
 
@@ -7185,5 +7231,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                    CAST(SUM(cnt * bits) AS BIGINT) AS dsir_bits
             FROM pdb JOIN dim USING (bucket) GROUP BY doc_id
+        ''',
+        # Outlink diversity: same edge synthesis + the PSL longest-match
+        # chain (shared shape with the registrable_domains oracle).
+        "outlink_diversity": '''
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+                     source || '.test' AS src_host
+              FROM documents),
+            e0 AS (
+              SELECT src_host, doc_id, did, unnest([0, 1, 2]) AS k FROM d),
+            e AS (
+              SELECT src_host,
+                CASE CAST(('0x' || substr(md5(did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 6 AS INT)
+                  WHEN 0 THEN 'a.b.example.com'
+                  WHEN 1 THEN 'example.com'
+                  WHEN 2 THEN 'w.example.co.uk'
+                  WHEN 3 THEN src_host
+                  WHEN 4 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+                  ELSE 'news' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                END AS dst_host
+              FROM e0),
+            h0 AS (SELECT DISTINCT dst_host AS host FROM e),
+            lab AS (
+              SELECT host, string_split(host, '.') AS labels,
+                     CAST(len(string_split(host, '.')) AS INT) AS n
+              FROM h0),
+            cand AS (
+              SELECT host, labels, n,
+                     unnest(generate_series(1, least(3, n))) AS k
+              FROM lab),
+            psl(suffix) AS (VALUES
+              ('com'), ('net'), ('org'), ('io'), ('ai'), ('dev'), ('app'),
+              ('test'), ('edu'), ('gov'),
+              ('co.uk'), ('org.uk'), ('ac.uk'), ('gov.uk'),
+              ('com.au'), ('net.au'), ('org.au'),
+              ('co.jp'), ('co.in'), ('com.br'), ('com.cn'),
+              ('github.io'), ('gitlab.io'), ('blogspot.com'),
+              ('herokuapp.com'), ('s3.amazonaws.com')),
+            j AS (
+              SELECT c.host, c.labels, c.n,
+                     CASE WHEN p.suffix IS NOT NULL THEN c.k END AS mk
+              FROM cand c LEFT JOIN psl p
+                ON array_to_string(c.labels[c.n - CAST(c.k AS INT) + 1:c.n], '.')
+                   = p.suffix),
+            m AS (
+              SELECT host, any_value(labels) AS labels, any_value(n) AS n,
+                     CAST(COALESCE(MAX(mk), 1) AS INT) AS k
+              FROM j GROUP BY host),
+            dom AS (
+              SELECT host,
+                     COALESCE(
+                       CASE WHEN n > k
+                            THEN array_to_string(labels[n - k:n], '.') END,
+                       host) AS rd
+              FROM m)
+            SELECT src_host,
+                   CAST(COUNT(*) AS BIGINT) AS n_outlinks,
+                   CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts,
+                   CAST(COUNT(DISTINCT rd) AS BIGINT) AS n_dst_domains,
+                   CAST(SUM(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+                     AS self_ppm,
+                   CAST(COUNT(DISTINCT rd) AS BIGINT) * 1000000
+                     // CAST(COUNT(*) AS BIGINT) AS diversity_ppm
+            FROM e JOIN dom ON e.dst_host = dom.host
+            GROUP BY src_host
         ''',
     }

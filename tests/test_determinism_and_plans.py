@@ -749,3 +749,34 @@ def test_url_template_generalization(spark):
     assert d["example_path"] == "/doc/123"
     assert d["yield_per_page"] == 20
     assert out["/a/{h}"]["n_pages"] == 1
+
+
+def test_outlink_diversity_spam_vs_organic(spark):
+    """A link farm (many edges, one registrable domain) must score a
+    LOW diversity_ppm; an organic host spreading across domains scores
+    high; self-links and subdomain collapse are counted exactly."""
+    from docrawl_spark.functions.domains import suffix_dim
+    from docrawl_spark.operators.links import outlink_diversity
+
+    edges = [
+        # farm: 4 edges, all land in example.com (two via subdomains)
+        ("farm.test", "example.com"),
+        ("farm.test", "a.example.com"),
+        ("farm.test", "b.example.com"),
+        ("farm.test", "example.com"),
+        # organic: 4 edges, 3 domains + 1 self-link
+        ("org.test", "example.com"),
+        ("org.test", "w.example.co.uk"),
+        ("org.test", "n1.org"),
+        ("org.test", "org.test"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    out = {
+        r["src_host"]: r
+        for r in outlink_diversity(df, suffix_dim(spark)).collect()
+    }
+    farm, org = out["farm.test"], out["org.test"]
+    assert (farm["n_outlinks"], farm["n_dst_hosts"], farm["n_dst_domains"]) == (4, 3, 1)
+    assert farm["diversity_ppm"] == 250000 and farm["self_ppm"] == 0
+    assert (org["n_dst_domains"], org["self_ppm"]) == (4, 250000)
+    assert org["diversity_ppm"] > farm["diversity_ppm"]
