@@ -3799,6 +3799,19 @@ def q_outlink_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlink_diversity(edges, suffix_dim(spark))
 
 
+def q_fetch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous fetch-shard assignment (operators/sharding): every
+    source host pinned to a fetcher shard at fleet sizes 16 and 17 —
+    the resize plan showing exactly which hosts drain and that each
+    moves to the NEW shard (the HRW minimal-movement property)."""
+    from docrawl_spark.operators.sharding import rendezvous_rebalance_plan
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.col("source"), F.lit(".test")).alias("host")
+    )
+    return rendezvous_rebalance_plan(hosts, 16, 17)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3946,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": q_c4_line_filters,
         "dsir_weights": q_dsir_weights,
         "outlink_diversity": q_outlink_diversity,
+        "fetch_shards": q_fetch_shards,
     }
 
 
@@ -7297,5 +7311,30 @@ def oracle_sql() -> dict[str, str]:
                      // CAST(COUNT(*) AS BIGINT) AS diversity_ppm
             FROM e JOIN dom ON e.dst_host = dom.host
             GROUP BY src_host
+        ''',
+        # Rendezvous sharding: identical 52-bit md5 weight + packed
+        # argmax algebra ('0x'||substr(md5,1,13) == Spark conv(...,16,10)).
+        "fetch_shards": '''
+            WITH h AS (
+              SELECT DISTINCT source || '.test' AS host FROM documents),
+            ea AS (
+              SELECT host, unnest(generate_series(0, 15)) AS s FROM h),
+            eb AS (
+              SELECT host, unnest(generate_series(0, 16)) AS s FROM h),
+            a AS (
+              SELECT host,
+                     CAST(1023 - MAX(
+                       ('0x' || substr(md5(host || ':hrw:' || CAST(s AS VARCHAR)), 1, 13))::BIGINT
+                       * 1024 + (1023 - s)) % 1024 AS INT) AS shard_a
+              FROM ea GROUP BY host),
+            b AS (
+              SELECT host,
+                     CAST(1023 - MAX(
+                       ('0x' || substr(md5(host || ':hrw:' || CAST(s AS VARCHAR)), 1, 13))::BIGINT
+                       * 1024 + (1023 - s)) % 1024 AS INT) AS shard_b
+              FROM eb GROUP BY host)
+            SELECT host, shard_a, shard_b,
+                   CAST(shard_a != shard_b AS INT) AS moved
+            FROM a JOIN b USING (host)
         ''',
     }

@@ -780,3 +780,53 @@ def test_outlink_diversity_spam_vs_organic(spark):
     assert farm["diversity_ppm"] == 250000 and farm["self_ppm"] == 0
     assert (org["n_dst_domains"], org["self_ppm"]) == (4, 250000)
     assert org["diversity_ppm"] > farm["diversity_ppm"]
+
+
+def test_rendezvous_shard_properties(spark):
+    """HRW sharding: (1) every host lands in [0, n); (2) resizing
+    n -> n+1 moves ONLY hosts won by the new shard, and each moved
+    host moves TO that shard; (3) the moved fraction is ~1/(n+1);
+    (4) loads are balanced; (5) the argmax folds as a codegen
+    HashAggregate (packed BIGINT, not a struct max)."""
+    from docrawl_spark.operators.sharding import (
+        rendezvous_assign,
+        rendezvous_rebalance_plan,
+    )
+
+    hosts = spark.range(2000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        )
+    )
+    plan = rendezvous_rebalance_plan(hosts, 16, 17).collect()
+    assert len(plan) == 2000
+    assert all(0 <= r["shard_a"] < 16 and 0 <= r["shard_b"] < 17 for r in plan)
+    moved = [r for r in plan if r["moved"]]
+    # every moved host lands on the NEW shard (id 16) — the HRW law
+    assert moved and all(r["shard_b"] == 16 for r in moved)
+    # unmoved hosts keep their exact shard id
+    assert all(r["shard_a"] == r["shard_b"] for r in plan if not r["moved"])
+    # E[moved] = 2000/17 ~ 118, sigma ~ 10.5 -> generous 6-sigma band
+    assert 55 <= len(moved) <= 185
+    # balance: 2000 hosts over 16 shards, mean 125, md5-uniform
+    from collections import Counter
+
+    loads = Counter(r["shard_a"] for r in plan)
+    assert len(loads) == 16 and max(loads.values()) < 190
+
+    a1 = {r["host"]: r["shard"] for r in rendezvous_assign(hosts, 16).collect()}
+    a2 = {r["host"]: r["shard"] for r in rendezvous_assign(hosts, 16).collect()}
+    assert a1 == a2  # deterministic
+
+    agg_plan = rendezvous_assign(hosts, 16)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in agg_plan and "SortAggregate" not in agg_plan
+
+
+def test_rendezvous_rejects_oversize_fleet(spark):
+    from docrawl_spark.operators.sharding import rendezvous_assign
+
+    hosts = spark.range(1).select(F.lit("a.test").alias("host"))
+    with pytest.raises(ValueError):
+        rendezvous_assign(hosts, 1025)
+    with pytest.raises(ValueError):
+        rendezvous_assign(hosts, 0)
