@@ -742,3 +742,101 @@ def robots_change_impact(
         "transition",
         F.when(F.col("now_allowed"), F.lit("allowed")).otherwise(F.lit("blocked")),
     )
+
+
+def clean_param_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    blob_col: str = "robots_blob",
+) -> DataFrame:
+    """Parse ``Clean-param: p1&p2 /prefix`` directives (the Yandex REP
+    extension, the one place a SITE declares which of its own query
+    params are content-free) out of robots blobs: one row per
+    ``(host, param, path_prefix)``; a missing prefix means the whole
+    site (``/``). Param names follow the spec charset ``A-Za-z0-9_-``.
+
+    This is the site-declared complement of the client-side heuristic
+    strip in ``functions/canon.dedup_normalize_url_col`` — ambiguous
+    params (``ref``, ``page``) that canon must keep can be dropped here
+    because the site itself said so.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(blob_col), F.lit("")), r"\r?\n")
+        ).alias("line"),
+    )
+    pat = r"(?i)^clean-param:\s*([A-Za-z0-9_\-&]+)(?:\s+(\S+))?\s*$"
+    m = lines.select(
+        "host",
+        F.regexp_extract("line", pat, 1).alias("_params"),
+        F.regexp_extract("line", pat, 2).alias("_pfx"),
+    ).where(F.col("_params") != "")
+    return (
+        m.select(
+            "host",
+            F.explode(F.split("_params", "&")).alias("param"),
+            F.when(F.col("_pfx") == "", F.lit("/"))
+            .otherwise(F.col("_pfx"))
+            .alias("path_prefix"),
+        )
+        .where(F.col("param") != "")
+        .distinct()
+    )
+
+
+def apply_clean_params(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Apply Clean-param rules to frontier URLs: for every URL whose
+    path starts with a rule's prefix on the same host, drop the rule's
+    params from the query string. Output = input columns plus
+    ``clean_url`` (params removed; a now-empty query loses its ``?``)
+    and ``n_params_dropped``.
+
+    100 TB shape: rules are a robots-dim table aggregated to one array
+    per host and broadcast; per-URL work is a bounded tiny-array filter
+    (a URL carries a handful of params, a host a handful of rules) —
+    no shuffle on the URL side, no UDF.
+    """
+    host_rules = rules.groupBy(F.col("host").alias("_rh")).agg(
+        F.array_sort(F.collect_set(F.struct("param", "path_prefix"))).alias(
+            "_rules"
+        )
+    )
+    j = urls.join(
+        F.broadcast(host_rules), F.col(host_col) == F.col("_rh"), "left"
+    )
+    path = F.col(path_col)
+    # params whose prefix matches THIS url's path
+    drop = F.transform(
+        F.filter(
+            F.coalesce("_rules", F.expr("array()")),
+            lambda r: path.startswith(r.getField("path_prefix")),
+        ),
+        lambda r: r.getField("param"),
+    )
+    url = F.col(url_col)
+    base = F.split_part(url, F.lit("?"), F.lit(1))
+    has_q = F.instr(url, "?") > 0
+    toks = F.when(has_q, F.split(F.substr(url, F.length(base) + 2), "&")).otherwise(
+        F.expr("array()")
+    )
+    kept = F.filter(
+        toks,
+        lambda t: ~F.array_contains(drop, F.split_part(t, F.lit("="), F.lit(1))),
+    )
+    clean = F.when(~has_q | (F.size(kept) == F.size(toks)), url).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
+    return j.select(
+        *[F.col(c) for c in urls.columns],
+        clean.alias("clean_url"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_params_dropped"),
+    )

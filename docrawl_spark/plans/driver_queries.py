@@ -3812,6 +3812,45 @@ def q_fetch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_rebalance_plan(hosts, 16, 17)
 
 
+def q_clean_param_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-param directive end-to-end (operators/politeness.
+    clean_param_rules + apply_clean_params): hosts carry synthesized
+    robots blobs with prefix-scoped / site-wide / non-matching-prefix
+    Clean-param lines (plus a no-directive group); URLs carry five
+    query shapes incl. a bare flag token and no-query — the site-
+    declared param strip for frontier dedup."""
+    from docrawl_spark.operators.politeness import (
+        apply_clean_params,
+        clean_param_rules,
+    )
+
+    u = _doc_urls(spark, sf_dir)
+    g = F.pmod(F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int"), F.lit(4))
+    blob = (
+        F.when(
+            g == 0,
+            F.lit("User-agent: *\nClean-param: sid&ref /doc\nclean-param: page"),
+        )
+        .when(g == 1, F.lit("Clean-Param: utm_source /d"))
+        .when(g == 2, F.lit("Disallow: /x"))
+        .otherwise(F.lit("clean-param: sid /other"))
+    )
+    robots = u.select("host").distinct().withColumn("robots_blob", blob)
+    qsfx = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?sid=1&page=2&keep=3"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("?utm_source=news&id=7"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(""))
+        .when(F.col("doc_id") % 5 == 3, F.lit("?page=5"))
+        .otherwise(F.lit("?flag&sid=9"))
+    )
+    urls = u.select(
+        "doc_id", F.concat(F.col("url"), qsfx).alias("url"), "host", "path"
+    )
+    return apply_clean_params(urls, clean_param_rules(robots)).select(
+        "doc_id", "url", "clean_url", "n_params_dropped"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -3960,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "outlink_diversity": q_outlink_diversity,
         "fetch_shards": q_fetch_shards,
+        "clean_param_urls": q_clean_param_urls,
     }
 
 
@@ -7336,5 +7376,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, shard_a, shard_b,
                    CAST(shard_a != shard_b AS INT) AS moved
             FROM a JOIN b USING (host)
+        ''',
+        # Clean-param: the directive PARSER is the DUT (like retry_after),
+        # so the oracle states the parsed rules directly as VALUES and
+        # mirrors only the application algebra (list lambdas).
+        "clean_param_urls": f'''
+            WITH u AS (SELECT doc_id, url, host, path FROM ({_DOC_URLS_SQL})),
+            g AS (
+              SELECT doc_id, host, path,
+                     url || CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN '?sid=1&page=2&keep=3'
+                       WHEN 1 THEN '?utm_source=news&id=7'
+                       WHEN 2 THEN ''
+                       WHEN 3 THEN '?page=5'
+                       ELSE '?flag&sid=9' END AS url,
+                     CAST(regexp_extract(host, '(\\d+)', 1) AS INT) % 4 AS grp
+              FROM u),
+            rules(grp, param, path_prefix) AS (VALUES
+              (0, 'sid', '/doc'), (0, 'ref', '/doc'), (0, 'page', '/'),
+              (1, 'utm_source', '/d'),
+              (3, 'sid', '/other')),
+            d AS (
+              SELECT q.doc_id, q.url,
+                     COALESCE(list(DISTINCT r.param)
+                              FILTER (r.param IS NOT NULL), []) AS drops
+              FROM g q LEFT JOIN rules r
+                ON q.grp = r.grp AND starts_with(q.path, r.path_prefix)
+              GROUP BY q.doc_id, q.url),
+            t AS (
+              SELECT doc_id, url, drops,
+                     split_part(url, '?', 1) AS base,
+                     contains(url, '?') AS has_q
+              FROM d),
+            k AS (
+              SELECT doc_id, url, base, has_q,
+                     CASE WHEN has_q
+                          THEN string_split(substr(url, length(base) + 2), '&')
+                          ELSE [] END AS toks,
+                     CASE WHEN has_q
+                          THEN list_filter(
+                                 string_split(substr(url, length(base) + 2), '&'),
+                                 x -> NOT list_contains(drops, split_part(x, '=', 1)))
+                          ELSE [] END AS kept
+              FROM t)
+            SELECT doc_id, url,
+                   CASE WHEN NOT has_q OR len(kept) = len(toks) THEN url
+                        WHEN len(kept) = 0 THEN base
+                        ELSE base || '?' || COALESCE(array_to_string(kept, '&'), '')
+                   END AS clean_url,
+                   CAST(len(toks) - len(kept) AS BIGINT) AS n_params_dropped
+            FROM k
         ''',
     }

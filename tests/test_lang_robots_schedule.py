@@ -617,3 +617,77 @@ def test_hreflang_alternates_extraction(spark):
         ("x-default", "https://h/"),
     ]
     assert all(r["doc_id"] == 1 for r in rows)
+
+
+def test_clean_param_rules_parsing(spark):
+    """Directive parsing: case-insensitive key, multi-param &-split,
+    default '/' prefix, CRLF blobs, non-directive lines ignored,
+    charset-violating lines ignored."""
+    from docrawl_spark.operators.politeness import clean_param_rules
+
+    rows = [
+        ("a.test", "User-agent: *\r\nClean-param: sid&ref /doc\r\nclean-PARAM: page"),
+        ("b.test", "Disallow: /x\nClean-param: bad$name /p"),
+        ("c.test", None),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_blob string")
+    got = {
+        (r["host"], r["param"], r["path_prefix"])
+        for r in clean_param_rules(df).collect()
+    }
+    assert got == {
+        ("a.test", "sid", "/doc"),
+        ("a.test", "ref", "/doc"),
+        ("a.test", "page", "/"),
+    }
+
+
+def test_apply_clean_params_cases(spark):
+    """Application: prefix scoping, site-wide rules, bare flag tokens,
+    query emptied -> '?' dropped, untouched URLs bit-identical, hosts
+    without rules pass through."""
+    from docrawl_spark.operators.politeness import (
+        apply_clean_params,
+        clean_param_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.test", "Clean-param: sid&ref /doc\nClean-param: page")],
+        "host string, robots_blob string",
+    )
+    urls = spark.createDataFrame(
+        [
+            # sid+page dropped (prefix + site-wide), keep stays
+            ("https://a.test/doc/1?sid=1&page=2&keep=3", "a.test", "/doc/1"),
+            # /other: only site-wide 'page' applies, sid survives
+            ("https://a.test/other?sid=1&page=2", "a.test", "/other"),
+            # whole query dropped -> no '?'
+            ("https://a.test/doc/2?sid=x", "a.test", "/doc/2"),
+            # bare flag named like a dropped param is dropped too
+            ("https://a.test/doc/3?sid&keep=1", "a.test", "/doc/3"),
+            # no query
+            ("https://a.test/doc/4", "a.test", "/doc/4"),
+            # no rules for this host
+            ("https://z.test/doc/5?sid=1", "z.test", "/doc/5"),
+        ],
+        "url string, host string, path string",
+    )
+    out = {
+        r["url"]: (r["clean_url"], r["n_params_dropped"])
+        for r in apply_clean_params(urls, clean_param_rules(robots)).collect()
+    }
+    assert out["https://a.test/doc/1?sid=1&page=2&keep=3"] == (
+        "https://a.test/doc/1?keep=3",
+        2,
+    )
+    assert out["https://a.test/other?sid=1&page=2"] == (
+        "https://a.test/other?sid=1",
+        1,
+    )
+    assert out["https://a.test/doc/2?sid=x"] == ("https://a.test/doc/2", 1)
+    assert out["https://a.test/doc/3?sid&keep=1"] == (
+        "https://a.test/doc/3?keep=1",
+        1,
+    )
+    assert out["https://a.test/doc/4"] == ("https://a.test/doc/4", 0)
+    assert out["https://z.test/doc/5?sid=1"] == ("https://z.test/doc/5?sid=1", 0)
