@@ -154,3 +154,89 @@ def hreflang_alternates(
         )
         .where((F.col("hreflang") != "") & (F.col("href") != ""))
     )
+
+
+_OG_PROP_RE = r"""(?i)property\s*=\s*["'](og:[a-z0-9_:.]+)["']"""
+_SCRIPT_EL_RE = r"(?i)<script[^>]*>[^<]*</script"
+_SCRIPT_ATTRS_RE = r"(?i)<script([^>]*)>"
+_SCRIPT_BODY_RE = r">([^<]*)<"
+_LDJSON_TYPE_RE = r"""(?i)type\s*=\s*["']application/ld\+json["']"""
+_AT_TYPE_RE = r'"@type"\s*:\s*"([^"]+)"'
+
+
+def og_properties(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """OpenGraph ``<meta property="og:…" content="…">`` extraction —
+    the page's self-declared card metadata (title/type/image/url…), a
+    high-precision document-metadata source a corpus builder prefers
+    over content heuristics when present. One row per og meta tag:
+    ``(id_col, og_order, property lowercase, content)``; repeated
+    properties (og:image arrays) are preserved in tag order; tags with
+    blank content are dropped.
+
+    Same two-stage lookahead-free tag→attribute regexes as the robots
+    META family (attr order inside the tag irrelevant; Java regex ≡
+    RE2). Scale shape: extract-all → posexplode → filter — pure scan
+    pipeline, no shuffle.
+    """
+    tags = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")), F.lit(_META_TAG_RE), 0
+            )
+        ).alias("og_order", "_tag"),
+    )
+    prop = F.lower(F.regexp_extract("_tag", _OG_PROP_RE, 1))
+    content = F.trim(F.regexp_extract("_tag", _CONTENT_RE, 1))
+    return (
+        tags.select(
+            id_col,
+            "og_order",
+            prop.alias("property"),
+            content.alias("content"),
+        )
+        .where((F.col("property") != "") & (F.col("content") != ""))
+    )
+
+
+def jsonld_blocks(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``<script type="application/ld+json">`` block extraction — the
+    schema.org structured-data channel. One row per ld+json script:
+    ``(id_col, script_order, jsonld_type, body_chars)`` where
+    ``jsonld_type`` is the first ``"@type": "…"`` string in the block
+    (NULL when absent) and ``script_order`` is the block's position
+    among ALL scripts on the page.
+
+    Deliberate bound: block bodies are matched up to the first ``<``
+    (the lookahead-free contract) — valid JSON-LD per the HTML spec
+    must escape ``<`` inside script data anyway, so conforming blocks
+    are captured whole.
+    """
+    tags = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")),
+                F.lit(_SCRIPT_EL_RE),
+                0,
+            )
+        ).alias("script_order", "_el"),
+    )
+    attrs = F.regexp_extract("_el", _SCRIPT_ATTRS_RE, 1)
+    body = F.trim(F.regexp_extract("_el", _SCRIPT_BODY_RE, 1))
+    typ = F.regexp_extract(body, _AT_TYPE_RE, 1)
+    return (
+        tags.where(F.regexp_like(attrs, F.lit(_LDJSON_TYPE_RE)))
+        .select(
+            id_col,
+            "script_order",
+            F.when(typ == "", F.lit(None).cast("string"))
+            .otherwise(typ)
+            .alias("jsonld_type"),
+            F.length(body).cast("long").alias("body_chars"),
+        )
+    )

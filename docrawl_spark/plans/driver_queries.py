@@ -3851,6 +3851,84 @@ def q_clean_param_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph + JSON-LD extraction (operators/meta_directives.
+    og_properties/jsonld_blocks) over synthesized pages: double/single
+    quoting, reversed attr order, repeated og:image, decoy scripts and
+    charset metas, a typeless JSON-LD block, and a no-structured-data
+    group. One unioned row per declaration: (doc_id, kind, ord, key,
+    value)."""
+    from docrawl_spark.operators.meta_directives import (
+        jsonld_blocks,
+        og_properties,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id").cast("string")
+    g = F.col("doc_id") % 4
+    html = F.concat(
+        F.lit('<head><meta charset="utf-8">'),
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="Doc '),
+                s,
+                F.lit(
+                    '"><meta property="og:image" content="https://h/i1.png">'
+                    '<meta property="og:image" content="https://h/i2.png">'
+                    '<script type="application/ld+json">{"@context":'
+                    '"https://schema.org","@type":"Article","headline":"Doc '
+                ),
+                s,
+                F.lit('"}</script>'),
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(
+                F.lit("<meta content='X"),
+                s,
+                F.lit(
+                    "' property='og:type'><script src=\"/app.js\"></script>"
+                    "<script type='application/ld+json'>"
+                    '{"@graph":[{"@type":"Person"}]}</script>'
+                ),
+            ),
+        )
+        .when(
+            g == 2,
+            F.lit('<meta name="robots" content="noindex"><script>var x=1;</script>'),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<meta property="og:url" content="https://h/'),
+                s,
+                F.lit(
+                    '"><script type="application/ld+json">'
+                    '{"name":"no type"}</script>'
+                ),
+            )
+        ),
+        F.lit("</head>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    og = og_properties(pages).select(
+        "doc_id",
+        F.lit("og").alias("kind"),
+        F.col("og_order").alias("ord"),
+        F.col("property").alias("key"),
+        F.col("content").alias("value"),
+    )
+    ld = jsonld_blocks(pages).select(
+        "doc_id",
+        F.lit("jsonld").alias("kind"),
+        F.col("script_order").alias("ord"),
+        F.col("jsonld_type").alias("key"),
+        F.col("body_chars").cast("string").alias("value"),
+    )
+    return og.unionByName(ld)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4000,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_diversity": q_outlink_diversity,
         "fetch_shards": q_fetch_shards,
         "clean_param_urls": q_clean_param_urls,
+        "structured_data": q_structured_data,
     }
 
 
@@ -7427,4 +7506,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks) - len(kept) AS BIGINT) AS n_params_dropped
             FROM k
         ''',
+        # Structured data: identical page synthesis; the same two-stage
+        # lookahead-free tag->attr regexes run on RE2 here vs Java regex
+        # in Spark (og_order/script_order = position among ALL tags).
+        "structured_data": r"""
+            WITH pg AS (
+              SELECT doc_id,
+                     '<head><meta charset="utf-8">' ||
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN
+                         '<meta property="og:title" content="Doc '
+                         || CAST(doc_id AS VARCHAR) ||
+                         '"><meta property="og:image" content="https://h/i1.png">'
+                         || '<meta property="og:image" content="https://h/i2.png">'
+                         || '<script type="application/ld+json">{"@context":'
+                         || '"https://schema.org","@type":"Article","headline":"Doc '
+                         || CAST(doc_id AS VARCHAR) || '"}</script>'
+                       WHEN 1 THEN
+                         '<meta content=''X' || CAST(doc_id AS VARCHAR)
+                         || ''' property=''og:type''><script src="/app.js"></script>'
+                         || '<script type=''application/ld+json''>'
+                         || '{"@graph":[{"@type":"Person"}]}</script>'
+                       WHEN 2 THEN
+                         '<meta name="robots" content="noindex"><script>var x=1;</script>'
+                       ELSE
+                         '<meta property="og:url" content="https://h/'
+                         || CAST(doc_id AS VARCHAR)
+                         || '"><script type="application/ld+json">'
+                         || '{"name":"no type"}</script>'
+                     END || '</head>' AS html
+              FROM documents),
+            mt AS (
+              SELECT doc_id, regexp_extract_all(html, '(?i)<meta[^>]*>') AS tags
+              FROM pg),
+            me AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS ord, tags[i] AS tag
+              FROM mt, UNNEST(range(1, len(tags) + 1)) AS t(i)),
+            og AS (
+              SELECT doc_id, 'og' AS kind, ord,
+                     lower(regexp_extract(tag,
+                       '(?i)property\s*=\s*["''](og:[a-z0-9_:.]+)["'']', 1)) AS key,
+                     trim(regexp_extract(tag,
+                       '(?i)content\s*=\s*["'']([^"'']*)["'']', 1)) AS value
+              FROM me),
+            st AS (
+              SELECT doc_id,
+                     regexp_extract_all(html, '(?i)<script[^>]*>[^<]*</script') AS els
+              FROM pg),
+            se AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS ord, els[i] AS el
+              FROM st, UNNEST(range(1, len(els) + 1)) AS t(i)),
+            ld AS (
+              SELECT doc_id, 'jsonld' AS kind, ord,
+                     NULLIF(regexp_extract(
+                       trim(regexp_extract(el, '>([^<]*)<', 1)),
+                       '"@type"\s*:\s*"([^"]+)"', 1), '') AS key,
+                     CAST(length(trim(regexp_extract(el, '>([^<]*)<', 1)))
+                          AS VARCHAR) AS value
+              FROM se
+              WHERE regexp_matches(
+                      regexp_extract(el, '(?i)<script([^>]*)>', 1),
+                      '(?i)type\s*=\s*["'']application/ld\+json["'']'))
+            SELECT doc_id, kind, ord, key, value FROM og
+            WHERE key <> '' AND value <> ''
+            UNION ALL
+            SELECT doc_id, kind, ord, key, value FROM ld
+        """,
     }

@@ -278,3 +278,48 @@ def test_table_scan_guard_drops_sub_two_tr(spark):
     kept_texts = [t[1] for t in got_tuples if t[0] == "table"]
     assert kept_texts == [spans[2][1], spans[3][1], "not json"]
     assert [t[3] for t in got_tuples] == list(range(len(got_tuples)))
+
+
+def test_og_properties_and_jsonld_blocks(spark):
+    """Structured data: quoting/attr-order variants, repeated og:image
+    preserved in tag order, charset/robots metas and plain scripts
+    ignored, typeless JSON-LD -> NULL type, script_order counts ALL
+    scripts."""
+    from docrawl_spark.operators.meta_directives import (
+        jsonld_blocks,
+        og_properties,
+    )
+
+    html = (
+        '<head><meta charset="utf-8">'
+        "<meta content='First' property='og:title'>"
+        '<meta property="og:image" content="https://h/a.png">'
+        '<meta property="og:image" content="https://h/b.png">'
+        '<meta name="robots" content="noindex">'
+        '<meta property="og:empty" content="">'
+        '<script src="/app.js"></script>'
+        '<script type="application/ld+json">'
+        '{"@context":"x","@type":"Article"}</script>'
+        "<script type='application/ld+json'>{\"name\":\"untyped\"}</script>"
+        "<script>var x = 1;</script></head>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "doc_id long, html string")
+
+    og = [
+        (r["og_order"], r["property"], r["content"])
+        for r in og_properties(df).orderBy("doc_id", "og_order").collect()
+    ]
+    assert og == [
+        (1, "og:title", "First"),
+        (2, "og:image", "https://h/a.png"),
+        (3, "og:image", "https://h/b.png"),
+    ]
+
+    ld = [
+        (r["script_order"], r["jsonld_type"], r["body_chars"])
+        for r in jsonld_blocks(df).orderBy("doc_id", "script_order").collect()
+    ]
+    assert ld == [
+        (1, "Article", len('{"@context":"x","@type":"Article"}')),
+        (2, None, len('{"name":"untyped"}')),
+    ]
