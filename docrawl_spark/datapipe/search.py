@@ -208,3 +208,56 @@ def phrase_search(
         F.count("*").cast("long").alias("n_occurrences"),
         F.min("anchor").cast("long").alias("first_pos"),
     )
+
+
+def postings_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Sort-based inverted-index construction stats: per token, the
+    document frequency and the EXACT delta-gap varint cost of its
+    posting list — the storage planner for the BM25/phrase indexes
+    above (is the index shard budget right? which terms dominate?).
+
+    Encoding model: ids are 1-based; the first posting is stored
+    absolute, the rest as gaps; a value costs ``ceil(bitlen/7)``
+    varint bytes, with bitlen via the cross-engine ``length(bin(x))``
+    basis (CLAUDE.md — identical in Spark and DuckDB).
+
+    Output per token (df >= min_df): ``df, first_doc, last_doc,
+    sum_gap_bytes, max_gap``.
+
+    Plan: explode → distinct (token, doc) postings → per-token window
+    in doc-id order (THE sequential pass every indexer makes; at
+    100 TB you shard the doc-id space first so each shard's per-token
+    run is bounded, then concatenate shard lists — gap streams
+    compose across doc-id-range shards) → one HashAggregate back to
+    the vocab grain.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc")
+    g = p.withColumn(
+        "_gap",
+        (F.col("doc") + 1) - F.coalesce(F.lag("doc").over(w) + 1, F.lit(0)),
+    ).withColumn("_gb", F.expr("(length(bin(_gap)) + 6) div 7"))
+    out = g.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.min("doc").cast("long").alias("first_doc"),
+        F.max("doc").cast("long").alias("last_doc"),
+        F.sum("_gb").cast("long").alias("sum_gap_bytes"),
+        F.max("_gap").cast("long").alias("max_gap"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out

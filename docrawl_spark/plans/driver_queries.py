@@ -3929,6 +3929,16 @@ def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return og.unionByName(ld)
 
 
+def q_postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage stats (datapipe/search.postings_stats):
+    per corpus token, exact delta-gap varint byte cost of its posting
+    list (1-based, first posting absolute), df and doc-range — the
+    shard-budget planner for the BM25/phrase indexes."""
+    from docrawl_spark.datapipe.search import postings_stats
+
+    return postings_stats(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4079,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_shards": q_fetch_shards,
         "clean_param_urls": q_clean_param_urls,
         "structured_data": q_structured_data,
+        "postings_gaps": q_postings_gaps,
     }
 
 
@@ -7571,5 +7582,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE key <> '' AND value <> ''
             UNION ALL
             SELECT doc_id, kind, ord, key, value FROM ld
+        """,
+        # Postings gaps: lag materialized in its own CTE (DuckDB forbids
+        # nested window calls); bitlen via the shared bin() basis;
+        # SUM -> HUGEINT cast back to BIGINT.
+        "postings_gaps": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+              FROM documents),
+            p AS (SELECT DISTINCT token, doc_id AS doc FROM tk WHERE token <> ''),
+            lg AS (
+              SELECT token, doc,
+                     lag(doc) OVER (PARTITION BY token ORDER BY doc) AS prev
+              FROM p),
+            g AS (
+              SELECT token, doc,
+                     (doc + 1) - COALESCE(prev + 1, 0) AS gap
+              FROM lg),
+            b AS (
+              SELECT token, doc, gap, (length(bin(gap)) + 6) // 7 AS gb
+              FROM g)
+            SELECT token,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(MIN(doc) AS BIGINT) AS first_doc,
+                   CAST(MAX(doc) AS BIGINT) AS last_doc,
+                   CAST(SUM(gb) AS BIGINT) AS sum_gap_bytes,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap
+            FROM b GROUP BY token
         """,
     }

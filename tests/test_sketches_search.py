@@ -368,3 +368,23 @@ def test_rrf_fuse_hybrid_semantics(spark):
     assert out[0]["rrf_units"] == 1000000 // 63 + 1000000 // 61
     singles = [r for r in out if r["n_lists"] == 1]
     assert all(r["rrf_units"] < out[0]["rrf_units"] for r in singles)
+
+
+def test_postings_stats_exact_gaps(spark):
+    """Hand-computed posting lists: 1-based first-absolute delta gaps,
+    varint byte cost (incl. a 2-byte gap), df/min/max, min_df prune."""
+    from docrawl_spark.datapipe.search import postings_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (2, "b"), (9, "b a a"), (300, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in postings_stats(docs).collect()}
+    a, b = out["a"], out["b"]
+    # a: docs 0,9,300 -> gaps 1,9,291; 291 needs 9 bits -> 2 varint bytes
+    assert (a["df"], a["first_doc"], a["last_doc"]) == (3, 0, 300)
+    assert a["sum_gap_bytes"] == 1 + 1 + 2 and a["max_gap"] == 291
+    # b: docs 0,2,9 -> gaps 1,2,7 -> 3 bytes
+    assert (b["df"], b["sum_gap_bytes"], b["max_gap"]) == (3, 3, 7)
+    pruned = postings_stats(docs, min_df=3).select("token").collect()
+    assert {r["token"] for r in pruned} == {"a", "b"}
