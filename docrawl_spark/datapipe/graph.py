@@ -519,3 +519,49 @@ def bfs_distances(
             "would silently overstate seed proximity)"
         )
     return dist
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_cocite: int = 2,
+    max_out: int = 64,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Co-citation similarity (Small 1973, the link-structure dual of
+    content near-dup): target pairs cited together by many sources are
+    topically related — the related-page signal that needs no content
+    at all, and the structural confirmation channel for mirror
+    candidates found by ``operators/mirrors.mirror_host_pairs``.
+
+    ``(a, b, cocites)`` for unordered target pairs with
+    ``cocites >= min_cocite``, where cocites counts distinct sources
+    citing both.
+
+    Scale guard: a source with more than ``max_out`` distinct targets
+    is DROPPED before pairing (its pair fan-out is quadratic in
+    outdegree, and mega-hub sources — navigation pages, link farms —
+    carry ~no topical signal; the classic co-citation cap). After the
+    cap, the self-join on the source key fans out ≤ C(max_out, 2) per
+    source; the explicit join-key repartition keeps that fan-out
+    parallel under AQE (user-specified counts are exempt from
+    coalescing — same guard as the SimHash chunk join).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    # degree dim is src-cardinality (unbounded) — a plain equi-join,
+    # co-partitioned with the pairing shuffle below; never broadcast
+    deg = e.groupBy("src").agg(F.count("*").alias("_out"))
+    kept = e.join(deg.where(F.col("_out") <= max_out).select("src"), "src")
+    kept = kept.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "src"
+    )
+    a = kept.select("src", F.col("dst").alias("a"))
+    b = kept.select("src", F.col("dst").alias("b"))
+    pairs = a.join(b, "src").where(F.col("a") < F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cocites"))
+        .where(F.col("cocites") >= min_cocite)
+    )

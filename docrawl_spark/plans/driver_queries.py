@@ -3939,6 +3939,58 @@ def q_postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (datapipe/graph.cocitation_pairs): pages pick
+    3 targets from a 40-target pool (md5-deterministic), plus one
+    mega-hub source (70 targets) that the outdegree cap must drop;
+    unordered target pairs cited together by >= 2 sources."""
+    from docrawl_spark.datapipe.graph import cocitation_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("src"),
+    )
+    e0 = d.select(
+        "doc_id",
+        "src",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("doc_id") == 0, F.lit(69)).otherwise(F.lit(2)),
+            )
+        ).alias("k"),
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 40
+    ).cast("string")
+    dst = F.when(
+        F.col("doc_id") == 0,
+        F.concat(F.lit("hub"), F.col("k").cast("string"), F.lit(".test")),
+    ).otherwise(F.concat(F.lit("t"), pick, F.lit(".test")))
+    edges = e0.select(F.col("src").alias("src_host"), dst.alias("dst_host"))
+    return cocitation_pairs(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4090,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_param_urls": q_clean_param_urls,
         "structured_data": q_structured_data,
         "postings_gaps": q_postings_gaps,
+        "cocitation_pairs": q_cocitation_pairs,
     }
 
 
@@ -7611,4 +7664,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(gap) AS BIGINT) AS max_gap
             FROM b GROUP BY token
         """,
+        # Co-citation: same edge synthesis (shared md5 pick algebra),
+        # degree cap mirrored, plain SQL self-join on the source key.
+        "cocitation_pairs": '''
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/'
+                       || CAST(doc_id AS VARCHAR) AS src
+              FROM documents),
+            e0 AS (
+              SELECT doc_id, src,
+                     unnest(generate_series(0,
+                       CASE WHEN doc_id = 0 THEN 69 ELSE 2 END)) AS k
+              FROM d),
+            e1 AS (
+              SELECT DISTINCT src,
+                     CASE WHEN doc_id = 0
+                          THEN 'hub' || CAST(k AS VARCHAR) || '.test'
+                          ELSE 't' || CAST(
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 40
+                            AS VARCHAR) || '.test' END AS dst
+              FROM e0),
+            deg AS (SELECT src, COUNT(*) AS o FROM e1 GROUP BY src),
+            kept AS (
+              SELECT e1.src, e1.dst FROM e1 JOIN deg USING (src)
+              WHERE o <= 64),
+            p AS (
+              SELECT x.dst AS a, y.dst AS b
+              FROM kept x JOIN kept y ON x.src = y.src AND x.dst < y.dst)
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cocites
+            FROM p GROUP BY a, b HAVING COUNT(*) >= 2
+        ''',
     }

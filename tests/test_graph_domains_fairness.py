@@ -272,3 +272,32 @@ def test_zorder_key_matches_python_interleave(spark):
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3
+
+
+def test_cocitation_pairs_counts_and_cap(spark):
+    """Hand graph: (x,y) and (y,z) co-cited twice survive, (x,z) once
+    is pruned, and a hub source above the outdegree cap contributes
+    nothing (its pairs vanish entirely)."""
+    from docrawl_spark.datapipe.graph import cocitation_pairs
+
+    edges = [
+        ("s1", "x"), ("s1", "y"), ("s1", "z"),
+        ("s2", "x"), ("s2", "y"),
+        ("s3", "y"), ("s3", "z"),
+        # hub: outdeg 4 > max_out=3 -> dropped wholesale
+        ("s4", "x"), ("s4", "y"), ("s4", "z"), ("s4", "w"),
+        # duplicate edge must not double-count
+        ("s2", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    out = {
+        (r["a"], r["b"]): r["cocites"]
+        for r in cocitation_pairs(df, min_cocite=2, max_out=3).collect()
+    }
+    assert out == {("x", "y"): 2, ("y", "z"): 2}
+    # with the cap relaxed the hub's pairs come back
+    relaxed = {
+        (r["a"], r["b"]): r["cocites"]
+        for r in cocitation_pairs(df, min_cocite=2, max_out=64).collect()
+    }
+    assert relaxed[("x", "y")] == 3 and ("w", "x") not in relaxed
