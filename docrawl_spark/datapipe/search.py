@@ -261,3 +261,74 @@ def postings_stats(
     if min_df > 1:
         out = out.where(F.col("df") >= min_df)
     return out
+
+
+def term_upper_bounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MaxScore/WAND index-time term upper bounds: per corpus term, the
+    EXACT maximum BM25 contribution any single posting achieves
+    (``ub_units = max over docs of tf_ppm · idf_units``, same integer
+    fixed-point algebra as :func:`bm25_topk`), plus df and max tf.
+
+    Query-time top-k pruning (Turtle & Flood MaxScore, Broder WAND)
+    skips every posting list whose bound can't lift a candidate into
+    the current top-k — the bound must dominate every achievable
+    contribution, which the max over ACTUAL postings does by
+    construction (tf_ppm is monotone in tf, and the posting set is the
+    achievable set).
+
+    Scale shape: explode → (doc,term) tf HashAggregate → join the
+    vocab-dim df (term-keyed shuffle, NOT broadcast — the vocab is
+    unbounded) + doc-dim dl + the one-row corpus stats (broadcast) →
+    one vocab-grain HashAggregate. No window, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            f"(CAST(sum(size(split(trim(lower({text_col})), '\\\\s+'))) AS BIGINT)"
+            f" * 1000) div count(1)"
+        ).alias("avgdl_x1000"),
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_dim = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_dim, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "norm_ppt",
+            F.expr(f"1000 - {B_PPT} + ({B_PPT} * dl * 1000) div avgdl_x1000"),
+        )
+        .withColumn(
+            "tf_ppm",
+            F.expr(
+                f"(tf * {K1_PPT + 1000} * 1000000)"
+                f" div (tf * 1000000 + {K1_PPT} * norm_ppt)"
+            ),
+        )
+        .withColumn(
+            "idf_units",
+            F.expr("CAST(length(bin((n_docs * 1000) div df)) AS BIGINT)"),
+        )
+    )
+    return scored.groupBy("term").agg(
+        F.max("df").cast("long").alias("df"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.max(F.expr("tf_ppm * idf_units")).cast("long").alias("ub_units"),
+    )

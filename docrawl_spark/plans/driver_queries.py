@@ -3991,6 +3991,16 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(edges)
 
 
+def q_wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND/MaxScore term upper bounds (datapipe/search.
+    term_upper_bounds): per corpus term, the exact max single-posting
+    BM25 contribution in integer fixed-point — the query-time pruning
+    companion of bm25_search and postings_gaps."""
+    from docrawl_spark.datapipe.search import term_upper_bounds
+
+    return term_upper_bounds(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4143,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": q_structured_data,
         "postings_gaps": q_postings_gaps,
         "cocitation_pairs": q_cocitation_pairs,
+        "wand_bounds": q_wand_bounds,
     }
 
 
@@ -7696,4 +7707,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cocites
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # WAND bounds: the bm25 fixed-point algebra over the WHOLE vocab
+        # (hits = all non-empty tokens), folded to per-term maxima.
+        "wand_bounds": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS term
+              FROM documents),
+            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            dl AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS BIGINT) AS dl
+              FROM documents),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST((CAST(SUM(len(regexp_split_to_array(
+                              trim(lower(text)), '\s+'))) AS BIGINT) * 1000)
+                          // COUNT(*) AS BIGINT) AS avgdl_x1000
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tk GROUP BY 1, 2),
+            dfx AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tk GROUP BY 1),
+            scored AS (
+              SELECT t.term, f.df, t.tf,
+                     (t.tf * 2200 * 1000000)
+                       // (t.tf * 1000000
+                           + 1200 * (1000 - 750
+                                     + (750 * d.dl * 1000)
+                                       // s.avgdl_x1000)) AS tf_ppm,
+                     CAST(length(bin((s.n_docs * 1000) // f.df)) AS BIGINT)
+                       AS idf_units
+              FROM tf t JOIN dfx f USING (term)
+                        JOIN dl d USING (doc_id), stats s)
+            SELECT term,
+                   CAST(MAX(df) AS BIGINT) AS df,
+                   CAST(MAX(tf) AS BIGINT) AS max_tf,
+                   CAST(MAX(tf_ppm * idf_units) AS BIGINT) AS ub_units
+            FROM scored GROUP BY term
+        """,
     }

@@ -388,3 +388,31 @@ def test_postings_stats_exact_gaps(spark):
     assert (b["df"], b["sum_gap_bytes"], b["max_gap"]) == (3, 3, 7)
     pruned = postings_stats(docs, min_df=3).select("token").collect()
     assert {r["token"] for r in pruned} == {"a", "b"}
+
+
+def test_term_upper_bounds_dominate_scores(spark):
+    """The WAND invariant: for every (doc, term) posting, the term's
+    ub_units >= that posting's actual BM25 contribution — checked by
+    re-scoring a query through bm25_topk and comparing per-term
+    contributions against the index bounds."""
+    from docrawl_spark.datapipe.search import bm25_topk, term_upper_bounds
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark hash"),
+            (1, "spark window"),
+            (2, "merge hash window window window"),
+            (3, "vector"),
+        ],
+        "doc_id long, text string",
+    )
+    ub = {r["term"]: r for r in term_upper_bounds(docs).collect()}
+    assert set(ub) == {"spark", "hash", "window", "merge", "vector"}
+    assert ub["spark"]["df"] == 2 and ub["spark"]["max_tf"] == 3
+    # single-term queries: the top-1 score IS the term's best posting
+    for term in ub:
+        top = bm25_topk(docs, [term], k=1).collect()[0]
+        assert top["score_units"] == ub[term]["ub_units"], term
+    # multi-term query scores never exceed the sum of bounds
+    top = bm25_topk(docs, ["spark", "hash"], k=1).collect()[0]
+    assert top["score_units"] <= ub["spark"]["ub_units"] + ub["hash"]["ub_units"]
