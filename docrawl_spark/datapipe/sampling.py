@@ -269,3 +269,59 @@ def dsir_bits(
             F.sum(F.col("cnt") * F.col("bits")).cast("long").alias("dsir_bits"),
         )
     )
+
+
+def domain_quota_sample(
+    docs: DataFrame,
+    suffixes: DataFrame,
+    k: int,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-registrable-domain document quota — the corpus-assembly cap
+    that stops one mega-site from dominating the training mix (the
+    Dolma / CCNet "top-k docs per domain" rule): keep the ``k`` best
+    docs of every eTLD+1 domain by (quality desc, id asc); subdomains
+    collapse into their registrable domain first, so blog farms can't
+    dodge the cap by fanning out hostnames. Hosts that ARE a public
+    suffix count as their own domain.
+
+    Output: the kept rows as ``(id_col, domain, quality_col,
+    domain_rank)`` with ``domain_rank`` 1-based within the domain.
+
+    Skew shape: same two-phase salted window as the politeness budget
+    selection (phase-1 per ``(domain, salt)`` bounds any task to
+    ~1/n_salts of a viral domain's docs; phase-2 exact over
+    <= n_salts*k rows per domain); the host->domain map is host-dim
+    sized and broadcast.
+    """
+    from pyspark.sql import Window
+
+    from docrawl_spark.functions.domains import registrable_domains
+
+    hosts = docs.select(F.col(host_col).alias("host")).distinct()
+    dom = registrable_domains(hosts, suffixes).select(
+        F.col("host").alias("_h"),
+        F.coalesce("registrable_domain", "host").alias("domain"),
+    )
+    d = docs.select(
+        F.col(id_col), F.col(host_col).alias("_h"), F.col(quality_col)
+    ).join(F.broadcast(dom), "_h")
+    ordering = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    salted = d.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*ordering)
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*ordering)
+    return (
+        phase1.withColumn("domain_rank", F.row_number().over(w2))
+        .where(F.col("domain_rank") <= k)
+        .select(id_col, "domain", quality_col, "domain_rank")
+    )

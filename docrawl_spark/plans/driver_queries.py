@@ -4001,6 +4001,38 @@ def q_wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_upper_bounds(_t(spark, sf_dir, "documents"))
 
 
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota caps (datapipe/sampling.domain_quota_sample):
+    docs spread over collapsing subdomains (b*.blog.example.com), a
+    private-registry family (*.github.io — each its own registrable
+    domain), and plain hosts; keep the 5 best per eTLD+1 by an
+    md5-deterministic integer quality."""
+    from docrawl_spark.datapipe.sampling import domain_quota_sample
+    from docrawl_spark.functions.domains import suffix_dim
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    g = F.col("doc_id") % 3
+    host = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("b"), (F.col("doc_id") % 4).cast("string"),
+                F.lit(".blog.example.com"),
+            ),
+        )
+        .when(g == 1, F.concat(F.col("source"), F.lit(".github.io")))
+        .otherwise(F.concat(F.col("source"), F.lit(".test")))
+    )
+    quality = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    docs = d.select("doc_id", host.alias("host"), quality.alias("quality"))
+    return domain_quota_sample(docs, suffix_dim(spark), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4154,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_gaps": q_postings_gaps,
         "cocitation_pairs": q_cocitation_pairs,
         "wand_bounds": q_wand_bounds,
+        "domain_caps": q_domain_caps,
     }
 
 
@@ -7750,4 +7783,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(tf_ppm * idf_units) AS BIGINT) AS ub_units
             FROM scored GROUP BY term
         """,
+        # Domain caps: the shared PSL longest-match chain + a plain
+        # per-domain ROW_NUMBER (the salted two-phase plan is the DUT).
+        "domain_caps": '''
+            WITH d AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'b' || CAST(doc_id % 4 AS VARCHAR)
+                                   || '.blog.example.com'
+                       WHEN 1 THEN source || '.github.io'
+                       ELSE source || '.test' END AS host,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000 AS quality
+              FROM documents),
+            h0 AS (SELECT DISTINCT host FROM d),
+            lab AS (
+              SELECT host, string_split(host, '.') AS labels,
+                     CAST(len(string_split(host, '.')) AS INT) AS n
+              FROM h0),
+            cand AS (
+              SELECT host, labels, n,
+                     unnest(generate_series(1, least(3, n))) AS k
+              FROM lab),
+            psl(suffix) AS (VALUES
+              ('com'), ('net'), ('org'), ('io'), ('ai'), ('dev'), ('app'),
+              ('test'), ('edu'), ('gov'),
+              ('co.uk'), ('org.uk'), ('ac.uk'), ('gov.uk'),
+              ('com.au'), ('net.au'), ('org.au'),
+              ('co.jp'), ('co.in'), ('com.br'), ('com.cn'),
+              ('github.io'), ('gitlab.io'), ('blogspot.com'),
+              ('herokuapp.com'), ('s3.amazonaws.com')),
+            j AS (
+              SELECT c.host, c.labels, c.n,
+                     CASE WHEN p.suffix IS NOT NULL THEN c.k END AS mk
+              FROM cand c LEFT JOIN psl p
+                ON array_to_string(c.labels[c.n - CAST(c.k AS INT) + 1:c.n], '.')
+                   = p.suffix),
+            m AS (
+              SELECT host, any_value(labels) AS labels, any_value(n) AS n,
+                     CAST(COALESCE(MAX(mk), 1) AS INT) AS k
+              FROM j GROUP BY host),
+            dom AS (
+              SELECT host,
+                     COALESCE(
+                       CASE WHEN n > k
+                            THEN array_to_string(labels[n - k:n], '.') END,
+                       host) AS domain
+              FROM m),
+            r AS (
+              SELECT d.doc_id, dom.domain, d.quality,
+                     ROW_NUMBER() OVER (PARTITION BY dom.domain
+                                        ORDER BY d.quality DESC, d.doc_id ASC)
+                       AS domain_rank
+              FROM d JOIN dom ON d.host = dom.host)
+            SELECT doc_id, domain, quality,
+                   CAST(domain_rank AS INT) AS domain_rank
+            FROM r WHERE domain_rank <= 5
+        ''',
     }

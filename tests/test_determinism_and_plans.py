@@ -830,3 +830,37 @@ def test_rendezvous_rejects_oversize_fleet(spark):
         rendezvous_assign(hosts, 1025)
     with pytest.raises(ValueError):
         rendezvous_assign(hosts, 0)
+
+
+def test_domain_quota_sample_caps_and_salting(spark):
+    """Subdomains collapse into one capped eTLD+1 pool; quality-desc /
+    id-asc selection is exact; the phase-1 window is salted (skew
+    guard) and phase-2 exact."""
+    from docrawl_spark.datapipe.sampling import domain_quota_sample
+    from docrawl_spark.functions.domains import suffix_dim
+
+    rows = [
+        # 6 docs across two subdomains of example.com, quality = id*10
+        *[(i, f"s{i % 2}.example.com", i * 10) for i in range(6)],
+        # a github.io site is its OWN registrable domain
+        (100, "a.github.io", 1),
+        (101, "a.github.io", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, quality long")
+    out = domain_quota_sample(df, suffix_dim(spark), k=3)
+    got = {
+        r["domain"]: []
+        for r in out.collect()
+    }
+    for r in sorted(out.collect(), key=lambda r: (r["domain"], r["domain_rank"])):
+        got[r["domain"]].append((r["doc_id"], r["domain_rank"]))
+    # example.com keeps its 3 best by quality desc: ids 5,4,3
+    assert got["example.com"] == [(5, 1), (4, 2), (3, 3)]
+    assert got["a.github.io"] == [(101, 1), (100, 2)]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert _re.search(r"windowspecdefinition\(domain[^)]*_salt", plan) or (
+        "_salt" in plan and "domain" in plan
+    )
