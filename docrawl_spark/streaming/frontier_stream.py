@@ -188,3 +188,43 @@ def run_streaming_crawl(
     finally:
         q.stop()
     return visited
+
+
+def streaming_url_dedup(
+    candidates_stream: DataFrame,
+    url_col: str = "url",
+    within_watermark: bool = False,
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch first-occurrence URL dedup on a candidate stream —
+    the streaming twin of the wave loop's seen-set anti-join, for the
+    continuous-ingest deployment where candidates arrive as a stream
+    rather than as wave frames.
+
+    Two state regimes, picked by ``within_watermark``:
+
+    - ``False`` (default): ``dropDuplicates`` on the url hash —
+      EXACT forever, state grows with distinct URLs. Right when the
+      state store is RocksDB-backed and the URL universe is the
+      10^9-10^10 the seen-set Bloom was sized for (hash-only state
+      rows: ~8 bytes each before store overhead).
+    - ``True``: ``dropDuplicatesWithinWatermark`` over
+      ``event_time_col`` — state bounded by the watermark horizon;
+      re-discoveries older than the horizon pass through and the
+      DOWNSTREAM warehouse anti-join (the batch truth,
+      ``plans/wave``) removes them. This is the production pairing:
+      bounded in-stream state for the common fast path, exact batch
+      truth behind it.
+
+    Dedup is keyed on ``xxhash64(url)`` — the engine's url_hash —
+    so state never stores the raw string.
+    """
+    keyed = candidates_stream.withColumn(
+        "url_hash", F.xxhash64(F.col(url_col))
+    )
+    if within_watermark:
+        return keyed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["url_hash"])
+    return keyed.dropDuplicates(["url_hash"])

@@ -531,3 +531,82 @@ def test_sitemap_discovery_from_robots(spark):
         ("b.test", 1): "https://b.test/2.xml",
         ("d.test", 0): "https://d.test/a.xml",
     }
+
+
+def test_streaming_url_dedup_across_batches(spark, tmp_path):
+    """First occurrence wins ACROSS micro-batches: a URL seen in batch
+    1 never re-emerges from batch 2; the streamed output equals the
+    batch distinct of everything ingested."""
+    from docrawl_spark.streaming.frontier_stream import streaming_url_dedup
+
+    src = str(tmp_path / "cands")
+    schema = "url string, wave long"
+    spark.createDataFrame(
+        [("https://a.test/1", 0), ("https://a.test/2", 0), ("https://a.test/1", 0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = streaming_url_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["url"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+        assert got1 == {"https://a.test/1", "https://a.test/2"}
+        # batch 2: one dup from batch 1, one genuinely new
+        spark.createDataFrame(
+            [("https://a.test/1", 1), ("https://a.test/3", 1)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        assert {r["url"] for r in rows} == {
+            "https://a.test/1", "https://a.test/2", "https://a.test/3",
+        }
+        assert len(rows) == 3  # no dup rows at all
+        # the survivor of the cross-batch dup is the FIRST occurrence
+        assert [r["wave"] for r in rows if r["url"] == "https://a.test/1"] == [0]
+    finally:
+        q.stop()
+
+
+def test_streaming_url_dedup_within_watermark_is_streamable(spark, tmp_path):
+    """The watermarked variant builds a valid streaming plan (bounded
+    state) and drops in-horizon duplicates."""
+    from docrawl_spark.streaming.frontier_stream import streaming_url_dedup
+
+    src = str(tmp_path / "cands")
+    import datetime as _dt
+
+    schema = "url string, event_time timestamp"
+    _t0 = _dt.datetime(2026, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [
+            ("https://a.test/1", _t0),
+            ("https://a.test/1", _t0 + _dt.timedelta(minutes=10)),
+            ("https://a.test/2", _t0 + _dt.timedelta(minutes=20)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_url_dedup(stream, within_watermark=True)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckwm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["url"] for r in spark.sql("SELECT * FROM dedup_wm").collect()}
+        assert got == {"https://a.test/1", "https://a.test/2"}
+    finally:
+        q.stop()
