@@ -835,3 +835,30 @@ def percent_normalize_col(url: Column | str) -> Column:
     return F.concat(
         F.element_at(parts, 1), F.array_join(F.transform(tail, _fix), "")
     )
+
+
+def surt_col(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    archive-world canonical ordering used by Wayback/Common Crawl
+    index files: host labels reversed and comma-joined, a ``)``
+    separator, then path+query; scheme dropped, host lowercased, a
+    leading ``www.`` label removed (the standard SURT fold). E.g.
+    ``https://www.a.example.com/p?q=1`` → ``com,example,a)/p?q=1``.
+
+    Why it matters at scale: every URL of a registrable domain —
+    across all its subdomains — sorts into ONE contiguous key range,
+    so per-site scans/merges become range scans (the complement of
+    the Z-order clustering keys in datapipe/export). Pure tiny-array
+    JVM exprs, shuffle-free.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = host_of_col(c)
+    host = F.when(host.startswith("www."), F.substr(host, F.lit(5))).otherwise(
+        host
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)", 1
+    )
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    return F.concat(rev, F.lit(")"), pathq)

@@ -230,3 +230,44 @@ def _offline_transport(url: str, timeout_s: float, attempt: int) -> dict:
         "offline sandbox: plug an HTTP client here on a real cluster; "
         "tests use synthetic_fetch (a join against the corpus)"
     )
+
+
+_LINK_SEG_RE = r"<[^>]*>[^,]*"
+_LINK_TARGET_RE = r"<([^>]*)>"
+_LINK_REL_RE = r"""(?i)rel\s*=\s*"?([a-zA-Z-]+)"?"""
+
+
+def link_header_relations(
+    fetch_log: "DataFrame",
+    url_col: str = "url",
+    headers_col: str = "headers",
+) -> "DataFrame":
+    """RFC 8288 ``Link`` response-header parsing: one row per link
+    relation — ``(url, link_order, target, rel lowercase)``. The
+    header-level discovery channel for pagination (``rel=next/prev``,
+    feeding the same chains as operators/links pagination mining),
+    canonical URLs (``rel=canonical``, merging with the in-page
+    declaration), and alternates — servers emit these even on
+    non-HTML responses where in-page extraction sees nothing.
+
+    Segments split at commas outside ``<>`` (URLs carry no raw comma
+    per RFC 3986); two-stage lookahead-free regexes, identical on
+    Java regex and RE2. Pure scan pipeline over the fetch log.
+    """
+    segs = fetch_log.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(
+                    F.element_at(F.col(headers_col), F.lit("link")), F.lit("")
+                ),
+                F.lit(_LINK_SEG_RE),
+                0,
+            )
+        ).alias("link_order", "_seg"),
+    )
+    target = F.regexp_extract("_seg", _LINK_TARGET_RE, 1)
+    rel = F.lower(F.regexp_extract("_seg", _LINK_REL_RE, 1))
+    return segs.select(
+        "url", "link_order", target.alias("target"), rel.alias("rel")
+    ).where((F.col("target") != "") & (F.col("rel") != ""))

@@ -4033,6 +4033,72 @@ def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quota_sample(docs, suffix_dim(spark), k=5)
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical sort keys (functions/canon.surt_col): scheme
+    dropped, www-fold, host labels reversed — urls spanning www
+    prefixes, multi-label co.uk subdomains, bare-host (path → '/'),
+    and fragments (dropped)."""
+    from docrawl_spark.functions.canon import surt_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    s = F.col("doc_id").cast("string")
+    g = F.col("doc_id") % 4
+    url = (
+        F.when(
+            g == 0,
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".test/doc/"), s, F.lit("?q=1")),
+        )
+        .when(
+            g == 1,
+            F.concat(F.lit("https://a.b."), F.col("source"), F.lit(".co.uk/doc/"), s),
+        )
+        .when(g == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".test")))
+        .otherwise(
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".test/doc/"), s, F.lit("#frag"))
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select("doc_id", "url", surt_col("url").alias("surt"))
+
+
+def q_link_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 8288 Link-header relations (operators/fetch.
+    link_header_relations): synthesized fetch-log headers carry
+    quoted next/prev pagination pairs, an unquoted case-variant
+    rel=canonical with a trailing type param, and a no-link group."""
+    from docrawl_spark.operators.fetch import link_header_relations
+
+    d = _doc_urls(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    g = F.col("doc_id") % 3
+    nxt = (F.col("doc_id") + 1).cast("string")
+    prv = (F.col("doc_id") - 1).cast("string")
+    linkval = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("<https://"), F.col("host"), F.lit("/doc/"), nxt,
+                F.lit('>; rel="next", <https://'), F.col("host"),
+                F.lit("/doc/"), prv, F.lit('>; rel="prev"'),
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(
+                F.lit("<https://"), F.col("host"),
+                F.lit('/c>; REL=canonical; type="text/html"'),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    headers = F.when(
+        linkval.isNotNull(),
+        F.create_map(F.lit("link"), linkval, F.lit("server"), F.lit("synth")),
+    ).otherwise(F.create_map(F.lit("server"), F.lit("synth")))
+    log = d.select("url", headers.alias("headers"))
+    return link_header_relations(log)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4187,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": q_cocitation_pairs,
         "wand_bounds": q_wand_bounds,
         "domain_caps": q_domain_caps,
+        "surt_keys": q_surt_keys,
+        "link_headers": q_link_headers,
     }
 
 
@@ -7840,4 +7908,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(domain_rank AS INT) AS domain_rank
             FROM r WHERE domain_rank <= 5
         ''',
+        # SURT: same regexes on RE2; list_reverse mirrors F.reverse.
+        "surt_keys": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN 'https://www.' || source || '.test/doc/'
+                                   || CAST(doc_id AS VARCHAR) || '?q=1'
+                       WHEN 1 THEN 'https://a.b.' || source || '.co.uk/doc/'
+                                   || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN 'https://' || source || '.test'
+                       ELSE 'http://' || source || '.test/doc/'
+                            || CAST(doc_id AS VARCHAR) || '#frag'
+                     END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)', 1) AS pq0
+              FROM u),
+            h2 AS (
+              SELECT doc_id, url,
+                     CASE WHEN starts_with(host0, 'www.')
+                          THEN substr(host0, 5) ELSE host0 END AS host,
+                     CASE WHEN pq0 = '' THEN '/' ELSE pq0 END AS pathq
+              FROM h)
+            SELECT doc_id, url,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                     || ')' || pathq AS surt
+            FROM h2
+        """,
+        # Link headers: identical segment/target/rel regexes; ordered
+        # unnest via the shared range() idiom.
+        "link_headers": r"""
+            WITH u AS (SELECT doc_id, url, host FROM ({_DOC})),
+            lv AS (
+              SELECT url,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN '<https://' || host || '/doc/'
+                         || CAST(doc_id + 1 AS VARCHAR)
+                         || '>; rel="next", <https://' || host || '/doc/'
+                         || CAST(doc_id - 1 AS VARCHAR) || '>; rel="prev"'
+                       WHEN 1 THEN '<https://' || host
+                         || '/c>; REL=canonical; type="text/html"'
+                       ELSE '' END AS link
+              FROM u),
+            sg AS (
+              SELECT url, regexp_extract_all(link, '<[^>]*>[^,]*') AS segs
+              FROM lv),
+            ex AS (
+              SELECT url, CAST(i - 1 AS INT) AS link_order, segs[i] AS seg
+              FROM sg, UNNEST(range(1, len(segs) + 1)) AS t(i))
+            SELECT url, link_order,
+                   regexp_extract(seg, '<([^>]*)>', 1) AS target,
+                   lower(regexp_extract(seg,
+                     '(?i)rel\s*=\s*"?([a-zA-Z-]+)"?', 1)) AS rel
+            FROM ex
+            WHERE regexp_extract(seg, '<([^>]*)>', 1) <> ''
+              AND regexp_extract(seg,
+                    '(?i)rel\s*=\s*"?([a-zA-Z-]+)"?', 1) <> ''
+        """.replace("({_DOC})", f"({_DOC_URLS_SQL})"),
     }

@@ -381,3 +381,44 @@ def test_percent_normalize_matches_python_spec_and_is_idempotent(spark):
     for r in both:
         assert r["n1"] == py_norm(r["url"]), r["url"]
         assert r["n2"] == r["n1"], f"not idempotent: {r['url']}"
+
+
+def test_surt_col_forms(spark):
+    """SURT: www fold, label reversal, bare-path '/', fragment drop,
+    query kept, multi-label hosts."""
+    from docrawl_spark.functions.canon import surt_col
+
+    cases = [
+        ("https://www.a.example.com/p?q=1", "com,example,a)/p?q=1"),
+        ("https://example.com", "com,example)/"),
+        ("http://EXAMPLE.co.uk/x#frag", "uk,co,example)/x"),
+        ("https://www.example.com/", "com,example)/"),
+        # www only folds as a LEADING label
+        ("https://a.www.example.com/p", "com,example,www,a)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["surt"] for r in df.select(surt_col("url").alias("surt")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_link_header_relations_parsing(spark):
+    """RFC 8288: multi-relation split, quoted/unquoted rel, case fold,
+    extra params ignored, missing/blank header -> no rows."""
+    from docrawl_spark.operators.fetch import link_header_relations
+
+    rows = [
+        ("u1", {"link": '<https://h/2>; rel="next", <https://h/0>; rel="prev"'}),
+        ("u2", {"link": '<https://h/c>; REL=Canonical; type="text/html"'}),
+        ("u3", {"server": "x"}),
+        ("u4", {"link": ""}),
+    ]
+    df = spark.createDataFrame(rows, "url string, headers map<string,string>")
+    got = sorted(
+        (r["url"], r["link_order"], r["target"], r["rel"])
+        for r in link_header_relations(df).collect()
+    )
+    assert got == [
+        ("u1", 0, "https://h/2", "next"),
+        ("u1", 1, "https://h/0", "prev"),
+        ("u2", 0, "https://h/c", "canonical"),
+    ]
