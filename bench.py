@@ -88,6 +88,12 @@ HEADLINE = [
     "host_opic",
     "snapshot_change",
     "robots_full_gate",
+    # round-3 session-3 additions: index construction, link-structure
+    # similarity, and the per-domain assembly cap
+    "postings_gaps",
+    "wand_bounds",
+    "cocitation_pairs",
+    "domain_caps",
 ]
 
 
