@@ -240,3 +240,44 @@ def jsonld_blocks(
             F.length(body).cast("long").alias("body_chars"),
         )
     )
+
+
+def hreflang_reciprocity(
+    alternates: DataFrame,
+    url_col: str = "url",
+    href_col: str = "href",
+    lang_col: str = "hreflang",
+) -> DataFrame:
+    """Reciprocity audit over hreflang declarations: a declaration
+    A→B only *binds* if B declares some alternate back at A (the
+    return-tag rule — Google ignores non-reciprocal hreflang, so a
+    variant cluster built from unaudited declarations inflates the
+    translation groups that near-dup accounting relies on).
+
+    One row per declaration: ``(url, href, hreflang, reciprocal)``
+    with ``reciprocal`` 1 iff the reverse edge exists (any language
+    label; self-declarations are dropped).
+
+    Scale shape: the declaration table self-joins once on the
+    REVERSED (href, url) key — edge-grain equi-join, the url-level
+    twin of datapipe/graph.host_reciprocity; no window, no fan-out.
+    """
+    e = alternates.select(
+        F.col(url_col).alias("url"),
+        F.col(href_col).alias("href"),
+        F.col(lang_col).alias("hreflang"),
+    ).where(F.col(url_col) != F.col(href_col))
+    back = e.select(
+        F.col("url").alias("_b_url"), F.col("href").alias("_b_href")
+    ).distinct()
+    j = e.join(
+        back,
+        (e["href"] == back["_b_url"]) & (e["url"] == back["_b_href"]),
+        "left",
+    )
+    return j.select(
+        "url",
+        "href",
+        "hreflang",
+        F.col("_b_url").isNotNull().cast("int").alias("reciprocal"),
+    )

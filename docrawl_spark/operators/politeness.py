@@ -840,3 +840,65 @@ def apply_clean_params(
         clean.alias("clean_url"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_params_dropped"),
     )
+
+
+def shared_ip_budgets(
+    hosts: DataFrame,
+    ip_cap: int,
+    host_col: str = "host",
+    ip_col: str = "ip",
+    budget_col: str = "budget",
+) -> DataFrame:
+    """Virtual-hosting politeness: hosts resolving to one IP share
+    that IP's fetch budget (per-host courtesy alone can still hammer
+    a box serving 10k vhosts). Grants are exact integers by the
+    largest-remainder method: if the IP's requests fit under
+    ``ip_cap`` everyone gets what they asked; otherwise host i gets
+    ``floor(cap·req_i / sum_req)`` and the leftover units go one each
+    to the largest fractional remainders (host-asc tie-break) — so
+    ``sum(granted) == min(cap, sum(requested))`` exactly and the
+    split is deterministic.
+
+    Output: ``(host, ip, requested, granted)``.
+
+    Scale shape: one HashAggregate to the IP grain joined back on the
+    IP key, plus one window per IP bounded by that IP's host count —
+    the same bounded-partition argument as the robots-group windows.
+    """
+    from pyspark.sql import Window
+
+    h = hosts.select(
+        F.col(host_col).alias("host"),
+        F.col(ip_col).alias("ip"),
+        F.col(budget_col).cast("long").alias("requested"),
+    )
+    tot = h.groupBy("ip").agg(F.sum("requested").alias("_sum_req"))
+    j = h.join(tot, "ip")
+    floor_grant = F.expr(f"({int(ip_cap)}L * requested) div _sum_req")
+    frac = F.expr(f"({int(ip_cap)}L * requested) % _sum_req")
+    over = F.col("_sum_req") > ip_cap
+    w = Window.partitionBy("ip").orderBy(F.col("_frac").desc(), F.col("host").asc())
+    scored = j.select(
+        "host", "ip", "requested", "_sum_req",
+        F.when(over, floor_grant).otherwise(F.col("requested")).alias("_g0"),
+        F.when(over, frac).otherwise(F.lit(0)).alias("_frac"),
+    ).withColumn("_rk", F.row_number().over(w))
+    rem = (
+        scored.groupBy("ip")
+        .agg(
+            (F.least(F.max("_sum_req"), F.lit(int(ip_cap))) - F.sum("_g0")).alias(
+                "_rem"
+            )
+        )
+    )
+    return (
+        scored.join(rem, "ip")
+        .select(
+            "host",
+            "ip",
+            "requested",
+            (F.col("_g0") + (F.col("_rk") <= F.col("_rem")).cast("long")).alias(
+                "granted"
+            ),
+        )
+    )

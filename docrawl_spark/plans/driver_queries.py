@@ -4099,6 +4099,50 @@ def q_link_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_header_relations(log)
 
 
+def q_hreflang_recip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang return-tag audit (operators/meta_directives.
+    hreflang_reciprocity): docs form en/de/fr triples declaring each
+    other; every 7th doc declares nothing (its inbound declarations go
+    non-reciprocal) and the last triple points past the corpus edge
+    (dangling target)."""
+    from docrawl_spark.operators.meta_directives import hreflang_reciprocity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e0 = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    ).where(F.col("v") != F.col("doc_id") % 3)
+    url = F.concat(F.lit("https://x.test/doc/"), F.col("doc_id").cast("string"))
+    href = F.concat(
+        F.lit("https://x.test/doc/"),
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(3)) + F.col("v")).cast(
+            "string"
+        ),
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")), F.col("v") + 1
+    )
+    alts = e0.select(url.alias("url"), href.alias("href"), lang.alias("hreflang"))
+    return hreflang_reciprocity(alts)
+
+
+def q_ip_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-IP politeness split (operators/politeness.
+    shared_ip_budgets): hosts hash onto 4 synthetic IPs with
+    requested budgets 1..7; cap 10 per IP — under-cap IPs grant
+    as-requested, over-cap IPs split by exact largest remainder."""
+    from docrawl_spark.operators.politeness import shared_ip_budgets
+
+    hosts = _doc_urls(spark, sf_dir).select("host").distinct()
+    hint = F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10).cast("long")
+    h = hosts.select(
+        "host",
+        F.concat(F.lit("10.0.0."), (hint % 4).cast("string")).alias("ip"),
+        (hint % 7 + 1).alias("budget"),
+    )
+    return shared_ip_budgets(h, ip_cap=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4255,6 +4299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "surt_keys": q_surt_keys,
         "link_headers": q_link_headers,
+        "hreflang_recip": q_hreflang_recip,
+        "ip_budgets": q_ip_budgets,
     }
 
 
@@ -7970,4 +8016,61 @@ def oracle_sql() -> dict[str, str]:
               AND regexp_extract(seg,
                     '(?i)rel\s*=\s*"?([a-zA-Z-]+)"?', 1) <> ''
         """.replace("({_DOC})", f"({_DOC_URLS_SQL})"),
+        # hreflang reciprocity: same triple synthesis, EXISTS mirror.
+        "hreflang_recip": """
+            WITH e0 AS (
+              SELECT doc_id, unnest([0, 1, 2]) AS v FROM documents
+              WHERE doc_id % 7 <> 0),
+            e AS (
+              SELECT 'https://x.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     'https://x.test/doc/'
+                       || CAST(doc_id - (doc_id % 3) + v AS VARCHAR) AS href,
+                     ['en', 'de', 'fr'][CAST(v AS INT) + 1] AS hreflang
+              FROM e0 WHERE v <> doc_id % 3)
+            SELECT url, href, hreflang,
+                   CAST(EXISTS (SELECT 1 FROM e b
+                                WHERE b.url = e1.href AND b.href = e1.url)
+                        AS INT) AS reciprocal
+            FROM e e1 WHERE url <> href
+        """,
+        # Shared-IP budgets: exact largest-remainder mirror (floor + the
+        # fractional-remainder ROW_NUMBER), remainder = min(cap, sum)
+        # minus the floored grants.
+        "ip_budgets": f"""
+            WITH h0 AS (
+              SELECT DISTINCT host FROM ({_DOC_URLS_SQL})),
+            h AS (
+              SELECT host,
+                     '10.0.0.' || CAST(
+                       ('0x' || substr(md5(host), 1, 15))::BIGINT % 4
+                       AS VARCHAR) AS ip,
+                     ('0x' || substr(md5(host), 1, 15))::BIGINT % 7 + 1
+                       AS requested
+              FROM h0),
+            tot AS (
+              SELECT ip, CAST(SUM(requested) AS BIGINT) AS sum_req
+              FROM h GROUP BY ip),
+            j AS (
+              SELECT h.host, h.ip, h.requested, t.sum_req,
+                     CASE WHEN t.sum_req > 10
+                          THEN (10 * h.requested) // t.sum_req
+                          ELSE h.requested END AS g0,
+                     CASE WHEN t.sum_req > 10
+                          THEN (10 * h.requested) % t.sum_req
+                          ELSE 0 END AS frac
+              FROM h JOIN tot t USING (ip)),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY ip
+                          ORDER BY frac DESC, host ASC) AS rn
+              FROM j),
+            rem AS (
+              SELECT ip,
+                     least(MAX(sum_req), 10) - CAST(SUM(g0) AS BIGINT) AS r
+              FROM rk GROUP BY ip)
+            SELECT rk.host, rk.ip,
+                   CAST(rk.requested AS BIGINT) AS requested,
+                   CAST(rk.g0 + CASE WHEN rk.rn <= rem.r THEN 1 ELSE 0 END
+                        AS BIGINT) AS granted
+            FROM rk JOIN rem USING (ip)
+        """,
     }

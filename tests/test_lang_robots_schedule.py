@@ -691,3 +691,59 @@ def test_apply_clean_params_cases(spark):
     )
     assert out["https://a.test/doc/4"] == ("https://a.test/doc/4", 0)
     assert out["https://z.test/doc/5?sid=1"] == ("https://z.test/doc/5?sid=1", 0)
+
+
+def test_shared_ip_budgets_largest_remainder(spark):
+    """Exact integer splits: under-cap passes through; over-cap uses
+    floor + largest fractional remainder (host-asc tie-break); grants
+    sum to min(cap, sum(requested)) per IP."""
+    from docrawl_spark.operators.politeness import shared_ip_budgets
+
+    rows = [
+        # ip1: 5+3+2 = 10 > cap 7 -> floors 3,2,1 (rem 1 to frac-5 host a)
+        ("a", "ip1", 5), ("b", "ip1", 3), ("c", "ip1", 2),
+        # ip2: under cap -> as requested
+        ("d", "ip2", 4), ("e", "ip2", 2),
+        # ip3: all-equal fracs -> host-asc gets the remainder units
+        ("f", "ip3", 1), ("g", "ip3", 1), ("h", "ip3", 1),
+    ]
+    df = spark.createDataFrame(rows, "host string, ip string, budget long")
+    got = {
+        r["host"]: (r["requested"], r["granted"])
+        for r in shared_ip_budgets(df, ip_cap=7).collect()
+    }
+    assert got["a"] == (5, 4) and got["b"] == (3, 2) and got["c"] == (2, 1)
+    assert got["d"] == (4, 4) and got["e"] == (2, 2)
+    # ip3 under cap 7 -> as requested; re-run with cap 2 for the tie case
+    got2 = {
+        r["host"]: r["granted"]
+        for r in shared_ip_budgets(
+            df.where(F.col("ip") == "ip3"), ip_cap=2
+        ).collect()
+    }
+    assert got2 == {"f": 1, "g": 1, "h": 0}
+
+
+def test_hreflang_reciprocity_edges(spark):
+    """A<->B reciprocal (any language), A->C dangling, self-edges
+    dropped."""
+    from docrawl_spark.operators.meta_directives import hreflang_reciprocity
+
+    rows = [
+        ("A", "B", "de"),
+        ("B", "A", "en"),
+        ("A", "C", "fr"),   # C declares only D -> non-reciprocal
+        ("C", "D", "en"),
+        ("D", "D", "en"),   # self-edge dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, href string, hreflang string")
+    got = {
+        (r["url"], r["href"]): r["reciprocal"]
+        for r in hreflang_reciprocity(df).collect()
+    }
+    assert got == {
+        ("A", "B"): 1,
+        ("B", "A"): 1,
+        ("A", "C"): 0,
+        ("C", "D"): 0,
+    }
