@@ -1061,3 +1061,91 @@ def substring_dedup_docs(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, [id_col], "left_anti")
+
+
+def semantic_decontamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    corpus_id_col: str = "vec_id",
+    eval_id_col: str = "eval_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus documents whose
+    embedding is within ``threshold`` cosine of ANY eval-set item —
+    the semantic complement of the n-gram overlap gate (the
+    ``decontaminate_overlap`` query): paraphrased eval leakage shares
+    no 8-gram but sits on top of the eval item in embedding space.
+
+    Asymmetric LSH shape (the right 100 TB plan): the EVAL side —
+    10^3..10^5 rows, executor-memory sized by definition — explodes
+    its multi-probe keys (own SRP bucket + every bucket within
+    ``probe_hamming`` bit flips) and is BROADCAST; the corpus keys on
+    its raw bucket and is scanned ONCE, no self-join, no shuffle of
+    the corpus beyond the scan. LSH semantics match
+    ``embedding_neardup_bucketed``: a pair whose buckets differ by
+    more than probe_hamming bits is not a candidate; every returned
+    pair is exact-cosine verified. Per-pair uniqueness is structural
+    (exactly one probe key flips the differing bits).
+
+    Returns ``(corpus_id_col, eval_id_col, cosine)`` — the flag list
+    a corpus build anti-joins away.
+    """
+    from itertools import combinations
+
+    from docrawl_spark.datapipe.similarity import _hyperplanes, srp_bucket_col
+
+    if dim is None:
+        dim = len(corpus_emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def _prep(df, idc, alias):
+        v = df.select(
+            F.col(idc).alias(alias),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        ).withColumn("_bucket", srp_bucket_col(F.col("_v"), planes))
+        return v.withColumn(
+            "_n",
+            F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+
+    probe_keys = [F.col("_bucket")]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            probe_keys.append(F.col("_bucket").bitwiseXOR(F.lit(mask)))
+
+    ev = _prep(eval_emb, eval_id_col, "_eid").select(
+        F.col("_eid"),
+        F.col("_v").alias("v_e"),
+        F.col("_n").alias("n_e"),
+        F.explode(F.array(*probe_keys)).alias("_probe"),
+    )
+    co = _prep(corpus_emb, corpus_id_col, "_cid").select(
+        "_cid", F.col("_v").alias("v_c"), F.col("_n").alias("n_c"),
+        F.col("_bucket").alias("_probe"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v_c", "v_e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("n_c") > 0) & (F.col("n_e") > 0),
+        dot / (F.col("n_c") * F.col("n_e")),
+    ).otherwise(F.lit(0.0))
+    return (
+        co.join(F.broadcast(ev), "_probe")
+        .select(
+            F.col("_cid").alias(corpus_id_col),
+            F.col("_eid").alias(eval_id_col),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

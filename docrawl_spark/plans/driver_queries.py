@@ -4143,6 +4143,21 @@ def q_ip_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_ip_budgets(h, ip_cap=10)
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (datapipe/dedup.
+    semantic_decontamination): the eval set is every 97th embedding
+    (re-keyed +10^6), so exact leaks (cosine 1.0, same bucket) must
+    flag, plus whatever planted near-pairs fall within one probe
+    bit."""
+    from docrawl_spark.datapipe.dedup import semantic_decontamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1000000).alias("eval_id"), "embedding"
+    )
+    return semantic_decontamination(emb, ev, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4301,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_headers": q_link_headers,
         "hreflang_recip": q_hreflang_recip,
         "ip_budgets": q_ip_budgets,
+        "semantic_decontam": q_semantic_decontam,
     }
 
 
@@ -8072,5 +8088,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk.g0 + CASE WHEN rk.rn <= rem.r THEN 1 ELSE 0 END
                         AS BIGINT) AS granted
             FROM rk JOIN rem USING (ip)
+        """,
+        # Semantic decontamination: the same SRP bucket literals; LSH
+        # candidate semantics mirrored as hamming(buckets) <= 1.
+        "semantic_decontam": f"""
+            WITH co AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_srp_bucket_sql(64, 8, 42)} AS bucket
+              FROM embeddings),
+            ev AS (
+              SELECT vec_id + 1000000 AS eval_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     {_srp_bucket_sql(64, 8, 42)} AS bucket
+              FROM embeddings WHERE vec_id % 97 = 0)
+            SELECT co.vec_id, ev.eval_id,
+                   ROUND(list_cosine_similarity(co.v, ev.v), 6) AS cosine
+            FROM co JOIN ev
+              ON bit_count(xor(co.bucket, ev.bucket)) <= 1
+            WHERE ROUND(list_cosine_similarity(co.v, ev.v), 6) >= 0.4
         """,
     }

@@ -853,3 +853,35 @@ def test_dsir_bits_prefers_target_vocabulary(spark):
     # empty target set: all-false flags still compute (nt=0 smoothing)
     df0 = df.select("doc_id", "text", F.lit(False).alias("is_t"))
     assert dsir_bits(df0, "is_t").count() == 4
+
+
+def test_semantic_decontamination_flags_and_plan(spark):
+    """An exact eval copy flags at cosine 1.0; an orthogonal vector
+    never flags; the eval side is BROADCAST (the corpus must not
+    shuffle into a self-join)."""
+    from docrawl_spark.datapipe.dedup import semantic_decontamination
+
+    def vec(i, dim=8):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1)), (2, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.05])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, vec(0))], "eval_id long, embedding array<double>"
+    )
+    out = semantic_decontamination(
+        corpus, ev, threshold=0.9, n_planes=8, dim=8
+    )
+    rows = {(r["vec_id"], r["eval_id"]): r["cosine"] for r in out.collect()}
+    assert rows[(0, 100)] == 1.0
+    assert (1, 100) not in rows  # orthogonal
+    # doc 2 ~ 0.99 cosine vs vec(0): flags iff its bucket is within one
+    # probe bit — either way every returned pair is >= threshold
+    assert all(c >= 0.9 for c in rows.values())
+
+    plan_buf = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_buf
