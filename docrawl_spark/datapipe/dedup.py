@@ -1149,3 +1149,48 @@ def semantic_decontamination(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def neardup_threshold_sweep(
+    pairs: DataFrame,
+    thresholds_ppm: list[int],
+    score_col: str = "jaccard",
+    id_b_col: str = "id_b",
+) -> DataFrame:
+    """Threshold-sensitivity report for a verified near-dup pair set:
+    at each candidate threshold, how many pairs survive and how many
+    documents the keep-first rule would drop — the sweep a corpus
+    owner reads BEFORE committing to a dedup threshold (one pass over
+    the pair set instead of re-running the pipeline per threshold).
+
+    ``(threshold_ppm, n_pairs, n_docs_dropped)`` for every requested
+    threshold, zero rows included. Scores are compared in exact ppm
+    (``round(score·10^6)``), so the report is reproducible
+    cross-engine despite the double-typed input score.
+
+    Scale shape: the pair set is LSH-bounded (verify output), the
+    sweep explodes it by |thresholds| (a handful) and folds with one
+    HashAggregate; the zero-row fill joins a literal threshold dim.
+    """
+    spark = pairs.sparkSession
+    ts = sorted(int(t) for t in thresholds_ppm)
+    dim = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold_ppm")
+    )
+    e = pairs.select(
+        F.col(id_b_col).alias("_b"),
+        F.round(F.col(score_col) * 1000000).cast("long").alias("_ppm"),
+    ).crossJoin(F.broadcast(dim))
+    agg = (
+        e.where(F.col("_ppm") >= F.col("threshold_ppm"))
+        .groupBy("threshold_ppm")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("_b").cast("long").alias("n_docs_dropped"),
+        )
+    )
+    return dim.join(agg, "threshold_ppm", "left").select(
+        F.col("threshold_ppm").cast("long").alias("threshold_ppm"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_docs_dropped", F.lit(0)).cast("long").alias("n_docs_dropped"),
+    )

@@ -4158,6 +4158,25 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_decontamination(emb, ev, threshold=0.4)
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity (datapipe/dedup.
+    neardup_threshold_sweep): the verified LSH→Jaccard pair set swept
+    over five thresholds in one pass — surviving pairs and docs the
+    keep-first rule would drop at each, zero rows included."""
+    from docrawl_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        neardup_threshold_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    cands = minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    pairs = ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
+    return neardup_threshold_sweep(
+        pairs, [100000, 300000, 500000, 700000, 900000]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4317,7 +4336,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_recip": q_hreflang_recip,
         "ip_budgets": q_ip_budgets,
         "semantic_decontam": q_semantic_decontam,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
     }
+
+
+_JACCARD_PAIRS_SQL = r"""
+            -- mine (MinHash-LSH md5 mode, same params as the Spark
+            -- entry: 8 hashes, 4 bands x 2 rows, 3-gram shingles) ...
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh3 AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh3, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            -- ... then verify: exact 2-gram Jaccard on candidates only
+            d AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, GREATEST(len(t) - 1, 0) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS sh
+              FROM toks)
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM cand c
+            JOIN d a ON a.doc_id = c.id_a
+            JOIN d b ON b.doc_id = c.id_b
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5135,48 +5199,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(code AS BIGINT) AS code, d2 AS dist2
             FROM a WHERE rn = 1
         """,
-        "ngram_jaccard_pairs": r"""
-            -- mine (MinHash-LSH md5 mode, same params as the Spark
-            -- entry: 8 hashes, 4 bands x 2 rows, 3-gram shingles) ...
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-              FROM documents),
-            sh3 AS (
-              SELECT DISTINCT doc_id, s
-              FROM toks,
-                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
-                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
-              WHERE len(t) >= 3),
-            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
-            sig AS (
-              SELECT doc_id, seed,
-                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
-              FROM sh3, seeds GROUP BY doc_id, seed),
-            bands AS (
-              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
-                     string_agg(mh, ',' ORDER BY seed) AS band_key
-              FROM sig GROUP BY doc_id, band_idx),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b USING (band_idx, band_key)
-              WHERE a.doc_id < b.doc_id),
-            -- ... then verify: exact 2-gram Jaccard on candidates only
-            d AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       range(1, GREATEST(len(t) - 1, 0) + 1),
-                       i -> array_to_string(t[i:i+1], ' '))) AS sh
-              FROM toks)
-            SELECT c.id_a, c.id_b,
-                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-            FROM cand c
-            JOIN d a ON a.doc_id = c.id_a
-            JOIN d b ON b.doc_id = c.id_b
-            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
-        """,
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         "ngram_containment_pairs": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -8106,5 +8129,25 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN ev
               ON bit_count(xor(co.bucket, ev.bucket)) <= 1
             WHERE ROUND(list_cosine_similarity(co.v, ev.v), 6) >= 0.4
+        """,
+        # Threshold sweep: the shared pair SQL as a subquery, a VALUES
+        # threshold dim, exact ppm compare, zero rows COALESCEd in.
+        "dedup_threshold_sweep": f"""
+            WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+            th(threshold_ppm) AS (VALUES
+              (100000), (300000), (500000), (700000), (900000)),
+            k AS (
+              SELECT th.threshold_ppm, p.id_b,
+                     CAST(ROUND(p.jaccard * 1000000) AS BIGINT) AS ppm
+              FROM pairs p CROSS JOIN th),
+            a AS (
+              SELECT threshold_ppm,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_dropped
+              FROM k WHERE ppm >= threshold_ppm GROUP BY 1)
+            SELECT CAST(th.threshold_ppm AS BIGINT) AS threshold_ppm,
+                   COALESCE(a.n_pairs, 0) AS n_pairs,
+                   COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
+            FROM th LEFT JOIN a USING (threshold_ppm)
         """,
     }

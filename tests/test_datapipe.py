@@ -885,3 +885,30 @@ def test_semantic_decontamination_flags_and_plan(spark):
 
     plan_buf = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_buf
+
+
+def test_neardup_threshold_sweep_exact(spark):
+    """Hand pair set: monotone non-increasing counts, exact ppm
+    boundaries (>= semantics), zero-threshold rows present, distinct
+    doc_b counting."""
+    from docrawl_spark.datapipe.dedup import neardup_threshold_sweep
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.95),
+            (1, 3, 0.7),
+            (4, 3, 0.7),    # doc 3 dropped by two pairs -> counted once
+            (5, 6, 0.5),
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {
+        r["threshold_ppm"]: (r["n_pairs"], r["n_docs_dropped"])
+        for r in neardup_threshold_sweep(
+            pairs, [500000, 700000, 900000, 990000]
+        ).collect()
+    }
+    assert out[500000] == (4, 3)   # all pairs; docs 2,3,6
+    assert out[700000] == (3, 2)   # boundary inclusive (>=)
+    assert out[900000] == (1, 1)
+    assert out[990000] == (0, 0)   # zero row present
