@@ -902,3 +902,52 @@ def shared_ip_budgets(
             ),
         )
     )
+
+
+def delay_compliance_report(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_us_col: str = "fetch_us",
+    policy_us_col: str = "policy_us",
+    tie_col: str = "fetch_id",
+) -> DataFrame:
+    """Did the fleet actually honor each host's crawl delay? Per host:
+    observed inter-fetch gaps (consecutive fetches in (ts, tie) order)
+    vs the host's policy delay — fetch count, violation count, exact
+    min gap, and violation ppm. The post-hoc audit that catches a
+    buggy scheduler or a shard split-brain double-fetching a host
+    (two shards owning one host is exactly what
+    ``operators/sharding`` exists to prevent).
+
+    A violation is a gap strictly under ``policy_us_col`` (per-row,
+    so mid-crawl policy changes are judged against the policy at the
+    LATER fetch). Hosts with one fetch report zero gaps.
+
+    Scale shape: one per-host window in (ts, tie) order — bounded by
+    a host's per-wave fetch count, the same bounded-partition
+    argument as the scheduler's own windows — then one HashAggregate
+    to the host grain.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ts_us_col).asc(), F.col(tie_col).asc()
+    )
+    g = fetch_log.withColumn(
+        "_gap", F.col(ts_us_col) - F.lag(ts_us_col).over(w)
+    )
+    return g.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.count("_gap").cast("long").alias("n_gaps"),
+        F.min("_gap").cast("long").alias("min_gap_us"),
+        F.sum(
+            F.when(F.col("_gap") < F.col(policy_us_col), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.expr(
+            f"CASE WHEN count(_gap) > 0 THEN "
+            f"sum(CASE WHEN _gap < {policy_us_col} THEN 1L ELSE 0L END)"
+            f" * 1000000L div count(_gap) ELSE 0L END"
+        ).alias("violation_ppm"),
+    )

@@ -4177,6 +4177,33 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay compliance audit (operators/politeness.
+    delay_compliance_report): md5-scattered fetch instants within a
+    10^7 µs window vs per-host 1-3 s policy delays — observed gap
+    stats and exact violation ppm per host."""
+    from docrawl_spark.operators.politeness import delay_compliance_report
+
+    d = _doc_urls(spark, sf_dir)
+    us = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10000000
+    )
+    policy = (
+        (F.pmod(F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int"), F.lit(3)) + 1)
+        * 1000000
+    ).cast("long")
+    log = d.select(
+        "host",
+        us.alias("fetch_us"),
+        policy.alias("policy_us"),
+        F.col("doc_id").alias("fetch_id"),
+    )
+    return delay_compliance_report(log)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4337,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_budgets": q_ip_budgets,
         "semantic_decontam": q_semantic_decontam,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "delay_compliance": q_delay_compliance,
     }
 
 
@@ -8149,5 +8177,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_pairs, 0) AS n_pairs,
                    COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
             FROM th LEFT JOIN a USING (threshold_ppm)
+        """,
+        # Delay compliance: lag materialized in its own CTE; NULL gaps
+        # (first fetch per host) fall out of COUNT/CASE identically.
+        "delay_compliance": f"""
+            WITH u AS (SELECT doc_id, host FROM ({_DOC_URLS_SQL})),
+            l AS (
+              SELECT host,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000000 AS fetch_us,
+                     CAST((CAST(regexp_extract(host, '(\\d+)', 1) AS INT) % 3 + 1)
+                          * 1000000 AS BIGINT) AS policy_us,
+                     doc_id AS fetch_id
+              FROM u),
+            lg AS (
+              SELECT host, policy_us, fetch_us,
+                     lag(fetch_us) OVER (PARTITION BY host
+                                         ORDER BY fetch_us, fetch_id) AS prev
+              FROM l),
+            g AS (SELECT host, policy_us, fetch_us - prev AS gap FROM lg)
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(SUM(CASE WHEN gap < policy_us THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CASE WHEN COUNT(gap) > 0
+                        THEN CAST(SUM(CASE WHEN gap < policy_us
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                             * 1000000 // CAST(COUNT(gap) AS BIGINT)
+                        ELSE 0 END AS violation_ppm
+            FROM g GROUP BY host
         """,
     }

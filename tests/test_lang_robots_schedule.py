@@ -747,3 +747,30 @@ def test_hreflang_reciprocity_edges(spark):
         ("A", "C"): 0,
         ("C", "D"): 0,
     }
+
+
+def test_delay_compliance_report_exact(spark):
+    """Hand log: gaps in (ts, tie) order, strict-< violation rule,
+    single-fetch host reports zero gaps and NULL min."""
+    from docrawl_spark.operators.politeness import delay_compliance_report
+
+    rows = [
+        # h1 policy 10: fetches at 0, 5, 20, 25 -> gaps 5, 15, 5 -> 2 violations
+        ("h1", 0, 10, 1), ("h1", 5, 10, 2), ("h1", 20, 10, 3), ("h1", 25, 10, 4),
+        # h2: boundary gap == policy is NOT a violation (strict <)
+        ("h2", 0, 7, 1), ("h2", 7, 7, 2),
+        # h3: single fetch
+        ("h3", 100, 5, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, fetch_us long, policy_us long, fetch_id long"
+    )
+    got = {r["host"]: r for r in delay_compliance_report(df).collect()}
+    h1 = got["h1"]
+    assert (h1["n_fetches"], h1["n_gaps"], h1["min_gap_us"], h1["n_violations"]) == (4, 3, 5, 2)
+    assert h1["violation_ppm"] == 2 * 1000000 // 3
+    h2 = got["h2"]
+    assert (h2["n_violations"], h2["min_gap_us"]) == (0, 7)
+    h3 = got["h3"]
+    assert (h3["n_fetches"], h3["n_gaps"], h3["n_violations"], h3["violation_ppm"]) == (1, 0, 0, 0)
+    assert h3["min_gap_us"] is None
