@@ -189,3 +189,76 @@ def sitemap_coverage(
             "div greatest(n_crawled, CAST(1 AS BIGINT))"
         ),
     )
+
+
+SITEMAP_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "url",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("loc", T.StringType()),
+                        T.StructField(
+                            "image:image",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("image:loc", T.StringType()),
+                                        T.StructField(
+                                            "image:caption", T.StringType()
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def sitemap_image_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Google image-sitemap extension: ``<url>`` entries carrying
+    ``<image:image><image:loc/><image:caption/></image:image>``
+    children — the sitemap-declared media inventory that seeds the
+    media_ref fetch stage WITHOUT crawling the page first (and pairs
+    captions with images for multimodal training data at zero
+    extraction cost).
+
+    One row per declared image: ``(*keep_cols, loc, img_order,
+    image_loc, caption)`` in document order; pages without images
+    yield no rows; blank image locs dropped; absent captions are
+    NULL. Namespaced element names parse verbatim through Spark's
+    native ``from_xml`` (same zero-Python scan shape as the base
+    sitemap parser above).
+    """
+    keep = keep_cols or []
+    pages = df.select(
+        *keep,
+        F.explode(
+            F.from_xml(F.col(xml_col), SITEMAP_IMAGE_SCHEMA).getField("url")
+        ).alias("_u"),
+    ).select(
+        *keep,
+        F.trim(F.col("_u").getField("loc")).alias("loc"),
+        F.col("_u").getField("image:image").alias("_imgs"),
+    )
+    e = pages.where(
+        F.col("loc").isNotNull() & (F.col("loc") != "") & F.col("_imgs").isNotNull()
+    ).select(
+        *keep,
+        "loc",
+        F.posexplode("_imgs").alias("img_order", "_img"),
+    )
+    return e.select(
+        *keep,
+        "loc",
+        "img_order",
+        F.trim(F.col("_img").getField("image:loc")).alias("image_loc"),
+        F.col("_img").getField("image:caption").alias("caption"),
+    ).where(F.col("image_loc").isNotNull() & (F.col("image_loc") != ""))

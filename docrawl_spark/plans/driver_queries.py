@@ -4204,6 +4204,44 @@ def q_delay_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delay_compliance_report(log)
 
 
+def q_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-sitemap extension (operators/sitemap.
+    sitemap_image_entries): per-doc single-entry sitemaps carrying
+    two captioned/uncaptioned images, one bare image, or none —
+    namespaced elements through native from_xml."""
+    from docrawl_spark.operators.sitemap import sitemap_image_entries
+
+    d = _doc_urls(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    u = F.concat(F.lit("<loc>"), F.col("url"), F.lit("</loc>"))
+    g = F.col("doc_id") % 3
+    block = (
+        F.when(
+            g == 0,
+            F.concat(
+                F.lit("<url>"), u,
+                F.lit("<image:image><image:loc>https://img.test/i"), s,
+                F.lit("a.png</image:loc><image:caption>cap "), s,
+                F.lit("</image:caption></image:image>"
+                      "<image:image><image:loc>https://img.test/i"), s,
+                F.lit("b.png</image:loc></image:image></url>"),
+            ),
+        )
+        .when(
+            g == 1,
+            F.concat(
+                F.lit("<url>"), u,
+                F.lit("<image:image><image:loc>https://img.test/i"), s,
+                F.lit(".jpg</image:loc></image:image></url>"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<url>"), u, F.lit("</url>")))
+    )
+    xml = F.concat(F.lit("<urlset>"), block, F.lit("</urlset>"))
+    docs = d.select("doc_id", xml.alias("sitemap_xml"))
+    return sitemap_image_entries(docs, keep_cols=["doc_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4365,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "delay_compliance": q_delay_compliance,
+        "sitemap_images": q_sitemap_images,
     }
 
 
@@ -8208,5 +8247,47 @@ def oracle_sql() -> dict[str, str]:
                              * 1000000 // CAST(COUNT(gap) AS BIGINT)
                         ELSE 0 END AS violation_ppm
             FROM g GROUP BY host
+        """,
+        # Image sitemaps: the oracle re-parses with RE2 (lazy blocks are
+        # fine here — this regex runs in DuckDB only; the Spark side is
+        # native from_xml, so no cross-engine regex contract applies).
+        "sitemap_images": f"""
+            WITH u AS (SELECT doc_id, url FROM ({_DOC_URLS_SQL})),
+            x AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN '<url><loc>' || url || '</loc>'
+                         || '<image:image><image:loc>https://img.test/i'
+                         || CAST(doc_id AS VARCHAR)
+                         || 'a.png</image:loc><image:caption>cap '
+                         || CAST(doc_id AS VARCHAR)
+                         || '</image:caption></image:image>'
+                         || '<image:image><image:loc>https://img.test/i'
+                         || CAST(doc_id AS VARCHAR)
+                         || 'b.png</image:loc></image:image></url>'
+                       WHEN 1 THEN '<url><loc>' || url || '</loc>'
+                         || '<image:image><image:loc>https://img.test/i'
+                         || CAST(doc_id AS VARCHAR)
+                         || '.jpg</image:loc></image:image></url>'
+                       ELSE '<url><loc>' || url || '</loc></url>'
+                     END AS block
+              FROM u),
+            imgs AS (
+              SELECT doc_id,
+                     trim(regexp_extract(block, '<loc>([^<]*)</loc>', 1)) AS loc,
+                     regexp_extract_all(block,
+                       '<image:image>.*?</image:image>') AS im
+              FROM x),
+            e AS (
+              SELECT doc_id, loc, CAST(i - 1 AS INT) AS img_order, im[i] AS img
+              FROM imgs, UNNEST(range(1, len(im) + 1)) AS t(i))
+            SELECT doc_id, loc, img_order,
+                   trim(regexp_extract(img,
+                     '<image:loc>([^<]*)</image:loc>', 1)) AS image_loc,
+                   NULLIF(regexp_extract(img,
+                     '<image:caption>([^<]*)</image:caption>', 1), '') AS caption
+            FROM e
+            WHERE trim(regexp_extract(img,
+                    '<image:loc>([^<]*)</image:loc>', 1)) <> ''
         """,
     }

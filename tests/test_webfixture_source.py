@@ -36,3 +36,31 @@ def test_crawl_over_source_documents(spark, tmp_path):
     r2 = run_crawl(spark, docs_df, hosts, seeds, max_waves=4,
                    warehouse=Warehouse(str(tmp_path / "b"), spark))
     assert r1.visits == r2.visits and r1.seen_urls == r2.seen_urls
+
+
+def test_sitemap_image_entries(spark):
+    """Image extension: document order, absent caption -> NULL, blank
+    image loc dropped, imageless pages yield no rows, malformed doc
+    parses to nothing."""
+    from docrawl_spark.operators.sitemap import sitemap_image_entries
+
+    good = (
+        "<urlset><url><loc>https://h/p1</loc>"
+        "<image:image><image:loc>https://h/i1.png</image:loc>"
+        "<image:caption>one</image:caption></image:image>"
+        "<image:image><image:loc>https://h/i2.png</image:loc></image:image>"
+        "<image:image><image:loc> </image:loc></image:image>"
+        "</url><url><loc>https://h/p2</loc></url></urlset>"
+    )
+    rows = [(1, good), (2, "not xml at all"), (3, "<urlset></urlset>")]
+    df = spark.createDataFrame(rows, "doc_id long, sitemap_xml string")
+    got = [
+        (r["doc_id"], r["loc"], r["img_order"], r["image_loc"], r["caption"])
+        for r in sitemap_image_entries(df, keep_cols=["doc_id"])
+        .orderBy("doc_id", "img_order")
+        .collect()
+    ]
+    assert got == [
+        (1, "https://h/p1", 0, "https://h/i1.png", "one"),
+        (1, "https://h/p1", 1, "https://h/i2.png", None),
+    ]
