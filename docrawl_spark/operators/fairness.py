@@ -137,3 +137,60 @@ def waterfill_budgets(
         .cast("long")
         .alias("quota"),
     )
+
+
+def ucb_host_allocation(
+    host_stats: DataFrame,
+    host_col: str = "host",
+    fetches_col: str = "n_fetches",
+    useful_col: str = "n_useful",
+) -> DataFrame:
+    """UCB1-style explore/exploit scores for adaptive crawl allocation:
+    hosts that have yielded well get budget (exploit), hosts barely
+    sampled get budget too (explore) — the bandit view of frontier
+    allocation (Auer et al. 2002 applied to crawl scheduling).
+
+    Float-free spec (every term reproducible bit-for-bit in DuckDB):
+
+    - ``yield_ppm  = n_useful · 10^6 div n_fetches``  (the mean term)
+    - ``bonus_ppm  = floor(sqrt(2 · bitlen(N) · 10^12 div n_fetches))``
+      where N = Σ n_fetches and bitlen is the shared length(bin())
+      integer log2 — UCB1's sqrt(2 ln N / n_i) with ln→bit-length;
+      the sqrt argument stays < 2^52, where IEEE-double sqrt is
+      correctly rounded, so floor(sqrt(·)) is deterministic in both
+      engines;
+    - ``ucb_ppm = yield_ppm + bonus_ppm`` — an unexplored host's
+      bonus (~10^6+ ppm at any real N) dominates any yield, exactly
+      the UCB property.
+
+    Output: ``(host, n_fetches, yield_ppm, bonus_ppm, ucb_ppm)``;
+    rows with ``n_fetches <= 0`` are rejected (a never-fetched host
+    belongs in the frontier's fresh queue, not the bandit).
+
+    Scale shape: one single-row total (broadcast crossJoin) + per-row
+    exprs on the host dim; ranking/selection is the caller's
+    TakeOrdered.
+    """
+    h = host_stats.select(
+        F.col(host_col).alias("host"),
+        F.col(fetches_col).cast("long").alias("n_fetches"),
+        F.col(useful_col).cast("long").alias("n_useful"),
+    ).where(F.col("n_fetches") > 0)
+    tot = h.agg(F.sum("n_fetches").alias("_N"))
+    j = h.crossJoin(F.broadcast(tot))
+    yield_ppm = F.expr("n_useful * 1000000L div n_fetches")
+    bonus_ppm = F.floor(
+        F.sqrt(
+            F.expr(
+                "CAST(2L * length(bin(_N)) * 1000000000000L div n_fetches"
+                " AS DOUBLE)"
+            )
+        )
+    ).cast("long")
+    return j.select(
+        "host",
+        "n_fetches",
+        yield_ppm.alias("yield_ppm"),
+        bonus_ppm.alias("bonus_ppm"),
+        (yield_ppm + bonus_ppm).alias("ucb_ppm"),
+    )

@@ -4242,6 +4242,26 @@ def q_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_image_entries(docs, keep_cols=["doc_id"])
 
 
+def q_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandit crawl allocation (operators/fairness.
+    ucb_host_allocation): per-host fetch counts and useful yields
+    (n_chars above a fixed bar) from the documents table — integer
+    UCB1 scores with the bit-length log and deterministic isqrt."""
+    from docrawl_spark.operators.fairness import ucb_host_allocation
+
+    stats = (
+        _doc_urls(spark, sf_dir)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("n_chars") > 600, 1).otherwise(0)).alias(
+                "n_useful"
+            ),
+        )
+    )
+    return ucb_host_allocation(stats)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4404,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "delay_compliance": q_delay_compliance,
         "sitemap_images": q_sitemap_images,
+        "ucb_allocation": q_ucb_allocation,
     }
 
 
@@ -8289,5 +8310,28 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE trim(regexp_extract(img,
                     '<image:loc>([^<]*)</image:loc>', 1)) <> ''
+        """,
+        # UCB allocation: shared bin() bit-length log + IEEE-exact
+        # floor(sqrt) over a < 2^52 integer argument.
+        "ucb_allocation": f"""
+            WITH s AS (
+              SELECT host,
+                     CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                     CAST(SUM(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_useful
+              FROM ({_DOC_URLS_SQL}) GROUP BY host),
+            t AS (SELECT CAST(SUM(n_fetches) AS BIGINT) AS N FROM s),
+            x AS (
+              SELECT s.host, s.n_fetches,
+                     n_useful * 1000000 // n_fetches AS yield_ppm,
+                     CAST(FLOOR(SQRT(CAST(
+                       2 * length(bin(t.N)) * 1000000000000 // n_fetches
+                       AS DOUBLE))) AS BIGINT) AS bonus_ppm
+              FROM s, t)
+            SELECT host, n_fetches,
+                   CAST(yield_ppm AS BIGINT) AS yield_ppm,
+                   bonus_ppm,
+                   CAST(yield_ppm + bonus_ppm AS BIGINT) AS ucb_ppm
+            FROM x
         """,
     }

@@ -301,3 +301,31 @@ def test_cocitation_pairs_counts_and_cap(spark):
         for r in cocitation_pairs(df, min_cocite=2, max_out=64).collect()
     }
     assert relaxed[("x", "y")] == 3 and ("w", "x") not in relaxed
+
+
+def test_ucb_host_allocation_explore_exploit(spark):
+    """An under-sampled host outranks a well-sampled high-yield host
+    (exploration dominates); among equally-sampled hosts yield orders
+    them; zero-fetch hosts are rejected; values are hand-exact."""
+    from docrawl_spark.operators.fairness import ucb_host_allocation
+
+    import math
+
+    rows = [
+        ("hot", 1000, 900),      # well-sampled, high yield
+        ("cold", 1, 0),          # barely sampled, no yield yet
+        ("mid", 1000, 100),
+        ("never", 0, 0),         # rejected
+    ]
+    df = spark.createDataFrame(rows, "host string, n_fetches long, n_useful long")
+    got = {r["host"]: r for r in ucb_host_allocation(df).collect()}
+    assert "never" not in got
+    n_total = 2001  # bitlen = 11
+    assert got["hot"]["yield_ppm"] == 900000
+    exp_cold = math.floor(math.sqrt(2 * 11 * 10**12 // 1))
+    assert got["cold"]["bonus_ppm"] == exp_cold
+    # exploration dominates: cold's ucb beats hot's
+    assert got["cold"]["ucb_ppm"] > got["hot"]["ucb_ppm"]
+    # equal sampling -> yield decides
+    assert got["hot"]["ucb_ppm"] > got["mid"]["ucb_ppm"]
+    assert got["hot"]["bonus_ppm"] == got["mid"]["bonus_ppm"]
