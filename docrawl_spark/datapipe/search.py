@@ -332,3 +332,78 @@ def term_upper_bounds(
         F.max("tf").cast("long").alias("max_tf"),
         F.max(F.expr("tf_ppm * idf_units")).cast("long").alias("ub_units"),
     )
+
+
+def retrieval_ndcg(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Integer-exact NDCG@k for the retrieval stack (BM25 / hybrid /
+    ANN): per query, ``dcg_units = Σ (2^rel − 1)·10^6 div
+    bitlen(rank+1)`` over the top-k ranked rows, ``idcg_units`` the
+    same formula over the query's qrels in ideal (rel desc) order,
+    and ``ndcg_ppm = dcg·10^6 div idcg``.
+
+    Deliberate deviation from textbook NDCG, stated: the discount is
+    the integer bit length of rank+1 (floor(log2)+1) instead of the
+    real log2 — weakly monotone in rank (BANDED: ranks 1-2 share a
+    discount, then 3-6, 7-14, …; swaps inside a band don't move the
+    score), float-free, identical in Spark and DuckDB (the repo's
+    shared bin() basis); gains use shiftleft so graded rels stay
+    exact. Unjudged ranked docs gain 0 (trec_eval
+    convention); queries with no positive qrel are dropped (NDCG
+    undefined).
+
+    Scale shape: ranked⋈qrels on (query, doc) — co-keyed equi-join;
+    the ideal ordering is a per-query window bounded by that query's
+    qrel count; two query-grain HashAggregates.
+    """
+    from pyspark.sql import Window
+
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).where(F.col(rank_col) <= k)
+    qr = qrels.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rel_col).cast("int").alias("rel"),
+    )
+    scored = r.join(qr, ["q", "d"], "left").withColumn(
+        "_g", F.coalesce(F.expr("shiftleft(1L, rel) - 1L"), F.lit(0))
+    )
+    dcg = (
+        scored.withColumn("_term", F.expr("_g * 1000000L div CAST(length(bin(rank + 1)) AS BIGINT)"))
+        .groupBy("q")
+        .agg(F.sum("_term").cast("long").alias("dcg_units"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("rel").desc(), F.col("d").asc())
+    ideal = (
+        qr.withColumn("_irank", F.row_number().over(w))
+        .where(F.col("_irank") <= k)
+        .withColumn(
+            "_term",
+            F.expr(
+                "(shiftleft(1L, rel) - 1L) * 1000000L"
+                " div CAST(length(bin(_irank + 1)) AS BIGINT)"
+            ),
+        )
+        .groupBy("q")
+        .agg(F.sum("_term").cast("long").alias("idcg_units"))
+        .where(F.col("idcg_units") > 0)
+    )
+    return (
+        dcg.join(ideal, "q")
+        .select(
+            F.col("q").alias(query_col),
+            "dcg_units",
+            "idcg_units",
+            F.expr("dcg_units * 1000000L div idcg_units").alias("ndcg_ppm"),
+        )
+    )

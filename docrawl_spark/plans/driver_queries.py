@@ -4262,6 +4262,42 @@ def q_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ucb_host_allocation(stats)
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval (datapipe/search.retrieval_ndcg): three synthetic
+    queries with md5-ordered top-10 rankings and half-judged qrels
+    (graded 0-3; odd docs unjudged → gain 0) — integer NDCG@10 with
+    the bit-length discount."""
+    from pyspark.sql import Window
+
+    from docrawl_spark.datapipe.search import retrieval_ndcg
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    qd = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("query_id"),
+    )
+    cand = qd.where(F.col("doc_id") % 5 == F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("query_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    qrels = qd.where(F.col("doc_id") % 2 == 0).select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") + F.col("query_id")) % 4).cast("int").alias("rel"),
+    )
+    return retrieval_ndcg(ranked, qrels, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4425,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delay_compliance": q_delay_compliance,
         "sitemap_images": q_sitemap_images,
         "ucb_allocation": q_ucb_allocation,
+        "retrieval_ndcg": q_retrieval_ndcg,
     }
 
 
@@ -8333,5 +8370,50 @@ def oracle_sql() -> dict[str, str]:
                    bonus_ppm,
                    CAST(yield_ppm + bonus_ppm AS BIGINT) AS ucb_ppm
             FROM x
+        """,
+        # NDCG: shiftleft gains (1::BIGINT << rel), bit-length discount,
+        # ideal ordering in its own window CTE.
+        "retrieval_ndcg": """
+            WITH qd AS (
+              SELECT doc_id, unnest([0, 1, 2]) AS query_id FROM documents),
+            cand AS (
+              SELECT query_id, doc_id FROM qd
+              WHERE doc_id % 5 = query_id),
+            rk AS (
+              SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'
+                                    || CAST(query_id AS VARCHAR)),
+                                doc_id) AS rank
+              FROM cand),
+            ranked AS (SELECT * FROM rk WHERE rank <= 10),
+            qrels AS (
+              SELECT query_id, doc_id,
+                     CAST((doc_id + query_id) % 4 AS INT) AS rel
+              FROM qd WHERE doc_id % 2 = 0),
+            sc AS (
+              SELECT r.query_id,
+                     COALESCE((1::BIGINT << q.rel) - 1, 0) * 1000000
+                       // CAST(length(bin(r.rank + 1)) AS BIGINT) AS term
+              FROM ranked r LEFT JOIN qrels q
+                ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+            dcg AS (
+              SELECT query_id, CAST(SUM(term) AS BIGINT) AS dcg_units
+              FROM sc GROUP BY query_id),
+            irk AS (
+              SELECT query_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, doc_id ASC) AS irank
+              FROM qrels),
+            idcg AS (
+              SELECT query_id,
+                     CAST(SUM(((1::BIGINT << rel) - 1) * 1000000
+                          // CAST(length(bin(irank + 1)) AS BIGINT))
+                          AS BIGINT) AS idcg_units
+              FROM irk WHERE irank <= 10 GROUP BY query_id)
+            SELECT d.query_id, d.dcg_units, i.idcg_units,
+                   d.dcg_units * 1000000 // i.idcg_units AS ndcg_ppm
+            FROM dcg d JOIN idcg i USING (query_id)
+            WHERE i.idcg_units > 0
         """,
     }

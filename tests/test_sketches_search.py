@@ -416,3 +416,36 @@ def test_term_upper_bounds_dominate_scores(spark):
     # multi-term query scores never exceed the sum of bounds
     top = bm25_topk(docs, ["spark", "hash"], k=1).collect()[0]
     assert top["score_units"] <= ub["spark"]["ub_units"] + ub["hash"]["ub_units"]
+
+
+def test_retrieval_ndcg_hand_case(spark):
+    """Perfect ranking -> ndcg_ppm 1000000; a swapped ranking scores
+    strictly less; unjudged docs gain 0; no-positive queries dropped."""
+    from docrawl_spark.datapipe.search import retrieval_ndcg
+
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3), ("q1", 2, 1), ("q1", 3, 0), ("q2", 9, 0)],
+        "query_id string, doc_id long, rel int",
+    )
+    perfect = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    out = {r["query_id"]: r for r in retrieval_ndcg(perfect, qrels).collect()}
+    assert out["q1"]["ndcg_ppm"] == 1000000
+    assert "q2" not in out  # no positive rel -> undefined, dropped
+    # hand DCG with the bit-length discount (bitlen(rank+1)): ranks 1-2
+    # share discount 2 -> rel3@1: 7e6//2=3500000, rel1@2: 1e6//2=500000
+    assert out["q1"]["dcg_units"] == 3500000 + 500000
+
+    # the discount is BANDED (1-2, 3-6, 7-14...): only a swap ACROSS
+    # bands loses score — rel3 demoted to rank 3 (discount 3)
+    demoted = spark.createDataFrame(
+        [("q1", 2, 1), ("q1", 99, 2), ("q1", 1, 3)],  # 99 unjudged
+        "query_id string, doc_id long, rank long",
+    )
+    out2 = {r["query_id"]: r for r in retrieval_ndcg(demoted, qrels).collect()}
+    # rel1@1 -> 1e6//2 = 500000; rel3@3 -> 7e6//3 = 2333333
+    assert out2["q1"]["dcg_units"] == 500000 + 2333333
+    assert out2["q1"]["ndcg_ppm"] < 1000000
+    assert out2["q1"]["idcg_units"] == out["q1"]["idcg_units"]
