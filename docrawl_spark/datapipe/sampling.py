@@ -325,3 +325,46 @@ def domain_quota_sample(
         .where(F.col("domain_rank") <= k)
         .select(id_col, "domain", quality_col, "domain_rank")
     )
+
+
+def split_domain_leakage(
+    split_docs: DataFrame,
+    domain_map: DataFrame,
+    host_col: str = "host",
+    split_col: str = "split",
+    train_name: str = "train",
+    test_name: str = "test",
+) -> DataFrame:
+    """Train/test DOMAIN-leakage audit: hash_split assigns docs, not
+    sites — www.example.com in train and a.b.example.com in test is
+    web-duplicated content straddling the split (the contamination
+    vector URL-level splits always have). Reports every registrable
+    domain with docs on BOTH sides plus the minority share.
+
+    ``domain_map`` is (host, registrable_domain) — the
+    functions.domains.registrable_domains output, so subdomain
+    variants collapse before counting.
+
+    Scale shape: one broadcastable host-dim join (the host dim is
+    orders of magnitude smaller than the corpus; AQE broadcasts it),
+    then ONE map-side-combinable groupBy on the domain — no window,
+    no self-join. leak_ppm is exact BIGINT fixed-point.
+    """
+    d = split_docs.join(
+        domain_map.select(
+            F.col(host_col).alias("_h"), "registrable_domain"
+        ),
+        split_docs[host_col] == F.col("_h"),
+    )
+    agg = d.groupBy("registrable_domain").agg(
+        F.sum((F.col(split_col) == train_name).cast("long")).alias("n_train"),
+        F.sum((F.col(split_col) == test_name).cast("long")).alias("n_test"),
+    )
+    return agg.where((F.col("n_train") > 0) & (F.col("n_test") > 0)).select(
+        "registrable_domain",
+        "n_train",
+        "n_test",
+        F.expr(
+            "least(n_train, n_test) * 1000000L div (n_train + n_test)"
+        ).alias("leak_ppm"),
+    )

@@ -819,3 +819,42 @@ def c4_line_stats(
             (F.sum("_kept") >= 3) & (F.sum("_lorem") == 0) & (F.sum("_curly") == 0)
         ).alias("keep_doc"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist page filter: drop-flag any doc containing a
+    blocklisted WORD — word-boundary exact, case-insensitive (C4 §2.2's
+    "bad words" rule removes the page on any list hit; substring
+    matching would be the classic Scunthorpe false positive, so the
+    match unit is the alphanumeric token, not the substring).
+
+    Output per doc: ``blocked`` (1/0), ``n_blocked_terms`` (distinct
+    list terms present) and ``blocked_terms`` (the sorted hit list,
+    space-joined) — the audit columns a filtering report needs.
+
+    Scale shape: the blocklist is a LITERAL array in the expression
+    (hundreds of terms — broadcast-by-construction, no dim join);
+    tokenize + intersect are per-row bounded JVM array ops inside
+    whole-stage codegen. Zero shuffle, zero Python; the filter
+    composes with the scan's predicate pushdown.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    hits = F.array_sort(
+        F.array_intersect(toks, F.array(*[F.lit(t.lower()) for t in terms]))
+    )
+    return df.select(
+        id_col,
+        (F.size(hits) > 0).cast("int").alias("blocked"),
+        F.size(hits).cast("int").alias("n_blocked_terms"),
+        F.array_join(hits, " ").alias("blocked_terms"),
+    )

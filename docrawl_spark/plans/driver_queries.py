@@ -4298,6 +4298,41 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ndcg(ranked, qrels, k=10)
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style badword page filter (datapipe/text.blocklist_filter):
+    word-boundary exact, case-insensitive, blocklist as a literal
+    broadcast array — per-doc blocked flag + the sorted hit list."""
+    from docrawl_spark.datapipe.text import blocklist_filter
+
+    return blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["slow", "trap", "vector"]
+    )
+
+
+def q_domain_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test domain-leakage audit (datapipe/sampling.
+    split_domain_leakage): hash_split assigns docs, the audit collapses
+    subdomain variants to the registrable domain and reports every
+    domain with docs on BOTH sides of the split."""
+    from docrawl_spark.datapipe.sampling import hash_split, split_domain_leakage
+    from docrawl_spark.functions.domains import registrable_domains, suffix_dim
+
+    hosted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.element_at(
+                F.array(F.lit(""), F.lit("www."), F.lit("a.b.")),
+                (F.col("doc_id") % 3).cast("int") + 1,
+            ),
+            F.col("source"),
+            F.lit(".test"),
+        ).alias("host"),
+    )
+    s = hash_split(hosted, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    dmap = registrable_domains(hosted.select("host"), suffix_dim(spark))
+    return split_domain_leakage(s, dmap)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4462,6 +4497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_images": q_sitemap_images,
         "ucb_allocation": q_ucb_allocation,
         "retrieval_ndcg": q_retrieval_ndcg,
+        "blocklist_filter": q_blocklist_filter,
+        "domain_leakage": q_domain_leakage,
     }
 
 
@@ -8415,5 +8452,93 @@ def oracle_sql() -> dict[str, str]:
                    d.dcg_units * 1000000 // i.idcg_units AS ndcg_ppm
             FROM dcg d JOIN idcg i USING (query_id)
             WHERE i.idcg_units > 0
+        """,
+        # Word-boundary exact blocklist: tokenize on non-alphanumeric,
+        # distinct-intersect with the literal list, sorted hit string
+        # (COALESCE: DuckDB array_to_string([]) is NULL, Spark's is '').
+        "blocklist_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_sort(list_intersect(
+                       list_distinct(list_filter(
+                         string_split_regex(lower(coalesce(text, '')),
+                                            '[^a-z0-9]+'),
+                         x -> x <> '')),
+                       ['slow', 'trap', 'vector'])) AS hits
+              FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(hits) > 0 THEN 1 ELSE 0 END AS INT)
+                     AS blocked,
+                   CAST(len(hits) AS INT) AS n_blocked_terms,
+                   COALESCE(array_to_string(hits, ' '), '') AS blocked_terms
+            FROM t
+        """,
+        # Domain leakage: md5-ppm split ranges (sorted-weight order:
+        # test/train/val), PSL longest-match registrable domain (same
+        # list-lambda mirror as registrable_domains), one grouped agg.
+        "domain_leakage": """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ['', 'www.', 'a.b.'][CAST(doc_id % 3 AS INT) + 1]
+                       || source || '.test' AS host
+              FROM d),
+            sp AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000 AS ppm
+              FROM d),
+            s AS (
+              SELECT h.doc_id, h.host,
+                     CASE WHEN ppm >= 0 AND ppm < 100000 THEN 'test'
+                          WHEN ppm >= 100000 AND ppm < 900000 THEN 'train'
+                          WHEN ppm >= 900000 AND ppm < 1000000 THEN 'val'
+                     END AS split
+              FROM h JOIN sp USING (doc_id)),
+            lab AS (SELECT DISTINCT host FROM h),
+            l2 AS (
+              SELECT host, string_split(host, '.') AS labels,
+                     CAST(len(string_split(host, '.')) AS INT) AS n
+              FROM lab),
+            cand AS (
+              SELECT host, labels, n,
+                     unnest(generate_series(1, least(3, n))) AS k
+              FROM l2),
+            psl(suffix) AS (VALUES
+              ('com'), ('net'), ('org'), ('io'), ('ai'), ('dev'), ('app'),
+              ('test'), ('edu'), ('gov'),
+              ('co.uk'), ('org.uk'), ('ac.uk'), ('gov.uk'),
+              ('com.au'), ('net.au'), ('org.au'),
+              ('co.jp'), ('co.in'), ('com.br'), ('com.cn'),
+              ('github.io'), ('gitlab.io'), ('blogspot.com'),
+              ('herokuapp.com'), ('s3.amazonaws.com')),
+            j AS (
+              SELECT c.host, c.labels, c.n,
+                     CASE WHEN p.suffix IS NOT NULL THEN c.k END AS mk
+              FROM cand c LEFT JOIN psl p
+                ON array_to_string(c.labels[c.n - CAST(c.k AS INT) + 1:c.n], '.')
+                   = p.suffix),
+            m AS (
+              SELECT host, any_value(labels) AS labels, any_value(n) AS n,
+                     CAST(COALESCE(MAX(mk), 1) AS INT) AS k
+              FROM j GROUP BY host),
+            dm AS (
+              SELECT host,
+                     CASE WHEN n > k
+                          THEN array_to_string(labels[n - k:n], '.')
+                     END AS registrable_domain
+              FROM m),
+            agg AS (
+              SELECT dm.registrable_domain,
+                     CAST(SUM(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_train,
+                     CAST(SUM(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_test
+              FROM s JOIN dm ON s.host = dm.host
+              GROUP BY dm.registrable_domain)
+            SELECT registrable_domain, n_train, n_test,
+                   CAST(least(n_train, n_test) * 1000000 // (n_train + n_test)
+                        AS BIGINT) AS leak_ppm
+            FROM agg WHERE n_train > 0 AND n_test > 0
         """,
     }

@@ -912,3 +912,59 @@ def test_neardup_threshold_sweep_exact(spark):
     assert out[700000] == (3, 2)   # boundary inclusive (>=)
     assert out[900000] == (1, 1)
     assert out[990000] == (0, 0)   # zero row present
+
+
+def test_blocklist_filter_word_boundary(spark):
+    """C4 blocklist rule: exact-token hits only (no Scunthorpe
+    substring matches), case-insensitive, sorted distinct hit list."""
+    from docrawl_spark.datapipe.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a SLOW slow train"),        # hit, case-folded, deduped
+            (2, "slowly moving sloth"),      # substring only -> clean
+            (3, "vector trap, slow!"),       # punctuation boundaries
+            (4, ""),                         # empty doc
+            (5, None),                       # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["blocked"], r["n_blocked_terms"], r["blocked_terms"])
+        for r in blocklist_filter(docs, ["slow", "trap", "vector"]).collect()
+    }
+    assert out[1] == (1, 1, "slow")
+    assert out[2] == (0, 0, "")
+    assert out[3] == (1, 3, "slow trap vector")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (0, 0, "")
+
+
+def test_split_domain_leakage_collapses_subdomains(spark):
+    """Leakage is judged at the registrable-domain level: train docs on
+    www.x.com + test docs on a.x.com leak; a domain entirely inside one
+    split does not appear."""
+    from docrawl_spark.datapipe.sampling import split_domain_leakage
+    from docrawl_spark.functions.domains import registrable_domains, suffix_dim
+
+    docs = spark.createDataFrame(
+        [
+            (1, "www.x.com", "train"),
+            (2, "a.x.com", "test"),
+            (3, "x.com", "train"),
+            (4, "onlytrain.com", "train"),   # one-sided -> excluded
+            (5, "onlytest.com", "test"),     # one-sided -> excluded
+            (6, "y.co.uk", "train"),
+            (7, "www.y.co.uk", "test"),
+            (8, "www.y.co.uk", "test"),
+        ],
+        "doc_id long, host string, split string",
+    )
+    dmap = registrable_domains(docs.select("host"), suffix_dim(spark))
+    out = {
+        r["registrable_domain"]: (r["n_train"], r["n_test"], r["leak_ppm"])
+        for r in split_domain_leakage(docs, dmap).collect()
+    }
+    assert set(out) == {"x.com", "y.co.uk"}
+    assert out["x.com"] == (2, 1, 333333)
+    assert out["y.co.uk"] == (1, 2, 333333)
