@@ -447,3 +447,131 @@ def ivf_query_index(
     (partition-pruned scan), exact cosine within."""
     idx, centroids = ivf_read_index(warehouse, table)
     return ivf_topk(idx, centroids, query, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col)
+
+
+def margin_mine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    side_col: str = "side",
+    k: int = 4,
+    margin_ppm_min: int = 1_050_000,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bitext-style margin-criterion pair mining (the CCMatrix/LASER
+    alignment rule, Artetxe & Schwenk 2019): a cross-side pair (a, b)
+    is mined iff its cosine stands out against the local neighborhood
+    density — ratio margin
+    ``cos(a,b) / ((mean_k cos(a,·) + mean_k cos(b,·)) / 2)`` — which
+    kills hub vectors that absolute thresholds mis-mine.
+
+    ``side_col`` (0/1) splits the corpus into the two sides (source /
+    target language). Candidates come from the SAME SRP multi-probe
+    equi-join as ``dedup.embedding_neardup_bucketed`` — side 0 explodes
+    probe keys, side 1 keys on its raw bucket, never a cross-join —
+    and neighborhoods (top-k means) are defined OVER the candidate set,
+    the distributed analogue of FAISS-ANN neighborhoods in the paper.
+
+    EXACT integer algebra for the cross-engine hash: cosines fixed to
+    ppm (ROUND(cos·1e6), after the shared ROUND-6 dot-product
+    convention), then
+    ``margin_ppm = 2·c·kf·kb·1e6 div (fwd_sum·kb + bwd_sum·kf)``
+    — the ratio-of-means with both means cleared of division (kf/kb =
+    actual neighbor counts ≤ k; bounded: 2e6·16·1e6 < 2^63). Only
+    positive-cosine candidates participate, so denominators are > 0.
+
+    Output: one best (margin-desc) target per source vector above
+    ``margin_ppm_min``. Scale shape: bucket equi-join + three
+    per-vector-grain windows over the CANDIDATE set (each partition =
+    one vector's bucket collisions, bounded by probe fan-out), one
+    explicit join-key repartition as the AQE fan-out guard.
+    """
+    from itertools import combinations
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = emb.select(
+        F.col(id_col),
+        F.col(side_col).cast("int").alias("_side"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_bucket", srp_bucket_col(F.col("_v"), planes))
+    v = v.withColumn("_n", _norm(F.col("_v")))
+
+    probe_keys = [F.col("_bucket")]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            probe_keys.append(F.col("_bucket").bitwiseXOR(F.lit(mask)))
+    a = v.where(F.col("_side") == 0).select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        F.explode(F.array(*probe_keys)).alias("_probe"),
+    )
+    b = v.where(F.col("_side") == 1).select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_bucket").alias("_probe"),
+    )
+    a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism, "_probe")
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b"))
+    ).otherwise(F.lit(0.0))
+    cands = (
+        a.join(b, "_probe")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos * 1_000_000).cast("long").alias("c_ppm"),
+        )
+        .where(F.col("c_ppm") > 0)
+    )
+
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("id_a").orderBy(F.col("c_ppm").desc(), F.col("id_b").asc())
+    wb = Window.partitionBy("id_b").orderBy(F.col("c_ppm").desc(), F.col("id_a").asc())
+    fwd = (
+        cands.withColumn("_rn", F.row_number().over(wf))
+        .where(F.col("_rn") <= k)
+        .groupBy("id_a")
+        .agg(F.sum("c_ppm").alias("fwd_sum"), F.count("*").alias("kf"))
+    )
+    bwd = (
+        cands.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") <= k)
+        .groupBy("id_b")
+        .agg(F.sum("c_ppm").alias("bwd_sum"), F.count("*").alias("kb"))
+    )
+    scored = (
+        cands.join(fwd, "id_a")
+        .join(bwd, "id_b")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "2L * c_ppm * kf * kb * 1000000L"
+                " div (fwd_sum * kb + bwd_sum * kf)"
+            ),
+        )
+        .where(F.col("margin_ppm") >= margin_ppm_min)
+    )
+    wbest = Window.partitionBy("id_a").orderBy(
+        F.col("margin_ppm").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wbest))
+        .where(F.col("_rn") == 1)
+        .select(
+            "id_a", "id_b", F.col("c_ppm").alias("cosine_ppm"), "margin_ppm"
+        )
+    )

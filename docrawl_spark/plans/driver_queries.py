@@ -4333,6 +4333,21 @@ def q_domain_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_domain_leakage(s, dmap)
 
 
+def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion bitext mining (datapipe/similarity.
+    margin_mine_pairs): even/odd vec_ids stand in for the two language
+    sides; SRP multi-probe candidates, ratio margin vs the top-4
+    neighborhood means in exact ppm, best target per source."""
+    from docrawl_spark.datapipe.similarity import margin_mine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 2).cast("int").alias("side"),
+    )
+    return margin_mine_pairs(emb, k=4, margin_ppm_min=1_050_000, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4499,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": q_retrieval_ndcg,
         "blocklist_filter": q_blocklist_filter,
         "domain_leakage": q_domain_leakage,
+        "margin_bitext": q_margin_bitext,
     }
 
 
@@ -8540,5 +8556,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(n_train, n_test) * 1000000 // (n_train + n_test)
                         AS BIGINT) AS leak_ppm
             FROM agg WHERE n_train > 0 AND n_test > 0
+        """,
+        # Margin mining: same SRP bucket literals + hamming<=1 candidate
+        # semantics as embedding_neardup; ppm cosines, ratio-of-means
+        # cleared of division (2·c·kf·kb·1e6 // (fs·kb + bs·kf)), every
+        # window in its own CTE (DuckDB nested-window trap).
+        "margin_bitext": f"""
+            WITH bk AS (
+              SELECT vec_id, CAST(vec_id % 2 AS INT) AS side,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     {_srp_bucket_sql(64, 8, 42)} AS bucket
+              FROM embeddings),
+            c0 AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000)
+                          AS BIGINT) AS c_ppm
+              FROM bk a JOIN bk b
+                ON a.side = 0 AND b.side = 1
+               AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+            cands AS (SELECT * FROM c0 WHERE c_ppm > 0),
+            fr AS (
+              SELECT id_a, id_b, c_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY id_a
+                       ORDER BY c_ppm DESC, id_b ASC) AS rn
+              FROM cands),
+            fwd AS (
+              SELECT id_a, CAST(SUM(c_ppm) AS BIGINT) AS fwd_sum,
+                     CAST(COUNT(*) AS BIGINT) AS kf
+              FROM fr WHERE rn <= 4 GROUP BY id_a),
+            br AS (
+              SELECT id_a, id_b, c_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY id_b
+                       ORDER BY c_ppm DESC, id_a ASC) AS rn
+              FROM cands),
+            bwd AS (
+              SELECT id_b, CAST(SUM(c_ppm) AS BIGINT) AS bwd_sum,
+                     CAST(COUNT(*) AS BIGINT) AS kb
+              FROM br WHERE rn <= 4 GROUP BY id_b),
+            sc AS (
+              SELECT c.id_a, c.id_b, c.c_ppm,
+                     2 * c.c_ppm * f.kf * b.kb * 1000000
+                       // (f.fwd_sum * b.kb + b.bwd_sum * f.kf) AS margin_ppm
+              FROM cands c JOIN fwd f USING (id_a) JOIN bwd b USING (id_b)),
+            fl AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                          ORDER BY margin_ppm DESC, id_b ASC) AS rn
+              FROM sc WHERE margin_ppm >= 1050000)
+            SELECT id_a, id_b, c_ppm AS cosine_ppm,
+                   CAST(margin_ppm AS BIGINT) AS margin_ppm
+            FROM fl WHERE rn = 1
         """,
     }

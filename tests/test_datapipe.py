@@ -968,3 +968,39 @@ def test_split_domain_leakage_collapses_subdomains(spark):
     assert set(out) == {"x.com", "y.co.uk"}
     assert out["x.com"] == (2, 1, 333333)
     assert out["y.co.uk"] == (1, 2, 333333)
+
+
+def test_margin_mining_prefers_aligned_over_hub(spark):
+    """Ratio margin mines each source's genuinely aligned target and
+    returns one best pair per source; an ambiguous source (equally
+    close to everything) falls below the margin threshold."""
+    from docrawl_spark.datapipe.similarity import margin_mine_pairs
+
+    rows = [
+        # side 0 (sources)
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [0.0, 1.0, 0.0, 0.0]),
+        (4, 0, [0.0, 0.0, 0.7, 0.7]),   # ambiguous: two equal targets
+        # side 1 (targets)
+        (1, 1, [1.0, 0.1, 0.0, 0.0]),   # aligned with 0
+        (3, 1, [0.1, 1.0, 0.0, 0.0]),   # aligned with 2
+        (5, 1, [0.7, 0.7, 0.0, 0.0]),   # hub for sources 0 and 2
+        (7, 1, [0.0, 0.0, 1.0, 0.1]),   # equally near source 4 ...
+        (9, 1, [0.0, 0.0, 0.1, 1.0]),   # ... as this one: margin == 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, side int, embedding array<double>"
+    )
+    # n_planes=2 + probe_hamming=2 => every cross pair is a candidate:
+    # the test pins the margin algebra, not LSH recall
+    out = {
+        r["id_a"]: (r["id_b"], r["margin_ppm"])
+        for r in margin_mine_pairs(
+            emb, k=2, margin_ppm_min=1_050_000,
+            n_planes=2, probe_hamming=2, dim=4,
+        ).collect()
+    }
+    assert out[0][0] == 1       # 0 -> its aligned target, not the hub
+    assert out[2][0] == 3
+    assert 4 not in out          # ambiguous source: margin ~1, filtered
+    assert all(m >= 1_050_000 for _, m in out.values())
