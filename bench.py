@@ -94,6 +94,10 @@ HEADLINE = [
     "wand_bounds",
     "cocitation_pairs",
     "domain_caps",
+    # round-3 session-4: bitext margin mining (SRP join + candidate
+    # windows) and the domain-leakage audit (PSL map + split agg)
+    "margin_bitext",
+    "domain_leakage",
 ]
 
 

@@ -864,3 +864,13 @@ def test_domain_quota_sample_caps_and_salting(spark):
     assert _re.search(r"windowspecdefinition\(domain[^)]*_salt", plan) or (
         "_salt" in plan and "domain" in plan
     )
+
+
+def test_margin_bitext_is_bucket_joined(spark):
+    """Margin mining must stay on the SRP candidate path: equi-join on
+    the probe key, no cartesian/nested-loop cross-side join, and the
+    explicit fan-out repartition present (AQE-coalesce guard)."""
+    plan = plan_of(dq.q_margin_bitext(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_probe" in plan  # the bucket equi-join key
