@@ -333,3 +333,50 @@ def histogram_percentile_bounds(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def chao1_completeness(
+    df: DataFrame,
+    key_col: str = "host",
+    count_col: str = "n_seen",
+) -> DataFrame:
+    """Crawl-completeness estimation per key: how much of a host's URL
+    space has the crawl ALREADY seen, from the discovery-count
+    distribution alone — the scheduler's stop/continue signal (keep
+    budgeting hosts whose estimated coverage is low, retire saturated
+    ones).
+
+    Input: one row per (key, url-ish unit) with ``count_col`` = how
+    many times it was discovered (the link-table multiplicity).
+    Two classic abundance estimators, both EXACT integer fixed-point:
+
+    - bias-corrected Chao1 richness:  S_est = S + f1·(f1−1)/(2·(f2+1))
+      (f1/f2 = singleton/doubleton unit counts; the correction keeps
+      the estimator finite when f2 = 0, and the arithmetic all-BIGINT)
+    - Good-Turing unseen probability mass: P0 = f1/N (share of the
+      NEXT discovery landing on a never-seen unit), in ppm.
+
+    coverage_ppm = S·1e6 div S_est. Scale shape: ONE map-side
+    combinable HashAggregate on the key grain — the input is already
+    per-unit counts (itself a HashAggregate of the link table), so the
+    whole estimator is two exact aggregation passes, no window, no
+    sketch, mergeable across waves by re-aggregating counts.
+    """
+    g = df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.sum((F.col(count_col) == 1).cast("long")).alias("f1"),
+        F.sum((F.col(count_col) == 2).cast("long")).alias("f2"),
+        F.sum(count_col).cast("long").alias("n_discoveries"),
+    )
+    return g.select(
+        key_col,
+        "s_obs",
+        "f1",
+        "f2",
+        "n_discoveries",
+        F.expr("s_obs + f1 * (f1 - 1) div (2 * (f2 + 1))").alias("chao1_est"),
+        F.expr(
+            "s_obs * 1000000L div (s_obs + f1 * (f1 - 1) div (2 * (f2 + 1)))"
+        ).alias("coverage_ppm"),
+        F.expr("f1 * 1000000L div n_discoveries").alias("unseen_mass_ppm"),
+    )

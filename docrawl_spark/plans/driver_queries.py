@@ -4348,6 +4348,26 @@ def q_margin_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mine_pairs(emb, k=4, margin_ppm_min=1_050_000, dim=64)
 
 
+def q_crawl_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-completeness estimation (functions/sketches.
+    chao1_completeness): bias-corrected Chao1 richness + Good-Turing
+    unseen mass over a deterministic discovery-count distribution
+    (half singletons, a tail of repeats)."""
+    from docrawl_spark.functions.sketches import chao1_completeness
+
+    u = _doc_urls(spark, sf_dir).select(
+        "host",
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 5, 1)
+        .when(F.col("doc_id") % 10 < 8, 2)
+        .when(F.col("doc_id") % 10 < 9, 3)
+        .otherwise(5)
+        .cast("long")
+        .alias("n_seen"),
+    )
+    return chao1_completeness(u)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4515,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "domain_leakage": q_domain_leakage,
         "margin_bitext": q_margin_bitext,
+        "crawl_completeness": q_crawl_completeness,
     }
 
 
@@ -8605,5 +8626,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, c_ppm AS cosine_ppm,
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
+        """,
+        # Chao1 (bias-corrected) + Good-Turing: pure BIGINT, // matches
+        # Spark div on non-negative operands.
+        "crawl_completeness": f"""
+            WITH u AS (
+              SELECT host, doc_id,
+                     CAST(CASE WHEN doc_id % 10 < 5 THEN 1
+                               WHEN doc_id % 10 < 8 THEN 2
+                               WHEN doc_id % 10 < 9 THEN 3
+                               ELSE 5 END AS BIGINT) AS n_seen
+              FROM ({_DOC_URLS_SQL})),
+            g AS (
+              SELECT host,
+                     CAST(COUNT(*) AS BIGINT) AS s_obs,
+                     CAST(SUM(CASE WHEN n_seen = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1,
+                     CAST(SUM(CASE WHEN n_seen = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f2,
+                     CAST(SUM(n_seen) AS BIGINT) AS n_discoveries
+              FROM u GROUP BY host)
+            SELECT host, s_obs, f1, f2, n_discoveries,
+                   CAST(s_obs + f1 * (f1 - 1) // (2 * (f2 + 1))
+                        AS BIGINT) AS chao1_est,
+                   CAST(s_obs * 1000000
+                        // (s_obs + f1 * (f1 - 1) // (2 * (f2 + 1)))
+                        AS BIGINT) AS coverage_ppm,
+                   CAST(f1 * 1000000 // n_discoveries AS BIGINT)
+                     AS unseen_mass_ppm
+            FROM g
         """,
     }

@@ -449,3 +449,26 @@ def test_retrieval_ndcg_hand_case(spark):
     assert out2["q1"]["dcg_units"] == 500000 + 2333333
     assert out2["q1"]["ndcg_ppm"] < 1000000
     assert out2["q1"]["idcg_units"] == out["q1"]["idcg_units"]
+
+
+def test_chao1_completeness_hand_case(spark):
+    """Hand-exact Chao1 + Good-Turing: singleton-heavy host gets a
+    richness bump; a host with no singletons is judged complete."""
+    from docrawl_spark.functions.sketches import chao1_completeness
+
+    df = spark.createDataFrame(
+        [
+            ("a", "u1", 1), ("a", "u2", 1), ("a", "u3", 1), ("a", "u4", 2),
+            ("b", "v1", 2), ("b", "v2", 2), ("b", "v3", 3),
+        ],
+        "host string, url string, n_seen long",
+    )
+    out = {r["host"]: r.asDict() for r in chao1_completeness(df).collect()}
+    # host a: S=4, f1=3, f2=1, N=5; chao1 = 4 + 3*2 div 4 = 5
+    assert out["a"]["chao1_est"] == 5
+    assert out["a"]["coverage_ppm"] == 800000
+    assert out["a"]["unseen_mass_ppm"] == 600000
+    # host b: no singletons -> estimator says saturated
+    assert out["b"]["chao1_est"] == 3
+    assert out["b"]["coverage_ppm"] == 1000000
+    assert out["b"]["unseen_mass_ppm"] == 0
