@@ -1194,3 +1194,78 @@ def neardup_threshold_sweep(
         F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
         F.coalesce("n_docs_dropped", F.lit(0)).cast("long").alias("n_docs_dropped"),
     )
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "md5hex",
+) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style): cut a document's
+    byte stream wherever the rolling k-gram hash ≡ 0 (mod divisor), so
+    chunk boundaries follow CONTENT, not offsets — an insertion early
+    in a page shifts every fixed-size block but leaves all CDC chunks
+    after the edit identical. The storage-dedup primitive for a 100 TB
+    snapshot archive (mirrors/recrawls share most chunks), complement
+    of the document-level near-dup family.
+
+    Window = the k-gram ENDING at position i (i in k..L-1 → cut after
+    i; L always closes the last chunk; expected chunk ≈ divisor bytes).
+    Docs shorter than k yield one whole-doc chunk. Everything is
+    per-row bounded array exprs — the winnowing machinery's shape — no
+    shuffle until the caller aggregates chunks.
+
+    ``hash_mode='md5hex'`` is the DuckDB-reproducible oracle form (the
+    shared 60-bit md5 slice); 'xxhash64' is the cheaper JVM scale twin
+    (same contract as the MinHash/winnowing families).
+
+    Returns the exploded (id, chunk) table; compose with a
+    (md5(chunk), length) groupBy for the dedup-ratio accounting.
+    """
+    t = text_col
+    if hash_mode == "md5hex":
+        h = (
+            f"CAST(conv(substring(md5(substring({t}, i - {k} + 1, {k})),"
+            f" 1, 15), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = f"abs(xxhash64(substring({t}, i - {k} + 1, {k})))"
+    bnd = (
+        f"CASE WHEN length({t}) >= {k} THEN "
+        f"filter(sequence({k}, length({t})), i -> i < length({t})"
+        f" AND pmod({h}, {divisor}) = 0) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+    out = (
+        df.where(F.length(t) >= 1)
+        .withColumn("_cuts", F.expr(f"concat(array(0), {bnd}, array(length({t})))"))
+        .withColumn(
+            "_chunks",
+            F.expr(
+                f"transform(sequence(1, size(_cuts) - 1),"
+                f" j -> substring({t}, element_at(_cuts, j) + 1,"
+                f" element_at(_cuts, j + 1) - element_at(_cuts, j)))"
+            ),
+        )
+    )
+    return out.select(F.col(id_col), F.explode("_chunks").alias("chunk"))
+
+
+def cdc_dedup_stats(
+    chunks: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunk-store accounting over a cdc_chunk_table: one row per
+    distinct chunk content (keyed by md5 — what a content-addressed
+    store keys on) with its byte length, total copies and distinct
+    docs. SUM(chunk_len·(n_copies−1)) over this table = bytes the
+    store saves. One map-side-combinable HashAggregate."""
+    return chunks.groupBy(
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").cast("int").alias("chunk_len"),
+    ).agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )

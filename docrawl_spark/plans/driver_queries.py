@@ -4368,6 +4368,16 @@ def q_crawl_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao1_completeness(u)
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (datapipe/dedup.
+    cdc_chunk_table + cdc_dedup_stats): rolling md5 k-gram cut points
+    (k=8, divisor=64 → ~64-byte chunks), per-chunk copy counts."""
+    from docrawl_spark.datapipe.dedup import cdc_chunk_table, cdc_dedup_stats
+
+    chunks = cdc_chunk_table(_docs_par(spark, sf_dir), k=8, divisor=64)
+    return cdc_dedup_stats(chunks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4536,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_leakage": q_domain_leakage,
         "margin_bitext": q_margin_bitext,
         "crawl_completeness": q_crawl_completeness,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -8655,5 +8666,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f1 * 1000000 // n_discoveries AS BIGINT)
                      AS unseen_mass_ppm
             FROM g
+        """,
+        # CDC: boundary iff 60-bit md5 slice of the k-gram ENDING at i
+        # ≡ 0 (mod 64), cut after i; L closes the last chunk; short
+        # docs = one whole-doc chunk. range(k, L+1) = k..L inclusive.
+        "cdc_chunks": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L FROM documents
+              WHERE length(text) >= 1),
+            pos AS (
+              SELECT doc_id, text, L, CAST(i AS INT) AS i
+              FROM d, UNNEST(range(8, L + 1)) AS t(i)
+              WHERE L >= 8),
+            bnd AS (
+              SELECT doc_id, i FROM pos
+              WHERE i < L
+                AND ('0x' || substr(md5(substr(text, i - 8 + 1, 8)), 1, 15))::BIGINT
+                    % 64 = 0),
+            bl AS (
+              SELECT doc_id, list(i ORDER BY i) AS cuts_mid
+              FROM bnd GROUP BY doc_id),
+            c AS (
+              SELECT d.doc_id, d.text,
+                     [0] || COALESCE(bl.cuts_mid, []) || [d.L] AS cuts
+              FROM d LEFT JOIN bl USING (doc_id)),
+            ch AS (
+              SELECT doc_id,
+                     substr(text, cuts[j] + 1, cuts[j + 1] - cuts[j]) AS chunk
+              FROM c, UNNEST(range(1, len(cuts))) AS t(j))
+            SELECT md5(chunk) AS chunk_md5,
+                   CAST(length(chunk) AS INT) AS chunk_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM ch GROUP BY md5(chunk), length(chunk)
         """,
     }

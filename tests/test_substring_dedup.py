@@ -131,3 +131,65 @@ def test_spans_plan_has_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- content-defined chunking (datapipe/dedup.cdc_chunk_table) -------
+
+
+def _cdc_chunks(spark, rows, **kw):
+    from docrawl_spark.datapipe.dedup import cdc_chunk_table
+
+    return cdc_chunk_table(_docs(spark, rows), **kw)
+
+
+def test_cdc_chunks_reassemble_to_document(spark):
+    """Chunks, concatenated in order of discovery, must reproduce the
+    exact document bytes — boundaries partition, never drop/overlap."""
+    text = _words("w", 60)
+    out = _cdc_chunks(spark, [(1, text)], k=8, divisor=16).collect()
+    assert "".join(r["chunk"] for r in out) == text
+    assert all(len(r["chunk"]) >= 1 for r in out)
+
+
+def test_cdc_short_doc_is_one_whole_chunk(spark):
+    """Docs shorter than k can have no k-gram boundary: one chunk."""
+    out = _cdc_chunks(spark, [(1, "abc")], k=8).collect()
+    assert [(r["doc_id"], r["chunk"]) for r in out] == [(1, "abc")]
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    """The CDC motivation: prepending bytes shifts every fixed-size
+    block but the chunks after the first content-defined cut are
+    IDENTICAL — the suffix's chunk multiset is shared."""
+    base = _words("page", 80)
+    rows = [(1, base), (2, "INSERTED HEADER " + base)]
+    out = _cdc_chunks(spark, rows, k=8, divisor=16).collect()
+    by_doc = {1: [], 2: []}
+    for r in out:
+        by_doc[r["doc_id"]].append(r["chunk"])
+    # both docs produced >1 chunk (otherwise the test is vacuous)
+    assert len(by_doc[1]) > 1 and len(by_doc[2]) > 1
+    shared = set(by_doc[1]) & set(by_doc[2])
+    # everything after doc 1's first cut reappears verbatim in doc 2
+    assert set(by_doc[1][1:]) <= set(by_doc[2])
+    assert shared, "no shared chunks — boundaries were not content-defined"
+
+
+def test_cdc_hash_modes_cut_independently_but_partition(spark):
+    """xxhash64 mode is the scale twin: different cut points are fine
+    (different hash), but it must still exactly partition the text."""
+    text = _words("mix", 50)
+    out = _cdc_chunks(spark, [(3, text)], k=8, divisor=16, hash_mode="xxhash64").collect()
+    assert "".join(r["chunk"] for r in out) == text
+
+
+def test_cdc_dedup_stats_counts_copies(spark):
+    """Two identical docs: every chunk row has n_copies=2, n_docs=2,
+    and SUM(chunk_len * n_copies) = total corpus bytes."""
+    from docrawl_spark.datapipe.dedup import cdc_dedup_stats
+
+    text = _words("dup", 40)
+    chunks = _cdc_chunks(spark, [(1, text), (2, text)], k=8, divisor=16)
+    stats = cdc_dedup_stats(chunks).collect()
+    assert stats and all(r["n_copies"] == 2 and r["n_docs"] == 2 for r in stats)
+    assert sum(r["chunk_len"] * r["n_copies"] for r in stats) == 2 * len(text)
