@@ -858,3 +858,99 @@ def blocklist_filter(
         F.size(hits).cast("int").alias("n_blocked_terms"),
         F.array_join(hits, " ").alias("blocked_terms"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_word_len: int = 2,
+) -> DataFrame:
+    """Full greedy BPE merge TRAINING (Sennrich et al. 2016) — the
+    capstone over ``bpe_pair_stats`` (which is one counting round):
+    learn the first ``n_merges`` merge rules over the corpus and
+    return the merge table ``(merge_rank, left_tok, right_tok,
+    pair_count)`` — the artifact a tokenizer build ships.
+
+    Distributed shape (how a Spark BPE trainer is structured): the
+    corpus is scanned ONCE into the word-frequency dim (map-side
+    combinable HashAggregate; at 100 TB the vocab is ~10^7-10^8 rows —
+    tiny next to the token stream), then every merge round runs on
+    that cached dim only: adjacent-pair explode → HashAggregate →
+    TakeOrdered(1) for the argmax (count desc, then (left, right)
+    lexicographic — deterministic cross-engine binary collation), and
+    the re-tokenize is a per-row ``aggregate`` fold — zero shuffle.
+    The driver holds one 1-row result per round (centroid-sized, the
+    IVF-training pattern).
+
+    Token state is the word's symbols joined by the U+001F unit
+    separator (words containing it are excluded, mirrored in the
+    oracle); greedy left-to-right application falls out of the fold:
+    merging appends the right symbol with NO separator, so the fused
+    token can't re-merge with the next element within the same round
+    (verified: 'aaa' + (a,a) → ['aa','a']). Lineage over the vocab dim
+    is truncated every 8 rounds (localCheckpoint) so deep merge counts
+    don't blow up codegen depth."""
+    sep = "char(31)"
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+    wf = (
+        toks.where(F.length("word") >= max(2, min_word_len))
+        .where(F.expr("NOT contains(word, char(31))"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tokstr",
+            F.expr(
+                f"array_join(transform(sequence(1, length(word)),"
+                f" i -> substring(word, i, 1)), {sep})"
+            ),
+        )
+        .persist()
+    )
+    wf0 = wf  # the cached corpus-scan handle; released after training
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (
+                wf.select(F.expr(f"split(tokstr, {sep})").alias("t"), "n")
+                .where(F.size("t") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(t) - 1),"
+                            " j -> struct(element_at(t, j) AS l,"
+                            " element_at(t, j + 1) AS r))"
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, c))
+            ql, qr = l.replace("'", "''"), r.replace("'", "''")
+            fold = (
+                f"aggregate(slice(split(tokstr, {sep}), 2,"
+                f" size(split(tokstr, {sep})) - 1),"
+                f" split(tokstr, {sep})[0],"
+                f" (acc, x) -> CASE WHEN x = '{qr}' AND (acc = '{ql}'"
+                f" OR endswith(acc, concat({sep}, '{ql}')))"
+                f" THEN concat(acc, x)"
+                f" ELSE concat(acc, {sep}, x) END)"
+            )
+            wf = wf.select("word", "n", F.expr(fold).alias("tokstr"))
+            if rank % 8 == 0:
+                wf = wf.localCheckpoint(eager=False)
+    finally:
+        wf0.unpersist()
+    out = df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank int, left_tok string, right_tok string, pair_count long",
+    )
+    return out

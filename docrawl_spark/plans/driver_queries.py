@@ -4378,6 +4378,61 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks)
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE merge training, first 6 rules (datapipe.text.
+    bpe_train_merges): per-round argmax pair over the cached
+    word-frequency dim + per-row fold re-tokenization."""
+    from docrawl_spark.datapipe.text import bpe_train_merges
+
+    return bpe_train_merges(_docs_par(spark, sf_dir), n_merges=6)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Generate the fixed-round BPE-training CTE chain: v0 = the
+    symbol-joined word-frequency dim, then per round i: p_i adjacent
+    pair counts → b_i argmax (count DESC, left, right) → v_i the
+    list_reduce greedy re-tokenization (merge appends with NO
+    separator, so a fused token can't re-merge within the round —
+    exactly the Spark fold's rule)."""
+    parts = [
+        r"""WITH wf AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+                 array_to_string(string_split(word, ''), chr(31)) AS tokstr
+          FROM (
+            SELECT s AS word
+            FROM (SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                  FROM documents), UNNEST(t) AS u(s))
+          WHERE len(word) >= 2 AND NOT contains(word, chr(31))
+          GROUP BY word),
+        v0 AS (SELECT * FROM wf)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        p{i} AS (
+          SELECT t[j] AS l, t[j + 1] AS r, CAST(SUM(n) AS BIGINT) AS c
+          FROM (SELECT string_split(tokstr, chr(31)) AS t, n FROM v{i - 1}) s,
+               UNNEST(range(1, len(t))) AS u(j)
+          GROUP BY 1, 2),
+        b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        v{i} AS (
+          SELECT word, n,
+                 list_reduce(string_split(tokstr, chr(31)),
+                   (acc, x) -> CASE WHEN x = b{i}.r
+                                     AND (acc = b{i}.l
+                                          OR ends_with(acc, chr(31) || b{i}.l))
+                               THEN acc || x ELSE acc || chr(31) || x END) AS tokstr
+          FROM v{i - 1}, b{i})"""
+        )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left_tok, r AS right_tok,"
+        f" c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n        {unions}")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -4547,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_bitext": q_margin_bitext,
         "crawl_completeness": q_crawl_completeness,
         "cdc_chunks": q_cdc_chunks,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -8700,4 +8756,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM ch GROUP BY md5(chunk), length(chunk)
         """,
+        "bpe_merges": _bpe_merges_oracle(6),
     }

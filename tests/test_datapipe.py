@@ -1004,3 +1004,50 @@ def test_margin_mining_prefers_aligned_over_hub(spark):
     assert out[2][0] == 3
     assert 4 not in out          # ambiguous source: margin ~1, filtered
     assert all(m >= 1_050_000 for _, m in out.values())
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """The learned merge sequence equals a pure-Python greedy BPE
+    trainer (word-frequency grain, count-desc then lexicographic
+    tiebreak, greedy left-to-right application within a round)."""
+    from collections import Counter
+
+    from docrawl_spark.datapipe.text import bpe_train_merges
+
+    corpus = "low low low lower lower newest newest newest widest widest"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+
+    words = Counter(corpus.split())
+    vocab = {w: (list(w), n) for w, n in words.items() if len(w) >= 2}
+    expect = []
+    for rank in range(1, 5):
+        pc: Counter = Counter()
+        for toks, n in vocab.values():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        expect.append((rank, a, b, c))
+        for w, (toks, n) in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = (out, n)
+
+    got = [
+        (r["merge_rank"], r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
+    # merged tokens actually fuse: a later rule consumes an earlier
+    # rule's output (multi-char left or right side appears)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
