@@ -1269,3 +1269,95 @@ def cdc_dedup_stats(
         F.count("*").cast("long").alias("n_copies"),
         F.countDistinct(id_col).cast("long").alias("n_docs"),
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    t_ppm: int = 900000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the no-false-negative complement to the MinHash-LSH pipeline: every
+    pair with distinct-token Jaccard ≥ t is returned, guaranteed.
+
+    Prefix-filter lemma: order each doc's distinct tokens by a GLOBAL
+    total order (document frequency ascending, token ascending — rarest
+    first, which minimizes candidate fan-out) and keep only the first
+    ``p = s - ceil(t*s) + 1`` tokens; any pair with J ≥ t must share a
+    token within both prefixes, so an equi-join on prefix tokens plus
+    the size filter ``min(sa,sb)·10^6 ≥ t_ppm·max(sa,sb)`` generates a
+    candidate superset, then an exact candidate-bounded intersection
+    count keeps ``n_inter·10^6 ≥ t_ppm·(sa+sb−n_inter)`` (all-integer,
+    cross-engine exact; ceil via ``(t·s + 999999) div 10^6``).
+
+    Plan shape: token-grain HashAggregate for df, per-doc bounded
+    window for prefix ranks (partitioned on the doc — no skew), one
+    equi-join on the prefix token (never a cartesian — plan-asserted),
+    and a verify stage that fans out candidates by the LEFT side's
+    tokens then equi-joins on (right_id, token): all work is
+    candidate-bounded. At 100 TB the rarity ordering is what keeps the
+    candidate join sparse; the oracle cross-checks completeness by
+    brute force."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("dfc").asc(), F.col("token").asc())
+    ranked = (
+        toks.join(dfreq, "token")
+        .join(sizes, "id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.expr(f"pos <= s - (({t_ppm} * s + 999999) div 1000000) + 1")
+    ).select("id", "token", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least("a.s", "b.s") * F.lit(1000000).cast("long")
+                >= F.lit(t_ppm).cast("long") * F.greatest("a.s", "b.s")
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("size_a"),
+            F.col("b.s").alias("size_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.where(
+        F.col("n_inter") * F.lit(1000000).cast("long")
+        >= F.lit(t_ppm).cast("long") * (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.expr(
+            "n_inter * CAST(1000000 AS BIGINT) div (size_a + size_b - n_inter)"
+        ).alias("jaccard_ppm"),
+    )

@@ -4378,6 +4378,15 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_stats(chunks)
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered set-similarity self-join (datapipe.dedup.
+    prefix_jaccard_pairs) at Jaccard ≥ 0.9 — the oracle is BRUTE FORCE,
+    so a hash match proves the pruning lost no pair."""
+    from docrawl_spark.datapipe.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs_par(spark, sf_dir), t_ppm=900000)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy BPE merge training, first 6 rules (datapipe.text.
     bpe_train_merges): per-round argmax pair over the cached
@@ -4603,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_completeness": q_crawl_completeness,
         "cdc_chunks": q_cdc_chunks,
         "bpe_merges": q_bpe_merges,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     }
 
 
@@ -8757,4 +8767,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ch GROUP BY md5(chunk), length(chunk)
         """,
         "bpe_merges": _bpe_merges_oracle(6),
+        # Brute force on purpose: the Spark side prunes via the
+        # prefix-filter lemma; hash equality against the unpruned join
+        # proves no false negatives.
+        "prefix_jaccard_pairs": r"""
+            WITH tk AS (
+              SELECT DISTINCT doc_id, s AS token
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                    FROM documents), UNNEST(t) AS u(s)
+              WHERE s <> ''),
+            sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM tk GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS ni
+              FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, ni AS n_inter,
+                   sa.s AS size_a, sb.s AS size_b,
+                   ni * 1000000 // (sa.s + sb.s - ni) AS jaccard_ppm
+            FROM inter
+            JOIN sz sa ON sa.doc_id = ia
+            JOIN sz sb ON sb.doc_id = ib
+            WHERE ni * 1000000 >= 900000 * (sa.s + sb.s - ni)
+        """,
     }

@@ -1051,3 +1051,80 @@ def test_bpe_train_merges_matches_python_reference(spark):
     # merged tokens actually fuse: a later rule consumes an earlier
     # rule's output (multi-char left or right side appears)
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got)
+
+
+def test_prefix_jaccard_exact_pairs_and_boundary(spark):
+    """Pairs at/above threshold survive, below are pruned; counts are
+    the distinct-token intersections. J(d1,d2)=3/3=1.0 ≥ 0.75;
+    J(d1,d3)=3/4=0.75 boundary kept; J(d1,d4)=1/5 pruned."""
+    from docrawl_spark.datapipe.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),
+            (3, "alpha beta gamma delta"),
+            (4, "alpha zz yy xx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard_ppm"])
+        for r in prefix_jaccard_pairs(docs, t_ppm=750000).collect()
+    }
+    assert got == {
+        (1, 2): (3, 1000000),
+        (1, 3): (3, 750000),
+        (2, 3): (3, 750000),
+    }
+
+
+def test_prefix_jaccard_matches_python_brute_force(spark):
+    """No-false-negative guarantee on a seeded random corpus: the
+    pruned join returns EXACTLY the brute-force pair set."""
+    import random
+
+    from docrawl_spark.datapipe.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+        for i in range(1, 41)
+    ]
+    sets = {i: set(t.split()) for i, t in rows}
+    t_ppm = 600000
+    expect = set()
+    for ia in sets:
+        for ib in sets:
+            if ia < ib:
+                ni = len(sets[ia] & sets[ib])
+                un = len(sets[ia] | sets[ib])
+                if ni * 1000000 >= t_ppm * un:
+                    expect.add((ia, ib))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(docs, t_ppm=t_ppm).collect()
+    }
+    assert got == expect
+
+
+def test_prefix_jaccard_plan_no_cartesian(spark):
+    """Candidate generation must be an equi-join on the prefix token —
+    never a cartesian or broadcast-nested-loop over docs."""
+    import io
+    from contextlib import redirect_stdout
+
+    from docrawl_spark.datapipe.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        prefix_jaccard_pairs(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
