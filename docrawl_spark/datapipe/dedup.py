@@ -1361,3 +1361,92 @@ def prefix_jaccard_pairs(
             "n_inter * CAST(1000000 AS BIGINT) div (size_a + size_b - n_inter)"
         ).alias("jaccard_ppm"),
     )
+
+
+def shingle_jaccard_truth_pairs(
+    df: DataFrame,
+    t_ppm: int = 500000,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ground-truth near-dup pairs: EXACT Jaccard ≥ t over the same
+    distinct word-shingle sets MinHash signs. Deliberately the
+    expensive unpruned shingle co-occurrence join — this is the eval
+    reference, meant to run on a corpus sample at scale (the pruned
+    production paths are `minhash_lsh_pairs` / `prefix_jaccard_pairs`)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.col("ni") * F.lit(1000000).cast("long")
+            >= F.lit(t_ppm).cast("long") * (F.col("sa") + F.col("sb") - F.col("ni"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    t_ppm: int = 500000,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    hash_mode: str = "md5hex",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-pipeline QUALITY eval: precision/recall of the MinHash-LSH
+    candidate set against exact shingle-Jaccard ≥ t truth — the number
+    you read before committing band/row parameters to a 100 TB run
+    (the s-curve says P(candidate) = 1-(1-s^r)^b; this measures it on
+    real data). One row: (n_truth, n_cand, n_hit, precision_ppm,
+    recall_ppm), integer ppm with div-by-zero guarded to 0-denominator
+    → counts of 0 (greatest(x,1), mirrored in the oracle).
+
+    The truth side is the unpruned exact join — at cluster scale run
+    the eval on a stratified sample (`datapipe.sampling`), never the
+    full corpus; the LSH side is the production bucket-join shape."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
+    )
+    truth = shingle_jaccard_truth_pairs(df, t_ppm, shingle_k, text_col, id_col)
+    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_hit = (
+        cands.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "n_hit * CAST(1000000 AS BIGINT) div greatest(n_cand, CAST(1 AS BIGINT))"
+            ).alias("precision_ppm"),
+            F.expr(
+                "n_hit * CAST(1000000 AS BIGINT) div greatest(n_truth, CAST(1 AS BIGINT))"
+            ).alias("recall_ppm"),
+        )
+    )

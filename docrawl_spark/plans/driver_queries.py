@@ -4387,6 +4387,15 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(_docs_par(spark, sf_dir), t_ppm=900000)
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the md5-mode MinHash-LSH candidate set
+    (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
+    (datapipe.dedup.lsh_recall_eval)."""
+    from docrawl_spark.datapipe.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(_docs_par(spark, sf_dir), t_ppm=500000)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy BPE merge training, first 6 rules (datapipe.text.
     bpe_train_merges): per-round argmax pair over the cached
@@ -4613,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "bpe_merges": q_bpe_merges,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "lsh_recall_eval": q_lsh_recall_eval,
     }
 
 
@@ -8789,5 +8799,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = ia
             JOIN sz sb ON sb.doc_id = ib
             WHERE ni * 1000000 >= 900000 * (sa.s + sb.s - ni)
+        """,
+        # Candidate CTEs reproduce the md5 LSH pipeline (same SQL as
+        # minhash_lsh_pairs_md5); truth is the unpruned exact
+        # shingle-Jaccard join at t = 0.5.
+        "lsh_recall_eval": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            truth AS (
+              SELECT id_a, id_b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE ni * 1000000 >= 500000 * (sa.s + sb.s - ni)),
+            hit AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth),
+            m AS (
+              SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
+            SELECT n_truth, n_cand, n_hit,
+                   n_hit * 1000000 // GREATEST(n_cand, 1) AS precision_ppm,
+                   n_hit * 1000000 // GREATEST(n_truth, 1) AS recall_ppm
+            FROM m
         """,
     }

@@ -1128,3 +1128,32 @@ def test_prefix_jaccard_plan_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_recall_eval_hand_case(spark):
+    """Twin docs (J=1) must be both truth and candidate (recall
+    contribution); a disjoint doc contributes to neither; the single
+    row's metrics are exact integer ppm."""
+    from docrawl_spark.datapipe.dedup import lsh_recall_eval
+
+    base = " ".join(f"tok{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"zzz{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    row = lsh_recall_eval(docs, t_ppm=500000).collect()[0]
+    assert row["n_truth"] == 1 and row["n_cand"] == 1 and row["n_hit"] == 1
+    assert row["precision_ppm"] == 1000000 and row["recall_ppm"] == 1000000
+
+
+def test_lsh_recall_eval_empty_corpus_guarded(spark):
+    """No shingle-bearing docs → all-zero counts, guarded ppm = 0 (no
+    division error)."""
+    from docrawl_spark.datapipe.dedup import lsh_recall_eval
+
+    docs = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    row = lsh_recall_eval(docs).collect()[0]
+    assert (
+        row["n_truth"], row["n_cand"], row["n_hit"],
+        row["precision_ppm"], row["recall_ppm"],
+    ) == (0, 0, 0, 0, 0)
