@@ -98,6 +98,14 @@ HEADLINE = [
     # windows) and the domain-leakage audit (PSL map + split agg)
     "margin_bitext",
     "domain_leakage",
+    # round-3 session-5: CDC chunk-store accounting (explode→agg cut
+    # scan), LSH banding quality eval, and the iterative BPE trainer.
+    # prefix_jaccard_pairs stays OUT of the headline set: it is the
+    # exact eval-grade join and the sf0.1 corpus is adversarially
+    # self-similar at t=0.9 (~40 s, candidate-bounded but dense).
+    "cdc_chunks",
+    "lsh_recall_eval",
+    "bpe_merges",
 ]
 
 
