@@ -565,3 +565,100 @@ def cocitation_pairs(
         .agg(F.count("*").cast("long").alias("cocites"))
         .where(F.col("cocites") >= min_cocite)
     )
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 3,
+    p: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function of the
+    host graph via per-node mergeable HLL counters — N(r) = Σ_v
+    |Ball(v, r)| estimated without materializing reachability sets.
+    THE web-graph-scale algorithm for effective-diameter / average-
+    distance / "how connected is the crawl frontier" questions: exact
+    BFS closure is O(n²) state at 10^9 hosts, HyperBall is m registers
+    per node and one register-max merge along edges per round.
+
+    Counter arithmetic is the repo's integer-exact HLL
+    (functions/sketches: 60-bit md5 slice, bit-length rho, fixed-point
+    alpha, exact linear-counting table) so every estimate — and
+    therefore the whole output — is oracle-hashable bit-for-bit.
+
+    Plan shape per round: counters equi-join edges on dst (register
+    arrays ride the join), union with the previous counters, then the
+    CLAUDE.md explode→HashAggregate reshape for the elementwise
+    register max (posexplode → (host, j) MAX → array_sort(collect_list)
+    reassembly) — no interpreted per-array HOF in the hot path, and
+    the shuffle carries (host, j, rho) rows, m per node.
+
+    Returns one row per radius r = 0..n_rounds:
+    (r, n_nodes, nf_units) with nf_units monotone nondecreasing."""
+    from docrawl_spark.functions.sketches import _hash60, _hll_estimate_expr
+
+    m = 1 << p
+    width = 60 - p
+    k_cap = 40
+    h = _hash60(F.col(host_col).cast("string"))
+    bucket = (h % F.lit(m)).alias("b")
+    rest = F.expr(
+        f"conv(substring(md5(CAST({host_col} AS STRING)), 1, 15), 16, 10)"
+        f" div {m}"
+    )
+    rho = F.when(rest == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    counters = nodes.select(
+        F.col(host_col).alias("host"), bucket, rho.cast("int").alias("rho")
+    ).select(
+        "host",
+        F.expr(f"transform(sequence(0, {m - 1}),"
+               f" j -> IF(j = b, rho, 0))").alias("regs"),
+    )
+    e = (
+        edges.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+
+    def _nf(c: DataFrame, r: int) -> DataFrame:
+        ex = c.select("host", F.explode("regs").alias("rho"))
+        per = ex.groupBy("host").agg(
+            F.expr(
+                f"CAST(sum(shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(greatest({k_cap} - rho, 0) AS INT))) AS BIGINT)"
+            ).alias("s"),
+            F.expr("CAST(sum(IF(rho = 0, 1, 0)) AS BIGINT)").alias("zeros"),
+        )
+        est = per.select(_hll_estimate_expr(p).alias("est"))
+        return est.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("est").cast("long").alias("nf_units"),
+        ).select(F.lit(r).cast("int").alias("r"), "n_nodes", "nf_units")
+
+    out = _nf(counters, 0)
+    for r in range(1, n_rounds + 1):
+        nb = (
+            e.withColumnRenamed("dst_host", "host")
+            .join(counters, "host")
+            .select(F.col("src_host").alias("host"), "regs")
+        )
+        ex = (
+            counters.unionByName(nb)
+            .select("host", F.posexplode("regs").alias("j", "rho"))
+        )
+        mx = ex.groupBy("host", "j").agg(F.max("rho").alias("rho"))
+        counters = mx.groupBy("host").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, rho))),"
+                " x -> x.rho)"
+            ).alias("regs")
+        )
+        # per-round lineage truncation (the bfs_distances/connected_
+        # components discipline) — also sidesteps a Catalyst union-
+        # constraint rewrite failure on deeply self-referencing plans
+        counters = counters.localCheckpoint(eager=False)
+        out = out.unionByName(_nf(counters, r))
+    return out

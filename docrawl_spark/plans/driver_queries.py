@@ -4387,6 +4387,129 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(_docs_par(spark, sf_dir), t_ppm=900000)
 
 
+def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function N(r), r = 0..3, over the same
+    deterministic host graph as host_pagerank (datapipe.graph.
+    hyperball_neighborhood, p=4): per-node integer-exact HLL counters
+    register-max-merged along edges each round."""
+    from docrawl_spark.datapipe.graph import hyperball_neighborhood
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.select(
+            "host",
+            F.col("doc_id").cast("string").alias("did"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":"), F.col("k").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    edges = links.join(F.broadcast(idx), links.dst_idx == idx.host_idx).select(
+        "src_host", F.col("host").alias("dst_host")
+    )
+    return hyperball_neighborhood(edges, hosts, n_rounds=3, p=4)
+
+
+def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
+    """Generate the fixed-round HyperBall CTE chain mirroring
+    hyperball_neighborhood: c0 = one-key HLL register list per host,
+    round i = edge join + UNION + per-(host, j) register MAX + list
+    reassembly, then the shared integer HLL estimate per round."""
+    from docrawl_spark.functions.sketches import _lc_table
+
+    m = 1 << p
+    width = 60 - p
+    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+    lc = ", ".join(str(v) for v in _lc_table(p))
+    parts = [
+        f"""WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM u),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u, UNNEST([0, 1, 2]) AS t(k)),
+        e0 AS (
+          SELECT DISTINCT r.src_host, i.host AS dst_host
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        hh AS (
+          SELECT host, ('0x' || substr(md5(host), 1, 15))::BIGINT AS h
+          FROM hosts),
+        c0 AS (
+          SELECT host,
+                 list_transform(range(0, {m}),
+                   j -> CASE WHEN j = h % {m}
+                             THEN (CASE WHEN h // {m} = 0 THEN {width + 1}
+                                        ELSE {width} - length(bin(h // {m})) + 1 END)
+                             ELSE 0 END) AS regs
+          FROM hh)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+        nb{i} AS (
+          SELECT e.src_host AS host, c.regs
+          FROM e0 e JOIN c{i - 1} c ON c.host = e.dst_host),
+        al{i} AS (
+          SELECT host, regs FROM c{i - 1}
+          UNION ALL SELECT host, regs FROM nb{i}),
+        mx{i} AS (
+          SELECT host, j, MAX(regs[j + 1]) AS rho
+          FROM al{i}, UNNEST(range(0, {m})) AS t(j) GROUP BY host, j),
+        c{i} AS (SELECT host, list(rho ORDER BY j) AS regs FROM mx{i} GROUP BY host)"""
+        )
+    for r in range(0, n_rounds + 1):
+        parts.append(
+            f""",
+        ag{r} AS (
+          SELECT host,
+                 CAST(SUM(1::BIGINT << CAST(greatest(40 - regs[j + 1], 0) AS INTEGER)) AS BIGINT) AS s,
+                 CAST(SUM(CASE WHEN regs[j + 1] = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+          FROM c{r}, UNNEST(range(0, {m})) AS t(j) GROUP BY host),
+        es{r} AS (
+          SELECT zeros,
+                 {alpha_ppm}::BIGINT * (({m * m}::BIGINT * (1::BIGINT << 40)) // s)
+                   // 1000000 AS raw
+          FROM ag{r}),
+        nf{r} AS (
+          SELECT CAST({r} AS INT) AS r, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(CASE WHEN zeros > 0 AND raw <= {5 * m // 2}
+                               THEN ([{lc}])[CAST(zeros AS INTEGER)]
+                               ELSE raw END) AS BIGINT) AS nf_units
+          FROM es{r})"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT * FROM nf{r}" for r in range(0, n_rounds + 1)
+    )
+    parts.append(f"\n        {sel}")
+    return "".join(parts)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -4623,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "lsh_recall_eval": q_lsh_recall_eval,
+        "hyperball_nf": q_hyperball_nf,
     }
 
 
@@ -8848,4 +8972,5 @@ def oracle_sql() -> dict[str, str]:
                    n_hit * 1000000 // GREATEST(n_truth, 1) AS recall_ppm
             FROM m
         """,
+        "hyperball_nf": _hyperball_oracle(3, 4),
     }

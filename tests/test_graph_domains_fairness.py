@@ -329,3 +329,72 @@ def test_ucb_host_allocation_explore_exploit(spark):
     # equal sampling -> yield decides
     assert got["hot"]["ucb_ppm"] > got["mid"]["ucb_ppm"]
     assert got["hot"]["bonus_ppm"] == got["mid"]["bonus_ppm"]
+
+
+def test_hyperball_matches_python_hll_simulation(spark):
+    """HyperBall rows equal a pure-Python mirror of the integer HLL
+    arithmetic over EXACT BFS balls (the register state after r rounds
+    is exactly the union sketch of Ball(v, r)), on a small digraph
+    with a cycle, a chain, and an isolated node."""
+    import hashlib
+    import math
+
+    from docrawl_spark.datapipe.graph import hyperball_neighborhood
+
+    adj = {
+        "a": ["b"],
+        "b": ["c"],
+        "c": ["a", "d"],
+        "d": [],
+        "e": [],  # isolated
+    }
+    hosts = sorted(adj)
+    p, m, width, k_cap, rounds = 4, 16, 56, 40, 3
+    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+    lc = [round(m * math.log(m / z)) for z in range(1, m + 1)]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def regs_of(keys):
+        regs = [0] * m
+        for s in keys:
+            h = h60(s)
+            b, rest = h % m, h // m
+            rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+            regs[b] = max(regs[b], rho)
+        return regs
+
+    def est(regs):
+        s = sum(1 << max(k_cap - r, 0) for r in regs)
+        zeros = sum(1 for r in regs if r == 0)
+        raw = alpha_ppm * ((m * m * (1 << k_cap)) // s) // 1_000_000
+        if zeros > 0 and raw <= 5 * m // 2:
+            return lc[zeros - 1]
+        return raw
+
+    balls = {v: {v} for v in hosts}
+    expect = []
+    for r in range(rounds + 1):
+        if r > 0:
+            balls = {
+                v: balls[v].union(*[balls[w] for w in adj[v]] or [set()])
+                for v in hosts
+            }
+        expect.append((r, len(hosts), sum(est(regs_of(balls[v])) for v in hosts)))
+
+    edges = spark.createDataFrame(
+        [(s, d) for s, ds in adj.items() for d in ds],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [
+        (r["r"], r["n_nodes"], r["nf_units"])
+        for r in hyperball_neighborhood(edges, nodes, n_rounds=rounds, p=p)
+        .orderBy("r")
+        .collect()
+    ]
+    assert got == expect
+    # and the neighborhood function is monotone nondecreasing
+    nf = [x[2] for x in got]
+    assert nf == sorted(nf)
