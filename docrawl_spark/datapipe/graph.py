@@ -596,6 +596,29 @@ def hyperball_neighborhood(
 
     Returns one row per radius r = 0..n_rounds:
     (r, n_nodes, nf_units) with nf_units monotone nondecreasing."""
+    prof = hyperball_ball_profile(edges, nodes, n_rounds, p, host_col)
+    return (
+        prof.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("ball_units").cast("long").alias("nf_units"),
+        )
+        .select(F.col("r").cast("int").alias("r"), "n_nodes", "nf_units")
+    )
+
+
+def hyperball_ball_profile(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 3,
+    p: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-node HyperBall state: (host, r, ball_units) for
+    r = 0..n_rounds — |Ball(host, r)| estimated by the shared
+    integer-exact HLL arithmetic. The building block under both the
+    neighborhood function (sum over nodes) and harmonic centrality
+    (per-node growth deltas)."""
     from docrawl_spark.functions.sketches import _hash60, _hll_estimate_expr
 
     m = 1 << p
@@ -623,7 +646,7 @@ def hyperball_neighborhood(
         .distinct()
     )
 
-    def _nf(c: DataFrame, r: int) -> DataFrame:
+    def _balls(c: DataFrame, r: int) -> DataFrame:
         ex = c.select("host", F.explode("regs").alias("rho"))
         per = ex.groupBy("host").agg(
             F.expr(
@@ -632,13 +655,13 @@ def hyperball_neighborhood(
             ).alias("s"),
             F.expr("CAST(sum(IF(rho = 0, 1, 0)) AS BIGINT)").alias("zeros"),
         )
-        est = per.select(_hll_estimate_expr(p).alias("est"))
-        return est.agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("est").cast("long").alias("nf_units"),
-        ).select(F.lit(r).cast("int").alias("r"), "n_nodes", "nf_units")
+        return per.select(
+            "host",
+            F.lit(r).cast("int").alias("r"),
+            _hll_estimate_expr(p).alias("ball_units"),
+        )
 
-    out = _nf(counters, 0)
+    out = _balls(counters, 0)
     for r in range(1, n_rounds + 1):
         nb = (
             e.withColumnRenamed("dst_host", "host")
@@ -660,5 +683,47 @@ def hyperball_neighborhood(
         # components discipline) — also sidesteps a Catalyst union-
         # constraint rewrite failure on deeply self-referencing plans
         counters = counters.localCheckpoint(eager=False)
-        out = out.unionByName(_nf(counters, r))
+        out = out.unionByName(_balls(counters, r))
     return out
+
+
+def harmonic_centrality_topk(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 3,
+    p: int = 4,
+    k: int = 20,
+    host_col: str = "host",
+) -> DataFrame:
+    """Harmonic centrality via HyperBall growth deltas (Boldi & Vigna's
+    actual use case): H(v) ≈ Σ_{r=1..R} (|Ball(v,r)| − |Ball(v,r−1)|)/r
+    — each newly reached node at distance r contributes 1/r. Pass the
+    REVERSED edge table for classic inbound centrality ("how easily is
+    this host reached"), the forward table for outreach.
+
+    Integer basis: hc_units = Σ greatest(Δball, 0)·10^6 div r. The
+    greatest(·,0) clamp matters: the HLL estimate is monotone within
+    each branch but can dip a unit when crossing the linear-counting →
+    raw boundary; a negative "newly reached" count is meaningless, so
+    it is clamped (mirrored in the oracle). Top-k by (hc desc, host) —
+    TakeOrdered, no global sort."""
+    prof = hyperball_ball_profile(edges, nodes, n_rounds, p, host_col)
+    growth = [
+        F.sum(
+            F.when(F.col("r") == r, F.col("ball_units")).otherwise(F.lit(0))
+        ).alias(f"b{r}")
+        for r in range(0, n_rounds + 1)
+    ]
+    wide = prof.groupBy("host").agg(*growth)
+    hc = None
+    for r in range(1, n_rounds + 1):
+        term = F.expr(
+            f"greatest(b{r} - b{r - 1}, CAST(0 AS BIGINT))"
+            f" * CAST(1000000 AS BIGINT) div {r}"
+        )
+        hc = term if hc is None else hc + term
+    return (
+        wide.select("host", hc.cast("long").alias("hc_units"))
+        .orderBy(F.col("hc_units").desc(), F.col("host").asc())
+        .limit(k)
+    )

@@ -4387,12 +4387,9 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(_docs_par(spark, sf_dir), t_ppm=900000)
 
 
-def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperBall neighborhood function N(r), r = 0..3, over the same
-    deterministic host graph as host_pagerank (datapipe.graph.
-    hyperball_neighborhood, p=4): per-node integer-exact HLL counters
-    register-max-merged along edges each round."""
-    from docrawl_spark.datapipe.graph import hyperball_neighborhood
+def _hb_host_graph(spark: SparkSession, sf_dir: str):
+    """(edges, hosts) — the same deterministic host graph host_pagerank
+    uses (3 md5-hashed out-links per doc onto the host index)."""
     from docrawl_spark.operators.ranking import with_global_rank
 
     urls = _doc_urls(spark, sf_dir)
@@ -4425,20 +4422,48 @@ def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.join(F.broadcast(idx), links.dst_idx == idx.host_idx).select(
         "src_host", F.col("host").alias("dst_host")
     )
+    return edges, hosts
+
+
+def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function N(r), r = 0..3, over the same
+    deterministic host graph as host_pagerank (datapipe.graph.
+    hyperball_neighborhood, p=4): per-node integer-exact HLL counters
+    register-max-merged along edges each round."""
+    from docrawl_spark.datapipe.graph import hyperball_neighborhood
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
     return hyperball_neighborhood(edges, hosts, n_rounds=3, p=4)
 
 
-def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hosts by inbound harmonic centrality (datapipe.graph.
+    harmonic_centrality_topk over the REVERSED host graph): HyperBall
+    ball-growth deltas weighted 1/r."""
+    from docrawl_spark.datapipe.graph import harmonic_centrality_topk
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    return harmonic_centrality_topk(rev, hosts, n_rounds=3, p=4, k=20)
+
+
+def _hyperball_cte_chain(n_rounds: int = 3, p: int = 4, reverse: bool = False) -> str:
     """Generate the fixed-round HyperBall CTE chain mirroring
-    hyperball_neighborhood: c0 = one-key HLL register list per host,
+    hyperball_ball_profile: c0 = one-key HLL register list per host,
     round i = edge join + UNION + per-(host, j) register MAX + list
-    reassembly, then the shared integer HLL estimate per round."""
+    reassembly, then a per-host integer HLL ball estimate bl{r} for
+    each round. ``reverse`` flips the merge direction (inbound balls
+    for harmonic centrality)."""
     from docrawl_spark.functions.sketches import _lc_table
 
     m = 1 << p
     width = 60 - p
     alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
     lc = ", ".join(str(v) for v in _lc_table(p))
+    join_col = "src_host" if reverse else "dst_host"
+    out_col = "dst_host" if reverse else "src_host"
     parts = [
         f"""WITH u AS (
           SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
@@ -4473,8 +4498,8 @@ def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
         parts.append(
             f""",
         nb{i} AS (
-          SELECT e.src_host AS host, c.regs
-          FROM e0 e JOIN c{i - 1} c ON c.host = e.dst_host),
+          SELECT e.{out_col} AS host, c.regs
+          FROM e0 e JOIN c{i - 1} c ON c.host = e.{join_col}),
         al{i} AS (
           SELECT host, regs FROM c{i - 1}
           UNION ALL SELECT host, regs FROM nb{i}),
@@ -4492,22 +4517,48 @@ def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
                  CAST(SUM(CASE WHEN regs[j + 1] = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
           FROM c{r}, UNNEST(range(0, {m})) AS t(j) GROUP BY host),
         es{r} AS (
-          SELECT zeros,
+          SELECT host, zeros,
                  {alpha_ppm}::BIGINT * (({m * m}::BIGINT * (1::BIGINT << 40)) // s)
                    // 1000000 AS raw
           FROM ag{r}),
-        nf{r} AS (
-          SELECT CAST({r} AS INT) AS r, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-                 CAST(SUM(CASE WHEN zeros > 0 AND raw <= {5 * m // 2}
-                               THEN ([{lc}])[CAST(zeros AS INTEGER)]
-                               ELSE raw END) AS BIGINT) AS nf_units
+        bl{r} AS (
+          SELECT host,
+                 CAST(CASE WHEN zeros > 0 AND raw <= {5 * m // 2}
+                           THEN ([{lc}])[CAST(zeros AS INTEGER)]
+                           ELSE raw END AS BIGINT) AS ball
           FROM es{r})"""
         )
-    sel = "\n            UNION ALL ".join(
-        f"SELECT * FROM nf{r}" for r in range(0, n_rounds + 1)
-    )
-    parts.append(f"\n        {sel}")
     return "".join(parts)
+
+
+def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
+    """Neighborhood function N(r) from the per-host ball CTEs."""
+    chain = _hyperball_cte_chain(n_rounds, p)
+    sel = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS r, CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+        f" CAST(SUM(ball) AS BIGINT) AS nf_units FROM bl{r}"
+        for r in range(0, n_rounds + 1)
+    )
+    return chain + f"\n        {sel}"
+
+
+def _harmonic_oracle(n_rounds: int = 3, p: int = 4, k: int = 20) -> str:
+    """Harmonic centrality from REVERSED-edge ball growth deltas —
+    mirrors datapipe.graph.harmonic_centrality_topk (greatest(Δ,0)
+    clamp at the linear-counting branch boundary)."""
+    chain = _hyperball_cte_chain(n_rounds, p, reverse=True)
+    from_clause = "bl0 b0" + "".join(
+        f" JOIN bl{r} b{r} USING (host)" for r in range(1, n_rounds + 1)
+    )
+    cols = ", ".join(f"b{r}.ball AS b{r}" for r in range(0, n_rounds + 1))
+    terms = " + ".join(
+        f"greatest(b{r} - b{r - 1}, 0::BIGINT) * 1000000::BIGINT // {r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return chain + f""",
+        w AS (SELECT host, {cols} FROM {from_clause})
+        SELECT host, CAST({terms} AS BIGINT) AS hc_units
+        FROM w ORDER BY hc_units DESC, host ASC LIMIT {k}"""
 
 
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4747,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "lsh_recall_eval": q_lsh_recall_eval,
         "hyperball_nf": q_hyperball_nf,
+        "harmonic_centrality": q_harmonic_centrality,
     }
 
 
@@ -8973,4 +9025,5 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "hyperball_nf": _hyperball_oracle(3, 4),
+        "harmonic_centrality": _harmonic_oracle(3, 4, 20),
     }

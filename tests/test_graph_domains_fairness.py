@@ -398,3 +398,67 @@ def test_hyperball_matches_python_hll_simulation(spark):
     # and the neighborhood function is monotone nondecreasing
     nf = [x[2] for x in got]
     assert nf == sorted(nf)
+
+
+def test_harmonic_centrality_python_simulation_and_order(spark):
+    """Inbound harmonic centrality equals the Python mirror (reverse
+    BFS balls → same integer HLL estimates → clamped 1/r deltas), and
+    the star center outranks every spoke."""
+    import hashlib
+    import math
+
+    from docrawl_spark.datapipe.graph import harmonic_centrality_topk
+
+    # spokes s1..s4 -> hub; chain t1 -> t2 -> hub
+    fwd = [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("s4", "hub"),
+           ("t1", "t2"), ("t2", "hub")]
+    hosts = sorted({h for e in fwd for h in e})
+    p, m, width, k_cap, rounds = 4, 16, 56, 40, 3
+    alpha_ppm = int(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
+    lc = [round(m * math.log(m / z)) for z in range(1, m + 1)]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def est(keys):
+        regs = [0] * m
+        for s in keys:
+            h = h60(s)
+            b, rest = h % m, h // m
+            rho = width + 1 if rest == 0 else width - rest.bit_length() + 1
+            regs[b] = max(regs[b], rho)
+        s = sum(1 << max(k_cap - r, 0) for r in regs)
+        zeros = sum(1 for r in regs if r == 0)
+        raw = alpha_ppm * ((m * m * (1 << k_cap)) // s) // 1_000_000
+        return lc[zeros - 1] if zeros > 0 and raw <= 5 * m // 2 else raw
+
+    radj = {v: [] for v in hosts}
+    for s, d in fwd:
+        radj[d].append(s)  # inbound: ball grows along reversed edges
+    balls = {v: {v} for v in hosts}
+    prof = {v: [est(balls[v])] for v in hosts}
+    for _ in range(rounds):
+        balls = {
+            v: balls[v].union(*[balls[w] for w in radj[v]] or [set()])
+            for v in hosts
+        }
+        for v in hosts:
+            prof[v].append(est(balls[v]))
+    expect = {
+        v: sum(
+            max(prof[v][r] - prof[v][r - 1], 0) * 1_000_000 // r
+            for r in range(1, rounds + 1)
+        )
+        for v in hosts
+    }
+
+    edges = spark.createDataFrame(fwd, "src_host string, dst_host string")
+    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rev = edges.selectExpr("dst_host AS src_host", "src_host AS dst_host")
+    got = {
+        r["host"]: r["hc_units"]
+        for r in harmonic_centrality_topk(rev, nodes, n_rounds=rounds, p=p, k=10).collect()
+    }
+    assert got == expect
+    assert got["hub"] == max(got.values())
+    assert all(got["hub"] > got[s] for s in ["s1", "s2", "s3", "s4"])
