@@ -860,6 +860,73 @@ def blocklist_filter(
     )
 
 
+def _bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_word_len: int = 2,
+):
+    """Shared trainer core: returns (merges list, final re-tokenized
+    word-frequency frame, the persisted base handle — caller releases).
+    See bpe_train_merges for the full algorithm notes."""
+    sep = "char(31)"
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+    wf = (
+        toks.where(F.length("word") >= max(2, min_word_len))
+        .where(F.expr("NOT contains(word, char(31))"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tokstr",
+            F.expr(
+                f"array_join(transform(sequence(1, length(word)),"
+                f" i -> substring(word, i, 1)), {sep})"
+            ),
+        )
+        .persist()
+    )
+    wf0 = wf
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            wf.select(F.expr(f"split(tokstr, {sep})").alias("t"), "n")
+            .where(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " j -> struct(element_at(t, j) AS l,"
+                        " element_at(t, j + 1) AS r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, c))
+        ql, qr = l.replace("'", "''"), r.replace("'", "''")
+        fold = (
+            f"aggregate(slice(split(tokstr, {sep}), 2,"
+            f" size(split(tokstr, {sep})) - 1),"
+            f" split(tokstr, {sep})[0],"
+            f" (acc, x) -> CASE WHEN x = '{qr}' AND (acc = '{ql}'"
+            f" OR endswith(acc, concat({sep}, '{ql}')))"
+            f" THEN concat(acc, x)"
+            f" ELSE concat(acc, {sep}, x) END)"
+        )
+        wf = wf.select("word", "n", F.expr(fold).alias("tokstr"))
+        if rank % 8 == 0:
+            wf = wf.localCheckpoint(eager=False)
+    return merges, wf, wf0
+
+
 def bpe_train_merges(
     df: DataFrame,
     n_merges: int = 6,
@@ -891,66 +958,45 @@ def bpe_train_merges(
     (verified: 'aaa' + (a,a) → ['aa','a']). Lineage over the vocab dim
     is truncated every 8 rounds (localCheckpoint) so deep merge counts
     don't blow up codegen depth."""
-    sep = "char(31)"
-    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
-    wf = (
-        toks.where(F.length("word") >= max(2, min_word_len))
-        .where(F.expr("NOT contains(word, char(31))"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "tokstr",
-            F.expr(
-                f"array_join(transform(sequence(1, length(word)),"
-                f" i -> substring(word, i, 1)), {sep})"
-            ),
-        )
-        .persist()
-    )
-    wf0 = wf  # the cached corpus-scan handle; released after training
-    merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                wf.select(F.expr(f"split(tokstr, {sep})").alias("t"), "n")
-                .where(F.size("t") >= 2)
-                .select(
-                    F.explode(
-                        F.expr(
-                            "transform(sequence(1, size(t) - 1),"
-                            " j -> struct(element_at(t, j) AS l,"
-                            " element_at(t, j + 1) AS r))"
-                        )
-                    ).alias("p"),
-                    "n",
-                )
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("n").alias("c"))
-                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((rank, l, r, c))
-            ql, qr = l.replace("'", "''"), r.replace("'", "''")
-            fold = (
-                f"aggregate(slice(split(tokstr, {sep}), 2,"
-                f" size(split(tokstr, {sep})) - 1),"
-                f" split(tokstr, {sep})[0],"
-                f" (acc, x) -> CASE WHEN x = '{qr}' AND (acc = '{ql}'"
-                f" OR endswith(acc, concat({sep}, '{ql}')))"
-                f" THEN concat(acc, x)"
-                f" ELSE concat(acc, {sep}, x) END)"
-            )
-            wf = wf.select("word", "n", F.expr(fold).alias("tokstr"))
-            if rank % 8 == 0:
-                wf = wf.localCheckpoint(eager=False)
-    finally:
-        wf0.unpersist()
-    out = df.sparkSession.createDataFrame(
+    merges, _, wf0 = _bpe_train(df, n_merges, text_col, min_word_len)
+    wf0.unpersist()
+    return df.sparkSession.createDataFrame(
         merges,
         "merge_rank int, left_tok string, right_tok string, pair_count long",
     )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    min_word_len: int = 2,
+) -> DataFrame:
+    """Corpus compression under the learned BPE vocabulary: apply the
+    ``n_merges`` trained rules (the training fold IS the encoder — the
+    final word-frequency state is the encoded corpus) and report one
+    row: distinct words, total word instances, corpus symbols before
+    (characters) and after (BPE tokens), and the saved share in ppm —
+    the number that says whether the merge budget is buying anything
+    before a tokenizer build scales out. Instance counts weight by the
+    word frequency ``n``; all-integer arithmetic."""
+    merges, wf, wf0 = _bpe_train(df, n_merges, text_col, min_word_len)
+    out = wf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_distinct"),
+        F.sum("n").cast("long").alias("n_word_instances"),
+        F.expr("CAST(sum(n * length(word)) AS BIGINT)").alias("chars_total"),
+        F.expr(
+            "CAST(sum(n * size(split(tokstr, char(31)))) AS BIGINT)"
+        ).alias("tokens_total"),
+    ).select(
+        "n_words_distinct",
+        "n_word_instances",
+        "chars_total",
+        "tokens_total",
+        F.expr(
+            "(chars_total - tokens_total) * CAST(1000000 AS BIGINT)"
+            " div greatest(chars_total, CAST(1 AS BIGINT))"
+        ).alias("saved_ppm"),
+    )
+    wf0.unpersist()
     return out

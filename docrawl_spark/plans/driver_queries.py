@@ -4570,6 +4570,14 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_eval(_docs_par(spark, sf_dir), t_ppm=500000)
 
 
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compression under the 6 learned BPE merges
+    (datapipe.text.bpe_encode_stats): chars vs BPE tokens, saved ppm."""
+    from docrawl_spark.datapipe.text import bpe_encode_stats
+
+    return bpe_encode_stats(_docs_par(spark, sf_dir), n_merges=6)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy BPE merge training, first 6 rules (datapipe.text.
     bpe_train_merges): per-round argmax pair over the cached
@@ -4623,6 +4631,27 @@ def _bpe_merges_oracle(n_merges: int) -> str:
     )
     parts.append(f"\n        {unions}")
     return "".join(parts)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Compression stats over the final re-tokenized state v{n} of the
+    same fixed-round chain — mirrors datapipe.text.bpe_encode_stats."""
+    chain = _bpe_merges_oracle(n_merges)
+    # keep the CTE chain, swap the final merge-table UNION for the
+    # aggregate over v{n_merges}
+    head, _, _ = chain.partition("\n        SELECT 1 AS merge_rank")
+    return head + f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words_distinct,
+               CAST(SUM(n) AS BIGINT) AS n_word_instances,
+               CAST(SUM(n * length(word)) AS BIGINT) AS chars_total,
+               CAST(SUM(n * len(string_split(tokstr, chr(31)))) AS BIGINT)
+                 AS tokens_total,
+               (CAST(SUM(n * length(word)) AS BIGINT)
+                - CAST(SUM(n * len(string_split(tokstr, chr(31)))) AS BIGINT))
+                 * 1000000
+                 // GREATEST(CAST(SUM(n * length(word)) AS BIGINT), 1)
+                 AS saved_ppm
+        FROM v{n_merges}"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4799,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_eval": q_lsh_recall_eval,
         "hyperball_nf": q_hyperball_nf,
         "harmonic_centrality": q_harmonic_centrality,
+        "bpe_encode_stats": q_bpe_encode_stats,
     }
 
 
@@ -9026,4 +9056,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hyperball_nf": _hyperball_oracle(3, 4),
         "harmonic_centrality": _harmonic_oracle(3, 4, 20),
+        "bpe_encode_stats": _bpe_encode_oracle(6),
     }

@@ -1157,3 +1157,20 @@ def test_lsh_recall_eval_empty_corpus_guarded(spark):
         row["n_truth"], row["n_cand"], row["n_hit"],
         row["precision_ppm"], row["recall_ppm"],
     ) == (0, 0, 0, 0, 0)
+
+
+def test_bpe_encode_stats_hand_case(spark):
+    """'low low lower' with 2 merges learns (l,o) then (lo,w):
+    'low'→[low] (1 token), 'lower'→[low,e,r] (3 tokens); totals are
+    frequency-weighted and saved_ppm is exact."""
+    from docrawl_spark.datapipe.text import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    row = bpe_encode_stats(docs, n_merges=2).collect()[0]
+    assert row["n_words_distinct"] == 2
+    assert row["n_word_instances"] == 3
+    assert row["chars_total"] == 2 * 3 + 5            # 11
+    assert row["tokens_total"] == 2 * 1 + 3           # 5
+    assert row["saved_ppm"] == (11 - 5) * 1_000_000 // 11
