@@ -727,3 +727,70 @@ def harmonic_centrality_topk(
         .orderBy(F.col("hc_units").desc(), F.col("host").asc())
         .limit(k)
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED host graph — community detection for crawl partitioning
+    and link-farm discovery (a spam farm is a dense community whose
+    labels converge in one round; connected_components only sees
+    reachability, LPA sees density).
+
+    Deterministic by construction: labels start as the host's own
+    name, each round every node adopts the most frequent label among
+    its neighbors with ties broken by MIN label (count-max computed as
+    groupBy + max + equi-join + MIN — two HashAggregates, NO per-host
+    window, so a 10^7-degree hub never lands in one task; CLAUDE.md's
+    struct-min SortAggregate demotion is avoided too). Isolated nodes
+    keep their own label. Fixed synchronous rounds (bipartite
+    structures can oscillate — the fixed-round output is still
+    deterministic and oracle-hashable); per-round localCheckpoint
+    truncates lineage.
+
+    Returns (host, community)."""
+    eu = (
+        edges.select("src_host", "dst_host")
+        .union(
+            edges.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+            )
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(host_col).alias("host"), F.col(host_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        nb = (
+            eu.withColumnRenamed("src_host", "host")
+            .join(labels, "host")
+            .select(F.col("dst_host").alias("host"), "label")
+            .groupBy("host", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mx = nb.groupBy("host").agg(F.max("c").alias("cmax"))
+        top = (
+            nb.join(mx, "host")
+            .where(F.col("c") == F.col("cmax"))
+            .groupBy("host")
+            .agg(F.min("label").alias("top_label"))
+        )
+        labels = (
+            labels.join(top, "host", "left")
+            .select(
+                "host",
+                F.coalesce("top_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = labels.select("host", F.col("label").alias("community"))
+    eu.unpersist()
+    return out

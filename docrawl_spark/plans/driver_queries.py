@@ -4561,6 +4561,64 @@ def _harmonic_oracle(n_rounds: int = 3, p: int = 4, k: int = 20) -> str:
         FROM w ORDER BY hc_units DESC, host ASC LIMIT {k}"""
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (4 rounds) over the
+    undirected deterministic host graph (datapipe.graph.
+    label_propagation_communities)."""
+    from docrawl_spark.datapipe.graph import label_propagation_communities
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    return label_propagation_communities(edges, hosts, n_rounds=4)
+
+
+def _lpa_oracle(n_rounds: int = 4) -> str:
+    """Fixed-round synchronous LPA CTE chain mirroring
+    label_propagation_communities: undirected distinct edges, per
+    round neighbor-label counts -> max count -> MIN label tiebreak,
+    isolated nodes keep their label."""
+    parts = [
+        """WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM u),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u, UNNEST([0, 1, 2]) AS t(k)),
+        e0 AS (
+          SELECT DISTINCT r.src_host, i.host AS dst_host
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        eu AS (
+          SELECT src_host, dst_host FROM e0
+          UNION
+          SELECT dst_host AS src_host, src_host AS dst_host FROM e0),
+        l0 AS (SELECT host, host AS label FROM hosts)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        nb{i} AS (
+          SELECT e.dst_host AS host, l.label, CAST(COUNT(*) AS BIGINT) AS c
+          FROM eu e JOIN l{i - 1} l ON l.host = e.src_host
+          GROUP BY 1, 2),
+        mx{i} AS (SELECT host, MAX(c) AS cmax FROM nb{i} GROUP BY host),
+        tp{i} AS (
+          SELECT n.host, MIN(n.label) AS top_label
+          FROM nb{i} n JOIN mx{i} m ON n.host = m.host AND n.c = m.cmax
+          GROUP BY n.host),
+        l{i} AS (
+          SELECT p.host, COALESCE(t.top_label, p.label) AS label
+          FROM l{i - 1} p LEFT JOIN tp{i} t ON t.host = p.host)""")
+    parts.append(f"""
+        SELECT host, label AS community FROM l{n_rounds}""")
+    return "".join(parts)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -4829,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_nf": q_hyperball_nf,
         "harmonic_centrality": q_harmonic_centrality,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "host_communities": q_host_communities,
     }
 
 
@@ -9057,4 +9116,5 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_nf": _hyperball_oracle(3, 4),
         "harmonic_centrality": _harmonic_oracle(3, 4, 20),
         "bpe_encode_stats": _bpe_encode_oracle(6),
+        "host_communities": _lpa_oracle(4),
     }

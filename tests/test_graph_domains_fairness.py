@@ -462,3 +462,29 @@ def test_harmonic_centrality_python_simulation_and_order(spark):
     assert got == expect
     assert got["hub"] == max(got.values())
     assert all(got["hub"] > got[s] for s in ["s1", "s2", "s3", "s4"])
+
+
+def test_label_propagation_two_cliques_and_isolate(spark):
+    """Two 3-cliques joined by one bridge edge converge to two
+    communities labeled by each clique's min host; an isolated node
+    keeps its own label; the bridge doesn't merge them (each bridge
+    endpoint has 2 same-clique neighbors vs 1 cross edge)."""
+    from docrawl_spark.datapipe.graph import label_propagation_communities
+
+    cliques = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+               ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+               ("a3", "b1")]  # bridge
+    hosts = ["a1", "a2", "a3", "b1", "b2", "b3", "iso"]
+    edges = spark.createDataFrame(cliques, "src_host string, dst_host string")
+    nodes = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["community"]
+        for r in label_propagation_communities(edges, nodes, n_rounds=4).collect()
+    }
+    assert got["iso"] == "iso"
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    # clique B converges to its own community (the bridge does not
+    # merge it into A); its label is the stale propagated "a3" — label
+    # NAMES are arbitrary identifiers, the PARTITION is the output
+    assert got["b1"] == got["b2"] == got["b3"] == "a3"
+    assert len(set(got.values())) == 3
