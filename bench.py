@@ -343,6 +343,27 @@ def _median(xs: list[float]) -> float:
 
 
 BW_FLOOR_GBPS = float(os.environ.get("BENCH_BW_FLOOR_GBPS") or 25.0)
+# Relative calm criterion (r3s5 lesson: a WHOLE session can run in a
+# mid-band window — bw32 ~100 GB/s vs the box's known-good ~170 — and
+# the absolute floor + within-session outlier rule both miss it, so
+# "calm"-flagged pairs carried 2.7x-collapsed walls). A leg is calm
+# only if its bracketing probes reach BW_REL_FRAC of the best
+# bandwidth seen at that concurrency — best = max(session probes,
+# measured box prior). Priors are this box's repeatedly-measured good
+# windows (BENCH.md); on different hardware override via env, and if
+# the priors are unreachable the run discloses n_calm_pairs=0 and
+# falls back to raw pairs rather than lying.
+BW_REL_FRAC = float(os.environ.get("BENCH_BW_REL_FRAC") or 0.7)
+_BEST_BW: dict[int, float] = {
+    8: float(os.environ.get("BENCH_BW_PRIOR_8") or 90.0),
+    32: float(os.environ.get("BENCH_BW_PRIOR_32") or 150.0),
+}
+
+
+def _note_bw(cpus: int, *vals: float | None) -> None:
+    for v in vals:
+        if v is not None and v > _BEST_BW.get(cpus, 0.0):
+            _BEST_BW[cpus] = v
 TARGET_CALM_PAIRS = int(os.environ.get("BENCH_CALM_PAIRS") or 2)
 MAX_SCALE_ROUNDS = int(os.environ.get("BENCH_MAX_SCALE_ROUNDS") or 9)
 # shared retry budget for the weak-scaling + sweep sections (seconds of
@@ -377,6 +398,7 @@ def _timed_leg(cpus: int, n_urls: int, n_hosts: int, warm: bool = True) -> dict:
             bw_pre = _membw_probe(cpus)
             wall = round(frontier_wave(spark, n_urls, n_hosts), 3)
             bw_post = _membw_probe(cpus)
+            _note_bw(cpus, bw_pre, bw_post)
             return {
                 "cpus": cpus,
                 "wall": wall,
@@ -397,13 +419,16 @@ def _timed_leg(cpus: int, n_urls: int, n_hosts: int, warm: bool = True) -> dict:
 
 
 def _leg_calm(leg: dict) -> bool:
-    """Bandwidth-calm: both bracketing probes above the floor AND
-    stable across the leg (a 2x pre/post swing means the window moved
-    mid-leg — the wall time is a blend of two weather regimes)."""
+    """Bandwidth-calm: both bracketing probes above the RELATIVE floor
+    (BW_REL_FRAC of the best bandwidth known at this concurrency —
+    catches session-wide mid-band weather the absolute floor can't)
+    AND stable across the leg (a 2x pre/post swing means the window
+    moved mid-leg — the wall time is a blend of two weather regimes)."""
     if leg["wall"] is None:
         return False
     lo, hi = min(leg["bw_pre"], leg["bw_post"]), max(leg["bw_pre"], leg["bw_post"])
-    return lo >= BW_FLOOR_GBPS and hi <= 2.5 * lo
+    floor = max(BW_FLOOR_GBPS, BW_REL_FRAC * _BEST_BW.get(leg["cpus"], 0.0))
+    return lo >= floor and hi <= 2.5 * lo
 
 
 def main() -> None:
@@ -421,9 +446,20 @@ def main() -> None:
     probes: dict[int, list[float]] = {8: [], 32: []}
     box_speedups: list[float] = []
     pairs: list[dict] = []
+    pair_legs: list[tuple[dict, dict] | None] = []
+
+    def _reclassify_pairs() -> None:
+        # the relative calm floor TIGHTENS as better bandwidth is
+        # observed — re-judge every earlier pair under the final floor
+        # so a mid-band pair can't stay calm just because it ran first
+        for p, legs2 in zip(pairs, pair_legs):
+            if legs2 is not None and not p.get("failed"):
+                p["calm"] = _leg_calm(legs2[0]) and _leg_calm(legs2[1])
+
     t_scale0 = time.perf_counter()
     stop_reason = "max_rounds"
     for rnd in range(MAX_SCALE_ROUNDS):
+        _reclassify_pairs()
         # count calm pairs for the stop rule, excluding mid-leg-collapse
         # outliers (wall > 2.5x the running session-min at that cpu
         # count) — the bracketing probes can't see those
@@ -472,6 +508,7 @@ def main() -> None:
                     "calm": False,
                 }
             )
+            pair_legs.append(None)
             continue
         window_membw = round(l32["bw"] / l8["bw"], 3) if l8["bw"] > 0 else None
         job_speedup = round(l8["wall"] / l32["wall"], 3)
@@ -497,6 +534,7 @@ def main() -> None:
                 "calm": _leg_calm(l8) and _leg_calm(l32),
             }
         )
+        pair_legs.append((l8, l32))
     # backstop: if EVERY leg at a level failed (repeatedly crashed
     # workers), try up to 2 more; if still empty, ship a minimal
     # artifact with the failure disclosed — the driver must always get
@@ -518,6 +556,7 @@ def main() -> None:
             "pairs": pairs,
         }))
         return
+    _reclassify_pairs()  # final floor — judged under the run's best bw
     best = {c: min(v) for c, v in trials.items()}
     med = {c: _median(v) for c, v in trials.items()}
     ok_pairs = [p for p in pairs if not p.get("failed")]
@@ -737,6 +776,12 @@ def main() -> None:
             "cpu_probe_sec_8": probes[8],
             "cpu_probe_sec_32": probes[32],
             "bw_floor_gbps": BW_FLOOR_GBPS,
+            "bw_rel_frac": BW_REL_FRAC,
+            "bw_calm_threshold": {
+                str(c): round(max(BW_FLOOR_GBPS, BW_REL_FRAC * _BEST_BW[c]), 1)
+                for c in (8, 32)
+            },
+            "bw_best_observed": {str(c): _BEST_BW[c] for c in (8, 32)},
         },
     }
     print(json.dumps(result))

@@ -794,3 +794,54 @@ def label_propagation_communities(
     out = labels.select("host", F.col("label").alias("community"))
     eu.unpersist()
     return out
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    nodes: DataFrame,
+    pivot: str | None = None,
+    max_iter: int = 30,
+    host_col: str = "host",
+) -> DataFrame:
+    """Bow-tie structure of the host graph (Broder et al. 2000 — the
+    canonical macroscopic web-crawl analysis): classify every host
+    relative to the core strongly-connected component containing a
+    pivot as SCC (reaches and is reached), IN (reaches the core), OUT
+    (reached from the core), or OTHER (tendrils/disconnected). Crawl
+    reading: seeds in IN+SCC cover SCC+OUT; a frontier stuck in OUT
+    can never climb back — the shape tells you where seed investment
+    pays.
+
+    Exactly two BFS closures (forward and backward from the pivot,
+    reusing ``bfs_distances`` — one shuffle pair per round, converge-
+    or-raise) plus two host-dim left joins; no transitive-closure
+    materialization. Pivot defaults to the lexicographic MIN host for
+    determinism — in production pass a known-core host (e.g. the top
+    PageRank host). Classifies the pivot's SCC, which is the giant
+    one whenever the pivot sits in it (Broder's setting)."""
+    if pivot is None:
+        pivot = nodes.agg(F.min(host_col).alias("p")).collect()[0]["p"]
+    piv = nodes.sparkSession.createDataFrame([(pivot,)], f"{host_col} string")
+    e = edges.select("src_host", "dst_host")
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    fwd = bfs_distances(e, piv, max_iter, host_col).select(
+        "host", F.lit(1).alias("in_f")
+    )
+    bwd = bfs_distances(rev, piv, max_iter, host_col).select(
+        "host", F.lit(1).alias("in_b")
+    )
+    return (
+        nodes.select(F.col(host_col).alias("host"))
+        .join(fwd, "host", "left")
+        .join(bwd, "host", "left")
+        .select(
+            "host",
+            F.when((F.col("in_f") == 1) & (F.col("in_b") == 1), F.lit("SCC"))
+            .when(F.col("in_b") == 1, F.lit("IN"))
+            .when(F.col("in_f") == 1, F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("component"),
+        )
+    )

@@ -298,3 +298,71 @@ def charset_sniff_col(bin_col, content_type, html) -> Column:
             F.substring(b, 1, len(bom)) == F.lit(bom), F.lit(name)
         ).otherwise(expr)
     return expr
+
+
+def media_caption_pairs(
+    docs: DataFrame,
+    max_gap: int | None = None,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Image-text pair mining over interleaved span documents — the
+    LAION-style caption-candidate step of a multimodal training
+    pipeline: pair every image span with the NEAREST non-empty text
+    span of the same document by |offset| distance, ties broken toward
+    the EARLIER text span. Pages interleave figures with prose; the
+    adjacent sentence is the alt-text/caption candidate that
+    image-text contrastive training consumes.
+
+    Determinism without struct-min (CLAUDE.md: struct MIN demotes to
+    SortAggregate): the (distance, text-position) pair is packed into
+    one BIGINT key — ``dist · 2^20 + t_pos`` (spans-per-doc < 2^20 by
+    schema contract) — one HashAggregate MIN per image span, then an
+    equi-join back on the unique key recovers the caption. Fan-out is
+    per-doc bounded (images × texts of ONE document — never a
+    corpus-level join). ``max_gap`` optionally drops pairs whose
+    offset distance exceeds it (figures with no nearby prose).
+
+    Returns (doc_id, media_pos, media_ref, caption, gap)."""
+    ex = docs.select(
+        F.col(id_col), F.posexplode(spans_col).alias("pos", "s")
+    )
+    media = ex.where(
+        (F.col("s.kind") == "image")
+        & (F.coalesce(F.col("s.media_ref"), F.lit("")) != "")
+    ).select(
+        F.col(id_col),
+        F.col("pos").alias("media_pos"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("m_off"),
+    )
+    texts = ex.where(
+        (F.col("s.kind") == "text") & (F.trim(F.coalesce(F.col("s.text"), F.lit(""))) != "")
+    ).select(
+        F.col(id_col),
+        F.col("pos").alias("t_pos"),
+        F.col("s.text").alias("caption"),
+        F.col("s.offset").alias("t_off"),
+    )
+    cand = media.join(texts, id_col).withColumn(
+        "key",
+        F.expr(
+            "abs(CAST(m_off AS BIGINT) - CAST(t_off AS BIGINT))"
+            " * CAST(1048576 AS BIGINT) + t_pos"
+        ),
+    )
+    if max_gap is not None:
+        cand = cand.where(
+            F.expr(f"abs(CAST(m_off AS BIGINT) - CAST(t_off AS BIGINT)) <= {int(max_gap)}")
+        )
+    best = cand.groupBy(id_col, "media_pos").agg(F.min("key").alias("key"))
+    return (
+        cand.join(best, [id_col, "media_pos", "key"])
+        .select(
+            F.col(id_col),
+            "media_pos",
+            "media_ref",
+            "caption",
+            F.expr("key div CAST(1048576 AS BIGINT)").cast("long").alias("gap"),
+        )
+    )

@@ -911,7 +911,13 @@ def _bpe_train(
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, l, r, c))
-        ql, qr = l.replace("'", "''"), r.replace("'", "''")
+        # Spark SQL string literals treat backslash as an escape even
+        # outside ANSI string mode — escape it before the quote pass
+        # (tokens come from corpus text, so assume nothing)
+        def _q(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "''")
+
+        ql, qr = _q(l), _q(r)
         fold = (
             f"aggregate(slice(split(tokstr, {sep}), 2,"
             f" size(split(tokstr, {sep})) - 1),"

@@ -4619,6 +4619,40 @@ def _lpa_oracle(n_rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder 2000) of the deterministic host
+    graph relative to the lexicographic-min pivot's SCC
+    (datapipe.graph.bowtie_decomposition)."""
+    from docrawl_spark.datapipe.graph import bowtie_decomposition
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    e = edges.where(F.col("src_host") != F.col("dst_host")).distinct()
+    return bowtie_decomposition(e, hosts)
+
+
+def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-caption pair mining (datapipe.multimodal.
+    media_caption_pairs) over a deterministic synthetic interleaved
+    span derivation of the documents table (every 5th token becomes an
+    image span, offsets = 7·index — same derivation in the oracle):
+    nearest text span by offset, earlier-span tiebreak."""
+    from docrawl_spark.datapipe.multimodal import media_caption_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    spans = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(trim(lower(text)), '\\\\s+'), (tok, j) -> struct("
+            " CASE WHEN (j + 1) % 5 = 1 THEN 'image' ELSE 'text' END AS kind,"
+            " CASE WHEN (j + 1) % 5 = 1 THEN CAST(NULL AS STRING) ELSE tok END AS text,"
+            " CASE WHEN (j + 1) % 5 = 1 THEN concat('img://', substring(md5(tok), 1, 8), '.jpg')"
+            "      ELSE CAST(NULL AS STRING) END AS media_ref,"
+            " CAST((j + 1) * 7 AS INT) AS `offset`))"
+        ).alias("spans"),
+    )
+    return media_caption_pairs(spans)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -4888,6 +4922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "bpe_encode_stats": q_bpe_encode_stats,
         "host_communities": q_host_communities,
+        "bowtie_classes": q_bowtie_classes,
+        "media_captions": q_media_captions,
     }
 
 
@@ -9117,4 +9153,72 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_oracle(3, 4, 20),
         "bpe_encode_stats": _bpe_encode_oracle(6),
         "host_communities": _lpa_oracle(4),
+        # Recursive closures (set-semantics UNION terminates); pivot =
+        # MIN host, matching the Spark default.
+        "bowtie_classes": """
+            WITH RECURSIVE u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            e0 AS (
+              SELECT DISTINCT r.src_host, i.host AS dst_host
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            piv AS (SELECT MIN(host) AS p FROM hosts),
+            fwd(host) AS (
+              SELECT p FROM piv
+              UNION
+              SELECT e.dst_host FROM e0 e, fwd f WHERE e.src_host = f.host),
+            bwd(host) AS (
+              SELECT p FROM piv
+              UNION
+              SELECT e.src_host FROM e0 e, bwd b WHERE e.dst_host = b.host)
+            SELECT h.host,
+                   CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'SCC'
+                        WHEN b.host IS NOT NULL THEN 'IN'
+                        WHEN f.host IS NOT NULL THEN 'OUT'
+                        ELSE 'OTHER' END AS component
+            FROM hosts h
+            LEFT JOIN fwd f ON f.host = h.host
+            LEFT JOIN bwd b ON b.host = h.host
+        """,
+        "media_captions": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, i,
+                     CASE WHEN i % 5 = 1 THEN 'image' ELSE 'text' END AS kind,
+                     t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+            media AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS media_pos,
+                     'img://' || substr(md5(tok), 1, 8) || '.jpg' AS media_ref,
+                     CAST(i * 7 AS BIGINT) AS m_off
+              FROM sp WHERE kind = 'image'),
+            texts AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS t_pos, tok AS caption,
+                     CAST(i * 7 AS BIGINT) AS t_off
+              FROM sp WHERE kind = 'text' AND trim(tok) <> ''),
+            cand AS (
+              SELECT m.doc_id, m.media_pos, m.media_ref, t.caption,
+                     abs(m.m_off - t.t_off) * 1048576::BIGINT + t.t_pos AS key
+              FROM media m JOIN texts t USING (doc_id)),
+            best AS (
+              SELECT doc_id, media_pos, MIN(key) AS key
+              FROM cand GROUP BY 1, 2)
+            SELECT c.doc_id, c.media_pos, c.media_ref, c.caption,
+                   CAST(c.key // 1048576 AS BIGINT) AS gap
+            FROM cand c JOIN best USING (doc_id, media_pos, key)
+        """,
     }

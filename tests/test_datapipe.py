@@ -1174,3 +1174,38 @@ def test_bpe_encode_stats_hand_case(spark):
     assert row["chars_total"] == 2 * 3 + 5            # 11
     assert row["tokens_total"] == 2 * 1 + 3           # 5
     assert row["saved_ppm"] == (11 - 5) * 1_000_000 // 11
+
+
+def test_media_caption_pairs_nearest_and_tiebreak(spark):
+    """Nearest text span wins; equidistant ties go to the EARLIER
+    span; captionless docs and empty-text spans drop out."""
+    from pyspark.sql import Row
+
+    from docrawl_spark.datapipe.multimodal import media_caption_pairs
+
+    def sp(kind, text, ref, off):
+        return Row(kind=kind, text=text, media_ref=ref, offset=off)
+
+    rows = [
+        # image at 10; texts at 7 and 13 — equidistant, earlier wins
+        (1, [sp("text", "left", None, 7), sp("image", None, "img://a.jpg", 10),
+             sp("text", "right", None, 13)]),
+        # image at 50; nearest is 48 not 60; blank text ignored
+        (2, [sp("text", "  ", None, 49), sp("text", "near", None, 48),
+             sp("image", None, "img://b.jpg", 50), sp("text", "far", None, 60)]),
+        # no text spans at all -> no pair
+        (3, [sp("image", None, "img://c.jpg", 5)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["caption"], r["gap"])
+        for r in media_caption_pairs(df).collect()
+    }
+    assert got == {
+        (1, "img://a.jpg"): ("left", 3),
+        (2, "img://b.jpg"): ("near", 2),
+    }

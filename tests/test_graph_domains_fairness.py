@@ -488,3 +488,23 @@ def test_label_propagation_two_cliques_and_isolate(spark):
     # NAMES are arbitrary identifiers, the PARTITION is the output
     assert got["b1"] == got["b2"] == got["b3"] == "a3"
     assert len(set(got.values())) == 3
+
+
+def test_bowtie_decomposition_hand_graph(spark):
+    """Classic bow-tie: IN → SCC cycle → OUT, plus a disconnected
+    node. Pivot defaults to min host ('a', inside the SCC)."""
+    from docrawl_spark.datapipe.graph import bowtie_decomposition
+
+    # SCC: a <-> b (cycle); IN: i -> a; OUT: b -> o; OTHER: x
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("i", "a"), ("b", "o")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("i",), ("o",), ("x",)], "host string"
+    )
+    got = {
+        r["host"]: r["component"]
+        for r in bowtie_decomposition(edges, nodes).collect()
+    }
+    assert got == {"a": "SCC", "b": "SCC", "i": "IN", "o": "OUT", "x": "OTHER"}
