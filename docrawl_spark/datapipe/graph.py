@@ -845,3 +845,35 @@ def bowtie_decomposition(
             .alias("component"),
         )
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 3,
+    p: int = 4,
+    pct_ppm: int = 900000,
+    host_col: str = "host",
+) -> DataFrame:
+    """Effective diameter from the HyperBall neighborhood function —
+    the standard web-graph statistic (smallest radius r where N(r)
+    reaches ``pct_ppm`` of N(R_max), conventionally 90%): how many
+    hops a crawl needs before reachability saturates. One row:
+    (eff_diameter, nf_at_r, nf_max) — integer comparison, no
+    interpolation (the DuckDB mirror must agree bit-for-bit)."""
+    nf = hyperball_neighborhood(edges, nodes, n_rounds, p, host_col)
+    mx = nf.agg(F.max("nf_units").alias("nf_max"))
+    return (
+        nf.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("nf_units") * F.lit(1000000).cast("long")
+            >= F.lit(pct_ppm).cast("long") * F.col("nf_max")
+        )
+        .orderBy(F.col("r").asc())
+        .limit(1)
+        .select(
+            F.col("r").alias("eff_diameter"),
+            F.col("nf_units").alias("nf_at_r"),
+            "nf_max",
+        )
+    )

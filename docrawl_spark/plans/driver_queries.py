@@ -4531,6 +4531,23 @@ def _hyperball_cte_chain(n_rounds: int = 3, p: int = 4, reverse: bool = False) -
     return "".join(parts)
 
 
+def _effective_diameter_oracle(n_rounds: int = 3, p: int = 4, pct_ppm: int = 900000) -> str:
+    """min r with N(r) >= pct of N(max) over the shared ball chain."""
+    chain = _hyperball_cte_chain(n_rounds, p)
+    nfs = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS r, CAST(SUM(ball) AS BIGINT) AS nf_units"
+        f" FROM bl{r}"
+        for r in range(0, n_rounds + 1)
+    )
+    return chain + f""",
+        nf AS ({nfs}),
+        mx AS (SELECT MAX(nf_units) AS nf_max FROM nf)
+        SELECT r AS eff_diameter, nf_units AS nf_at_r, nf_max
+        FROM nf, mx
+        WHERE nf_units * 1000000 >= {pct_ppm} * nf_max
+        ORDER BY r ASC LIMIT 1"""
+
+
 def _hyperball_oracle(n_rounds: int = 3, p: int = 4) -> str:
     """Neighborhood function N(r) from the per-host ball CTEs."""
     chain = _hyperball_cte_chain(n_rounds, p)
@@ -4651,6 +4668,15 @@ def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spans"),
     )
     return media_caption_pairs(spans)
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90%-effective diameter of the deterministic host graph from the
+    HyperBall neighborhood function (datapipe.graph.effective_diameter)."""
+    from docrawl_spark.datapipe.graph import effective_diameter
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    return effective_diameter(edges, hosts, n_rounds=3, p=4)
 
 
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4924,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "bowtie_classes": q_bowtie_classes,
         "media_captions": q_media_captions,
+        "effective_diameter": q_effective_diameter,
     }
 
 
@@ -9191,6 +9218,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN fwd f ON f.host = h.host
             LEFT JOIN bwd b ON b.host = h.host
         """,
+        "effective_diameter": _effective_diameter_oracle(3, 4),
         "media_captions": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -508,3 +508,31 @@ def test_bowtie_decomposition_hand_graph(spark):
         for r in bowtie_decomposition(edges, nodes).collect()
     }
     assert got == {"a": "SCC", "b": "SCC", "i": "IN", "o": "OUT", "x": "OTHER"}
+
+
+def test_effective_diameter_chain_graph(spark):
+    """On a directed 4-chain with rounds=3, N(r) saturates at r=3
+    (every node's full forward ball reached); the 90% radius is ≤ 3
+    and N is monotone so nf_at_r ≥ 0.9·nf_max exactly holds."""
+    from docrawl_spark.datapipe.graph import effective_diameter
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "host string"
+    )
+    row = effective_diameter(edges, nodes, n_rounds=3, p=4).collect()[0]
+    assert 0 <= row["eff_diameter"] <= 3
+    assert row["nf_at_r"] * 1_000_000 >= 900_000 * row["nf_max"]
+    # one radius earlier must be BELOW the 90% bar (minimality), unless
+    # the answer is radius 0
+    if row["eff_diameter"] > 0:
+        from docrawl_spark.datapipe.graph import hyperball_neighborhood
+
+        nf = {
+            r["r"]: r["nf_units"]
+            for r in hyperball_neighborhood(edges, nodes, 3, 4).collect()
+        }
+        assert nf[row["eff_diameter"] - 1] * 1_000_000 < 900_000 * row["nf_max"]
