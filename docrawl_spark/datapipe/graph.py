@@ -877,3 +877,146 @@ def effective_diameter(
             "nf_max",
         )
     )
+
+
+def host_triangles(
+    edges: DataFrame,
+    nodes: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """Exact triangle counts + local clustering coefficients over the
+    undirected host graph — link farms and PBNs are triangle-dense
+    (organic cross-host linking is sparse and tree-ish; a paid network
+    inter-links densely), so clustering_ppm is a spam-graph signal the
+    degree-only metrics miss.
+
+    Scale shape: the degree-ordered ORIENTATION trick (each undirected
+    edge directed from the (degree, host)-smaller endpoint to the
+    larger) bounds every node's out-degree by O(sqrt(|E|)) on any
+    graph, so the wedge join (o ⋈ o on the common source) — the step
+    that explodes on a naive adjacency self-join when a hub has 10^6
+    neighbors — fans out at most out_deg² per node with out_deg
+    arboricity-bounded. Wedges close via one more equi-join against
+    the oriented edge set. Every triangle is enumerated exactly once;
+    per-host counts explode the 3 corners into one HashAggregate.
+
+    Returns (host, degree, n_triangles, clustering_ppm) for every node
+    in ``nodes`` — clustering_ppm = 2·tri·10^6 div (deg·(deg−1)),
+    0 for degree < 2."""
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .union(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("deg_b"))
+    withdeg = und.join(da, "a").join(db, "b")
+    # orient small -> large under the (degree, host) total order
+    o = withdeg.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    # order wedge arms under the SAME total order so each triangle
+    # closes exactly once: need (deg, host) of v and w
+    dv = deg.select(F.col("h").alias("v"), F.col("deg").alias("deg_v"))
+    ov = o.join(dv, "v")
+    e1 = ov.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
+    e2 = ov.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+    corners = tris.select(
+        F.explode(F.array("u", "x", "y")).alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nodes.select(F.col(host_col).alias("host"))
+        .join(deg.withColumnRenamed("h", "host"), "host", "left")
+        .join(corners.withColumnRenamed("h", "host"), "host", "left")
+        .select(
+            "host",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN coalesce(deg, 0) >= 2 THEN"
+                " 2 * coalesce(n_triangles, 0) * CAST(1000000 AS BIGINT)"
+                " div (coalesce(deg, 0) * (coalesce(deg, 0) - 1))"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+def kcore_members(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int,
+    n_rounds: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """k-core membership over the undirected host graph by synchronous
+    peeling: each round drops every node whose degree WITHIN the
+    surviving subgraph is < k; the fixed point is the k-core (Seidman
+    1983) — the crawl's "dense nucleus" (k-core size tracks the
+    mutually-reinforcing link mass that PageRank concentrates on, and
+    spam networks inflate it).
+
+    Fixed synchronous rounds for cross-engine determinism (the oracle
+    unrolls the same chain); peeling is monotone, so if round R equals
+    round R−1 the answer is exact — callers at unknown depth should
+    raise ``n_rounds`` until a stability test passes (the unit test
+    pins a 2-round-deep peel cascade). Per round: one alive-restricted
+    degree HashAggregate + two semi-joins; per-round localCheckpoint.
+
+    Returns (host, in_kcore boolean) for every node in ``nodes``."""
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    alive = nodes.select(F.col(host_col).alias("host")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(n_rounds):
+        ea = und.join(alive.withColumnRenamed("host", "a"), "a").join(
+            alive.withColumnRenamed("host", "b"), "b"
+        )
+        deg = (
+            ea.select(F.col("a").alias("h"))
+            .union(ea.select(F.col("b").alias("h")))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            alive.join(deg.withColumnRenamed("h", "host"), "host", "left")
+            .where(F.coalesce("deg", F.lit(0)) >= k)
+            .select("host")
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        nodes.select(F.col(host_col).alias("host"))
+        .join(alive.withColumn("_in", F.lit(True)), "host", "left")
+        .select("host", F.coalesce("_in", F.lit(False)).alias("in_kcore"))
+    )
+    und.unpersist()
+    return out

@@ -4679,6 +4679,71 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_diameter(edges, hosts, n_rounds=3, p=4)
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host triangle counts + clustering coefficients over
+    the undirected deterministic host graph (datapipe.graph.
+    host_triangles, degree-ordered orientation)."""
+    from docrawl_spark.datapipe.graph import host_triangles
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    return host_triangles(edges, hosts)
+
+
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k=12, 4 peel rounds) over the undirected
+    deterministic host graph (datapipe.graph.kcore_members)."""
+    from docrawl_spark.datapipe.graph import kcore_members
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    return kcore_members(edges, hosts, k=12, n_rounds=4)
+
+
+def _kcore_oracle(k: int, n_rounds: int = 4) -> str:
+    """Fixed-round synchronous peel mirroring kcore_members."""
+    parts = [
+        """WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM u),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u, UNNEST([0, 1, 2]) AS t(k)),
+        e0 AS (
+          SELECT DISTINCT r.src_host, i.host AS dst_host
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        und AS (
+          SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                          GREATEST(src_host, dst_host) AS b
+          FROM e0),
+        a0 AS (SELECT host FROM hosts)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        d{i} AS (
+          SELECT h, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (
+            SELECT e.a AS h FROM und e
+            JOIN a{i - 1} x ON x.host = e.a JOIN a{i - 1} y ON y.host = e.b
+            UNION ALL
+            SELECT e.b AS h FROM und e
+            JOIN a{i - 1} x ON x.host = e.a JOIN a{i - 1} y ON y.host = e.b)
+          GROUP BY h),
+        a{i} AS (
+          SELECT p.host FROM a{i - 1} p
+          JOIN d{i} d ON d.h = p.host AND d.deg >= {k})""")
+    parts.append(f"""
+        SELECT h.host, (a.host IS NOT NULL) AS in_kcore
+        FROM hosts h LEFT JOIN a{n_rounds} a ON a.host = h.host""")
+    return "".join(parts)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -4951,6 +5016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_classes": q_bowtie_classes,
         "media_captions": q_media_captions,
         "effective_diameter": q_effective_diameter,
+        "host_triangles": q_host_triangles,
+        "kcore_members": q_kcore_members,
     }
 
 
@@ -9219,6 +9286,54 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bwd b ON b.host = h.host
         """,
         "effective_diameter": _effective_diameter_oracle(3, 4),
+        "kcore_members": _kcore_oracle(12, 4),
+        "host_triangles": """
+            WITH u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            e0 AS (
+              SELECT DISTINCT r.src_host, i.host AS dst_host
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            und AS (
+              SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                              GREATEST(src_host, dst_host) AS b
+              FROM e0),
+            deg AS (
+              SELECT h, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und)
+              GROUP BY h),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (
+              SELECT h, CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM (SELECT x AS h FROM tri UNION ALL SELECT y AS h FROM tri
+                    UNION ALL SELECT z AS h FROM tri)
+              GROUP BY h)
+            SELECT hs.host,
+                   CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+                   CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN COALESCE(d.deg, 0) >= 2 THEN
+                          2 * COALESCE(c.n_triangles, 0) * 1000000
+                          // (COALESCE(d.deg, 0) * (COALESCE(d.deg, 0) - 1))
+                        ELSE 0 END AS BIGINT) AS clustering_ppm
+            FROM hosts hs
+            LEFT JOIN deg d ON d.h = hs.host
+            LEFT JOIN corners c ON c.h = hs.host
+        """,
         "media_captions": r"""
             WITH toks AS (
               SELECT doc_id,

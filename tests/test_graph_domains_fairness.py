@@ -536,3 +536,87 @@ def test_effective_diameter_chain_graph(spark):
             for r in hyperball_neighborhood(edges, nodes, 3, 4).collect()
         }
         assert nf[row["eff_diameter"] - 1] * 1_000_000 < 900_000 * row["nf_max"]
+
+
+def test_host_triangles_hand_graph(spark):
+    """K4 minus one edge: {a,b,c,d} with all edges except c-d. Two
+    triangles (abc, abd); a and b corner both, c and d corner one.
+    Clustering: a,b have deg 3 → 2·2/6; c,d deg 2 → 2·1/2 = 1.
+    Isolated e: all zeros."""
+    from docrawl_spark.datapipe.graph import host_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("d", "b")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame(
+        [(h,) for h in "abcde"], "host string"
+    )
+    got = {
+        r["host"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in host_triangles(edges, nodes).collect()
+    }
+    assert got == {
+        "a": (3, 2, 2 * 2 * 1_000_000 // 6),
+        "b": (3, 2, 2 * 2 * 1_000_000 // 6),
+        "c": (2, 1, 1_000_000),
+        "d": (2, 1, 1_000_000),
+        "e": (0, 0, 0),
+    }
+
+
+def test_host_triangles_direction_and_duplicate_edges_collapse(spark):
+    """Reciprocal and duplicate directed edges are ONE undirected edge
+    — a 3-cycle with doubled edges still counts exactly one triangle
+    per corner."""
+    from docrawl_spark.datapipe.graph import host_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in "abc"], "host string")
+    got = {
+        r["host"]: (r["degree"], r["n_triangles"])
+        for r in host_triangles(edges, nodes).collect()
+    }
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (2, 1)}
+
+
+def test_kcore_peel_cascade(spark):
+    """2-core of a triangle with a pendant chain: peeling the chain
+    tip exposes the next node — a 2-round cascade — and the triangle
+    survives. Boolean output covers every input node."""
+    from docrawl_spark.datapipe.graph import kcore_members
+
+    # triangle a-b-c; chain c-d, d-e (e deg 1; after e peels, d deg 1)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in "abcde"], "host string")
+    got = {
+        r["host"]: r["in_kcore"]
+        for r in kcore_members(edges, nodes, k=2, n_rounds=4).collect()
+    }
+    assert got == {"a": True, "b": True, "c": True, "d": False, "e": False}
+    # stability: one more round changes nothing (the fixed point)
+    got5 = {
+        r["host"]: r["in_kcore"]
+        for r in kcore_members(edges, nodes, k=2, n_rounds=5).collect()
+    }
+    assert got5 == got
+
+
+def test_kcore_k_too_high_empties(spark):
+    from docrawl_spark.datapipe.graph import kcore_members
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",)], "host string")
+    got = {
+        r["host"]: r["in_kcore"]
+        for r in kcore_members(edges, nodes, k=2, n_rounds=2).collect()
+    }
+    assert got == {"a": False, "b": False}
