@@ -4744,6 +4744,30 @@ def _kcore_oracle(k: int, n_rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section segmentation of a deterministic synthetic interleaved
+    span derivation of the documents table (every token j: j%7==5 →
+    headline, j%7==2 → image, else text; offset = j — so tokens 0-4
+    are a preamble) via datapipe.structure.section_stats: every span
+    assigned to the nearest preceding headline, per-section span mix."""
+    from docrawl_spark.datapipe.structure import section_stats
+
+    docs = _docs_par(spark, sf_dir)
+    spans = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(trim(lower(text)), '\\\\s+'), (tok, j) -> struct("
+            " CASE WHEN j % 7 = 5 THEN 'headline'"
+            "      WHEN j % 7 = 2 THEN 'image' ELSE 'text' END AS kind,"
+            " CASE WHEN j % 7 = 2 THEN CAST(NULL AS STRING) ELSE tok END AS text,"
+            " CASE WHEN j % 7 = 2 THEN concat('img://', substring(md5(tok), 1, 8), '.jpg')"
+            "      ELSE CAST(NULL AS STRING) END AS media_ref,"
+            " CAST(j AS INT) AS `offset`))"
+        ).alias("spans"),
+    )
+    return section_stats(spans)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -5018,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "host_triangles": q_host_triangles,
         "kcore_members": q_kcore_members,
+        "doc_sections": q_doc_sections,
     }
 
 
@@ -9333,6 +9358,34 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "doc_sections": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS off,
+                     CASE WHEN (i - 1) % 7 = 5 THEN 'headline'
+                          WHEN (i - 1) % 7 = 2 THEN 'image' ELSE 'text' END AS kind,
+                     t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+            assigned AS (
+              SELECT doc_id, off, kind,
+                     CASE WHEN kind = 'image' THEN NULL ELSE tok END AS text,
+                     COALESCE(LAST_VALUE(CASE WHEN kind = 'headline' THEN off END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY off
+                             ROWS UNBOUNDED PRECEDING), -1) AS sec_offset,
+                     COALESCE(LAST_VALUE(CASE WHEN kind = 'headline' THEN tok END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY off
+                             ROWS UNBOUNDED PRECEDING), '') AS sec_title
+              FROM sp)
+            SELECT doc_id, sec_offset, MAX(sec_title) AS sec_title,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+                   CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+                   CAST(SUM(CASE WHEN kind = 'text' THEN length(COALESCE(text, '')) ELSE 0 END) AS BIGINT) AS n_chars
+            FROM assigned GROUP BY doc_id, sec_offset
         """,
         "media_captions": r"""
             WITH toks AS (
