@@ -4768,6 +4768,21 @@ def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return section_stats(spans)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier
+    (datapipe.classifier.linear_quality_scores): 512 hashed unigram
+    buckets, deterministic md5-seeded weights (seed 3), keep iff mean
+    feature weight ≥ 50 milli-units."""
+    from docrawl_spark.datapipe.classifier import (
+        linear_quality_scores,
+        synthetic_weights,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    w = synthetic_weights(spark, n_buckets=512, seed=3)
+    return linear_quality_scores(docs, w, n_buckets=512, threshold_fp=50)
+
+
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the md5-mode MinHash-LSH candidate set
     (8 hashes, 4 bands) vs exact shingle-Jaccard ≥ 0.5 truth
@@ -5043,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "kcore_members": q_kcore_members,
         "doc_sections": q_doc_sections,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -9358,6 +9374,34 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "quality_classifier": r"""
+            WITH toks AS (
+              SELECT doc_id, t[i] AS tok
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                    FROM documents),
+                   UNNEST(range(1, len(t) + 1)) AS u(i)
+              WHERE t[i] <> ''),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+              FROM toks),
+            w AS (
+              SELECT b AS bucket,
+                     ('0x' || substr(md5('w:3:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                       % 2001 - 1000 AS weight_fp
+              FROM UNNEST(range(0, 512)) AS t(b)),
+            scored AS (
+              SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     CAST(SUM(w.weight_fp) AS BIGINT) AS score_fp
+              FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_feats, 0) AS n_feats,
+                   COALESCE(s.score_fp, 0) AS score_fp,
+                   CASE WHEN s.doc_id IS NULL THEN FALSE
+                        ELSE s.score_fp >= 50 * s.n_feats END AS keep
+            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
         """,
         "doc_sections": r"""
             WITH toks AS (

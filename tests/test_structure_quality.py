@@ -79,3 +79,59 @@ def test_section_stats_headline_free_doc_is_all_preamble(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["sec_offset"], r["n_spans"], r["n_chars"]) == (-1, 2, 3)
+
+
+def test_linear_classifier_hand_weights(spark):
+    """Known weights: score sums per token OCCURRENCE, repeated tokens
+    count twice; keep is the mean-weight test in integers."""
+    import hashlib
+
+    from docrawl_spark.datapipe.classifier import linear_quality_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "good good bad"), ("d2", "bad"), ("d3", "   ")],
+        "doc_id string, text string",
+    )
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 8
+
+    bg, bb = bucket("good"), bucket("bad")
+    assert bg != bb  # hand fixture relies on distinct buckets
+    weights = spark.createDataFrame(
+        [(bg, 100), (bb, -40)]
+        + [(i, 0) for i in range(8) if i not in (bg, bb)],
+        "bucket long, weight_fp long",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_fp"], r["keep"])
+        for r in linear_quality_scores(
+            docs, weights, n_buckets=8, threshold_fp=50
+        ).collect()
+    }
+    assert got["d1"] == (3, 160, True)   # 160 >= 50*3
+    assert got["d2"] == (1, -40, False)
+    assert got["d3"] == (0, 0, False)    # featureless fails positive threshold
+
+
+def test_linear_classifier_empty_doc_nonpositive_threshold(spark):
+    from docrawl_spark.datapipe.classifier import (
+        linear_quality_scores,
+        synthetic_weights,
+    )
+
+    docs = spark.createDataFrame([("d", "")], "doc_id string, text string")
+    w = synthetic_weights(spark, 8, seed=1)
+    row = linear_quality_scores(docs, w, 8, threshold_fp=0).collect()[0]
+    assert (row["n_feats"], row["score_fp"], row["keep"]) == (0, 0, True)
+
+
+def test_synthetic_weights_deterministic_and_bounded(spark):
+    from docrawl_spark.datapipe.classifier import synthetic_weights, WEIGHT_SCALE
+
+    a = {r["bucket"]: r["weight_fp"] for r in synthetic_weights(spark, 64, 5).collect()}
+    b = {r["bucket"]: r["weight_fp"] for r in synthetic_weights(spark, 64, 5).collect()}
+    assert a == b and len(a) == 64
+    assert all(-WEIGHT_SCALE <= v <= WEIGHT_SCALE for v in a.values())
+    c = {r["bucket"]: r["weight_fp"] for r in synthetic_weights(spark, 64, 6).collect()}
+    assert c != a
