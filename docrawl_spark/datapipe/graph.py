@@ -879,6 +879,41 @@ def effective_diameter(
     )
 
 
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumerate every triangle of the undirected edge set ``und``
+    (columns a < b) exactly once as (u, x, y), using the degree-ordered
+    orientation trick: edges directed from the (degree, host)-smaller
+    endpoint bound every out-degree by O(sqrt(|E|)), so the wedge
+    self-join on the common source — the step a naive adjacency
+    self-join explodes on at a 10^6-degree hub — is arboricity-bounded.
+    ``deg`` is the (h, deg) degree table of ``und``."""
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("deg_b"))
+    withdeg = und.join(da, "a").join(db, "b")
+    # orient small -> large under the (degree, host) total order
+    o = withdeg.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    # order wedge arms under the SAME total order so each triangle
+    # closes exactly once: need (deg, host) of v and w
+    dv = deg.select(F.col("h").alias("v"), F.col("deg").alias("deg_v"))
+    ov = o.join(dv, "v")
+    e1 = ov.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
+    e2 = ov.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("deg_x") < F.col("deg_y"))
+        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
+    )
+    closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+
+
 def host_triangles(
     edges: DataFrame,
     nodes: DataFrame,
@@ -917,31 +952,7 @@ def host_triangles(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("deg_b"))
-    withdeg = und.join(da, "a").join(db, "b")
-    # orient small -> large under the (degree, host) total order
-    o = withdeg.select(
-        F.when(
-            (F.col("deg_a") < F.col("deg_b"))
-            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-        )
-        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-        .alias("e")
-    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-    # order wedge arms under the SAME total order so each triangle
-    # closes exactly once: need (deg, host) of v and w
-    dv = deg.select(F.col("h").alias("v"), F.col("deg").alias("deg_v"))
-    ov = o.join(dv, "v")
-    e1 = ov.select("u", F.col("v").alias("x"), F.col("deg_v").alias("deg_x"))
-    e2 = ov.select("u", F.col("v").alias("y"), F.col("deg_v").alias("deg_y"))
-    wedges = e1.join(e2, "u").where(
-        (F.col("deg_x") < F.col("deg_y"))
-        | ((F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y")))
-    )
-    closer = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tris = wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+    tris = _oriented_triangles(und, deg)
     corners = tris.select(
         F.explode(F.array("u", "x", "y")).alias("h")
     ).groupBy("h").agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -1017,6 +1028,84 @@ def kcore_members(
         nodes.select(F.col(host_col).alias("host"))
         .join(alive.withColumn("_in", F.lit(True)), "host", "left")
         .select("host", F.coalesce("_in", F.lit(False)).alias("in_kcore"))
+    )
+    und.unpersist()
+    return out
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """k-truss membership per undirected edge (Cohen 2008): the
+    k-truss is the maximal subgraph where every edge closes ≥ k−2
+    triangles *within the subgraph*. Where the k-core keeps any
+    well-connected node, the truss demands the connections reinforce
+    each other — the sharpest cheap signal for densely inter-linked
+    host clusters (PBNs sit in high trusses; organic hub-and-spoke
+    linking does not).
+
+    Synchronous peel, fixed ``n_rounds`` for cross-engine determinism
+    (the oracle unrolls the same chain): each round re-enumerates
+    triangle support over surviving edges via the degree-ordered
+    orientation (arboricity-bounded wedge join — see
+    ``_oriented_triangles``) and drops edges with support < k−2.
+    Peeling is monotone, so equal consecutive rounds = exact fixed
+    point; the unit test pins a 2-round peel cascade. Per-round
+    localCheckpoint caps plan growth.
+
+    Returns (a, b, in_ktruss) for every undirected input edge,
+    a < b lexicographically."""
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    alive = und.localCheckpoint(eager=False)
+    support_floor = k - 2
+    for _ in range(n_rounds):
+        deg = (
+            alive.select(F.col("a").alias("h"))
+            .union(alive.select(F.col("b").alias("h")))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        tris = _oriented_triangles(alive, deg)
+        pairs = tris.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("u", "x").alias("a"),
+                        F.greatest("u", "x").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "y").alias("a"),
+                        F.greatest("u", "y").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"),
+                    ),
+                )
+            ).alias("e")
+        ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        support = pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("sup")
+        )
+        alive = (
+            alive.join(support, ["a", "b"], "left")
+            .where(F.coalesce("sup", F.lit(0)) >= support_floor)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        und.join(alive.withColumn("_in", F.lit(True)), ["a", "b"], "left")
+        .select("a", "b", F.coalesce("_in", F.lit(False)).alias("in_ktruss"))
     )
     und.unpersist()
     return out

@@ -4744,6 +4744,65 @@ def _kcore_oracle(k: int, n_rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss (k=4, 3 peel rounds) edge membership over the
+    undirected deterministic host graph (datapipe.graph.ktruss_edges)."""
+    from docrawl_spark.datapipe.graph import ktruss_edges
+
+    edges, _hosts = _hb_host_graph(spark, sf_dir)
+    return ktruss_edges(edges, k=4, n_rounds=3)
+
+
+def _ktruss_oracle(k: int, n_rounds: int = 3) -> str:
+    """Fixed-round synchronous truss peel mirroring ktruss_edges."""
+    floor = k - 2
+    parts = [
+        """WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM u),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u, UNNEST([0, 1, 2]) AS t(k)),
+        e0 AS (
+          SELECT DISTINCT r.src_host, i.host AS dst_host
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        und AS (
+          SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                          GREATEST(src_host, dst_host) AS b
+          FROM e0),
+        t0 AS (SELECT a, b FROM und)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        tri{i} AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM t{i - 1} e1
+          JOIN t{i - 1} e2 ON e2.a = e1.b
+          JOIN t{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+        sup{i} AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+            SELECT x AS a, y AS b FROM tri{i}
+            UNION ALL SELECT x AS a, z AS b FROM tri{i}
+            UNION ALL SELECT y AS a, z AS b FROM tri{i})
+          GROUP BY a, b),
+        t{i} AS (
+          SELECT t.a, t.b FROM t{i - 1} t
+          LEFT JOIN sup{i} s ON s.a = t.a AND s.b = t.b
+          WHERE COALESCE(s.sup, 0) >= {floor})""")
+    parts.append(f"""
+        SELECT u.a, u.b, (t.a IS NOT NULL) AS in_ktruss
+        FROM und u LEFT JOIN t{n_rounds} t ON t.a = u.a AND t.b = u.b""")
+    return "".join(parts)
+
+
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Section segmentation of a deterministic synthetic interleaved
     span derivation of the documents table (every token j: j%7==5 →
@@ -5059,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_members": q_kcore_members,
         "doc_sections": q_doc_sections,
         "quality_classifier": q_quality_classifier,
+        "ktruss_edges": q_ktruss_edges,
     }
 
 
@@ -9328,6 +9388,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "effective_diameter": _effective_diameter_oracle(3, 4),
         "kcore_members": _kcore_oracle(12, 4),
+        "ktruss_edges": _ktruss_oracle(4, 3),
         "host_triangles": """
             WITH u AS (
               SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did

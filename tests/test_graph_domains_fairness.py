@@ -620,3 +620,54 @@ def test_kcore_k_too_high_empties(spark):
         for r in kcore_members(edges, nodes, k=2, n_rounds=2).collect()
     }
     assert got == {"a": False, "b": False}
+
+
+def test_ktruss_shared_edge_and_pendant(spark):
+    """Two triangles sharing edge b-c plus a pendant edge: the 3-truss
+    (every edge in >= 1 triangle) keeps all triangle edges and drops
+    the pendant."""
+    from docrawl_spark.datapipe.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        (r["a"], r["b"]): r["in_ktruss"]
+        for r in ktruss_edges(edges, k=3, n_rounds=2).collect()
+    }
+    assert got == {
+        ("a", "b"): True,
+        ("a", "c"): True,
+        ("b", "c"): True,
+        ("b", "d"): True,
+        ("c", "d"): True,
+        ("d", "e"): False,
+    }
+
+
+def test_ktruss_peel_cascade_and_k4_survival(spark):
+    """Triangle strip T(a,b,c), T(b,c,d), T(c,d,e): at k=4 only bc/cd
+    have support 2, but after round 1 removes their neighbors they have
+    no triangles left — a 2-round cascade to empty. A disjoint K4
+    (every edge in exactly 2 triangles) survives k=4 untouched."""
+    from docrawl_spark.datapipe.graph import ktruss_edges
+
+    strip = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("c", "e"), ("d", "e")]
+    k4 = [("p", "q"), ("p", "r"), ("p", "s"), ("q", "r"), ("q", "s"), ("r", "s")]
+    edges = spark.createDataFrame(
+        strip + k4, "src_host string, dst_host string"
+    )
+    got = {
+        (r["a"], r["b"]): r["in_ktruss"]
+        for r in ktruss_edges(edges, k=4, n_rounds=3).collect()
+    }
+    assert all(got[e] for e in k4)
+    assert not any(got[e] for e in strip)
+    # stability: an extra round is the fixed point
+    got4 = {
+        (r["a"], r["b"]): r["in_ktruss"]
+        for r in ktruss_edges(edges, k=4, n_rounds=4).collect()
+    }
+    assert got4 == got
