@@ -1006,3 +1006,72 @@ def bpe_encode_stats(
     )
     wf0.unpersist()
     return out
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-Kincaid grade level in integer fixed-point — the classic
+    cheap readability signal for corpus quality stratification (too-low
+    grades are menus/listicles, too-high are OCR garbage or legalese).
+
+    Spec (exact, cross-engine):
+
+    - words: whitespace tokens of trimmed text;
+    - sentences: ``max(1, count of /[.!?]+/ runs)``;
+    - syllables: per word ``max(1, count of /[aeiouy]+/ runs)`` over
+      the lowercased token, summed;
+    - ``grade_centi = 39·words div sentences
+      + 1180·syllables div words − 1559`` — the FK coefficients
+      (0.39, 11.8, 15.59) in centi-units with truncating integer
+      division (operands non-negative, so Spark ``div`` ≡ DuckDB
+      ``//``); can go negative only via the final subtraction,
+      identical in both engines.
+
+    Wordless docs emit (0, sentences, 0, 0) with grade 0 — explicit,
+    not a division error. Scale shape: explode tokens → one per-doc
+    HashAggregate (no higher-order functions in the hot path), joined
+    back to the doc-level sentence count; no Python.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        ).cast("long").alias("n_sentences"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+    )
+    per_word = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(1),
+                F.size(F.expr("regexp_extract_all(tok, '[aeiouy]+', 0)")),
+            ).cast("long").alias("syl"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("syl").alias("n_syllables"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_sentences")
+        .join(per_word, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            "n_sentences",
+            F.coalesce("n_syllables", F.lit(0)).cast("long").alias("n_syllables"),
+            F.when(F.coalesce("n_words", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "39 * n_words div n_sentences"
+                    " + 1180 * n_syllables div n_words - 1559"
+                ).cast("long")
+            )
+            .alias("grade_centi"),
+        )
+    )

@@ -4803,6 +4803,14 @@ def _ktruss_oracle(k: int, n_rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level in centi-units over documents
+    (datapipe.text.readability_scores)."""
+    from docrawl_spark.datapipe.text import readability_scores
+
+    return readability_scores(_docs_par(spark, sf_dir))
+
+
 def q_doc_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Section segmentation of a deterministic synthetic interleaved
     span derivation of the documents table (every token j: j%7==5 →
@@ -5119,6 +5127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sections": q_doc_sections,
         "quality_classifier": q_quality_classifier,
         "ktruss_edges": q_ktruss_edges,
+        "readability": q_readability,
     }
 
 
@@ -9435,6 +9444,29 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "readability": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            pw AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(GREATEST(1, len(regexp_extract_all(t[i], '[aeiouy]+')))) AS BIGINT) AS n_syllables
+              FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+              WHERE t[i] <> ''
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   COALESCE(p.n_words, 0) AS n_words,
+                   CAST(b.n_sentences AS BIGINT) AS n_sentences,
+                   COALESCE(p.n_syllables, 0) AS n_syllables,
+                   CAST(CASE WHEN COALESCE(p.n_words, 0) = 0 THEN 0
+                        ELSE 39 * p.n_words // b.n_sentences
+                             + 1180 * p.n_syllables // p.n_words - 1559
+                        END AS BIGINT) AS grade_centi
+            FROM base b LEFT JOIN pw p ON p.doc_id = b.doc_id
         """,
         "quality_classifier": r"""
             WITH toks AS (

@@ -135,3 +135,27 @@ def test_synthetic_weights_deterministic_and_bounded(spark):
     assert all(-WEIGHT_SCALE <= v <= WEIGHT_SCALE for v in a.values())
     c = {r["bucket"]: r["weight_fp"] for r in synthetic_weights(spark, 64, 6).collect()}
     assert c != a
+
+
+def test_readability_hand_doc(spark):
+    """'the cat sat. it ran away!' — 6 words, 2 sentences, syllables:
+    the(1) cat(1) sat(1) it(1) ran(1) away(2) = 7.
+    grade_centi = 39*6 div 2 + 1180*7 div 6 - 1559 = 117 + 1376 - 1559
+    = -66 (simple text scores below grade 1 — negative is in-spec)."""
+    from docrawl_spark.datapipe.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "the cat sat. it ran away!"), ("d2", "   "), ("d3", "zzz pfft")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"], r["grade_centi"]
+        )
+        for r in readability_scores(docs).collect()
+    }
+    assert got["d1"] == (6, 2, 7, 39 * 6 // 2 + 1180 * 7 // 6 - 1559)
+    # wordless doc: explicit zeros, sentence floor still 1
+    assert got["d2"] == (0, 1, 0, 0)
+    # vowel-free words floor at 1 syllable each
+    assert got["d3"] == (2, 1, 2, 39 * 2 // 1 + 1180 * 2 // 2 - 1559)
