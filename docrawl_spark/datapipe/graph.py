@@ -1109,3 +1109,70 @@ def ktruss_edges(
     )
     und.unpersist()
     return out
+
+
+def degree_assortativity_stats(edges: DataFrame) -> DataFrame:
+    """Exact sufficient statistics for the degree-assortativity
+    coefficient (Newman 2002) of the undirected host graph — the web
+    is famously *disassortative* (hubs link to leaves); a strongly
+    assortative host neighborhood is a link-farm fingerprint.
+
+    Emits ONE row of exact BIGINT sums over the symmetrized edge list
+    (each undirected edge contributes both (x=deg u, y=deg v) and the
+    swap, so x/y marginals are identical by construction):
+    ``(m, sum_x, sum_y, sum_xy, sum_x2, sum_y2)`` with m = 2·|E|.
+    Pearson r = (m·Σxy − Σx·Σy) / sqrt((m·Σx² − Σx²)(m·Σy² − Σy²))
+    belongs driver-side on the one collected row (see
+    :func:`assortativity_coefficient`) — the cross-term products would
+    need >63 bits long before the distributed sums do (the sums
+    themselves overflow only past Σ deg² ≈ 9.2·10^18, i.e. graphs far
+    beyond host-dim scale; switch the aggregate to DECIMAL(38,0) if
+    you ever index page-level graphs here).
+
+    Scale shape: one degree HashAggregate + two broadcast-joinable dim
+    joins + one global aggregate. No per-row Python."""
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .union(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dx = deg.select(F.col("h").alias("a"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("h").alias("b"), F.col("deg").alias("y"))
+    return (
+        sym.join(dx, "a")
+        .join(dy, "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+        )
+    )
+
+
+def assortativity_coefficient(row) -> float:
+    """Driver-side Pearson r from the one stats row of
+    :func:`degree_assortativity_stats` (Python ints are unbounded, so
+    the cross-term products are exact). Returns 0.0 on degenerate
+    graphs (constant degree or no edges)."""
+    m = row["m"]
+    if m == 0:
+        return 0.0
+    num = m * row["sum_xy"] - row["sum_x"] * row["sum_y"]
+    dx = m * row["sum_x2"] - row["sum_x"] ** 2
+    dy = m * row["sum_y2"] - row["sum_y"] ** 2
+    if dx <= 0 or dy <= 0:
+        return 0.0
+    return num / (dx * dy) ** 0.5

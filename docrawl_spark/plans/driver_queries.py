@@ -4803,6 +4803,16 @@ def _ktruss_oracle(k: int, n_rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact degree-assortativity sufficient statistics of the
+    undirected deterministic host graph
+    (datapipe.graph.degree_assortativity_stats)."""
+    from docrawl_spark.datapipe.graph import degree_assortativity_stats
+
+    edges, _hosts = _hb_host_graph(spark, sf_dir)
+    return degree_assortativity_stats(edges)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid grade level in centi-units over documents
     (datapipe.text.readability_scores)."""
@@ -5128,6 +5138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "ktruss_edges": q_ktruss_edges,
         "readability": q_readability,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -9398,6 +9409,44 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _effective_diameter_oracle(3, 4),
         "kcore_members": _kcore_oracle(12, 4),
         "ktruss_edges": _ktruss_oracle(4, 3),
+        "degree_assortativity": """
+            WITH u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents),
+            hosts AS (SELECT DISTINCT host FROM u),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0, 1, 2]) AS t(k)),
+            e0 AS (
+              SELECT DISTINCT r.src_host, i.host AS dst_host
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            und AS (
+              SELECT DISTINCT LEAST(src_host, dst_host) AS a,
+                              GREATEST(src_host, dst_host) AS b
+              FROM e0),
+            deg AS (
+              SELECT h, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM (SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und)
+              GROUP BY h),
+            sym AS (
+              SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(dx.deg) AS BIGINT) AS sum_x,
+                   CAST(SUM(dy.deg) AS BIGINT) AS sum_y,
+                   CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+                   CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+                   CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+            FROM sym s
+            JOIN deg dx ON dx.h = s.a
+            JOIN deg dy ON dy.h = s.b
+        """,
         "host_triangles": """
             WITH u AS (
               SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did

@@ -671,3 +671,41 @@ def test_ktruss_peel_cascade_and_k4_survival(spark):
         for r in ktruss_edges(edges, k=4, n_rounds=4).collect()
     }
     assert got4 == got
+
+
+def test_assortativity_star_is_disassortative(spark):
+    """A star graph is maximally disassortative (r = -1): every edge
+    pairs the hub (deg n) with a leaf (deg 1)."""
+    from docrawl_spark.datapipe.graph import (
+        assortativity_coefficient,
+        degree_assortativity_stats,
+    )
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)],
+        "src_host string, dst_host string",
+    )
+    row = degree_assortativity_stats(edges).collect()[0]
+    assert row["m"] == 10 and row["sum_x"] == row["sum_y"]
+    # symmetrized star: each edge contributes (5,1) and (1,5)
+    assert row["sum_xy"] == 10 * 5
+    assert abs(assortativity_coefficient(row) + 1.0) < 1e-12
+
+
+def test_assortativity_degenerate_graphs(spark):
+    from docrawl_spark.datapipe.graph import (
+        assortativity_coefficient,
+        degree_assortativity_stats,
+    )
+
+    # constant-degree (cycle): zero variance -> defined as 0.0
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        "src_host string, dst_host string",
+    )
+    row = degree_assortativity_stats(cyc).collect()[0]
+    assert assortativity_coefficient(row) == 0.0
+    # empty graph
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    row0 = degree_assortativity_stats(empty).collect()[0]
+    assert row0["m"] == 0 and assortativity_coefficient(row0) == 0.0
