@@ -4813,6 +4813,24 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity_stats(edges)
 
 
+def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAND URL-structure bitext candidates (datapipe.bitext.
+    strand_url_pairs) over a deterministic lang-marker URL derivation:
+    url = https://<source>.test/<lang>/page/<doc_id % 37> — cross-lang
+    pairs of per-(template, lang) min-URL representatives."""
+    from docrawl_spark.datapipe.bitext import strand_url_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".test/"),
+            F.col("lang"), F.lit("/page/"),
+            (F.col("doc_id") % 37).cast("string"),
+        ).alias("url")
+    )
+    return strand_url_pairs(urls, ["en", "zh", "es", "de", "fr"])
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-Kincaid grade level in centi-units over documents
     (datapipe.text.readability_scores)."""
@@ -5139,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_edges": q_ktruss_edges,
         "readability": q_readability,
         "degree_assortativity": q_degree_assortativity,
+        "strand_pairs": q_strand_pairs,
     }
 
 
@@ -9493,6 +9512,26 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "strand_pairs": r"""
+            WITH urls AS (
+              SELECT 'https://' || source || '.test/' || lang || '/page/'
+                       || CAST(doc_id % 37 AS VARCHAR) AS url
+              FROM documents),
+            marked AS (
+              SELECT url,
+                     regexp_extract(url, '/(en|zh|es|de|fr)/', 1) AS lang,
+                     regexp_replace(url, '/(en|zh|es|de|fr)/', '/{L}/', 'g') AS template
+              FROM urls
+              WHERE regexp_extract(url, '/(en|zh|es|de|fr)/', 1) <> ''),
+            reps AS (
+              SELECT template, lang, MIN(url) AS url
+              FROM marked GROUP BY template, lang)
+            SELECT a.template,
+                   a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM reps a JOIN reps b
+              ON b.template = a.template AND a.lang < b.lang
         """,
         "readability": r"""
             WITH base AS (

@@ -159,3 +159,38 @@ def test_readability_hand_doc(spark):
     assert got["d2"] == (0, 1, 0, 0)
     # vowel-free words floor at 1 syllable each
     assert got["d3"] == (2, 1, 2, 39 * 2 // 1 + 1180 * 2 // 2 - 1559)
+
+
+def test_strand_pairs_hand_urls(spark):
+    """Same site+path across /en/ and /fr/ pairs up via the min-URL
+    representative; a marker-free URL is dropped; different hosts never
+    pair (template includes the host)."""
+    from docrawl_spark.datapipe.bitext import strand_url_pairs
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.test/en/p/1",),
+            ("https://a.test/en/p/1?v=2",),  # dup variant, min-url loses
+            ("https://a.test/fr/p/1",),
+            ("https://b.test/fr/p/1",),      # other host: no partner
+            ("https://a.test/p/2",),         # no marker: dropped
+        ],
+        "url string",
+    )
+    rows = strand_url_pairs(urls, ["en", "fr"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lang_a"], r["url_a"], r["lang_b"], r["url_b"]) == (
+        "en", "https://a.test/en/p/1", "fr", "https://a.test/fr/p/1"
+    )
+    assert r["template"] == "https://a.test/{L}/p/1"
+
+
+def test_strand_rejects_regex_meta_in_codes(spark):
+    import pytest
+
+    from docrawl_spark.datapipe.bitext import strand_url_pairs
+
+    urls = spark.createDataFrame([("https://a.test/en/p",)], "url string")
+    with pytest.raises(ValueError):
+        strand_url_pairs(urls, ["en", "f.r"])
