@@ -106,6 +106,14 @@ HEADLINE = [
     "cdc_chunks",
     "lsh_recall_eval",
     "bpe_merges",
+    # round-3 session-6: interleaved-doc structure (per-doc window +
+    # rollup), the hashed-linear quality filter (explode + broadcast
+    # weights dim), the oriented-triangle family, and readability.
+    "doc_sections",
+    "quality_classifier",
+    "host_triangles",
+    "ktruss_edges",
+    "readability",
 ]
 
 

@@ -118,7 +118,7 @@ def minhash_signatures(
     return minima.select(F.col(id_col), sig.alias("signature"))
 
 
-def minhash_lsh_pairs(
+def minhash_band_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -127,9 +127,13 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from band-bucket
-    collisions. Shuffles only (band_key, id) rows and the colliding
-    pairs — the scale-safe shape of MinHash LSH."""
+    """The persistable LSH index of a corpus: one row per
+    ``(band_idx, band_key, <id_col>)``. Write it to the warehouse
+    partitioned/bucketed by ``band_key`` and incremental batches probe
+    it (:func:`lsh_probe_index`) without ever touching the corpus text
+    again — the index-once/probe-deltas shape a continuously growing
+    corpus needs (re-running the corpus self-join per crawl wave is the
+    anti-pattern)."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
     # (shingle-less docs are already omitted by minhash_signatures —
@@ -148,11 +152,62 @@ def minhash_lsh_pairs(
         # md5hex oracle mode keeps the raw string (DuckDB-reproducible)
         return F.xxhash64(joined) if hash_mode == "xxhash64" else joined
 
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[_band_key(b) for b in range(n_bands)])
         ).alias("band_idx", "band_key"),
+    )
+
+
+def lsh_probe_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup candidates: band rows of the NEW batch
+    equi-joined against a persisted corpus index built by
+    :func:`minhash_band_index` **with the same parameters**. Returns
+    distinct ``(new_id, corpus_id)`` (self-matches dropped, so a batch
+    already merged into the index probes cleanly). The batch side is
+    crawl-wave-sized — Catalyst/AQE broadcasts it against the large
+    index scan, and a ``band_key``-bucketed index makes the join
+    shuffle-free on the corpus side."""
+    probe = minhash_band_index(
+        new_docs, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
+    ).select(
+        "band_idx", "band_key", F.col(id_col).alias("new_id")
+    )
+    corpus = index.select(
+        "band_idx", "band_key", F.col(id_col).alias("corpus_id")
+    )
+    return (
+        probe.join(corpus, ["band_idx", "band_key"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from band-bucket
+    collisions. Shuffles only (band_key, id) rows and the colliding
+    pairs — the scale-safe shape of MinHash LSH."""
+    bands = minhash_band_index(
+        df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
     )
     a = bands.select(
         F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")

@@ -4813,6 +4813,21 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity_stats(edges)
 
 
+def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe (datapipe.dedup.lsh_probe_index,
+    md5 oracle mode, 8 hashes / 4 bands): docs with doc_id % 5 == 0
+    play the newly crawled batch, the rest the already-indexed corpus
+    (datapipe.dedup.minhash_band_index) — candidates are new-vs-corpus
+    band collisions only, never a corpus self-join."""
+    from docrawl_spark.datapipe.dedup import lsh_probe_index, minhash_band_index
+
+    docs = _docs_par(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = minhash_band_index(corpus, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
+
+
 def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRAND URL-structure bitext candidates (datapipe.bitext.
     strand_url_pairs) over a deterministic lang-marker URL derivation:
@@ -5158,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "degree_assortativity": q_degree_assortativity,
         "strand_pairs": q_strand_pairs,
+        "lsh_incremental_probe": q_lsh_incremental_probe,
     }
 
 
@@ -9512,6 +9528,30 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "lsh_incremental_probe": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx)
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM bands n JOIN bands c USING (band_idx, band_key)
+            WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
         """,
         "strand_pairs": r"""
             WITH urls AS (

@@ -1209,3 +1209,42 @@ def test_media_caption_pairs_nearest_and_tiebreak(spark):
         (1, "img://a.jpg"): ("left", 3),
         (2, "img://b.jpg"): ("near", 2),
     }
+
+
+def test_lsh_probe_index_cross_side_equivalence(spark, docs_df):
+    """probe(new, index(corpus)) == the cross-side subset of the full
+    self-join candidates on the union — the incremental path finds
+    exactly what the batch path would, without the corpus self-join.
+    Self-matches (a batch already merged into the index) are dropped."""
+    from docrawl_spark.datapipe.dedup import (
+        lsh_probe_index,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = docs_df.where(F.col("doc_id") % 3 != 0)
+    new = docs_df.where(F.col("doc_id") % 3 == 0)
+    idx = minhash_band_index(corpus, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_probe_index(
+            new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs_df, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    want = {
+        (a, b) for (a, b) in full | {(b, a) for (a, b) in full}
+        if a % 3 == 0 and b % 3 != 0
+    }
+    assert got == want
+    # probing the index with its own corpus yields no self-matches
+    self_probe = lsh_probe_index(
+        corpus, idx, n_hashes=8, n_bands=4, hash_mode="md5hex"
+    )
+    assert self_probe.where("new_id = corpus_id").count() == 0
