@@ -1075,3 +1075,72 @@ def readability_scores(
             .alias("grade_centi"),
         )
     )
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law in exact
+#: ppm literals (floored once here, NOT recomputed with floats at run
+#: time, so Spark and the DuckDB oracle share identical constants).
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-significant-digit deviation from Benford's law per group —
+    a cheap anomaly signal for machine-generated or templated numeric
+    content (organically sourced numbers follow Benford closely;
+    uniform or fabricated generators don't).
+
+    Spec (exact, cross-engine): numbers are maximal ``[0-9]+`` runs;
+    the significant digit is the first digit after stripping leading
+    zeros (all-zero runs are skipped). Per group, ``tvd_ppm =
+    Σ_d |observed_ppm(d) − BENFORD_PPM[d]|`` with ``observed_ppm(d) =
+    cnt_d·10^6 div n_numbers`` (non-negative truncating division —
+    Spark ``div`` ≡ DuckDB ``//``); digits a group never uses
+    contribute their full Benford mass. Groups with no numbers are
+    omitted (their deviation is undefined, not zero).
+
+    Scale shape: regexp extraction + explode → one (group, digit)
+    HashAggregate → join against the 9·|groups| digit grid (tiny,
+    broadcast) → one per-group HashAggregate. No Python."""
+    digits = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
+        ).alias("num"),
+    ).select(
+        "grp",
+        F.substring(F.regexp_replace("num", "^0+", ""), 1, 1).alias("d"),
+    ).where(F.col("d") != "")
+    counts = digits.groupBy("grp", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("grp").agg(F.sum("cnt").alias("n_numbers"))
+    grid = totals.crossJoin(
+        F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(str(d), p) for d, p in BENFORD_PPM.items()],
+                "d string, benford_ppm long",
+            )
+        )
+    )
+    return (
+        grid.join(counts, ["grp", "d"], "left")
+        .select(
+            "grp",
+            "n_numbers",
+            F.abs(
+                F.expr("coalesce(cnt, 0) * 1000000 div n_numbers")
+                - F.col("benford_ppm")
+            ).alias("_dev"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n_numbers").cast("long").alias("n_numbers"),
+            F.sum("_dev").cast("long").alias("tvd_ppm"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -4828,6 +4828,17 @@ def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
 
 
+def q_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit deviation of the numeric content of event
+    props, per event type (datapipe.text.benford_deviation) — exact
+    ppm arithmetic against the shared floored-literal Benford table."""
+    from docrawl_spark.datapipe.text import benford_deviation
+
+    return benford_deviation(
+        _t(spark, sf_dir, "events"), group_col="event_type", text_col="props"
+    )
+
+
 def q_strand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRAND URL-structure bitext candidates (datapipe.bitext.
     strand_url_pairs) over a deterministic lang-marker URL derivation:
@@ -5174,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "strand_pairs": q_strand_pairs,
         "lsh_incremental_probe": q_lsh_incremental_probe,
+        "benford_events": q_benford_events,
     }
 
 
@@ -9528,6 +9540,34 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "benford_events": r"""
+            WITH nums AS (
+              SELECT event_type AS grp, UNNEST(regexp_extract_all(props, '[0-9]+')) AS num
+              FROM events),
+            digs AS (
+              SELECT grp, substr(regexp_replace(num, '^0+', ''), 1, 1) AS d
+              FROM nums
+              WHERE substr(regexp_replace(num, '^0+', ''), 1, 1) <> ''),
+            counts AS (
+              SELECT grp, d, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM digs GROUP BY grp, d),
+            totals AS (
+              SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_numbers
+              FROM counts GROUP BY grp),
+            benford(d, benford_ppm) AS (
+              VALUES ('1', 301029), ('2', 176091), ('3', 124938),
+                     ('4', 96910), ('5', 79181), ('6', 66946),
+                     ('7', 57991), ('8', 51152), ('9', 45757)),
+            grid AS (
+              SELECT t.grp, t.n_numbers, b.d, CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+              FROM totals t CROSS JOIN benford b)
+            SELECT g.grp AS event_type,
+                   CAST(MAX(g.n_numbers) AS BIGINT) AS n_numbers,
+                   CAST(SUM(ABS(COALESCE(c.cnt, 0) * 1000000 // g.n_numbers
+                                - g.benford_ppm)) AS BIGINT) AS tvd_ppm
+            FROM grid g LEFT JOIN counts c ON c.grp = g.grp AND c.d = g.d
+            GROUP BY g.grp
         """,
         "lsh_incremental_probe": r"""
             WITH toks AS (

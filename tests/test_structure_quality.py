@@ -194,3 +194,32 @@ def test_strand_rejects_regex_meta_in_codes(spark):
     urls = spark.createDataFrame([("https://a.test/en/p",)], "url string")
     with pytest.raises(ValueError):
         strand_url_pairs(urls, ["en", "f.r"])
+
+
+def test_benford_deviation_hand_counts(spark):
+    """9 numbers, one per digit (uniform): every digit observed at
+    111111 ppm; tvd = sum |111111 - benford_d|. Leading zeros strip
+    ('007' counts as 7), all-zero runs are skipped, numberless groups
+    are omitted."""
+    from docrawl_spark.datapipe.text import BENFORD_PPM, benford_deviation
+
+    docs = spark.createDataFrame(
+        [
+            ("u", "1 2 3 4 5 6 7 8 9"),
+            ("z", "a 007 000 b"),
+            ("none", "no digits here"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_numbers"], r["tvd_ppm"])
+        for r in benford_deviation(docs).collect()
+    }
+    assert set(got) == {"u", "z"}
+    exp_u = sum(abs(1_000_000 // 9 - p) for p in BENFORD_PPM.values())
+    assert got["u"] == (9, exp_u)
+    # 'z': single number 7 -> digit 7 at 10^6 ppm, others at 0
+    exp_z = abs(1_000_000 - BENFORD_PPM[7]) + sum(
+        p for d, p in BENFORD_PPM.items() if d != 7
+    )
+    assert got["z"] == (1, exp_z)
