@@ -228,3 +228,58 @@ def streaming_url_dedup(
             event_time_col, watermark
         ).dropDuplicatesWithinWatermark(["url_hash"])
     return keyed.dropDuplicates(["url_hash"])
+
+
+def run_streaming_neardup_probe(
+    spark: SparkSession,
+    index: DataFrame,
+    watch_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    hash_mode: str = "md5hex",
+    max_batches: int = 4,
+) -> None:
+    """Streaming twin of the incremental near-dup probe
+    (``datapipe/dedup.lsh_probe_index``): newly crawled documents land
+    in ``watch_dir`` as parquet; each micro-batch computes its band
+    rows and probes the STATIC corpus band index, appending candidate
+    (new_id, corpus_id) rows to ``out_dir``.
+
+    foreachBatch, not a stream-static join on the raw stream: the
+    signature stage is a per-doc aggregation (explode shingles →
+    groupBy doc) which inside a micro-batch is a plain bounded batch
+    aggregate — as unbounded streaming state it would be wrong (a doc
+    is whole within its batch; there is nothing to wait for). The
+    index stays a warehouse table — ``band_key``-bucketed, the probe
+    join is shuffle-free on the corpus side; batch results are
+    append-only and idempotent per epoch."""
+    from docrawl_spark.datapipe.dedup import lsh_probe_index
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(watch_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        cands = lsh_probe_index(
+            batch_df,
+            index,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            hash_mode=hash_mode,
+        )
+        cands.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for _ in range(max_batches):
+            q.processAllAvailable()
+    finally:
+        q.stop()

@@ -610,3 +610,46 @@ def test_streaming_url_dedup_within_watermark_is_streamable(spark, tmp_path):
         assert got == {"https://a.test/1", "https://a.test/2"}
     finally:
         q.stop()
+
+
+def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
+    """Docs streamed in two waves probe the static band index; the
+    union of streamed candidates equals the one-shot batch probe of
+    the same docs."""
+    import pyspark.sql.functions as SF
+
+    from docrawl_spark.datapipe.dedup import lsh_probe_index, minhash_band_index
+    from docrawl_spark.streaming.frontier_stream import run_streaming_neardup_probe
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(i, base + f" corpusword{i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, base + f" corpusword{i % 2}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = minhash_band_index(
+        corpus, n_hashes=8, n_bands=4, hash_mode="md5hex"
+    ).localCheckpoint()
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    new.where(SF.col("doc_id") < 102).write.mode("append").parquet(watch)
+    new.where(SF.col("doc_id") >= 102).write.mode("append").parquet(watch)
+
+    run_streaming_neardup_probe(spark, idx, watch, ckpt, out)
+
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_probe_index(
+            new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
