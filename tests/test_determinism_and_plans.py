@@ -874,3 +874,54 @@ def test_margin_bitext_is_bucket_joined(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_probe" in plan  # the bucket equi-join key
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    """The model dim is bucket-count-sized — it must reach the join as
+    a broadcast, and the per-doc score must be a HashAggregate."""
+    plan = plan_of(dq.q_quality_classifier(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_sections_single_doc_window(spark):
+    """Section assignment is ONE running window partitioned by doc_id
+    (page-bounded partitions) + one rollup — no joins, no cartesian."""
+    plan = plan_of(dq.q_doc_sections(spark, SF))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_triangle_family_no_cartesian(spark):
+    """Oriented triangle enumeration and both peels stay equi-joined —
+    a cartesian/nested-loop anywhere means the orientation broke.
+    (Asserted on the operators over a plain edge frame; the driver
+    query's fixture derivation adds a benign single-row count
+    crossJoin that would trip the check.)"""
+    from docrawl_spark.datapipe.graph import (
+        host_triangles,
+        kcore_members,
+        ktruss_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in "abcd"], "host string")
+    plans = {
+        "triangles": plan_of(host_triangles(edges, nodes)),
+        "ktruss": plan_of(ktruss_edges(edges, k=3, n_rounds=2)),
+        "kcore": plan_of(kcore_members(edges, nodes, k=2, n_rounds=2)),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_lsh_probe_is_band_equi_join(spark):
+    plan = plan_of(dq.q_lsh_incremental_probe(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
