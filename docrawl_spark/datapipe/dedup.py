@@ -1526,3 +1526,59 @@ def lsh_recall_eval(
             ).alias("recall_ppm"),
         )
     )
+
+
+def host_novelty_rates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-host content novelty of a crawl batch: the fraction of the
+    host's distinct batch shingles NOT present anywhere in the
+    existing corpus — the reward signal adaptive crawl allocation
+    (``operators/fairness.ucb_host_allocation``) needs: a host whose
+    new pages re-shuffle known content has novelty → 0 and stops
+    earning budget; a host still yielding unseen text keeps it.
+
+    Spec: shingles are k-word windows (``word_shingles_col``); the
+    corpus side is the DISTINCT shingle set (text identity, not
+    hashed — exactness matters because novelty feeds budget
+    decisions); ``novelty_ppm = new_shingles·10^6 div n_shingles``
+    (non-negative truncating division). Hosts whose batch carries no
+    shingles (< k tokens everywhere) are omitted — their novelty is
+    undefined, not zero.
+
+    Scale shape: two explode→DISTINCT HashAggregates (map-side
+    combinable) + one LEFT ANTI equi-join on the shingle string + one
+    per-host count — the exact shape of the frontier's Bloom-backed
+    seen-set anti-join, applied to content. At 10^10-shingle corpora,
+    persist the corpus shingle set bucketed by shingle and the
+    anti-join is shuffle-free on the big side (and a Bloom prefilter
+    drops the obviously-old shingles before the join, exactly like
+    ``operators/dedup.build_seen_bloom`` for URLs)."""
+    new_sh = (
+        new_docs.select(
+            F.col(host_col).alias("host"),
+            F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("s"),
+        )
+        .distinct()
+    )
+    corpus_sh = corpus_docs.select(
+        F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("s")
+    ).distinct()
+    fresh = new_sh.join(corpus_sh, "s", "left_anti")
+    totals = new_sh.groupBy("host").agg(F.count(F.lit(1)).alias("n_shingles"))
+    news = fresh.groupBy("host").agg(F.count(F.lit(1)).alias("new_shingles"))
+    return (
+        totals.join(news, "host", "left")
+        .select(
+            "host",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("new_shingles", F.lit(0)).cast("long").alias("new_shingles"),
+            F.expr(
+                "coalesce(new_shingles, 0) * 1000000 div n_shingles"
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )

@@ -4828,6 +4828,21 @@ def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
 
 
+def q_host_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host batch novelty (datapipe.dedup.host_novelty_rates):
+    docs with doc_id % 4 == 0 play the new crawl batch (host =
+    source.test), the rest the corpus — novelty_ppm = distinct batch
+    shingles absent from the corpus per host."""
+    from docrawl_spark.datapipe.dedup import host_novelty_rates
+
+    docs = _docs_par(spark, sf_dir).withColumn(
+        "host", F.concat(F.col("source"), F.lit(".test"))
+    )
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return host_novelty_rates(new, corpus)
+
+
 def q_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit deviation of the numeric content of event
     props, per event type (datapipe.text.benford_deviation) — exact
@@ -5186,6 +5201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strand_pairs": q_strand_pairs,
         "lsh_incremental_probe": q_lsh_incremental_probe,
         "benford_events": q_benford_events,
+        "host_novelty": q_host_novelty,
     }
 
 
@@ -9540,6 +9556,37 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "host_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id, source || '.test' AS host,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, host, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            new_sh AS (
+              SELECT DISTINCT host, s FROM sh WHERE doc_id % 4 = 0),
+            corpus_sh AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 4 <> 0),
+            fresh AS (
+              SELECT n.host, n.s FROM new_sh n
+              LEFT JOIN corpus_sh c ON c.s = n.s
+              WHERE c.s IS NULL),
+            totals AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n_shingles
+              FROM new_sh GROUP BY host),
+            news AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS new_shingles
+              FROM fresh GROUP BY host)
+            SELECT t.host, t.n_shingles,
+                   COALESCE(n.new_shingles, 0) AS new_shingles,
+                   CAST(COALESCE(n.new_shingles, 0) * 1000000 // t.n_shingles
+                        AS BIGINT) AS novelty_ppm
+            FROM totals t LEFT JOIN news n ON n.host = t.host
         """,
         "benford_events": r"""
             WITH nums AS (

@@ -1248,3 +1248,32 @@ def test_lsh_probe_index_cross_side_equivalence(spark, docs_df):
         corpus, idx, n_hashes=8, n_bands=4, hash_mode="md5hex"
     )
     assert self_probe.where("new_id = corpus_id").count() == 0
+
+
+def test_host_novelty_rates_hand_docs(spark):
+    """Host A's batch repeats corpus text (novelty 0); host B is brand
+    new (novelty 1e6); host C mixes; a sub-k-token host is omitted."""
+    from docrawl_spark.datapipe.dedup import host_novelty_rates
+
+    corpus = spark.createDataFrame(
+        [("x", "old", "one two three four")],
+        "doc_id string, host string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("a1", "a.test", "one two three four"),   # all shingles known
+            ("b1", "b.test", "five six seven eight"), # all new
+            ("c1", "c.test", "one two three nine"),   # 1 known, 1 new
+            ("d1", "d.test", "one two"),              # < k tokens: omitted
+        ],
+        "doc_id string, host string, text string",
+    )
+    got = {
+        r["host"]: (r["n_shingles"], r["new_shingles"], r["novelty_ppm"])
+        for r in host_novelty_rates(new, corpus).collect()
+    }
+    assert got == {
+        "a.test": (2, 0, 0),
+        "b.test": (2, 2, 1_000_000),
+        "c.test": (2, 1, 500_000),
+    }
