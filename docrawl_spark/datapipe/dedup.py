@@ -1582,3 +1582,84 @@ def host_novelty_rates(
             ).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Estimator calibration over LSH candidates: the MinHash Jaccard
+    ESTIMATE (fraction of agreeing signature slots) next to the exact
+    shingle Jaccard, both in exact ppm — the table you read before
+    re-tuning (n_hashes, n_bands): if estimates at your band threshold
+    sit far from exact values, the signature is too short for the
+    corpus's similarity profile.
+
+    Per pair: ``est_ppm = agree·10^6 div n_hashes``, ``exact_ppm =
+    |A∩B|·10^6 div |A∪B|`` (0 when both sets are empty). Agreement is
+    counted by exploding the zipped signatures into one HashAggregate
+    (the explode→agg reshape; elementwise HOF comparison would run
+    interpreted). Signatures join onto the BOUNDED candidate set —
+    the corpus never self-joins."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, hash_mode)
+    sized = (
+        candidate_pairs.join(
+            sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("g_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("g_b")),
+            "id_b",
+        )
+    )
+    agree = (
+        sized.select(
+            "id_a",
+            "id_b",
+            F.posexplode(F.col("g_a")).alias("i", "ha"),
+            F.col("g_b"),
+        )
+        .select(
+            "id_a", "id_b",
+            (F.col("ha") == F.element_at(F.col("g_b"), F.col("i") + 1))
+            .cast("long")
+            .alias("eq"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("eq").alias("n_agree"))
+    )
+    sets = df.select(
+        F.col(id_col), word_shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    exact = (
+        candidate_pairs.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+    )
+    return (
+        agree.join(exact, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr(f"n_agree * 1000000 div {int(n_hashes)}").cast("long").alias("est_ppm"),
+            F.expr(
+                "CASE WHEN n_union > 0 THEN n_inter * 1000000 div n_union"
+                " ELSE 0 END"
+            ).cast("long").alias("exact_ppm"),
+        )
+    )

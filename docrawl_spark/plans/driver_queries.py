@@ -4828,6 +4828,23 @@ def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact calibration over the md5-mode LSH
+    candidates (datapipe.dedup.minhash_estimate_calibration, 8 hashes
+    / 4 bands): per candidate pair, signature-agreement estimate and
+    exact shingle Jaccard, both in exact ppm."""
+    from docrawl_spark.datapipe.dedup import (
+        minhash_estimate_calibration,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    return minhash_estimate_calibration(
+        docs, pairs, n_hashes=8, hash_mode="md5hex"
+    )
+
+
 def q_host_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host batch novelty (datapipe.dedup.host_novelty_rates):
     docs with doc_id % 4 == 0 play the new crawl batch (host =
@@ -5202,6 +5219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental_probe": q_lsh_incremental_probe,
         "benford_events": q_benford_events,
         "host_novelty": q_host_novelty,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -9556,6 +9574,57 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "minhash_calibration": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            agree AS (
+              SELECT p.id_a, p.id_b,
+                     CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              FROM pairs p
+              JOIN sig a ON a.doc_id = p.id_a
+              JOIN sig b ON b.doc_id = p.id_b AND b.seed = a.seed
+              GROUP BY p.id_a, p.id_b),
+            sizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.id_a
+              JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+              GROUP BY p.id_a, p.id_b)
+            SELECT p.id_a, p.id_b, g.n_agree,
+                   CAST(g.n_agree * 1000000 // 8 AS BIGINT) AS est_ppm,
+                   CAST(CASE WHEN sa.n + sb.n - COALESCE(i.n_inter, 0) > 0
+                        THEN COALESCE(i.n_inter, 0) * 1000000
+                             // (sa.n + sb.n - COALESCE(i.n_inter, 0))
+                        ELSE 0 END AS BIGINT) AS exact_ppm
+            FROM pairs p
+            JOIN agree g ON g.id_a = p.id_a AND g.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         """,
         "host_novelty": r"""
             WITH toks AS (

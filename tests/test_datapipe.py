@@ -1277,3 +1277,31 @@ def test_host_novelty_rates_hand_docs(spark):
         "b.test": (2, 2, 1_000_000),
         "c.test": (2, 1, 500_000),
     }
+
+
+def test_minhash_calibration_identical_and_disjoint(spark):
+    """Identical docs agree on every slot (est = exact = 1e6);
+    disjoint docs (forced in as a candidate) estimate near 0 and have
+    exact 0."""
+    from docrawl_spark.datapipe.dedup import minhash_estimate_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "one two three four five"),
+            (3, "apple banana cherry date elder"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_agree"], r["est_ppm"], r["exact_ppm"])
+        for r in minhash_estimate_calibration(
+            docs, pairs, n_hashes=8, hash_mode="md5hex"
+        ).collect()
+    }
+    assert got[(1, 2)] == (8, 1_000_000, 1_000_000)
+    n13, est13, ex13 = got[(1, 3)]
+    assert n13 == 0 and est13 == 0 and ex13 == 0
