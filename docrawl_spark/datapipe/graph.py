@@ -1176,3 +1176,32 @@ def assortativity_coefficient(row) -> float:
     if dx <= 0 or dy <= 0:
         return 0.0
     return num / (dx * dy) ** 0.5
+
+
+def component_size_histogram(
+    labels: DataFrame,
+    label_col: str = "component",
+) -> DataFrame:
+    """Log2-bucketed size histogram of a component labeling — the
+    one-screen shape summary of graph fragmentation (a healthy crawl
+    frontier has one giant component and a long tail of small
+    islands; mirror farms show up as an unexpected bump of mid-size
+    components). Bucket = bit length of the component size (the
+    cross-engine integer log2: ``length(bin(x))``, identical in Spark
+    and DuckDB), so bucket b holds sizes in [2^(b−1), 2^b).
+
+    Input: any (node, label) frame; returns one row per occupied
+    bucket — ``(bucket_bits, n_components, n_nodes)``. Two
+    HashAggregates, no joins."""
+    sizes = labels.groupBy(label_col).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.select(
+            F.length(F.bin(F.col("sz"))).cast("long").alias("bucket_bits"),
+            "sz",
+        )
+        .groupBy("bucket_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+        )
+    )

@@ -83,3 +83,87 @@ def section_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
             .cast("long")
         ).alias("n_chars"),
     )
+
+
+def filter_sections(
+    docs: DataFrame,
+    min_text_spans: int = 1,
+    min_chars: int = 1,
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Section-level corpus filtering: drop every section whose text
+    mass is below the floor (``n_text < min_text_spans`` or text chars
+    ``< min_chars`` — image-only galleries, bare chrome headlines) and
+    reassemble the surviving document text. This is the consumer
+    :func:`section_stats` exists for — page-level filters throw away
+    whole documents over one boilerplate block; section filtering
+    keeps the substance.
+
+    Returns one row per input doc:
+    ``(doc_id, n_sections_kept, n_sections_dropped, text_kept)`` with
+    ``text_kept`` = the space-join of surviving text+headline span
+    texts in offset order (empty string when everything dropped — the
+    doc row never disappears).
+
+    Scale shape: the section window (page-bounded partitions), two
+    HashAggregates, and one semi-join of spans against the surviving
+    (doc, section) keys; reassembly sorts the per-doc bounded span
+    array, never a corpus-level sort."""
+    assigned = section_spans(docs, spans_col)
+    stats = assigned.groupBy("doc_id", "sec_offset").agg(
+        F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
+        F.sum(
+            F.when(F.col("kind") == "text", F.length(F.coalesce("text", F.lit(""))))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_chars"),
+    )
+    verdicts = stats.select(
+        "doc_id",
+        "sec_offset",
+        (
+            (F.col("n_text") >= min_text_spans)
+            & (F.col("n_chars") >= min_chars)
+        ).alias("_keep"),
+    )
+    totals = verdicts.groupBy("doc_id").agg(
+        F.sum(F.col("_keep").cast("long")).alias("n_sections_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_sections_dropped"),
+    )
+    kept_spans = assigned.join(
+        verdicts.where("_keep").select("doc_id", "sec_offset"),
+        ["doc_id", "sec_offset"],
+        "left_semi",
+    )
+    texts = (
+        kept_spans.where(
+            (F.col("kind") != "image") & F.col("text").isNotNull()
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("offset", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text_kept")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(texts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sections_kept", F.lit(0)).cast("long").alias(
+                "n_sections_kept"
+            ),
+            F.coalesce("n_sections_dropped", F.lit(0)).cast("long").alias(
+                "n_sections_dropped"
+            ),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )

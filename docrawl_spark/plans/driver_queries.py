@@ -4828,6 +4828,41 @@ def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
 
 
+def q_section_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-level corpus filter (datapipe.structure.filter_sections,
+    min 5 text spans / 25 chars per section) over the same
+    deterministic interleaved span derivation as doc_sections — full
+    interior sections survive, the 4-text-span preamble and ragged
+    tail sections drop, and the doc text reassembles in offset order."""
+    from docrawl_spark.datapipe.structure import filter_sections
+
+    docs = _docs_par(spark, sf_dir)
+    spans = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(trim(lower(text)), '\\\\s+'), (tok, j) -> struct("
+            " CASE WHEN j % 7 = 5 THEN 'headline'"
+            "      WHEN j % 7 = 2 THEN 'image' ELSE 'text' END AS kind,"
+            " CASE WHEN j % 7 = 2 THEN CAST(NULL AS STRING) ELSE tok END AS text,"
+            " CASE WHEN j % 7 = 2 THEN concat('img://', substring(md5(tok), 1, 8), '.jpg')"
+            "      ELSE CAST(NULL AS STRING) END AS media_ref,"
+            " CAST(j AS INT) AS `offset`))"
+        ).alias("spans"),
+    )
+    return filter_sections(spans, min_text_spans=5, min_chars=25)
+
+
+def q_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed component-size histogram
+    (datapipe.graph.component_size_histogram) over the same sparse
+    host-graph component labeling as host_components."""
+    from docrawl_spark.datapipe.graph import component_size_histogram
+
+    return component_size_histogram(
+        q_host_components(spark, sf_dir), label_col="component"
+    )
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimate-vs-exact calibration over the md5-mode LSH
     candidates (datapipe.dedup.minhash_estimate_calibration, 8 hashes
@@ -5220,6 +5255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_events": q_benford_events,
         "host_novelty": q_host_novelty,
         "minhash_calibration": q_minhash_calibration,
+        "component_histogram": q_component_histogram,
+        "section_filter": q_section_filter,
     }
 
 
@@ -9574,6 +9611,91 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "section_filter": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sp AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS off,
+                     CASE WHEN (i - 1) % 7 = 5 THEN 'headline'
+                          WHEN (i - 1) % 7 = 2 THEN 'image' ELSE 'text' END AS kind,
+                     t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+            assigned AS (
+              SELECT doc_id, off, kind,
+                     CASE WHEN kind = 'image' THEN NULL ELSE tok END AS text,
+                     COALESCE(LAST_VALUE(CASE WHEN kind = 'headline' THEN off END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY off
+                             ROWS UNBOUNDED PRECEDING), -1) AS sec_offset
+              FROM sp),
+            stats AS (
+              SELECT doc_id, sec_offset,
+                     SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS n_text,
+                     SUM(CASE WHEN kind = 'text' THEN length(COALESCE(text, '')) ELSE 0 END) AS n_chars
+              FROM assigned GROUP BY doc_id, sec_offset),
+            verd AS (
+              SELECT doc_id, sec_offset,
+                     (n_text >= 5 AND n_chars >= 25) AS keep
+              FROM stats),
+            totals AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                     CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+              FROM verd GROUP BY doc_id),
+            texts AS (
+              SELECT a.doc_id, string_agg(a.text, ' ' ORDER BY a.off) AS text_kept
+              FROM assigned a
+              JOIN verd v ON v.doc_id = a.doc_id
+                AND v.sec_offset = a.sec_offset AND v.keep
+              WHERE a.kind <> 'image' AND a.text IS NOT NULL
+              GROUP BY a.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.kept, 0) AS n_sections_kept,
+                   COALESCE(t.dropped, 0) AS n_sections_dropped,
+                   COALESCE(x.text_kept, '') AS text_kept
+            FROM documents d
+            LEFT JOIN totals t ON t.doc_id = d.doc_id
+            LEFT JOIN texts x ON x.doc_id = d.doc_id
+        """,
+        "component_histogram": r"""
+            WITH RECURSIVE u AS (
+              SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+              FROM documents WHERE doc_id % 37 = 0),
+            hosts AS (SELECT DISTINCT source || '.test' AS host FROM documents),
+            cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+            idx AS (
+              SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+              FROM hosts),
+            raw AS (
+              SELECT u.host AS src_host,
+                     ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT n_hosts FROM cnt) AS dst_idx
+              FROM u, UNNEST([0]) AS t(k)),
+            e0 AS (
+              SELECT DISTINCT r.src_host AS src, i.host AS dst
+              FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+              WHERE r.src_host <> i.host),
+            edges AS (
+              SELECT src, dst FROM e0
+              UNION
+              SELECT dst, src FROM e0),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE r.src <> e.dst),
+            comp AS (
+              SELECT src AS host, LEAST(src, MIN(dst)) AS component
+              FROM reach GROUP BY src),
+            sizes AS (
+              SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component)
+            SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(SUM(sz) AS BIGINT) AS n_nodes
+            FROM sizes GROUP BY 1
         """,
         "minhash_calibration": r"""
             WITH toks AS (

@@ -223,3 +223,57 @@ def test_benford_deviation_hand_counts(spark):
         p for d, p in BENFORD_PPM.items() if d != 7
     )
     assert got["z"] == (1, exp_z)
+
+
+def test_filter_sections_drop_and_reassemble(spark):
+    """The image-only section and the thin one drop; survivors
+    reassemble in offset order (headline text included); a doc whose
+    sections all drop keeps its row with empty text."""
+    from docrawl_spark.datapipe.structure import filter_sections
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    ("headline", "Good", None, 0),
+                    ("text", "alpha beta", None, 1),
+                    ("text", "gamma", None, 2),
+                    ("headline", "Gallery", None, 10),
+                    ("image", None, "img://a.jpg", 11),
+                    ("headline", "Thin", None, 20),
+                    ("text", "x", None, 21),
+                ],
+            ),
+            ("d2", [("image", None, "img://b.jpg", 0)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_sections_kept"],
+            r["n_sections_dropped"],
+            r["text_kept"],
+        )
+        for r in filter_sections(docs, min_text_spans=2, min_chars=5).collect()
+    }
+    assert got["d1"] == (1, 2, "Good alpha beta gamma")
+    assert got["d2"] == (0, 1, "")
+
+
+def test_component_size_histogram_buckets(spark):
+    """Sizes 1,1,2,5 -> bit-length buckets 1 (two singletons),
+    2 (the pair), 3 (the five)."""
+    from docrawl_spark.datapipe.graph import component_size_histogram
+
+    labels = spark.createDataFrame(
+        [("n1", "a"), ("n2", "b"), ("n3", "c"), ("n4", "c"),
+         ("n5", "d"), ("n6", "d"), ("n7", "d"), ("n8", "d"), ("n9", "d")],
+        "host string, component string",
+    )
+    got = {
+        r["bucket_bits"]: (r["n_components"], r["n_nodes"])
+        for r in component_size_histogram(labels).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 5)}
