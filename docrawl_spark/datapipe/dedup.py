@@ -24,7 +24,7 @@ engines compute identical strings (see plans/driver_queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -1662,4 +1662,48 @@ def minhash_estimate_calibration(
                 " ELSE 0 END"
             ).cast("long").alias("exact_ppm"),
         )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col,
+    id_col: str = "doc_id",
+    window: int = 4,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM, Hernández & Stolfo 1995) candidate
+    pairs — the third blocking family next to MinHash-LSH and SimHash:
+    sort by a blocking key and pair every record with its ``window−1``
+    successors. Catches near-dups that share a key PREFIX but differ
+    late (truncated titles, serial-numbered mirrors) which
+    shingle-based banding can miss, and costs one sort instead of
+    signature computation.
+
+    Distributed form: the sort runs WITHIN blocks — the key's first
+    ``block_chars`` characters partition the data, and the
+    neighborhood window never crosses a block boundary (spec'd, not
+    approximated: records in different blocks are by definition not
+    neighbors). This keeps the window partition-local — a global
+    orderBy window would serialize the corpus through one task.
+    Block skew is bounded by the key distribution; widen
+    ``block_chars`` if a block outgrows a partition.
+
+    Returns distinct ``(id_a, id_b)``, ordered by sort position
+    (a precedes b in (key, id) order)."""
+    keyed = df.select(F.col(id_col).alias("id"), key_col.alias("k")).withColumn(
+        "blk", F.substring("k", 1, block_chars)
+    )
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    leads = [F.lead("id", i).over(w).alias(f"_l{i}") for i in range(1, window)]
+    return (
+        keyed.select("id", *leads)
+        .select(
+            F.col("id").alias("id_a"),
+            F.explode(F.array(*[F.col(f"_l{i}") for i in range(1, window)])).alias(
+                "id_b"
+            ),
+        )
+        .where(F.col("id_b").isNotNull())
+        .distinct()
     )

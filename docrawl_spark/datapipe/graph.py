@@ -32,7 +32,7 @@ spec'd, identical on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TOTAL_UNITS = 1_000_000_000_000  # 10^12 micro-rank units
@@ -1205,3 +1205,85 @@ def component_size_histogram(
             F.sum("sz").cast("long").alias("n_nodes"),
         )
     )
+
+
+def host_random_walks(
+    edges: DataFrame,
+    nodes: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    host_col: str = "host",
+) -> DataFrame:
+    """Deterministic pseudo-random walks over the DIRECTED host graph
+    — the walk-corpus prep step of DeepWalk/node2vec-style graph
+    embeddings (the walks are the training sentences; an embedding
+    trainer consumes them downstream). Determinism is load-bearing:
+    the "random" next hop is ``md5_60bit(walk_id:step:cur) %
+    out_degree(cur)``, a pure function of position, so walks are
+    bit-reproducible across runs, partitionings, and engines (the
+    oracle unrolls the same chain) — no Math.random, no seed state.
+
+    ``n_walks`` walks start at every node (walk_id = host#k). A walk
+    reaching a node with no out-neighbors stops early (truncated, not
+    padded). Output long form: (walk_id, step, host), step 0-based.
+
+    Scale shape per step: one equi-join of the walk state against the
+    degree dim and one against the ROW_NUMBER-indexed neighbor table
+    — walk_len fixed small (the embedding-corpus norm), so the plan is
+    walk_len shallow joins, no iteration state to checkpoint."""
+    e = (
+        edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w_idx = Window.partitionBy("src").orderBy("dst")
+    nbr = e.withColumn("i", F.row_number().over(w_idx) - 1)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    starts = nodes.select(F.col(host_col).alias("cur")).crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(n_walks).select(
+                F.col("id").cast("string").alias("k")
+            )
+        )
+    ).select(
+        F.concat(F.col("cur"), F.lit("#"), F.col("k")).alias("walk_id"), "cur"
+    )
+    out = [starts.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("host"))]
+    state = starts
+    for s in range(1, walk_len):
+        pick = (
+            state.join(deg, state["cur"] == deg["src"])
+            .select(
+                "walk_id",
+                F.col("cur"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("walk_id"),
+                                    F.lit(f":{s}:"),
+                                    F.col("cur"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("d")
+                ).alias("pick_i"),
+            )
+        )
+        state = pick.join(
+            nbr,
+            (pick["cur"] == nbr["src"]) & (pick["pick_i"] == nbr["i"]),
+        ).select("walk_id", F.col("dst").alias("cur"))
+        out.append(
+            state.select("walk_id", F.lit(s).alias("step"), F.col("cur").alias("host"))
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -4828,6 +4828,71 @@ def q_lsh_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_index(new, idx, n_hashes=8, n_bands=4, hash_mode="md5hex")
 
 
+def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random walks (datapipe.graph.
+    host_random_walks, 2 walks × 4 steps per host) over the directed
+    deterministic host graph — the DeepWalk/node2vec corpus-prep
+    step, bit-reproducible via md5 position hashing."""
+    from docrawl_spark.datapipe.graph import host_random_walks
+
+    edges, hosts = _hb_host_graph(spark, sf_dir)
+    return host_random_walks(edges, hosts, walk_len=4, n_walks=2)
+
+
+def _host_walks_oracle(walk_len: int = 4, n_walks: int = 2) -> str:
+    ks = ", ".join(str(k) for k in range(n_walks))
+    parts = [
+        f"""WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents),
+        hosts AS (SELECT DISTINCT host FROM u),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u, UNNEST([0, 1, 2]) AS t(k)),
+        e AS (
+          SELECT DISTINCT r.src_host AS src, i.host AS dst
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        nbr AS (
+          SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS i
+          FROM e),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        w0 AS (
+          SELECT host || '#' || CAST(k AS VARCHAR) AS walk_id, host AS cur
+          FROM hosts, UNNEST([{ks}]) AS t(k))"""
+    ]
+    for s in range(1, walk_len):
+        parts.append(f""",
+        s{s} AS (
+          SELECT w.walk_id, n.dst AS cur
+          FROM {"s" + str(s - 1) if s > 1 else "w0"} w
+          JOIN deg d ON d.src = w.cur
+          JOIN nbr n ON n.src = w.cur
+            AND n.i = ('0x' || substr(md5(w.walk_id || ':{s}:' || w.cur), 1, 15))::BIGINT % d.d)""")
+    sel = ["SELECT walk_id, 0 AS step, cur AS host FROM w0"]
+    for s in range(1, walk_len):
+        sel.append(f"SELECT walk_id, {s} AS step, cur AS host FROM s{s}")
+    parts.append("\n" + "\nUNION ALL ".join(sel))
+    return "".join(parts)
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (datapipe.dedup.
+    sorted_neighborhood_pairs): blocking key = first 8 chars of the
+    normalized text, 2-char blocks, window 4."""
+    from docrawl_spark.datapipe.dedup import sorted_neighborhood_pairs
+
+    docs = _docs_par(spark, sf_dir)
+    key = F.substring(F.lower(F.trim(F.col("text"))), 1, 8)
+    return sorted_neighborhood_pairs(docs, key, window=4, block_chars=2)
+
+
 def q_section_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Section-level corpus filter (datapipe.structure.filter_sections,
     min 5 text spans / 25 chars per section) over the same
@@ -5257,6 +5322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "component_histogram": q_component_histogram,
         "section_filter": q_section_filter,
+        "snm_pairs": q_snm_pairs,
+        "host_walks": q_host_walks,
     }
 
 
@@ -9611,6 +9678,23 @@ def oracle_sql() -> dict[str, str]:
             FROM hosts hs
             LEFT JOIN deg d ON d.h = hs.host
             LEFT JOIN corners c ON c.h = hs.host
+        """,
+        "host_walks": _host_walks_oracle(4, 2),
+        "snm_pairs": r"""
+            WITH k AS (
+              SELECT doc_id AS id,
+                     substr(lower(trim(text)), 1, 8) AS k,
+                     substr(lower(trim(text)), 1, 2) AS blk
+              FROM documents),
+            l AS (
+              SELECT id,
+                     LEAD(id, 1) OVER w AS l1,
+                     LEAD(id, 2) OVER w AS l2,
+                     LEAD(id, 3) OVER w AS l3
+              FROM k WINDOW w AS (PARTITION BY blk ORDER BY k, id))
+            SELECT DISTINCT id AS id_a, u AS id_b
+            FROM l, UNNEST([l1, l2, l3]) AS t(u)
+            WHERE u IS NOT NULL
         """,
         "section_filter": r"""
             WITH toks AS (

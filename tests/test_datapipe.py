@@ -1305,3 +1305,36 @@ def test_minhash_calibration_identical_and_disjoint(spark):
     assert got[(1, 2)] == (8, 1_000_000, 1_000_000)
     n13, est13, ex13 = got[(1, 3)]
     assert n13 == 0 and est13 == 0 and ex13 == 0
+
+
+def test_sorted_neighborhood_pairs_window_and_blocks(spark):
+    """Within a block, each record pairs with its w-1 successors in
+    (key, id) order; pairs never cross block boundaries."""
+    from pyspark.sql import functions as SF
+
+    from docrawl_spark.datapipe.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa-one"),
+            (2, "aa-two"),
+            (3, "aa-three"),
+            (4, "ab-other"),   # different block ('ab' vs 'aa')
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            docs, SF.col("text"), window=2, block_chars=2
+        ).collect()
+    }
+    # sort order within block 'aa' by full key: aa-one < aa-three < aa-two
+    assert got == {(1, 3), (3, 2)}
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            docs, SF.col("text"), window=3, block_chars=2
+        ).collect()
+    }
+    assert wide == {(1, 3), (1, 2), (3, 2)}

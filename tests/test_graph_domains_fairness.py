@@ -709,3 +709,38 @@ def test_assortativity_degenerate_graphs(spark):
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     row0 = degree_assortativity_stats(empty).collect()[0]
     assert row0["m"] == 0 and assortativity_coefficient(row0) == 0.0
+
+
+def test_host_random_walks_deterministic_and_truncating(spark):
+    """Walks are bit-identical across invocations; a dead-end node
+    truncates its walk; every step's host is a real out-neighbor of
+    the previous step."""
+    from docrawl_spark.datapipe.graph import host_random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],  # d isolated
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in "abcd"], "host string")
+
+    def run():
+        return sorted(
+            (r["walk_id"], r["step"], r["host"])
+            for r in host_random_walks(edges, nodes, walk_len=3, n_walks=2).collect()
+        )
+
+    w1, w2 = run(), run()
+    assert w1 == w2
+    by_walk = {}
+    for wid, step, host in w1:
+        by_walk.setdefault(wid, {})[step] = host
+    adj = {"a": {"b", "c"}, "b": {"c"}, "c": {"a"}}
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid.split("#")[0]
+        for s in range(1, 3):
+            if s in steps:
+                assert steps[s] in adj[steps[s - 1]], (wid, s, steps)
+    # d has no out-edges: its walks are exactly the start row
+    assert by_walk["d#0"] == {0: "d"} and by_walk["d#1"] == {0: "d"}
+    # connected starts walk the full length
+    assert set(by_walk["a#0"]) == {0, 1, 2}
