@@ -1287,3 +1287,65 @@ def host_random_walks(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def host_coreness(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_rounds: int = 4,
+    host_col: str = "host",
+) -> DataFrame:
+    """Full coreness (k-core number) per host via the h-index
+    iteration (Lü, Zhou, Zhang & Stanley 2016): start every node at
+    its degree; each round replace a node's value with the H-index of
+    its neighbors' values (the largest h with ≥ h neighbors valued
+    ≥ h). The sequence is non-increasing from degree and converges to
+    the exact coreness — the whole k-core decomposition in one number
+    per node, where :func:`kcore_members` answers a single k.
+
+    Fixed synchronous ``n_rounds`` for cross-engine determinism (the
+    oracle unrolls the same chain); monotone, so equal consecutive
+    rounds = exact fixed point. H-index per node = ``max(least(rank,
+    value))`` over neighbors ranked by value descending — one per-node
+    window whose partition is the node's neighbor list (document the
+    hub caveat: a 10^6-degree hub sorts its list in one task; coreness
+    at that scale wants the count-bucket variant). Per-round
+    localCheckpoint caps plan growth.
+
+    Returns (host, coreness) for every node in ``nodes`` — isolated
+    hosts get 0."""
+    und = (
+        edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("v"))
+    c = nodes.select(F.col(host_col).alias("h")).join(
+        deg.withColumnRenamed("a", "h"), "h", "left"
+    ).select("h", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    for _ in range(n_rounds):
+        nv = sym.join(
+            c.select(F.col("h").alias("b"), F.col("v").alias("nbr_v")), "b"
+        ).select(F.col("a").alias("h"), "nbr_v")
+        w = Window.partitionBy("h").orderBy(F.col("nbr_v").desc())
+        h_idx = (
+            nv.withColumn("rn", F.row_number().over(w))
+            .select("h", F.least(F.col("rn").cast("long"), F.col("nbr_v")).alias("m"))
+            .groupBy("h")
+            .agg(F.max("m").alias("v"))
+        )
+        c = (
+            nodes.select(F.col(host_col).alias("h"))
+            .join(h_idx, "h", "left")
+            .select("h", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    und.unpersist()
+    return c.select(F.col("h").alias("host"), F.col("v").alias("coreness"))

@@ -4882,6 +4882,96 @@ def _host_walks_oracle(walk_len: int = 4, n_walks: int = 2) -> str:
     return "".join(parts)
 
 
+def q_host_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness per host (datapipe.graph.host_coreness, h-index
+    iteration, 4 rounds) over the SPARSE slice of the deterministic
+    host graph (same derivation as host_components: docs with
+    doc_id % 37 == 0 contribute one hashed out-link) — sparse so the
+    decomposition is non-uniform, unlike the dense 3-link graph."""
+    from docrawl_spark.datapipe.graph import host_coreness
+    from docrawl_spark.operators.ranking import with_global_rank
+
+    urls = _doc_urls(spark, sf_dir)
+    hosts = urls.select("host").distinct()
+    idx = with_global_rank(hosts, ["host"], rank_col="host_idx")
+    cnt = hosts.agg(F.count("*").alias("n_hosts"))
+    links = (
+        urls.where(F.col("doc_id") % 37 == 0)
+        .select("host", F.col("doc_id").cast("string").alias("did"))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("host").alias("src_host"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("did"), F.lit(":0"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_hosts"),
+            ).alias("dst_idx"),
+        )
+    )
+    edges = (
+        links.join(F.broadcast(idx), links.dst_idx == idx.host_idx)
+        .where(F.col("src_host") != F.col("host"))
+        .select("src_host", F.col("host").alias("dst_host"))
+    )
+    return host_coreness(edges, hosts, n_rounds=4)
+
+
+def _host_coreness_oracle(n_rounds: int = 4) -> str:
+    """Unrolled h-index iteration mirroring host_coreness over the
+    sparse host-graph slice."""
+    parts = [
+        """WITH u AS (
+          SELECT source || '.test' AS host, CAST(doc_id AS VARCHAR) AS did
+          FROM documents WHERE doc_id % 37 = 0),
+        hosts AS (SELECT DISTINCT source || '.test' AS host FROM documents),
+        cnt AS (SELECT COUNT(*) AS n_hosts FROM hosts),
+        idx AS (
+          SELECT host, ROW_NUMBER() OVER (ORDER BY host) - 1 AS host_idx
+          FROM hosts),
+        raw AS (
+          SELECT u.host AS src_host,
+                 ('0x' || substr(md5(u.did || ':0'), 1, 15))::BIGINT
+                   % (SELECT n_hosts FROM cnt) AS dst_idx
+          FROM u),
+        e0 AS (
+          SELECT DISTINCT r.src_host AS src, i.host AS dst
+          FROM raw r JOIN idx i ON r.dst_idx = i.host_idx
+          WHERE r.src_host <> i.host),
+        und AS (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e0),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+        c0 AS (
+          SELECT h.host AS h, CAST(COALESCE(d.v, 0) AS BIGINT) AS v
+          FROM hosts h LEFT JOIN (
+            SELECT a AS h2, CAST(COUNT(*) AS BIGINT) AS v FROM sym GROUP BY a
+          ) d ON d.h2 = h.host)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+        nv{i} AS (
+          SELECT s.a AS h, c.v AS nbr_v
+          FROM sym s JOIN c{i - 1} c ON c.h = s.b),
+        hi{i} AS (
+          SELECT h, MAX(LEAST(rn, nbr_v)) AS v FROM (
+            SELECT h, nbr_v,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY nbr_v DESC)
+                        AS BIGINT) AS rn
+            FROM nv{i})
+          GROUP BY h),
+        c{i} AS (
+          SELECT h.host AS h, CAST(COALESCE(x.v, 0) AS BIGINT) AS v
+          FROM hosts h LEFT JOIN hi{i} x ON x.h = h.host)""")
+    parts.append(f"""
+        SELECT h AS host, v AS coreness FROM c{n_rounds}""")
+    return "".join(parts)
+
+
 def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood candidate pairs (datapipe.dedup.
     sorted_neighborhood_pairs): blocking key = first 8 chars of the
@@ -5324,6 +5414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_filter": q_section_filter,
         "snm_pairs": q_snm_pairs,
         "host_walks": q_host_walks,
+        "host_coreness": q_host_coreness,
     }
 
 
@@ -9680,6 +9771,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN corners c ON c.h = hs.host
         """,
         "host_walks": _host_walks_oracle(4, 2),
+        "host_coreness": _host_coreness_oracle(4),
         "snm_pairs": r"""
             WITH k AS (
               SELECT doc_id AS id,

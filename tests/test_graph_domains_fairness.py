@@ -744,3 +744,27 @@ def test_host_random_walks_deterministic_and_truncating(spark):
     assert by_walk["d#0"] == {0: "d"} and by_walk["d#1"] == {0: "d"}
     # connected starts walk the full length
     assert set(by_walk["a#0"]) == {0, 1, 2}
+
+
+def test_host_coreness_triangle_pendant_isolated(spark):
+    """Triangle -> coreness 2; pendant -> 1; isolated -> 0; coreness
+    of the kcore test fixture agrees with kcore_members."""
+    from docrawl_spark.datapipe.graph import host_coreness, kcore_members
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src_host string, dst_host string",
+    )
+    nodes = spark.createDataFrame([(h,) for h in "abcdef"], "host string")
+    got = {
+        r["host"]: r["coreness"]
+        for r in host_coreness(edges, nodes, n_rounds=4).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1, "f": 0}
+    # cross-check: coreness >= k  <=>  kcore_members(k) is True
+    members = {
+        r["host"]: r["in_kcore"]
+        for r in kcore_members(edges, nodes.where("host <> 'f'"), k=2, n_rounds=4).collect()
+    }
+    for h, m in members.items():
+        assert m == (got[h] >= 2), h
