@@ -768,3 +768,89 @@ def test_host_coreness_triangle_pendant_isolated(spark):
     }
     for h, m in members.items():
         assert m == (got[h] >= 2), h
+
+
+def test_dense_subgraph_family_vs_brute_random_graphs(spark):
+    """Seeded random graphs: triangles / coreness / k-truss each match
+    an independent brute-force Python implementation."""
+    import itertools
+    import random
+
+    from docrawl_spark.datapipe.graph import (
+        host_coreness,
+        host_triangles,
+        ktruss_edges,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 10
+        names = [f"h{i:02d}" for i in range(n)]
+        und = {
+            (names[i], names[j])
+            for i in range(n)
+            for j in range(i + 1, n)
+            if rng.random() < 0.35
+        }
+        adj = {x: set() for x in names}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+
+        edges = spark.createDataFrame(
+            sorted(und), "src_host string, dst_host string"
+        )
+        nodes = spark.createDataFrame([(x,) for x in names], "host string")
+
+        # brute triangles per node
+        tri_cnt = {x: 0 for x in names}
+        for a, b, c in itertools.combinations(names, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for x in (a, b, c):
+                    tri_cnt[x] += 1
+        got_tri = {
+            r["host"]: r["n_triangles"]
+            for r in host_triangles(edges, nodes).collect()
+        }
+        assert got_tri == tri_cnt, f"triangles seed={seed}"
+
+        # brute coreness: repeated peel
+        core = {x: len(adj[x]) for x in names}
+        live = dict(adj)
+        k = 0
+        alive = set(names)
+        while alive:
+            k += 1
+            changed = True
+            while changed:
+                changed = False
+                for x in sorted(alive):
+                    if sum(1 for y in live[x] if y in alive) < k:
+                        core[x] = k - 1
+                        alive.discard(x)
+                        changed = True
+        got_core = {
+            r["host"]: r["coreness"]
+            for r in host_coreness(edges, nodes, n_rounds=12).collect()
+        }
+        assert got_core == core, f"coreness seed={seed}"
+
+        # brute 4-truss: peel edges with support < 2
+        es = set(und)
+        while True:
+            sup = {
+                e: sum(1 for w in adj[e[0]] & adj[e[1]]
+                       if (min(e[0], w), max(e[0], w)) in es
+                       and (min(e[1], w), max(e[1], w)) in es)
+                for e in es
+            }
+            drop = {e for e, s in sup.items() if s < 2}
+            if not drop:
+                break
+            es -= drop
+        got_truss = {
+            (r["a"], r["b"])
+            for r in ktruss_edges(edges, k=4, n_rounds=12).collect()
+            if r["in_ktruss"]
+        }
+        assert got_truss == es, f"ktruss seed={seed}"
