@@ -128,12 +128,17 @@ def minhash_band_index(
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The persistable LSH index of a corpus: one row per
-    ``(band_idx, band_key, <id_col>)``. Write it to the warehouse
-    partitioned/bucketed by ``band_key`` and incremental batches probe
-    it (:func:`lsh_probe_index`) without ever touching the corpus text
+    ``(band_key, <id_col>)``. The band position is FOLDED INTO the key
+    (prefix in md5 mode, hashed in with the minima in xxhash64 mode)
+    so the key is a single column: a table bucketed+sorted by
+    ``band_key`` then co-locates the probe join exactly (Spark
+    disables a bucketed scan when the join keys are wider than the
+    bucket spec — the plan test pins this). Write it to the warehouse
+    bucketed by ``band_key`` and incremental batches probe it
+    (:func:`lsh_probe_index`) without ever touching the corpus text
     again — the index-once/probe-deltas shape a continuously growing
-    corpus needs (re-running the corpus self-join per crawl wave is the
-    anti-pattern)."""
+    corpus needs (re-running the corpus self-join per crawl wave is
+    the anti-pattern)."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
     # (shingle-less docs are already omitted by minhash_signatures —
@@ -148,15 +153,17 @@ def minhash_band_index(
                 lambda v: v.cast("string"),
             ),
         )
-        # xxhash64 compresses the shuffle key on the scale path; the
-        # md5hex oracle mode keeps the raw string (DuckDB-reproducible)
-        return F.xxhash64(joined) if hash_mode == "xxhash64" else joined
+        # band position folds into the key; xxhash64 compresses the
+        # shuffle key on the scale path, the md5hex oracle mode keeps
+        # the raw string (DuckDB-reproducible)
+        pre = F.concat(F.lit(f"{b}|"), joined)
+        return F.xxhash64(pre) if hash_mode == "xxhash64" else pre
 
     return sigs.select(
         F.col(id_col),
-        F.posexplode(
+        F.explode(
             F.array(*[_band_key(b) for b in range(n_bands)])
-        ).alias("band_idx", "band_key"),
+        ).alias("band_key"),
     )
 
 
@@ -180,14 +187,10 @@ def lsh_probe_index(
     shuffle-free on the corpus side."""
     probe = minhash_band_index(
         new_docs, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
-    ).select(
-        "band_idx", "band_key", F.col(id_col).alias("new_id")
-    )
-    corpus = index.select(
-        "band_idx", "band_key", F.col(id_col).alias("corpus_id")
-    )
+    ).select("band_key", F.col(id_col).alias("new_id"))
+    corpus = index.select("band_key", F.col(id_col).alias("corpus_id"))
     return (
-        probe.join(corpus, ["band_idx", "band_key"])
+        probe.join(corpus, ["band_key"])
         .where(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id")
         .distinct()
@@ -209,14 +212,10 @@ def minhash_lsh_pairs(
     bands = minhash_band_index(
         df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
     )
-    a = bands.select(
-        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_a")
-    )
-    b = bands.select(
-        F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id_b")
-    )
+    a = bands.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = bands.select(F.col("band_key"), F.col(id_col).alias("id_b"))
     return (
-        a.join(b, ["band_idx", "band_key"])
+        a.join(b, ["band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -925,3 +925,57 @@ def test_lsh_probe_is_band_equi_join(spark):
     plan = plan_of(dq.q_lsh_incremental_probe(spark, SF))
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
+
+
+def test_bucketed_band_index_probe_is_exchange_free_on_index_side(spark, tmp_path):
+    """The incremental-dedup scale claim (dedup.lsh_probe_index
+    docstring): a corpus band index written bucketed+sorted by
+    band_key joins the batch's band rows with NO Exchange on the
+    index side — the corpus-sized shuffle is paid once at index-build
+    time, then every crawl wave probes for the price of shuffling its
+    own batch."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.datapipe.dedup import lsh_probe_index, minhash_band_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 7} epsilon") for i in range(60)],
+        "doc_id long, text string",
+    )
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = minhash_band_index(corpus, n_hashes=8, n_bands=4, hash_mode="md5hex")
+    spark.sql("DROP TABLE IF EXISTS bt_band_index")
+    (
+        idx.write.bucketBy(8, "band_key")
+        .sortBy("band_key")
+        .option("path", str(tmp_path / "bt_band_index"))
+        .mode("overwrite")
+        .saveAsTable("bt_band_index")
+    )
+    stored = spark.table("bt_band_index")
+    probed = lsh_probe_index(
+        batch, stored.hint("merge"), n_hashes=8, n_bands=4, hash_mode="md5hex"
+    )
+    plan = plan_of(probed, mode="simple")
+    assert "SortMergeJoin" in plan
+    # the bucketed scan must actually engage (Spark silently disables
+    # it when join keys are wider than the bucket spec — the reason
+    # band_idx is folded into band_key)
+    assert "Bucketed: true" in plan
+    # exactly THREE Exchanges, all batch-sized: the batch's signature
+    # aggregation (by doc_id), its band rows into the bucket layout,
+    # and the final distinct. The index side feeds the join from its
+    # buckets with no shuffle.
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange") == 3
+    # and the bucketed probe returns exactly what the in-memory one does
+    live = {
+        (r["new_id"], r["corpus_id"])
+        for r in lsh_probe_index(
+            batch, idx, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    got = {(r["new_id"], r["corpus_id"]) for r in probed.collect()}
+    assert got == live and len(got) > 0
+    spark.sql("DROP TABLE bt_band_index")
