@@ -5018,6 +5018,18 @@ def q_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed size histogram of the near-dup clusters
+    (datapipe.graph.component_size_histogram over
+    q_neardup_components) — the dedup-audit summary: how much of the
+    corpus sits in big duplicate families vs isolated pairs."""
+    from docrawl_spark.datapipe.graph import component_size_histogram
+
+    return component_size_histogram(
+        q_neardup_components(spark, sf_dir), label_col="component"
+    )
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimate-vs-exact calibration over the md5-mode LSH
     candidates (datapipe.dedup.minhash_estimate_calibration, 8 hashes
@@ -5415,6 +5427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": q_snm_pairs,
         "host_walks": q_host_walks,
         "host_coreness": q_host_coreness,
+        "neardup_cluster_histogram": q_neardup_cluster_histogram,
     }
 
 
@@ -6072,6 +6085,50 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.src <> e.dst)
             SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
             FROM reach GROUP BY src
+        """,
+        "neardup_cluster_histogram": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE r.src <> e.dst),
+            comp AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+              FROM reach GROUP BY src),
+            sizes AS (
+              SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM comp GROUP BY component)
+            SELECT CAST(length(bin(sz)) AS BIGINT) AS bucket_bits,
+                   CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(SUM(sz) AS BIGINT) AS n_nodes
+            FROM sizes GROUP BY 1
         """,
         "neardup_dedup_docs": r"""
             WITH RECURSIVE toks AS (
