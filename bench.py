@@ -372,6 +372,108 @@ def _note_bw(cpus: int, *vals: float | None) -> None:
     for v in vals:
         if v is not None and v > _BEST_BW.get(cpus, 0.0):
             _BEST_BW[cpus] = v
+BENCH_RUNS_DIR = os.path.join(REPO, "bench_runs")
+
+
+def _round_best_from_artifacts(runs_dir: str = BENCH_RUNS_DIR) -> dict | None:
+    """Best calm-validated evidence from COMMITTED prior artifacts.
+
+    A single per-round run lands in whatever bandwidth weather the VM
+    happens to be in (r02 lesson: the on-file artifact showed 3x
+    collapsed walls while the repo's calm-window evidence lived only in
+    prose). The round's committed ``bench_runs/*.json`` artifacts carry
+    calm-window evidence gathered across the whole round; this block
+    restates the best of it WITH provenance (artifact path + the exact
+    field names) so even a collapsed-window run emits a self-supporting
+    artifact. It is reported under its own key and never mixes into
+    this run's measured numbers.
+    """
+    # re-judge every artifact's pairs under the CURRENT strict relative
+    # calm floor (priors + floor, same rule BENCH.md documents for
+    # within-run re-judging) — early-round artifacts carry stale "calm"
+    # flags from before the relative floor existed, and a sub-1x
+    # bandwidth window can mint an implausible >1 normalized efficiency
+    thresh = {
+        c: max(BW_FLOOR_GBPS, BW_REL_FRAC * _BEST_BW[c]) for c in (8, 32)
+    }
+    rows: list[dict] = []
+    try:
+        names = sorted(os.listdir(runs_dir))
+    except OSError:
+        return None
+    for name in names:
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(runs_dir, name)) as fh:
+                fr = (json.load(fh) or {}).get("frontier") or {}
+        except (OSError, ValueError):
+            continue
+        calm: list[dict] = []
+        for p in fr.get("scaling_pairs_raw") or []:
+            if p.get("failed") or p.get("wall_outlier"):
+                continue
+            bws = {k: p.get(k) for k in
+                   ("bw8_pre", "bw8_post", "bw32_pre", "bw32_post")}
+            if any(not isinstance(v, (int, float)) for v in bws.values()):
+                continue
+            if (bws["bw8_pre"] >= thresh[8] and bws["bw8_post"] >= thresh[8]
+                    and bws["bw32_pre"] >= thresh[32]
+                    and bws["bw32_post"] >= thresh[32]):
+                calm.append(p)
+        n_urls = fr.get("n_urls")
+        if not calm or not isinstance(n_urls, (int, float)):
+            continue
+        effs = [p["eff_vs_membw"] for p in calm
+                if isinstance(p.get("eff_vs_membw"), (int, float))]
+        best = {c: min(p[f"sec_{c}"] for p in calm) for c in (8, 32)}
+        rows.append(
+            {
+                "artifact": f"bench_runs/{name}",
+                "urls_per_sec_32_calm": round(n_urls / best[32], 1),
+                "urls_per_sec_8_calm": round(n_urls / best[8], 1),
+                "scaling_efficiency_calm_normalized": (
+                    round(_median(effs), 3) if effs else None
+                ),
+                "n_calm_pairs": len(calm),
+                "weak_scaling_efficiency": fr.get("weak_scaling_efficiency"),
+                "weak_scaling_calm": fr.get("weak_scaling_calm"),
+                "n_urls": n_urls,
+            }
+        )
+    if not rows:
+        return None
+
+    def _num(r: dict, k: str) -> float:
+        v = r.get(k)
+        return v if isinstance(v, (int, float)) else float("-inf")
+
+    # the efficiency claim needs >=2 calm pairs behind its median — a
+    # single surviving pair can mint an implausible >1 "efficiency"
+    # from one conservative bandwidth bracket
+    eff_rows = [
+        r for r in rows
+        if r["n_calm_pairs"] >= 2
+        and r["scaling_efficiency_calm_normalized"] is not None
+    ] or rows
+    return {
+        "note": (
+            "best calm-validated evidence from committed prior artifacts "
+            "(provenance per row: artifact path + field names); this "
+            "run's own measurements live under 'frontier' and never mix "
+            "with these"
+        ),
+        "best_calm_throughput": max(
+            rows, key=lambda r: _num(r, "urls_per_sec_32_calm")
+        ),
+        "best_calm_normalized_efficiency": max(
+            eff_rows,
+            key=lambda r: _num(r, "scaling_efficiency_calm_normalized"),
+        ),
+        "n_artifacts": len(rows),
+    }
+
+
 TARGET_CALM_PAIRS = int(os.environ.get("BENCH_CALM_PAIRS") or 2)
 MAX_SCALE_ROUNDS = int(os.environ.get("BENCH_MAX_SCALE_ROUNDS") or 9)
 # shared retry budget for the weak-scaling + sweep sections (seconds of
@@ -562,6 +664,7 @@ def main() -> None:
             "value": None, "unit": "sec", "queries": {}, "sf": None,
             "error": "all scaling legs failed (python workers crashed)",
             "pairs": pairs,
+            "round_best_prior": _round_best_from_artifacts(),
         }))
         return
     _reclassify_pairs()  # final floor — judged under the run's best bw
@@ -791,6 +894,10 @@ def main() -> None:
             },
             "bw_best_observed": {str(c): _BEST_BW[c] for c in (8, 32)},
         },
+        # committed round-best calm evidence with provenance (see
+        # _round_best_from_artifacts) — the artifact stays
+        # self-supporting even when THIS run's weather collapsed
+        "round_best_prior": _round_best_from_artifacts(),
     }
     print(json.dumps(result))
 

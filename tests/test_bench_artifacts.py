@@ -1,0 +1,109 @@
+"""The bench artifact must be self-supporting (judge round-2 gate #1):
+``bench.py`` embeds the round's best COMMITTED calm evidence with
+provenance (``round_best_prior``), re-judged under the current strict
+relative bandwidth floor — so a driver run that lands in a collapsed
+VM-weather window still emits an artifact that carries the calm-window
+claims, clearly separated from the live run's own measurements.
+
+Pure-python tests (no SparkSession): the extraction reads JSON files
+only.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(_REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_missing_dir_returns_none(bench):
+    assert bench._round_best_from_artifacts("/nonexistent/nowhere") is None
+
+
+def test_committed_artifacts_yield_provenanced_rows(bench):
+    rb = bench._round_best_from_artifacts()
+    assert rb is not None, "committed bench_runs/ artifacts must parse"
+    for key in ("best_calm_throughput", "best_calm_normalized_efficiency"):
+        row = rb[key]
+        # provenance must point at a real committed artifact
+        assert os.path.exists(os.path.join(_REPO, row["artifact"]))
+        assert row["n_calm_pairs"] >= 1
+        assert row["urls_per_sec_32_calm"] > 0
+    # the efficiency claim needs >=2 calm pairs behind its median when
+    # any artifact provides them (single-pair medians mint implausible
+    # >1 values from one conservative bandwidth bracket)
+    eff = rb["best_calm_normalized_efficiency"]
+    assert eff["n_calm_pairs"] >= 2
+    assert eff["scaling_efficiency_calm_normalized"] is not None
+
+
+def _fake_artifact(pairs, n_urls=32_000_000):
+    return {
+        "frontier": {
+            "n_urls": n_urls,
+            "scaling_pairs_raw": pairs,
+            "weak_scaling_efficiency": 0.5,
+            "weak_scaling_calm": True,
+        }
+    }
+
+
+def _pair(bw8, bw32, sec_8=60.0, sec_32=40.0, eff_vs_membw=0.9, **kw):
+    p = {
+        "sec_8": sec_8, "sec_32": sec_32,
+        "bw8_pre": bw8, "bw8_post": bw8,
+        "bw32_pre": bw32, "bw32_post": bw32,
+        "eff_vs_membw": eff_vs_membw,
+        "calm": True,  # stale flag — must be IGNORED by re-judging
+    }
+    p.update(kw)
+    return p
+
+
+def test_rejudges_stale_calm_flags_under_current_floor(bench, tmp_path):
+    thresh8 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[8])
+    thresh32 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[32])
+    # artifact A: mid-band probes below the relative floor but flagged
+    # calm=True at write time — must be excluded entirely
+    (tmp_path / "a.json").write_text(json.dumps(_fake_artifact([
+        _pair(bw8=thresh8 * 0.5, bw32=thresh32 * 0.5, eff_vs_membw=2.7),
+    ])))
+    # artifact B: genuinely calm probes, two pairs
+    (tmp_path / "b.json").write_text(json.dumps(_fake_artifact([
+        _pair(bw8=thresh8 * 1.2, bw32=thresh32 * 1.2, eff_vs_membw=0.85),
+        _pair(bw8=thresh8 * 1.1, bw32=thresh32 * 1.3,
+              sec_8=58.0, sec_32=41.0, eff_vs_membw=0.95),
+    ])))
+    rb = bench._round_best_from_artifacts(str(tmp_path))
+    assert rb["n_artifacts"] == 1
+    eff = rb["best_calm_normalized_efficiency"]
+    assert eff["artifact"] == "bench_runs/b.json"
+    assert eff["n_calm_pairs"] == 2
+    # median of [0.85, 0.95]
+    assert eff["scaling_efficiency_calm_normalized"] == 0.9
+    thr = rb["best_calm_throughput"]
+    assert thr["urls_per_sec_32_calm"] == round(32_000_000 / 40.0, 1)
+
+
+def test_failed_and_outlier_pairs_never_count(bench, tmp_path):
+    thresh8 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[8])
+    thresh32 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[32])
+    (tmp_path / "c.json").write_text(json.dumps(_fake_artifact([
+        _pair(bw8=thresh8 * 2, bw32=thresh32 * 2, failed=True),
+        _pair(bw8=thresh8 * 2, bw32=thresh32 * 2, wall_outlier=True),
+        _pair(bw8=None, bw32=thresh32 * 2),  # missing brackets
+    ])))
+    assert bench._round_best_from_artifacts(str(tmp_path)) is None
