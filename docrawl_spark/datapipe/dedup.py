@@ -479,6 +479,69 @@ def near_dedup(
     return df.join(drops, id_col, "left_anti")
 
 
+# complement mask for packing a BIGINT doc id into the low bits of the
+# quality-argmax key: ids must be non-negative and < 2^40 (~1.1e12 —
+# above the 10^10-URL frontier scale this engine targets)
+_REP_ID_BITS = 40
+_REP_ID_MASK = (1 << _REP_ID_BITS) - 1
+
+
+def near_dedup_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Quality-aware near-dup removal: keep, per LSH component, the
+    member with the HIGHEST quality score (min id on ties) — the
+    selection production dedup pipelines actually want (drop the
+    truncated mirror, keep the full page), vs `near_dedup`'s blind
+    min-id rule. ``quality_col`` names an integer column to rank by;
+    None computes `text.quality_score_col` (bounded [0, 1000]).
+
+    The 100 TB shape: same banded LSH + component propagation as
+    `near_dedup` (never a corpus self-join), and the per-cluster argmax
+    is a packed-BIGINT MAX HashAggregate — quality in the high bits,
+    complemented id in the low 40 (ids must be non-negative BIGINTs
+    < 2^40; quality must fit 23 bits) — no per-component window, no
+    struct-max SortAggregate demotion. Docs in no component are their
+    own representative and always kept."""
+    from docrawl_spark.datapipe.text import quality_score_col
+
+    q = (
+        F.col(quality_col).cast("long")
+        if quality_col is not None
+        else quality_score_col(F.col(text_col)).cast("long")
+    )
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
+    )
+    comps = connected_components(pairs)
+    packed = (
+        F.shiftleft(q, _REP_ID_BITS)
+        + (F.lit(_REP_ID_MASK) - F.col(id_col).cast("long"))
+    ).alias("_packed")
+    members = comps.join(
+        df.select(F.col(id_col).alias("id"), packed), "id"
+    )
+    reps = members.groupBy("component").agg(
+        (
+            F.lit(_REP_ID_MASK)
+            - F.max("_packed").bitwiseAND(F.lit(_REP_ID_MASK))
+        ).alias("_rep")
+    )
+    drops = (
+        members.join(reps, "component")
+        .where(F.col("id") != F.col("_rep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Exact Jaccard verification + embedding near-dup
 # ---------------------------------------------------------------------------

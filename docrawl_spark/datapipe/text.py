@@ -254,6 +254,64 @@ def vocab_top_tokens(
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over contiguous ingest
+    batches (``batch = id div batch_size`` — the crawl-wave proxy on a
+    batch-id-ordered corpus): per batch, docs, token instances, NEW
+    distinct token types (first ever appearance), and the running
+    totals. The read-before-scaling curve for tokenizer sizing and
+    crawl-payoff audits — a flattening cum_types says new waves add
+    volume, not language.
+
+    Scale shape: token first-appearance is one explode → distinct →
+    MIN HashAggregate (map-side combinable; never holds per-batch
+    vocabularies); the running sums window over #batches rows only
+    (corpus-size / batch_size — thousands, not billions). Integer
+    `div` matches DuckDB `//` on non-negative BIGINTs."""
+    from pyspark.sql import Window
+
+    batch = F.expr(f"{id_col} div {batch_size}").alias("batch")
+    per_batch = df.select(batch, F.col(text_col)).groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col)).cast("long")).alias(
+            "token_instances"
+        ),
+    )
+    firsts = (
+        df.select(batch, F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("batch").alias("batch"))
+    )
+    new_types = firsts.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    joined = per_batch.join(new_types, "batch", "left").select(
+        "batch",
+        "n_docs",
+        "token_instances",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("long").alias(
+            "new_types"
+        ),
+    )
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "batch",
+        "n_docs",
+        "token_instances",
+        "new_types",
+        F.sum("new_types").over(w).alias("cum_types"),
+        F.sum("token_instances").over(w).alias("cum_instances"),
+    )
+
+
 def oov_rates(
     df: DataFrame,
     vocab: DataFrame,

@@ -1156,6 +1156,33 @@ def q_neardup_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_neardup_best_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup (md5 oracle mode): keep the
+    HIGHEST-quality member per LSH component (min doc_id on ties) via
+    the packed-BIGINT argmax — datapipe/dedup.near_dedup_best — instead
+    of the blind min-id rule. Output carries the kept docs' integer
+    quality so the oracle validates the ranking, not just the drops."""
+    from docrawl_spark.datapipe.dedup import near_dedup_best
+    from docrawl_spark.datapipe.text import quality_score_col
+
+    kept = near_dedup_best(
+        _docs_par(spark, sf_dir), n_hashes=8, n_bands=4, hash_mode="md5hex"
+    )
+    return kept.select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over contiguous 64-doc ingest
+    batches (datapipe/text.vocab_growth_curve): new token types per
+    batch + running vocabulary/instance totals — integer-exact,
+    window over #batches rows only."""
+    from docrawl_spark.datapipe.text import vocab_growth_curve
+
+    return vocab_growth_curve(_t(spark, sf_dir, "documents"), batch_size=64)
+
+
 def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints in md5hex oracle mode (window=4 rolling
     minima over token hashes, Schleimer et al. SIGMOD'03)."""
@@ -5279,6 +5306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_md5": q_minhash_lsh_pairs_md5,
         "neardup_components": q_neardup_components,
         "neardup_dedup_docs": q_neardup_dedup_docs,
+        "neardup_best_reps": q_neardup_best_reps,
+        "vocab_growth": q_vocab_growth,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_fingerprints_md5": q_winnow_fingerprints_md5,
@@ -6167,6 +6196,106 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (
               SELECT src FROM reach GROUP BY src
               HAVING LEAST(src, MIN(dst)) <> src)
+        """,
+        "neardup_best_reps": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+            sig AS (
+              SELECT doc_id, seed,
+                     MIN(substr(md5(CAST(seed AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM sh, seeds GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+                     string_agg(mh, ',' ORDER BY seed) AS band_key
+              FROM sig GROUP BY doc_id, band_idx),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_idx, band_key)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              WHERE r.src <> e.dst),
+            comp AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+              FROM reach GROUP BY src),
+            qb AS (
+              SELECT doc_id, trim(text) AS t,
+                     string_split_regex(lower(trim(text)), '\s+') AS qtoks
+              FROM documents),
+            qm AS (
+              SELECT doc_id,
+                     length(t) AS n_chars,
+                     CASE WHEN t = '' THEN 0 ELSE len(qtoks) END AS n_tok,
+                     len(list_distinct(qtoks)) AS n_distinct,
+                     length(regexp_replace(t, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+                     len(list_intersect(list_distinct(qtoks),
+                         ['the','and','of','to','a','in','is','that'])) AS stop_hits
+              FROM qb),
+            q AS (
+              SELECT doc_id, CAST(
+                       FLOOR(350 * LEAST(n_chars, 500) / 500.0)
+                     + (CASE WHEN n_tok > 0 THEN FLOOR(250.0 * n_distinct / n_tok) ELSE 0 END)
+                     + FLOOR(250 * LEAST(stop_hits, 4) / 4.0)
+                     + (CASE WHEN n_chars > 0
+                             THEN FLOOR(150.0 * GREATEST(n_chars - LEAST(punct * 5, n_chars), 0) / n_chars)
+                             ELSE 0 END)
+                     AS INT) AS quality
+              FROM qm),
+            m AS (
+              SELECT c.doc_id, c.component,
+                     (CAST(q.quality AS BIGINT) << 40)
+                       + (1099511627775 - c.doc_id) AS packed
+              FROM comp c JOIN q USING (doc_id)),
+            reps AS (
+              SELECT component,
+                     1099511627775 - (MAX(packed) & 1099511627775) AS rep
+              FROM m GROUP BY component),
+            drops AS (
+              SELECT m.doc_id FROM m JOIN reps USING (component)
+              WHERE m.doc_id <> reps.rep)
+            SELECT d.doc_id, q.quality
+            FROM documents d JOIN q USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        "vocab_growth": r"""
+            WITH d AS (
+              SELECT doc_id // 64 AS batch, trim(text) AS t,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+            inst AS (
+              SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN t = '' THEN 0 ELSE len(toks) END) AS BIGINT)
+                       AS token_instances
+              FROM d GROUP BY batch),
+            firsts AS (
+              SELECT token, MIN(batch) AS batch
+              FROM (SELECT batch, UNNEST(toks) AS token FROM d)
+              WHERE token <> '' GROUP BY token),
+            nt AS (
+              SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_types
+              FROM firsts GROUP BY batch)
+            SELECT i.batch, i.n_docs, i.token_instances,
+                   CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+                   CAST(SUM(COALESCE(nt.new_types, 0))
+                        OVER (ORDER BY i.batch) AS BIGINT) AS cum_types,
+                   CAST(SUM(i.token_instances)
+                        OVER (ORDER BY i.batch) AS BIGINT) AS cum_instances
+            FROM inst i LEFT JOIN nt USING (batch)
         """,
         "winnow_fingerprints_md5": r"""
             WITH h AS (

@@ -1338,3 +1338,55 @@ def test_sorted_neighborhood_pairs_window_and_blocks(spark):
         ).collect()
     }
     assert wide == {(1, 3), (1, 2), (3, 2)}
+
+
+def test_near_dedup_best_prefers_quality_then_min_id(spark):
+    from docrawl_spark.datapipe.dedup import near_dedup, near_dedup_best
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, 10),   # near-dup cluster {1,2}: 2 has higher quality
+            (2, dup, 50),
+            (3, "completely unrelated singleton text with unique words", 1),
+            (4, "another shared body of duplicated text tokens here", 7),
+            (5, "another shared body of duplicated text tokens here", 7),
+        ],
+        "doc_id long, text string, q int",
+    )
+    kept = {
+        r["doc_id"]
+        for r in near_dedup_best(
+            docs, quality_col="q", n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    # highest quality wins in {1,2}; equal quality falls back to min id
+    # in {4,5}; the singleton is untouched
+    assert kept == {2, 3, 4}
+    # contrast with the blind min-id rule
+    blind = {
+        r["doc_id"]
+        for r in near_dedup(
+            docs, n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
+    }
+    assert blind == {1, 3, 4}
+
+
+def test_vocab_growth_curve_hand(spark):
+    from docrawl_spark.datapipe.text import vocab_growth_curve
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "a d"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["batch"]: r
+        for r in vocab_growth_curve(docs, batch_size=2).collect()
+    }
+    b0, b1 = rows[0], rows[1]
+    assert (b0["n_docs"], b0["token_instances"], b0["new_types"]) == (2, 4, 3)
+    assert (b0["cum_types"], b0["cum_instances"]) == (3, 4)
+    # batch 1: only 'd' is new; the empty doc adds no instances
+    assert (b1["n_docs"], b1["token_instances"], b1["new_types"]) == (2, 2, 1)
+    assert (b1["cum_types"], b1["cum_instances"]) == (4, 6)
