@@ -147,6 +147,81 @@ def winnow_fingerprints_col(
     )
 
 
+def char_run_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level quality signals per doc — the C4/Gopher-family
+    rules token metrics miss: the longest same-character run (ASCII-art
+    / keyboard-mash / progress-bar detector) and the char-class mix in
+    exact ppm (letters / digits / whitespace / other — code-vs-prose
+    and phone-dump signals).
+
+    Columns: n_chars, max_run, letter_ppm, digit_ppm, space_ppm,
+    other_ppm (integer div; empty docs report all zeros).
+
+    Scale shape: max_run is a per-row ARRAY FOLD (`F.aggregate` over
+    the char array) — O(doc) state, ZERO shuffle; the explode→window
+    alternative would shuffle one row per character (10^14 rows at
+    100 TB). The interpreted-HOF cost (CLAUDE.md) is one linear pass
+    per row here, not a nested per-element hash — the fold is the
+    right trade against a corpus-sized per-char exchange. Class
+    counts are JVM regexp_replace lengths (codegen)."""
+    t = F.trim(F.col(text_col))
+    chars = F.filter(F.split(t, ""), lambda c: c != "")
+    fold = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(c == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(c == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        fold.alias("max_run"),
+        F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("long").alias(
+            "_letters"
+        ),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long").alias(
+            "_digits"
+        ),
+        F.length(F.regexp_replace(t, r"[^ \t\n\r]", "")).cast("long").alias(
+            "_spaces"
+        ),
+    )
+    ppm = (
+        lambda num, name: F.when(
+            F.col("n_chars") > 0,
+            F.expr(f"1000000 * {num} div n_chars"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(name)
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "max_run",
+        ppm("_letters", "letter_ppm"),
+        ppm("_digits", "digit_ppm"),
+        ppm("_spaces", "space_ppm"),
+        ppm("(n_chars - _letters - _digits - _spaces)", "other_ppm"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

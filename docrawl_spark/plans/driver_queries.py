@@ -1183,6 +1183,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(_t(spark, sf_dir, "documents"), batch_size=64)
 
 
+def q_char_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality audit (datapipe/text.char_run_stats):
+    longest same-char run via a per-row array fold (zero shuffle) +
+    char-class mix in exact ppm. The oracle computes max_run the
+    orthodox way (per-char rows → lag → run windows) — equality
+    validates the fold against the window semantics."""
+    from docrawl_spark.datapipe.text import char_run_stats
+
+    return char_run_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints in md5hex oracle mode (window=4 rolling
     minima over token hashes, Schleimer et al. SIGMOD'03)."""
@@ -5308,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup_docs": q_neardup_dedup_docs,
         "neardup_best_reps": q_neardup_best_reps,
         "vocab_growth": q_vocab_growth,
+        "char_runs": q_char_runs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_fingerprints_md5": q_winnow_fingerprints_md5,
@@ -6271,6 +6283,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, q.quality
             FROM documents d JOIN q USING (doc_id)
             WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        """,
+        "char_runs": r"""
+            WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+            ch AS (
+              SELECT doc_id, i, substr(t, CAST(i AS INT), 1) AS c
+              FROM d, UNNEST(range(1, length(t) + 1)) AS u(i)),
+            lg AS (
+              SELECT doc_id, i,
+                     CASE WHEN c = LAG(c) OVER (PARTITION BY doc_id ORDER BY i)
+                          THEN 0 ELSE 1 END AS brk
+              FROM ch),
+            runs AS (
+              SELECT doc_id, i,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+              FROM lg),
+            rmax AS (
+              SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run
+              FROM (SELECT doc_id, run_id, COUNT(*) AS cnt
+                    FROM runs GROUP BY doc_id, run_id)
+              GROUP BY doc_id),
+            cls AS (
+              SELECT doc_id,
+                     CAST(length(t) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS letters,
+                     CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT) AS digits,
+                     CAST(length(regexp_replace(t, '[^ \t\n\r]', '', 'g')) AS BIGINT) AS spaces
+              FROM d)
+            SELECT c.doc_id, c.n_chars,
+                   CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run,
+                   CAST(CASE WHEN c.n_chars > 0
+                        THEN 1000000 * c.letters // c.n_chars ELSE 0 END AS BIGINT) AS letter_ppm,
+                   CAST(CASE WHEN c.n_chars > 0
+                        THEN 1000000 * c.digits // c.n_chars ELSE 0 END AS BIGINT) AS digit_ppm,
+                   CAST(CASE WHEN c.n_chars > 0
+                        THEN 1000000 * c.spaces // c.n_chars ELSE 0 END AS BIGINT) AS space_ppm,
+                   CAST(CASE WHEN c.n_chars > 0
+                        THEN 1000000 * (c.n_chars - c.letters - c.digits - c.spaces) // c.n_chars
+                        ELSE 0 END AS BIGINT) AS other_ppm
+            FROM cls c LEFT JOIN rmax r USING (doc_id)
         """,
         "vocab_growth": r"""
             WITH d AS (

@@ -1390,3 +1390,26 @@ def test_vocab_growth_curve_hand(spark):
     # batch 1: only 'd' is new; the empty doc adds no instances
     assert (b1["n_docs"], b1["token_instances"], b1["new_types"]) == (2, 2, 1)
     assert (b1["cum_types"], b1["cum_instances"]) == (4, 6)
+
+
+def test_char_run_stats_hand(spark):
+    from docrawl_spark.datapipe.text import char_run_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaab cc"), (2, "x1y2"), (3, ""), (4, "!!!!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_run_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_chars"], r1["max_run"]) == (7, 3)
+    assert r1["letter_ppm"] == 1_000_000 * 6 // 7
+    assert r1["space_ppm"] == 1_000_000 * 1 // 7
+    assert (r1["digit_ppm"], r1["other_ppm"]) == (0, 0)
+    r2 = rows[2]
+    assert (r2["max_run"], r2["digit_ppm"], r2["letter_ppm"]) == (
+        1, 500_000, 500_000,
+    )
+    # empty doc: all zeros, no division
+    assert tuple(rows[3])[1:] == (0, 0, 0, 0, 0, 0)
+    # punctuation-only: the run detector and 'other' class
+    assert (rows[4]["max_run"], rows[4]["other_ppm"]) == (6, 1_000_000)
