@@ -114,6 +114,13 @@ HEADLINE = [
     "host_triangles",
     "ktruss_edges",
     "readability",
+    # round-3 session-7: quality-aware representative selection (packed
+    # argmax over LSH components), Heaps vocab growth, char-run audit
+    # (per-row fold) — measured 4.6 / 0.3 / 0.3 s at sf0.1 on entry
+    "neardup_best_reps",
+    "vocab_growth",
+    "char_runs",
+    "events_mad_outliers",
 ]
 
 

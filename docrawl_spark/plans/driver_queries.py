@@ -1387,6 +1387,65 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly stats per event_type: median / MAD (median
+    absolute deviation) and the count of |x − med| > 3·MAD outliers —
+    the telemetry-anomaly audit (fetch-latency spikes, bot bursts)
+    where mean/stddev would be dragged by the outliers themselves.
+
+    INTEGER-EXACT cross-engine: values are 2-decimal quantized, so a
+    float MAD comparison sits on a 0.005 lattice where 1-ulp
+    interpolation differences between engines flip counts. Instead:
+    centi-unit BIGINTs, medians over a DOUBLED domain (even-n midpoints
+    land on exact integers: percentile interpolation at 0.5 of two
+    exact doubles is exact), and the outlier test 2·dev2c > 3·mad4c in
+    pure BIGINT. Output units are exact micro-units.
+
+    Scale note: exact percentile buffers one group in memory (same
+    bound as events_value_quantiles) — per-event-type groups; for
+    heavy-tailed 100 TB telemetry use the log-histogram quantile path.
+    The median dim (one row per event_type) broadcasts back."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("vc") * 2, F.lit(0.5)).cast("long").alias("med2c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2c",
+        F.abs(F.col("vc") * 2 - F.col("med2c")).alias("dev2c"),
+    )
+    stats = dev.groupBy("event_type", "med2c").agg(
+        F.percentile(F.col("dev2c") * 2, F.lit(0.5)).cast("long").alias(
+            "mad4c"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        dev.join(
+            F.broadcast(stats.select("event_type", "mad4c", "n_events")),
+            "event_type",
+        )
+        .groupBy("event_type", "n_events", "med2c", "mad4c")
+        .agg(
+            F.sum(
+                F.when(F.col("dev2c") * 2 > F.col("mad4c") * 3, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("med2c") * 5000).cast("long").alias("med_micro"),
+            (F.col("mad4c") * 2500).cast("long").alias("mad_micro"),
+            "n_outliers",
+        )
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + agg + top-10 by revenue
     (deterministic tie-break on orderkey)."""
@@ -5336,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_intersect": q_customer_intersect,
         "customer_semijoin": q_customer_semijoin,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_mad_outliers": q_events_mad_outliers,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6659,6 +6719,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "events_mad_outliers": """
+            WITH v AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            med AS (
+              SELECT event_type,
+                     CAST(quantile_cont(vc * 2, 0.5) AS BIGINT) AS med2c
+              FROM v GROUP BY event_type),
+            dev AS (
+              SELECT v.event_type, med.med2c,
+                     ABS(v.vc * 2 - med.med2c) AS dev2c
+              FROM v JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type,
+                     CAST(quantile_cont(dev2c * 2, 0.5) AS BIGINT) AS mad4c,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM dev GROUP BY event_type)
+            SELECT d.event_type, m.n_events,
+                   CAST(d.med2c * 5000 AS BIGINT) AS med_micro,
+                   CAST(m.mad4c * 2500 AS BIGINT) AS mad_micro,
+                   CAST(SUM(CASE WHEN 2 * d.dev2c > 3 * m.mad4c
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type, m.n_events, d.med2c, m.mad4c
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,

@@ -1413,3 +1413,29 @@ def test_char_run_stats_hand(spark):
     assert tuple(rows[3])[1:] == (0, 0, 0, 0, 0, 0)
     # punctuation-only: the run detector and 'other' class
     assert (rows[4]["max_run"], rows[4]["other_ppm"]) == (6, 1_000_000)
+
+
+def test_events_mad_outliers_hand(spark, tmp_path):
+    from docrawl_spark.plans.driver_queries import q_events_mad_outliers
+
+    spark.createDataFrame(
+        [("a", 1.00), ("a", 1.00), ("a", 1.00), ("a", 1.00), ("a", 100.00),
+         ("b", 1.00), ("b", 2.00), ("b", 3.00), ("b", 4.00)],
+        "event_type string, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        r["event_type"]: r
+        for r in q_events_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    a = rows["a"]
+    # median 1.00, MAD 0 (>=3 of 5 at the median) — the 100.00 spike is
+    # the single |x-med| > 0 outlier
+    assert (a["med_micro"], a["mad_micro"], a["n_outliers"]) == (
+        1_000_000, 0, 1,
+    )
+    b = rows["b"]
+    # even n: median 2.5 (exact midpoint), MAD 1.0, no 3-MAD outliers
+    assert (b["med_micro"], b["mad_micro"], b["n_outliers"]) == (
+        2_500_000, 1_000_000, 0,
+    )
+    assert (a["n_events"], b["n_events"]) == (5, 4)
