@@ -1387,6 +1387,64 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users reaching view → click → purchase
+    with each step STRICTLY after the previous one (t2 = min click ts
+    > t1, t3 = min purchase ts > t2) — the classic conversion audit,
+    and on crawl telemetry the discover→fetch→extract progression.
+
+    Scale shape: one filtered MIN HashAggregate per step + an equi-join
+    on user_id back to the previous step's frontier — each stage only
+    carries users still in the funnel (monotonically shrinking), no
+    windows, no self-join on the full stream."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def _step(prev: DataFrame | None, etype: str, col: str) -> DataFrame:
+        s = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[-1]
+            s = s.join(prev, "user_id").where(F.col("ts") > F.col(pcol))
+        return s.groupBy("user_id").agg(F.min("ts").alias(col))
+
+    s1 = _step(None, "view", "t1")
+    s2 = _step(s1, "click", "t2")
+    s3 = _step(s2, "purchase", "t3")
+    rows = [
+        (s1, 1, "view"), (s2, 2, "click"), (s3, 3, "purchase"),
+    ]
+    out = None
+    for frame, step, name in rows:
+        agg = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            "n_users",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    counts): consecutive (prev_type → type) pairs under the
+    deterministic (ts, event_id) order, with transition counts and
+    distinct-user support. Path mining over sessions — on crawl
+    telemetry, the fetch-outcome transition structure.
+
+    Scale shape: one per-user lag window (bounded by a user's own
+    events, never corpus-wide) → HashAggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).where(F.col("src_type").isNotNull())
+    return pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly stats per event_type: median / MAD (median
     absolute deviation) and the count of |x − med| > 3·MAD outliers —
@@ -5396,6 +5454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_semijoin": q_customer_semijoin,
         "events_value_quantiles": q_events_value_quantiles,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_funnel": q_events_funnel,
+        "events_transitions": q_events_transitions,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6719,6 +6779,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id)
+            SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+        """,
+        "events_transitions": """
+            WITH lagged AS (
+              SELECT user_id,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS src_type,
+                     event_type AS dst_type
+              FROM events)
+            SELECT src_type, dst_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM lagged WHERE src_type IS NOT NULL
+            GROUP BY src_type, dst_type
         """,
         "events_mad_outliers": """
             WITH v AS (

@@ -1439,3 +1439,42 @@ def test_events_mad_outliers_hand(spark, tmp_path):
         2_500_000, 1_000_000, 0,
     )
     assert (a["n_events"], b["n_events"]) == (5, 4)
+
+
+def test_events_funnel_and_transitions_hand(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from docrawl_spark.plans.driver_queries import (
+        q_events_funnel,
+        q_events_transitions,
+    )
+
+    t = lambda m: DT(2024, 1, 1, 0, m)
+    spark.createDataFrame(
+        [
+            # user 1 completes the funnel in order
+            (1, 1, "view", t(1)), (2, 1, "click", t(2)), (3, 1, "purchase", t(3)),
+            # user 2: click BEFORE the first view only — fails step 2
+            (4, 2, "click", t(1)), (5, 2, "view", t(3)),
+            # user 3: purchase ties click's ts (not strictly after) —
+            # fails step 3; event_id breaks the transition order
+            (6, 3, "view", t(1)), (7, 3, "click", t(2)), (8, 3, "purchase", t(2)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    funnel = {
+        r["step"]: r["n_users"]
+        for r in q_events_funnel(spark, str(tmp_path)).collect()
+    }
+    assert funnel == {1: 3, 2: 2, 3: 1}
+
+    trans = {
+        (r["src_type"], r["dst_type"]): (r["n_transitions"], r["n_users"])
+        for r in q_events_transitions(spark, str(tmp_path)).collect()
+    }
+    assert trans == {
+        ("view", "click"): (2, 2),
+        ("click", "purchase"): (2, 2),
+        ("click", "view"): (1, 1),
+    }
