@@ -173,3 +173,50 @@ def with_global_prefix_sum(
         .withColumn(prefix_col, (F.col("_soff") + F.col("_lsum")).cast("long"))
         .drop("_pid", "_lrn", "_lsum", "_roff", "_soff")
     )
+
+
+def with_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``bucket_col`` = NTILE(k) over the GLOBAL total order of
+    ``order_cols`` — without the single-partition window a plain
+    ``ntile(k).over(Window.orderBy(...))`` collapses to.
+
+    Derivation: ``with_global_rank`` (distributed range-sort rank) +
+    the closed-form NTILE rule — with N rows, the first N mod k buckets
+    hold ceil(N/k) rows, the rest floor(N/k):
+
+        r1 <= (N mod k) * (floor + 1)  →  (r1-1) div (floor+1) + 1
+        else                           →  N mod k
+                                          + (r1 - boundary - 1) div floor + 1
+
+    in pure integer `div` (cross-engine exact vs a native NTILE). N
+    rides in as a broadcast single-row count frame (the benign-BNLJ
+    fixture pattern, CLAUDE.md) so the expression stays lazy. N < k is
+    safe: boundary = N, every rank takes the first branch (no division
+    by the zero floor)."""
+    ranked = with_global_rank(
+        df, order_cols, rank_col="_r", num_partitions=num_partitions
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    j = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_r1", F.col("_r") + 1)
+        .withColumn("_small", F.expr(f"_n div {int(k)}"))
+        .withColumn("_rbig", F.expr(f"_n % {int(k)}"))
+    )
+    boundary = F.col("_rbig") * (F.col("_small") + 1)
+    bucket = F.when(
+        F.col("_r1") <= boundary,
+        F.expr("(_r1 - 1) div (_small + 1) + 1"),
+    ).otherwise(
+        F.expr("_rbig + (_r1 - _rbig * (_small + 1) - 1) div _small + 1")
+    )
+    return (
+        j.withColumn(bucket_col, bucket.cast("int"))
+        .drop("_r", "_r1", "_n", "_small", "_rbig")
+    )

@@ -1387,6 +1387,44 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count length deciles over the corpus via the SCALABLE
+    NTILE (operators/ranking.with_ntile: distributed range-sort rank +
+    the closed-form bucket rule) — a plain ntile().over(Window.orderBy)
+    collapses to ONE partition. The oracle runs DuckDB's native
+    NTILE(10); hash equality proves the distributed derivation
+    reproduces SQL NTILE semantics exactly."""
+    from docrawl_spark.operators.ranking import with_ntile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tiled = with_ntile(docs, ["n_chars", "doc_id"], k=10)
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape round-trip: user-bucket × event_type counts pivoted WIDE
+    (groupBy().pivot()) then melted back to long form with
+    DataFrame.unpivot — the §2.5 unpivot/melt primitive. Absent
+    combinations surface as NULL cells in the wide frame and are
+    dropped after the melt, so the round-trip reproduces the plain
+    long-form aggregate the oracle computes directly."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("bucket"),
+        "event_type",
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("bucket").pivot("event_type", types).count()
+    return (
+        wide.unpivot("bucket", types, "event_type", "n_events")
+        .where(F.col("n_events").isNotNull())
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users reaching view → click → purchase
     with each step STRICTLY after the previous one (t2 = min click ts
@@ -5456,6 +5494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "events_funnel": q_events_funnel,
         "events_transitions": q_events_transitions,
+        "doc_length_ntiles": q_doc_length_ntiles,
+        "events_unpivot": q_events_unpivot,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6779,6 +6819,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "doc_length_ntiles": """
+            WITH tiled AS (
+              SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket,
+                     n_chars
+              FROM documents)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM tiled GROUP BY bucket
+        """,
+        "events_unpivot": """
+            SELECT CAST(user_id % 10 AS INT) AS bucket, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "events_funnel": """
             WITH s1 AS (

@@ -1478,3 +1478,24 @@ def test_events_funnel_and_transitions_hand(spark, tmp_path):
         ("click", "purchase"): (2, 2),
         ("click", "view"): (1, 1),
     }
+
+
+def test_with_ntile_bucket_rule(spark):
+    from docrawl_spark.operators.ranking import with_ntile
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 8)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in with_ntile(df, ["v", "id"], k=3).collect()
+    }
+    # N=7, k=3: sizes 3,2,2 (first N mod k buckets take the ceil)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+    tiny = spark.createDataFrame([(1, 5), (2, 9)], "id long, v long")
+    got2 = {
+        r["id"]: r["bucket"]
+        for r in with_ntile(tiny, ["v", "id"], k=5).collect()
+    }
+    # N < k: one row per bucket, no zero-size division
+    assert got2 == {1: 1, 2: 2}
