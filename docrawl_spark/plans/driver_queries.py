@@ -1425,6 +1425,70 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, activity
+    counted per whole-day offset from that cohort day — the
+    returning-visitor / recrawl-revisit audit. (cohort_day, offset_days,
+    n_active_users), integer-exact datediff.
+
+    Scale shape: the cohort dim (one row per user) comes from a MIN
+    HashAggregate and joins back on user_id; the matrix aggregate is a
+    two-key HashAggregate over (day, user) distincts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((day), (event_type), ()) with
+    grouping_id — the §2.5 grouping-sets primitive beyond cube/rollup
+    (exactly the three summary grains, not the full 2^n lattice)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    return ev.groupingSets(
+        [[F.col("day")], [F.col("event_type")], []], "day", "event_type"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: per event_type, the 7-day-ending-here
+    moving event count over the daily series (ROWS BETWEEN 6 PRECEDING
+    AND CURRENT ROW on the aggregated per-day frame — the frame slides
+    over ~days rows per type, never raw events)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: users reaching view → click → purchase
     with each step STRICTLY after the previous one (t2 = min click ts
@@ -5496,6 +5560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "doc_length_ntiles": q_doc_length_ntiles,
         "events_unpivot": q_events_unpivot,
+        "events_retention": q_events_retention,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_moving_sum": q_events_moving_sum,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6819,6 +6886,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "events_retention": """
+            WITH d AS (
+              SELECT user_id, date_trunc('day', ts) AS day FROM events),
+            cohort AS (
+              SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+            act AS (
+              SELECT DISTINCT d.user_id, c.cohort_day,
+                     CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT)
+                       AS offset_days
+              FROM d JOIN cohort c USING (user_id))
+            SELECT cohort_day, offset_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_active_users
+            FROM act GROUP BY cohort_day, offset_days
+        """,
+        "events_grouping_sets": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   CAST(GROUPING(date_trunc('day', ts)) * 2
+                        + GROUPING(event_type) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY GROUPING SETS ((date_trunc('day', ts)), (event_type), ())
+        """,
+        "events_moving_sum": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS n_7d
+            FROM daily
         """,
         "doc_length_ntiles": """
             WITH tiled AS (

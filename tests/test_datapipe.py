@@ -1499,3 +1499,49 @@ def test_with_ntile_bucket_rule(spark):
     }
     # N < k: one row per bucket, no zero-size division
     assert got2 == {1: 1, 2: 2}
+
+
+def test_retention_grouping_sets_moving_sum_hand(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from docrawl_spark.plans.driver_queries import (
+        q_events_grouping_sets,
+        q_events_moving_sum,
+        q_events_retention,
+    )
+
+    d = lambda day, h=0: DT(2024, 1, day, h)
+    spark.createDataFrame(
+        [
+            # user 1: two events on day 1 (dedup to one active mark) + day 3
+            (1, 1, "view", d(1, 1)), (2, 1, "click", d(1, 2)), (3, 1, "view", d(3)),
+            # user 2: day 2 only
+            (4, 2, "view", d(2)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    ret = {
+        (r["cohort_day"].day, r["offset_days"]): r["n_active_users"]
+        for r in q_events_retention(spark, str(tmp_path)).collect()
+    }
+    assert ret == {(1, 0): 1, (1, 2): 1, (2, 0): 1}
+
+    gs = q_events_grouping_sets(spark, str(tmp_path)).collect()
+    by_gid = {}
+    for r in gs:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 1 = by-day (type grouped away), gid 2 = by-type, gid 3 = total
+    assert {r["day"].day: r["n_events"] for r in by_gid[1]} == {1: 2, 2: 1, 3: 1}
+    assert {r["event_type"]: r["n_events"] for r in by_gid[2]} == {
+        "view": 3, "click": 1,
+    }
+    assert [r["n_events"] for r in by_gid[3]] == [4]
+
+    mov = {
+        (r["event_type"], r["day"].day): r["n_7d"]
+        for r in q_events_moving_sum(spark, str(tmp_path)).collect()
+    }
+    # view: day1 n=1, day2 n=1, day3 n=1 → running 1,2,3 within the frame
+    assert mov[("view", 1)] == 1 and mov[("view", 2)] == 2
+    assert mov[("view", 3)] == 3 and mov[("click", 1)] == 1
