@@ -368,3 +368,45 @@ def split_domain_leakage(
             "least(n_train, n_test) * 1000000L div (n_train + n_test)"
         ).alias("leak_ppm"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample per group — the balanced
+    subcorpus primitive rate-based sampling can't provide (a ppm
+    threshold yields Binomial(n, p) rows per group, not exactly k; a
+    balanced eval set or per-source probe corpus needs exactly k).
+
+    Order = md5('sample|' || id): a fixed pseudo-random permutation,
+    reproducible across runs/engines/partitionings; keep the k
+    lexicographically-smallest keys per group. Selection is the same
+    two-phase salted window as the politeness budget
+    (operators/politeness.budget_topk): phase 1 bounds any hot group's
+    window partition to ~1/n_salts of its rows (a 10^7-doc source never
+    lands in one task), phase 2 takes the exact top-k over ≤ n_salts·k
+    survivors. Groups with < k rows keep everything."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit("sample|"), F.col(id_col).cast("string"))
+    )
+    salted = df.withColumn("_skey", key).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_skey")
+    phase1 = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_skey")
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_skey")
+    )

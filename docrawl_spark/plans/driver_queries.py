@@ -1425,6 +1425,52 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced exact-k per-source sample (datapipe/sampling.
+    sample_k_per_group, k=3): the k smallest md5('sample|'||id) keys
+    per source via the salted two-phase window — exactly k rows per
+    source (fewer only if the source is smaller), bit-reproducible."""
+    from docrawl_spark.datapipe.sampling import sample_k_per_group
+
+    return sample_k_per_group(
+        _t(spark, sf_dir, "documents"), "source", k=3, id_col="doc_id"
+    ).select("source", "doc_id")
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: 30-min-gap sessions (the events_sessionize
+    derivation), each session's event types joined in (ts, event_id)
+    order into a '>'-path string, ranked by session count (path asc
+    tiebreak — a total order, so the LIMIT is deterministic). Sequence
+    mining over the per-session bounded collect."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, activity
     counted per whole-day offset from that cohort day — the
@@ -5563,6 +5609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_grouping_sets": q_events_grouping_sets,
         "events_moving_sum": q_events_moving_sum,
+        "source_sample_k": q_source_sample_k,
+        "session_paths": q_session_paths,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6886,6 +6934,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "source_sample_k": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR))
+                     ) AS rn
+              FROM documents) t
+            WHERE rn <= 3
+        """,
+        "session_paths": """
+            WITH x AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x),
+            p AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM y GROUP BY user_id, sid)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path ASC LIMIT 20
         """,
         "events_retention": """
             WITH d AS (

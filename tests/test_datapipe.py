@@ -1545,3 +1545,26 @@ def test_retention_grouping_sets_moving_sum_hand(spark, tmp_path):
     # view: day1 n=1, day2 n=1, day3 n=1 → running 1,2,3 within the frame
     assert mov[("view", 1)] == 1 and mov[("view", 2)] == 2
     assert mov[("view", 3)] == 3 and mov[("click", 1)] == 1
+
+
+def test_sample_k_per_group_exact_and_deterministic(spark):
+    from docrawl_spark.datapipe.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 20 else "small") for i in range(23)],
+        "doc_id long, grp string",
+    )
+    out = sample_k_per_group(df, "grp", k=5, id_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert len(got["big"]) == 5          # exactly k from the large group
+    assert got["small"] == {20, 21, 22}  # undersized group keeps all
+    # deterministic under repartitioning and salt count
+    again = sample_k_per_group(
+        df.repartition(7), "grp", k=5, id_col="doc_id", n_salts=3
+    )
+    got2 = {}
+    for r in again.collect():
+        got2.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert got2 == got
