@@ -1471,6 +1471,138 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over sessions (market-basket mining): for each
+    ordered event-type pair a→b, sessions containing both vs each
+    alone — support / confidence / lift in EXACT ppm (lift_ppm =
+    n_ab·N·10^6 div (n_a·n_b); all BIGINT, no float division). Lift >
+    10^6 means a and b co-occur beyond independence — the
+    which-signals-travel-together diagnostic.
+
+    Scale shape: distinct (session, type) is a HashAggregate; the pair
+    join fans out per session only over its ≤ |type| distinct types
+    (bounded), never a session-count self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    st = sess.select("user_id", "sid", "event_type").distinct()
+    n_sessions = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_single")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("event_type", "antecedent")
+                        .withColumnRenamed("n_single", "n_ante")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("event_type", "consequent")
+                        .withColumnRenamed("n_single", "n_cons")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    return j.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        F.expr("1000000 * n_both div n_sessions").alias("support_ppm"),
+        F.expr("1000000 * n_both div n_ante").alias("confidence_ppm"),
+        # BIGINT-exact while n_both * n_sessions <= 9.2e12; at a
+        # 10^10-session corpus promote the product to DECIMAL(38,0)
+        # (Spark) / HUGEINT (DuckDB) before the div
+        F.expr("(1000000 * n_both * n_sessions) div (n_ante * n_cons)").alias(
+            "lift_ppm"
+        ),
+    )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS
+    — the corpus-mixing / cluster-overlap diagnostic (two labels whose
+    centroids cosine ≈ 1 are candidates for merging; a low-cosine
+    outlier label is a distinct mode).
+
+    Cross-engine exact: embeddings quantize to integer MICRO-units
+    (CAST(ROUND(e·10^6) AS BIGINT) — the MAD-query pattern), per-label
+    per-dimension sums and all dot/norm products stay in exact BIGINT
+    (64 dims · ~10^6-unit sums: ≤ ~10^17 < 2^63), and only the final
+    cosine divides in DOUBLE — both engines cast the SAME integers and
+    run the same IEEE mult/sqrt/divide, so ROUND(...,6) is
+    bit-identical. Centroid table is labels×64 rows — tiny; the pair
+    join never touches the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "e"),
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("e").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("v"),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.sum("v").alias("c"))
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).alias("norm2")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("norm2").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("norm2").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, activity
     counted per whole-day offset from that cohort day — the
@@ -5611,6 +5743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_sum": q_events_moving_sum,
         "source_sample_k": q_source_sample_k,
         "session_paths": q_session_paths,
+        "session_associations": q_session_associations,
+        "label_centroid_sim": q_label_centroid_sim,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
         "host_pagerank": q_host_pagerank,
@@ -6934,6 +7068,70 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 6) AS p50,
                    ROUND(quantile_cont(value, 0.9), 6) AS p90
             FROM events GROUP BY event_type
+        """,
+        "label_centroid_sim": """
+            WITH dims AS (
+              SELECT label, i - 1 AS pos,
+                     CAST(ROUND(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS v
+              FROM embeddings,
+                   UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+            cent AS (
+              SELECT label, pos, CAST(SUM(v) AS BIGINT) AS c
+              FROM dims GROUP BY label, pos),
+            norms AS (
+              SELECT label, CAST(SUM(c * c) AS BIGINT) AS norm2
+              FROM cent GROUP BY label),
+            dots AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+              FROM cent a JOIN cent b
+                ON a.pos = b.pos AND a.label < b.label
+              GROUP BY 1, 2)
+            SELECT d.label_a, d.label_b,
+                   ROUND(CAST(d.dot AS DOUBLE)
+                         / sqrt(CAST(na.norm2 AS DOUBLE)
+                                * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.label = d.label_a
+            JOIN norms nb ON nb.label = d.label_b
+        """,
+        "session_associations": """
+            WITH x AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+              SELECT user_id, event_type,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x),
+            st AS (SELECT DISTINCT user_id, sid, event_type FROM y),
+            ns AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM (SELECT DISTINCT user_id, sid FROM st) s),
+            singles AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_single
+              FROM st GROUP BY event_type),
+            pairs AS (
+              SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM st a JOIN st b
+                ON a.user_id = b.user_id AND a.sid = b.sid
+               AND a.event_type <> b.event_type
+              GROUP BY 1, 2)
+            SELECT p.antecedent, p.consequent, p.n_both,
+                   CAST(1000000 * p.n_both // ns.n_sessions AS BIGINT) AS support_ppm,
+                   CAST(1000000 * p.n_both // sa.n_single AS BIGINT) AS confidence_ppm,
+                   CAST((1000000 * p.n_both * ns.n_sessions)
+                        // (sa.n_single * sc.n_single) AS BIGINT) AS lift_ppm
+            FROM pairs p
+            JOIN singles sa ON sa.event_type = p.antecedent
+            JOIN singles sc ON sc.event_type = p.consequent
+            CROSS JOIN ns
         """,
         "source_sample_k": """
             SELECT source, doc_id FROM (

@@ -1568,3 +1568,53 @@ def test_sample_k_per_group_exact_and_deterministic(spark):
     for r in again.collect():
         got2.setdefault(r["grp"], set()).add(r["doc_id"])
     assert got2 == got
+
+
+def test_session_associations_hand(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from docrawl_spark.plans.driver_queries import q_session_associations
+
+    t = lambda m: DT(2024, 1, 1, 0, m)
+    # 3 sessions (distinct users, no gaps): {view,click}, {view}, {view,click}
+    spark.createDataFrame(
+        [
+            (1, 1, "view", t(0)), (2, 1, "click", t(1)),
+            (3, 2, "view", t(0)),
+            (4, 3, "view", t(0)), (5, 3, "click", t(1)), (6, 3, "click", t(2)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in q_session_associations(spark, str(tmp_path)).collect()
+    }
+    vc = rows[("view", "click")]
+    assert (vc["n_both"], vc["support_ppm"], vc["confidence_ppm"]) == (
+        2, 666_666, 666_666,
+    )
+    cv = rows[("click", "view")]
+    # click appears in 2 sessions, always with view: confidence 100%
+    assert cv["confidence_ppm"] == 1_000_000
+    # lift = n_both*N / (n_a*n_b) = 2*3/(3*2) = 1.0 exactly
+    assert vc["lift_ppm"] == 1_000_000 and cv["lift_ppm"] == 1_000_000
+
+
+def test_label_centroid_sim_hand(spark, tmp_path):
+    from docrawl_spark.plans.driver_queries import q_label_centroid_sim
+
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # label 0 → x axis
+            (3, [0.0, 2.0], 1),                        # label 1 → y axis
+            (4, [3.0, 3.0], 2),                        # label 2 → diagonal
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in q_label_centroid_sim(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 1)] == 0.0
+    assert abs(got[(0, 2)] - 0.707107) < 1e-6
+    assert abs(got[(1, 2)] - 0.707107) < 1e-6
