@@ -283,3 +283,86 @@ def run_streaming_neardup_probe(
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_streaming_transitions(
+    spark: SparkSession,
+    watch_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    carry_dir: str,
+    max_batches: int = 4,
+) -> None:
+    """Streaming twin of the event-type transition matrix
+    (``plans/driver_queries.q_events_transitions``): events arrive as
+    parquet micro-batches; within a batch, consecutive (prev → next)
+    pairs come from the same bounded per-user lag window as the batch
+    query, and the CROSS-BATCH boundary transition (a user's last event
+    in epoch k → their first in epoch k+1) is stitched via a carry
+    table holding exactly ONE last-event row per user — the minimal
+    streaming state, persisted to ``carry_dir`` between epochs.
+
+    Per-epoch pair counts land in ``out_dir/epoch=N`` with overwrite
+    (idempotent under epoch replay); the carry snapshot is rewritten
+    per epoch. Assumes per-user event-time monotonicity across epochs
+    (the file-source ordering); a production deployment would keep the
+    epoch-keyed carry snapshots for exact restart and let late rows
+    fall through to the batch recompute — the same bounded-fast-path /
+    exact-batch-truth pairing as ``streaming_url_dedup``."""
+    from pyspark.sql import Window
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            carry = spark.read.parquet(carry_dir)
+        except Exception:
+            carry = None
+        full = (
+            batch_df.unionByName(carry) if carry is not None else batch_df
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            full.select(
+                "user_id",
+                F.lag("event_type").over(w).alias("src_type"),
+                F.col("event_type").alias("dst_type"),
+            )
+            .where(F.col("src_type").isNotNull())
+            .groupBy("src_type", "dst_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        last = full.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        ).where(F.col("_rn") == 1).drop("_rn")
+        # collect-then-rewrite: the carry is one row per user (tiny at
+        # test scale; epoch-keyed snapshots at production scale) and
+        # the read path can't overwrite its own input mid-plan
+        rows = last.collect()
+        spark.createDataFrame(rows, schema=last.schema).write.mode(
+            "overwrite"
+        ).parquet(carry_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        for _ in range(max_batches):
+            q.processAllAvailable()
+    finally:
+        q.stop()

@@ -653,3 +653,61 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_transitions_match_batch(spark, tmp_path):
+    """Events streamed in two epochs: within-epoch lag pairs + the
+    carry-stitched cross-epoch boundary transition must sum to exactly
+    the one-shot batch transition matrix."""
+    from datetime import datetime as DT
+
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    from docrawl_spark.streaming.frontier_stream import run_streaming_transitions
+
+    t = lambda m: DT(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: view,click in epoch 1 | purchase in epoch 2 →
+        # boundary transition click→purchase must be stitched
+        (1, 1, "view", t(0)), (2, 1, "click", t(1)),
+        (3, 2, "view", t(0)),
+        (4, 1, "purchase", t(5)), (5, 2, "click", t(6)), (6, 2, "view", t(7)),
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    batch1 = spark.createDataFrame(rows[:3], schema)
+    batch2 = spark.createDataFrame(rows[3:], schema)
+    watch = str(tmp_path / "watch")
+    # one part-file per epoch: maxFilesPerTrigger=1 consumes a file at
+    # a time, and the carry contract assumes per-user time order ACROSS
+    # epochs — a multi-file batch would split users arbitrarily
+    batch1.coalesce(1).write.mode("append").parquet(watch)
+    batch2.coalesce(1).write.mode("append").parquet(watch)
+
+    out = str(tmp_path / "out")
+    run_streaming_transitions(
+        spark, watch, str(tmp_path / "ckpt"), out, str(tmp_path / "carry")
+    )
+
+    got = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in spark.read.parquet(out + "/epoch=*")
+        .groupBy("src_type", "dst_type")
+        .agg(SF.sum("n_transitions").alias("n"))
+        .collect()
+    }
+    full = spark.createDataFrame(rows, schema)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in full.select(
+            SF.lag("event_type").over(w).alias("src_type"),
+            SF.col("event_type").alias("dst_type"),
+        )
+        .where(SF.col("src_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert ("click", "purchase") in got  # the stitched boundary pair
