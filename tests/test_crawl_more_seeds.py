@@ -111,3 +111,31 @@ def test_crlf_robots_blob_equality(spark, tmp_path):
     res = run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen
+
+
+@pytest.mark.parametrize("seed", [909, 1313])
+def test_crawl_equality_dense_web_tight_budgets(spark, tmp_path, seed):
+    """Heavier stress shape: denser web, more waves, and a seed list
+    perturbed with a duplicate seed plus an unknown-host seed (404
+    fetch: seen, no spans) — ordering under budget pressure must still
+    match the simulator exactly, bloom on."""
+    fx = generate_web(
+        seed=seed, n_hosts=8, pages_cold=8, pages_hot=24, n_seeds=6
+    )
+    order = max(s["seed_order"] for s in fx.seeds)
+    fx.seeds.append(dict(fx.seeds[0], seed_order=order + 1))  # duplicate
+    fx.seeds.append(
+        {"url": "https://nowhere.test/missing", "seed_order": order + 2}
+    )
+    sim = simulate_crawl(fx.documents_raw, fx.hosts, fx.seeds, max_waves=7)
+    docs_raw, hosts_df, seeds_df = fixture_to_dfs(spark, fx)
+    wh = Warehouse(str(tmp_path / f"whd{seed}"), spark)
+    res = run_crawl(
+        spark, docs_raw, hosts_df, seeds_df, max_waves=7, warehouse=wh,
+        use_bloom=True,
+    )
+    assert res.visits == sim.visits
+    assert res.seen_urls == sim.seen
+    # the unknown-host seed was fetched (seen) but yielded no links
+    assert "https://nowhere.test/missing" in res.seen_urls
+    assert len(sim.visits) > 30
