@@ -424,6 +424,13 @@ def _round_best_from_artifacts(runs_dir: str = BENCH_RUNS_DIR) -> dict | None:
                    ("bw8_pre", "bw8_post", "bw32_pre", "bw32_post")}
             if any(not isinstance(v, (int, float)) for v in bws.values()):
                 continue
+            # a leg that died without being flagged failed (null/zero
+            # wall) must not crash the emit after a multi-hour run
+            if any(
+                not isinstance(p.get(k), (int, float)) or p.get(k) <= 0
+                for k in ("sec_8", "sec_32")
+            ):
+                continue
             if (bws["bw8_pre"] >= thresh[8] and bws["bw8_post"] >= thresh[8]
                     and bws["bw32_pre"] >= thresh[32]
                     and bws["bw32_post"] >= thresh[32]):
@@ -457,12 +464,14 @@ def _round_best_from_artifacts(runs_dir: str = BENCH_RUNS_DIR) -> dict | None:
 
     # the efficiency claim needs >=2 calm pairs behind its median — a
     # single surviving pair can mint an implausible >1 "efficiency"
-    # from one conservative bandwidth bracket
+    # from one conservative bandwidth bracket. NO fallback: if no
+    # artifact qualifies, the efficiency row is null (disclosed), per
+    # BENCH.md §4b — never a single-pair number without a flag.
     eff_rows = [
         r for r in rows
         if r["n_calm_pairs"] >= 2
         and r["scaling_efficiency_calm_normalized"] is not None
-    ] or rows
+    ]
     return {
         "note": (
             "best calm-validated evidence from committed prior artifacts "
@@ -473,9 +482,13 @@ def _round_best_from_artifacts(runs_dir: str = BENCH_RUNS_DIR) -> dict | None:
         "best_calm_throughput": max(
             rows, key=lambda r: _num(r, "urls_per_sec_32_calm")
         ),
-        "best_calm_normalized_efficiency": max(
-            eff_rows,
-            key=lambda r: _num(r, "scaling_efficiency_calm_normalized"),
+        "best_calm_normalized_efficiency": (
+            max(
+                eff_rows,
+                key=lambda r: _num(r, "scaling_efficiency_calm_normalized"),
+            )
+            if eff_rows
+            else None
         ),
         "n_artifacts": len(rows),
     }

@@ -521,9 +521,33 @@ def near_dedup_best(
         df, text_col, id_col, n_hashes, n_bands, shingle_k, hash_mode
     )
     comps = connected_components(pairs)
+    # out-of-range inputs (full-range xxhash64 ids, negative or >23-bit
+    # quality) would bleed across the pack boundary and silently elect
+    # a WRONG representative — raise per-row instead (lazy, no extra
+    # scan; same fail-loud stance as connected_components' converge-or-
+    # raise)
+    id_ok = (F.col(id_col).cast("long") >= 0) & (
+        F.col(id_col).cast("long") <= _REP_ID_MASK
+    )
+    q_ok = (q >= 0) & (q < F.lit(1 << (63 - _REP_ID_BITS)))
+    packed_raw = F.shiftleft(q, _REP_ID_BITS) + (
+        F.lit(_REP_ID_MASK) - F.col(id_col).cast("long")
+    )
     packed = (
-        F.shiftleft(q, _REP_ID_BITS)
-        + (F.lit(_REP_ID_MASK) - F.col(id_col).cast("long"))
+        F.when(id_ok & q_ok, packed_raw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "near_dedup_best: unpackable row (need 0 <= id"
+                        f" <= 2^{_REP_ID_BITS}-1 and 0 <= quality <"
+                        f" 2^{63 - _REP_ID_BITS}): id="
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(" quality="),
+                    q.cast("string"),
+                )
+            )
+        )
     ).alias("_packed")
     members = comps.join(
         df.select(F.col(id_col).alias("id"), packed), "id"

@@ -202,7 +202,13 @@ def with_ntile(
     ranked = with_global_rank(
         df, order_cols, rank_col="_r", num_partitions=num_partitions
     )
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # N from the ranked frame (max rank + 1), NOT a second df.agg scan:
+    # with_global_rank unpersists its input after ranking, so counting
+    # df again would re-execute the whole upstream plan; the ranked
+    # frame's internal copy stays cached. coalesce handles empty input.
+    n = ranked.agg(
+        F.coalesce(F.max("_r") + 1, F.lit(0)).cast("long").alias("_n")
+    )
     j = (
         ranked.crossJoin(F.broadcast(n))
         .withColumn("_r1", F.col("_r") + 1)

@@ -1279,18 +1279,26 @@ def q_order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: 30-min-gap sessions per user (lag + cumulative
-    sum of session-start flags), then session stats."""
-    ev = _t(spark, sf_dir, "events")
+def _with_session_ids(ev: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Append ``session_id``: per-user 30-min-gap sessions (lag +
+    cumulative sum of session-start flags under the deterministic
+    (ts, event_id) order). The ONE definition every session-level
+    query shares — gap constant and ordering live here and in the
+    oracle mirrors only."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("timestamp").cast("long")
     prev = F.lag(epoch).over(w)
-    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
-    sess = ev.withColumn("new_sess", new_sess).withColumn(
+    new_sess = F.when(prev.isNull() | ((epoch - prev) > gap_s), 1).otherwise(0)
+    return ev.withColumn("new_sess", new_sess).withColumn(
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative
+    sum of session-start flags), then session stats."""
+    sess = _with_session_ids(_t(spark, sf_dir, "events"))
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -1417,10 +1425,9 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id"), F.lit(10)).cast("int").alias("bucket"),
         "event_type",
     )
-    types = ["click", "error", "purchase", "signup", "view"]
-    wide = ev.groupBy("bucket").pivot("event_type", types).count()
+    wide = ev.groupBy("bucket").pivot("event_type", _EVENT_TYPES).count()
     return (
-        wide.unpivot("bucket", types, "event_type", "n_events")
+        wide.unpivot("bucket", _EVENT_TYPES, "event_type", "n_events")
         .where(F.col("n_events").isNotNull())
     )
 
@@ -1443,15 +1450,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     order into a '>'-path string, ranked by session count (path asc
     tiebreak — a total order, so the LIMIT is deterministic). Sequence
     mining over the per-session bounded collect."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(epoch).over(w)
-    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
-    sess = ev.withColumn("new_sess", new_sess).withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _with_session_ids(_t(spark, sf_dir, "events"))
     paths = sess.groupBy("user_id", "session_id").agg(
         F.concat_ws(
             ">",
@@ -1482,14 +1481,8 @@ def q_session_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (session, type) is a HashAggregate; the pair
     join fans out per session only over its ≤ |type| distinct types
     (bounded), never a session-count self-join."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(epoch).over(w)
-    new_sess = F.when(prev.isNull() | ((epoch - prev) > 1800), 1).otherwise(0)
-    sess = ev.withColumn("new_sess", new_sess).withColumn(
-        "sid",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = _with_session_ids(_t(spark, sf_dir, "events")).withColumnRenamed(
+        "session_id", "sid"
     )
     st = sess.select("user_id", "sid", "event_type").distinct()
     n_sessions = st.select("user_id", "sid").distinct().agg(

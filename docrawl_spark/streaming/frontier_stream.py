@@ -302,13 +302,22 @@ def run_streaming_transitions(
     table holding exactly ONE last-event row per user — the minimal
     streaming state, persisted to ``carry_dir`` between epochs.
 
-    Per-epoch pair counts land in ``out_dir/epoch=N`` with overwrite
-    (idempotent under epoch replay); the carry snapshot is rewritten
-    per epoch. Assumes per-user event-time monotonicity across epochs
-    (the file-source ordering); a production deployment would keep the
-    epoch-keyed carry snapshots for exact restart and let late rows
-    fall through to the batch recompute — the same bounded-fast-path /
-    exact-batch-truth pairing as ``streaming_url_dedup``."""
+    Per-epoch pair counts land in ``out_dir/epoch=N`` with overwrite,
+    and the carry is an EPOCH-KEYED snapshot (``carry_dir/epoch=N``):
+    epoch k reads the newest snapshot with epoch < k, so a replayed
+    epoch (foreachBatch is at-least-once — a crash between the carry
+    write and the checkpoint commit WILL replay) re-reads its original
+    pre-epoch state and rewrites identical outputs instead of
+    double-counting a stale post-epoch carry. A missing snapshot means
+    first epoch; a CORRUPT snapshot raises (only absence is swallowed).
+    Assumes per-user event-time monotonicity across epochs (the
+    file-source ordering); late rows fall through to the batch
+    recompute — the same bounded-fast-path / exact-batch-truth pairing
+    as ``streaming_url_dedup``. Snapshot listing is a filesystem
+    listdir (local paths; an object store swaps in its own listing)."""
+    import os
+    import re as _re
+
     from pyspark.sql import Window
 
     stream = (
@@ -319,11 +328,23 @@ def run_streaming_transitions(
         .parquet(watch_dir)
     )
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
+    def _carry_before(epoch_id: int):
         try:
-            carry = spark.read.parquet(carry_dir)
-        except Exception:
-            carry = None
+            names = os.listdir(carry_dir)
+        except OSError:
+            return None  # no snapshots yet — first epoch
+        epochs = [
+            int(m.group(1))
+            for m in (_re.fullmatch(r"epoch=(\d+)", n) for n in names)
+            if m and int(m.group(1)) < epoch_id
+        ]
+        if not epochs:
+            return None
+        # a corrupt snapshot must RAISE here, not silently drop state
+        return spark.read.parquet(f"{carry_dir}/epoch={max(epochs)}")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        carry = _carry_before(epoch_id)
         full = (
             batch_df.unionByName(carry) if carry is not None else batch_df
         )
@@ -347,13 +368,14 @@ def run_streaming_transitions(
                 )
             ),
         ).where(F.col("_rn") == 1).drop("_rn")
-        # collect-then-rewrite: the carry is one row per user (tiny at
-        # test scale; epoch-keyed snapshots at production scale) and
-        # the read path can't overwrite its own input mid-plan
+        # epoch-keyed snapshot: never clobbers the pre-epoch state a
+        # replay would need; overwrite makes the replay itself
+        # idempotent. collect-then-rewrite because the read path can't
+        # overwrite its own input mid-plan (one row per user — tiny)
         rows = last.collect()
         spark.createDataFrame(rows, schema=last.schema).write.mode(
             "overwrite"
-        ).parquet(carry_dir)
+        ).parquet(f"{carry_dir}/epoch={epoch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process)

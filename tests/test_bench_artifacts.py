@@ -107,3 +107,31 @@ def test_failed_and_outlier_pairs_never_count(bench, tmp_path):
         _pair(bw8=None, bw32=thresh32 * 2),  # missing brackets
     ])))
     assert bench._round_best_from_artifacts(str(tmp_path)) is None
+
+
+def test_single_calm_pair_never_mints_an_efficiency_claim(bench, tmp_path):
+    thresh8 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[8])
+    thresh32 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[32])
+    (tmp_path / "one.json").write_text(json.dumps(_fake_artifact([
+        _pair(bw8=thresh8 * 2, bw32=thresh32 * 2, eff_vs_membw=2.7),
+    ])))
+    rb = bench._round_best_from_artifacts(str(tmp_path))
+    # throughput evidence stands, the efficiency claim is null-disclosed
+    assert rb["best_calm_throughput"]["n_calm_pairs"] == 1
+    assert rb["best_calm_normalized_efficiency"] is None
+
+
+def test_null_walls_never_crash_the_emit(bench, tmp_path):
+    thresh8 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[8])
+    thresh32 = max(bench.BW_FLOOR_GBPS, bench.BW_REL_FRAC * bench._BEST_BW[32])
+    good = _pair(bw8=thresh8 * 2, bw32=thresh32 * 2)
+    bad_null = _pair(bw8=thresh8 * 2, bw32=thresh32 * 2)
+    bad_null["sec_32"] = None
+    bad_zero = _pair(bw8=thresh8 * 2, bw32=thresh32 * 2, sec_32=0.0)
+    (tmp_path / "mixed.json").write_text(
+        json.dumps(_fake_artifact([good, bad_null, bad_zero]))
+    )
+    rb = bench._round_best_from_artifacts(str(tmp_path))
+    thr = rb["best_calm_throughput"]
+    assert thr["n_calm_pairs"] == 1  # only the well-formed pair counts
+    assert thr["urls_per_sec_32_calm"] == round(32_000_000 / good["sec_32"], 1)

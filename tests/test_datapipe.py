@@ -1618,3 +1618,17 @@ def test_label_centroid_sim_hand(spark, tmp_path):
     assert got[(0, 1)] == 0.0
     assert abs(got[(0, 2)] - 0.707107) < 1e-6
     assert abs(got[(1, 2)] - 0.707107) < 1e-6
+
+
+def test_near_dedup_best_raises_on_unpackable_ids(spark):
+    from docrawl_spark.datapipe.dedup import near_dedup_best
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(-5, dup, 10), (2, dup, 50)],  # negative id cannot pack
+        "doc_id long, text string, q int",
+    )
+    with pytest.raises(Exception, match="unpackable"):
+        near_dedup_best(
+            docs, quality_col="q", n_hashes=8, n_bands=4, hash_mode="md5hex"
+        ).collect()
