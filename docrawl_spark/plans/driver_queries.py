@@ -5659,6 +5659,141 @@ def _bpe_encode_oracle(n_merges: int) -> str:
         FROM v{n_merges}"""
 
 
+def q_orders_transit_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in flight per calendar week — the bucketized
+    interval-overlap join (datapipe/intervals.overlap_join_bucketed).
+    Each order's transit interval is [o_orderdate, max l_shipdate] in
+    epoch days; the right side is the 7-day week grid spanning the
+    corpus, derived from a 1-row bounds agg (explode of a sequence —
+    no collect). A naive overlap join is a BNLJ; the bucketized form
+    explodes each interval into its week buckets and equi-joins on the
+    bucket id, emitting each overlapping pair exactly once via the
+    first-common-bucket rule. Crawl analog: recrawl-window occupancy —
+    how many URLs are inside their revisit interval per scheduling
+    tick.
+
+    Scale shape: fan-out = interval_len/7 + 1 per order (bounded by
+    TPC-H transit spans), one equi shuffle on the week id, HashAggregate.
+    The week dim is tiny so AQE broadcasts the probe side."""
+    from docrawl_spark.datapipe.intervals import overlap_join_bucketed
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = F.to_date(F.lit("1970-01-01"))
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_totalprice").cast("decimal(18,6)").alias("oprice"),
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("o_start"),
+            F.datediff(F.col("ship_end"), epoch).cast("long").alias("o_end"),
+        )
+    )
+    bounds = spans.select(
+        F.expr("o_start div 7").alias("wb0"), F.expr("o_end div 7").alias("wb1")
+    ).agg(F.min("wb0").alias("w0"), F.max("wb1").alias("w1"))
+    weeks = bounds.select(
+        F.explode(F.sequence("w0", "w1")).alias("wk")
+    ).select(
+        (F.col("wk") * 7).alias("w_start"), (F.col("wk") * 7 + 6).alias("w_end")
+    )
+    joined = overlap_join_bucketed(
+        spans, weeks, "o_start", "o_end", "w_start", "w_end", bucket_width=7
+    )
+    return (
+        joined.groupBy("w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_open_orders"),
+            F.round(F.sum("oprice"), 4).cast("double").alias("open_value"),
+        )
+        .select(
+            F.col("w_start").cast("long").alias("week_start_day"),
+            "n_open_orders",
+            "open_value",
+        )
+    )
+
+
+def q_typo_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 alias pairs over the customer-name string
+    universe — SymSpell symmetric-delete blocking + levenshtein verify
+    (datapipe/linkage.edit1_pairs). The crawl-side use is host/URL typo
+    aliasing; the customer names exercise the same dense one-digit-apart
+    neighborhood structure. Recall-complete (every true ed<=1 pair
+    shares a deletion variant) and never a cartesian: the only join is
+    an equi-join on the variant key, fan-out len+1 per string."""
+    from docrawl_spark.datapipe.linkage import edit1_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_name")
+    return edit1_pairs(c, "c_name")
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the part catalog — maximize p_size, minimize
+    retail price (exact integer cents) — via the 2-HashAggregate + dim
+    window skyline (datapipe/pareto.skyline_2d), not the quadratic
+    NOT-EXISTS self-join. Corpus analog: quality-vs-cost document
+    frontier (max quality score, min fetch/storage cost). Ties at a
+    skyline point all survive (strict dominance)."""
+    from docrawl_spark.datapipe.pareto import skyline_2d
+
+    pc = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    return skyline_2d(pc, maximize="p_size", minimize="price_c")
+
+
+def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust 10%-two-sided trimmed mean per event_type, integer-exact:
+    values in centi-units (BIGINT), rank-based trim (drop the n div 10
+    lowest and highest), mean in micro-units via BIGINT div. Ties at
+    the trim boundary are sum-invariant (equal values), so the
+    row_number tie-break cannot change the result. Complements
+    events_mad_outliers: the trimmed mean is the estimator you feed a
+    latency SLO when the tails are bot bursts.
+
+    Scale note: the per-type window sorts one event_type per task —
+    same buffer bound as events_value_quantiles; for heavy-tailed
+    100 TB telemetry pre-aggregate into the log-histogram first."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "event_type"
+    )
+    kept = ranked.where(
+        (F.col("rn") > F.expr("n_events div 10"))
+        & (F.col("rn") <= F.col("n_events") - F.expr("n_events div 10"))
+    )
+    return (
+        kept.groupBy("event_type", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vc").alias("trimmed_sum_c"),
+            F.min("vc").alias("lo_c"),
+            F.max("vc").alias("hi_c"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            F.col("trimmed_sum_c").cast("long").alias("trimmed_sum_c"),
+            F.expr("(trimmed_sum_c * 10000) div n_kept").alias(
+                "trimmed_mean_micro"
+            ),
+            "lo_c",
+            "hi_c",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -5871,6 +6006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_walks": q_host_walks,
         "host_coreness": q_host_coreness,
         "neardup_cluster_histogram": q_neardup_cluster_histogram,
+        "orders_transit_weeks": q_orders_transit_weeks,
+        "typo_alias_pairs": q_typo_alias_pairs,
+        "skyline_parts": q_skyline_parts,
+        "events_trimmed_stats": q_events_trimmed_stats,
     }
 
 
@@ -10978,5 +11117,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.media_pos, c.media_ref, c.caption,
                    CAST(c.key // 1048576 AS BIGINT) AS gap
             FROM cand c JOIN best USING (doc_id, media_pos, key)
+        """,
+        # overlap predicate join directly (DuckDB is fine with the
+        # quadratic form at oracle scale); the Spark side must produce
+        # the identical set through the bucket decomposition
+        "orders_transit_weeks": """
+            WITH se AS (
+              SELECT l_orderkey, MAX(l_shipdate) AS ship_end
+              FROM lineitem GROUP BY l_orderkey),
+            spans AS (
+              SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS oprice,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS o_start,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ship_end AS DATE)) AS o_end
+              FROM orders JOIN se ON o_orderkey = l_orderkey),
+            valid AS (SELECT * FROM spans WHERE o_end >= o_start),
+            g AS (SELECT MIN(o_start // 7) AS w0, MAX(o_end // 7) AS w1
+                  FROM valid),
+            weeks AS (
+              SELECT wk * 7 AS w_start, wk * 7 + 6 AS w_end
+              FROM g, UNNEST(range(g.w0, g.w1 + 1)) AS u(wk))
+            SELECT CAST(w.w_start AS BIGINT) AS week_start_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_open_orders,
+                   CAST(ROUND(SUM(s.oprice), 4) AS DOUBLE) AS open_value
+            FROM valid s JOIN weeks w
+              ON s.o_start <= w.w_end AND w.w_start <= s.o_end
+            GROUP BY w.w_start
+        """,
+        # brute-force exact ed=1 self-join — the spec the blocked
+        # symmetric-delete pipeline must reproduce in full (recall
+        # completeness, not just precision)
+        "typo_alias_pairs": """
+            WITH u AS (
+              SELECT DISTINCT c_name AS s FROM customer
+              WHERE c_name IS NOT NULL)
+            SELECT a.s AS a, b.s AS b, CAST(1 AS INT) AS dist
+            FROM u a JOIN u b
+              ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+        """,
+        # textbook NOT EXISTS dominance — quadratic, oracle-only; the
+        # Spark side must match it through the dim-window decomposition
+        "skyline_parts": """
+            WITH pc AS (
+              SELECT p_partkey, p_size,
+                     CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+              FROM part
+              WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL)
+            SELECT a.p_partkey, a.p_size, a.price_c
+            FROM pc a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pc b
+              WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+                AND (b.p_size > a.p_size OR b.price_c < a.price_c))
+        """,
+        "events_trimmed_stats": """
+            WITH v AS (
+              SELECT event_type, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            r AS (
+              SELECT event_type, vc,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY vc, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM v),
+            kept AS (
+              SELECT * FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vc) AS BIGINT) AS trimmed_sum_c,
+                   CAST((SUM(vc) * 10000) // COUNT(*) AS BIGINT)
+                     AS trimmed_mean_micro,
+                   CAST(MIN(vc) AS BIGINT) AS lo_c,
+                   CAST(MAX(vc) AS BIGINT) AS hi_c
+            FROM kept GROUP BY event_type, n
         """,
     }
