@@ -5794,6 +5794,29 @@ def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square decomposition of the source x lang
+    contingency table (datapipe/stats.chisq_cells) — the corpus-drift
+    audit: which (source, language) cells run over/under the
+    independence expectation, INCLUDING zero cells (a source that
+    stops emitting a language still shows its deviation). Integer-exact
+    in DECIMAL(38,0)/HUGEINT micro-units."""
+    from docrawl_spark.datapipe.stats import chisq_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    return chisq_cells(docs, "source", "lang")
+
+
+def q_source_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift ranking: exact integer sum of the source's
+    chi2 cells (datapipe/stats.chisq_row_scores) — 'which source
+    changed its language mix' in one number per source."""
+    from docrawl_spark.datapipe.stats import chisq_row_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return chisq_row_scores(docs, "source", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6010,6 +6033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_alias_pairs": q_typo_alias_pairs,
         "skyline_parts": q_skyline_parts,
         "events_trimmed_stats": q_events_trimmed_stats,
+        "source_lang_chisq": q_source_lang_chisq,
+        "source_drift_scores": q_source_drift_scores,
     }
 
 
@@ -6054,6 +6079,36 @@ _JACCARD_PAIRS_SQL = r"""
             JOIN d b ON b.doc_id = c.id_b
             WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+        """
+
+
+_CHISQ_CELLS_SQL = """
+            WITH facts AS (
+              SELECT source AS r, lang AS c FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+            cells AS (SELECT r, c, COUNT(*) AS o FROM facts GROUP BY r, c),
+            rows_m AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+            cols_m AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+            tot AS (SELECT SUM(rt) AS n FROM rows_m),
+            full_t AS (
+              SELECT rm.r, cm.c, COALESCE(cl.o, 0) AS o, rm.rt, cm.ct, t.n
+              FROM rows_m rm CROSS JOIN cols_m cm
+              LEFT JOIN cells cl ON cl.r = rm.r AND cl.c = cm.c
+              CROSS JOIN tot t),
+            d AS (
+              SELECT r, c, o, rt, ct, n,
+                     CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+                       AS diff
+              FROM full_t),
+            chisq_cells AS (
+              SELECT r AS source, c AS lang,
+                     CAST(o AS BIGINT) AS observed,
+                     CAST((CAST(rt AS HUGEINT) * ct * 1000000) // n
+                          AS BIGINT) AS expected_micro,
+                     CAST((diff * diff * 1000000)
+                          // (CAST(n AS HUGEINT) * rt * ct)
+                          AS BIGINT) AS chi2_cell_micro
+              FROM d)
         """
 
 
@@ -11193,5 +11248,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(vc) AS BIGINT) AS lo_c,
                    CAST(MAX(vc) AS BIGINT) AS hi_c
             FROM kept GROUP BY event_type, n
+        """,
+        # integer chi-square in HUGEINT (the squared numerator passes
+        # BIGINT at corpus scale; ** is float power in DuckDB — use d*d)
+        "source_lang_chisq": _CHISQ_CELLS_SQL + """
+            SELECT source, lang, observed, expected_micro,
+                   chi2_cell_micro
+            FROM chisq_cells
+        """,
+        "source_drift_scores": _CHISQ_CELLS_SQL + """
+            SELECT source,
+                   CAST(SUM(observed) AS BIGINT) AS row_total,
+                   CAST(SUM(chi2_cell_micro) AS BIGINT) AS chi2_row_micro
+            FROM chisq_cells GROUP BY source
         """,
     }
