@@ -410,3 +410,71 @@ def sample_k_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn", "_skey")
     )
+
+
+def greedy_budget_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    ratio_scale: int = 1 << 20,
+) -> DataFrame:
+    """Budget-constrained greedy selection per group — the knapsack
+    heuristic of corpus curation: keep the best score-per-cost rows of
+    every group while the group's cumulative cost stays within
+    ``budget`` (quality-per-byte under a per-source byte budget; value
+    per fetch-slot under a crawl budget).
+
+    Deterministic and integer-exact: priority = (score * ratio_scale)
+    div cost (BIGINT — callers keep score*scale inside int64), with
+    the division routed SIGN-SYMMETRICALLY through the absolute value
+    (Spark ``div`` truncates toward zero but DuckDB ``//`` floors, so
+    a raw negative-score ratio would order differently across
+    engines); ties broken by ``id_col`` asc; rows with cost <= 0 or
+    NULL score are excluded (zero-cost rows would be infinite-ratio
+    and unrankable). Keeps the maximal prefix of the priority order whose
+    running cost sum is <= budget — note greedy-prefix semantics: a
+    later cheap row does NOT skip past an expensive row that crossed
+    the budget (classic greedy, not exact knapsack).
+
+    Scale note: one window per group orders that group's rows in a
+    single task (same bound as the quantile family); if a cost floor
+    exists, pre-cap hot groups with sample_k_per_group /
+    domain_quota_sample at k = budget // min_cost first.
+    """
+    from pyspark.sql import Window
+
+    d = df.where(
+        (F.col(cost_col).cast("long") > 0) & F.col(score_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("_score"),
+        F.col(cost_col).cast("long").alias("_cost"),
+    )
+    d = d.withColumn(
+        "_ratio",
+        F.expr(
+            f"CASE WHEN _score < 0"
+            f" THEN -((-_score * {ratio_scale}) div _cost)"
+            f" ELSE (_score * {ratio_scale}) div _cost END"
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_ratio").desc(), F.col(id_col).asc()
+    )
+    ranked = d.select(
+        group_col,
+        id_col,
+        F.col("_score").alias("score"),
+        F.col("_cost").alias("cost"),
+        F.col("_ratio").alias("ratio"),
+        F.sum("_cost")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_cost"),
+        F.row_number().over(w).cast("long").alias("pick_rank"),
+    )
+    return ranked.where(F.col("cum_cost") <= budget)

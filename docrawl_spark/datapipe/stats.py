@@ -30,7 +30,7 @@ corpus-sized shuffle beyond the first groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _D = "DECIMAL(38,0)"
@@ -87,4 +87,556 @@ def chisq_row_scores(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     return cells.groupBy(row_col).agg(
         F.sum("observed").cast("long").alias("row_total"),
         F.sum("chi2_cell_micro").cast("long").alias("chi2_row_micro"),
+    )
+
+
+def gini_impurity(df: DataFrame, group_col: str, label_col: str) -> DataFrame:
+    """Per-group Gini impurity of the label mix, exact ppm:
+    1e6 - (sum_i n_i^2 * 1e6) div n^2 — the diversity audit that works
+    where Shannon entropy can't be made integer-exact (logs). 0 ppm =
+    pure (one label), -> 1e6 * (1 - 1/k) for a uniform k-label mix.
+    Impurity collapsing toward 0 on a source flags a feed gone
+    monolingual / single-template.
+
+    One decision: a SINGLE truncating division on the aggregated sums
+    (not per-label), so the result is the exact floor of the rational
+    value. The label-count sums stay in BIGINT to ~3e9 rows/group
+    (n_i^2); the ppm-SCALED numerator sq*1e6 would pass BIGINT at just
+    ~3e6 rows, so the division runs in DECIMAL(38,0)/HUGEINT. Shape:
+    two HashAggregates, no window, no join."""
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(label_col).alias("l"))
+    cells = facts.groupBy("g", "l").agg(F.count(F.lit(1)).alias("o"))
+    agg = cells.groupBy("g").agg(
+        F.sum("o").alias("n"),
+        F.sum(F.col("o") * F.col("o")).alias("sq"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        (
+            F.lit(1000000)
+            - F.expr(
+                f"CAST(sq AS {_D}) * 1000000"
+                f" div (CAST(n AS {_D}) * n)"
+            )
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+def rank_drift_stats(
+    df: DataFrame, group_col: str, label_col: str, value_col: str
+) -> DataFrame:
+    """Per-group two-sample rank statistics between the rows where
+    boolean ``label_col`` is true (sample A) and false (sample B),
+    over integer ``value_col`` — the distribution-drift audit that
+    needs no distributional assumption and no floats:
+
+    - Mann-Whitney U with midrank tie handling, carried as
+      ``u2_a = 2*U_A`` (doubling makes tied midranks integral:
+      a tie block of size t starting after cumulative count c
+      contributes 2*midrank = 2c + t + 1 to each member).
+    - ``auc_ppm = 2*U_A * 1e6 div (2 * n_a * n_b)`` — the exact floor
+      of P(A > B) + P(A = B)/2, the probability a random A value
+      exceeds a random B value (ties half-credit). 500_000 = no
+      drift; the rank-biserial effect is 2*auc - 1.
+    - Kolmogorov-Smirnov two-sample numerator
+      ``ks_num = max_v |F_A(v)*n_a*n_b - F_B(v)*n_a*n_b|``
+      (= max |ca*n_b - cb*n_a| over inclusive cumulative counts), and
+      ``ks_ppm = ks_num * 1e6 div (n_a * n_b)``.
+    - Total-variation distance ``tv_ppm = (sum_v |ca_v*n_b -
+      cb_v*n_a|) * 1e6 div (2 * n_a * n_b)`` — the exact floor of
+      (1/2) * sum |p_v - q_v|, the SUM-form companion to KS's
+      max-form (KS sees one big localized shift; TV sees mass spread
+      across many cells).
+
+    Groups missing either sample are excluded (no comparison exists).
+    Scale shape: one fact HashAggregate onto (group, value) cells,
+    two windows over the DISTINCT-VALUE dim per group (never the
+    corpus — pre-bucket continuous values first), one final
+    HashAggregate. BIGINT throughout (ca*n_b <= n^2 ~ 1e14 at 10^7
+    rows/group; ranksum2 <= 2n^2)."""
+    facts = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(label_col).cast("boolean").alias("a"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cells = facts.groupBy("g", "v").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("ca_v"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("cb_v"),
+    )
+    w_run = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g")
+    run = cells.select(
+        "g",
+        "v",
+        "ca_v",
+        "cb_v",
+        F.sum(F.col("ca_v") + F.col("cb_v")).over(w_run).alias("c_incl"),
+        F.sum("ca_v").over(w_run).alias("ca_incl"),
+        F.sum("cb_v").over(w_run).alias("cb_incl"),
+        F.sum("ca_v").over(w_all).alias("n_a"),
+        F.sum("cb_v").over(w_all).alias("n_b"),
+    )
+    per_g = run.groupBy("g", "n_a", "n_b").agg(
+        F.sum(
+            F.col("ca_v")
+            * (2 * F.col("c_incl") - F.col("ca_v") - F.col("cb_v") + 1)
+        ).alias("ranksum2_a"),
+        F.max(
+            F.abs(
+                F.col("ca_incl") * F.col("n_b")
+                - F.col("cb_incl") * F.col("n_a")
+            )
+        ).alias("ks_num"),
+        F.sum(
+            F.abs(
+                F.col("ca_v") * F.col("n_b") - F.col("cb_v") * F.col("n_a")
+            )
+        ).alias("tv_num"),
+    )
+    return (
+        per_g.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn(
+            "u2_a", F.expr("ranksum2_a - n_a * (n_a + 1)")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("u2_a").cast("long").alias("u2_a"),
+            F.expr(
+                f"CAST(u2_a AS {_D}) * 1000000"
+                f" div (2 * CAST(n_a AS {_D}) * n_b)"
+            )
+            .cast("long")
+            .alias("auc_ppm"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.expr(
+                f"CAST(ks_num AS {_D}) * 1000000"
+                f" div (CAST(n_a AS {_D}) * n_b)"
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+            F.col("tv_num").cast("long").alias("tv_num"),
+            F.expr(
+                f"CAST(tv_num AS {_D}) * 1000000"
+                f" div (2 * CAST(n_a AS {_D}) * n_b)"
+            )
+            .cast("long")
+            .alias("tv_ppm"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame, group_col: str, tick_col: str
+) -> DataFrame:
+    """Per-group CUSUM changepoint over the per-tick row counts: with
+    counts y_1..y_m in tick order, total T, prefix sums S_j, the
+    deviation ``D_j = |S_j * m - j * T|`` (the cumulative count's gap
+    from the uniform-rate line, scaled by m so it stays integral)
+    peaks at the most likely single changepoint. Returns per group the
+    argmax tick (earliest tick on ties), ``cusum_num = max D_j`` and
+    ``cusum_ppm = max D_j * 1e6 div (T * m)`` in [0, 1e6) — 0 means a
+    perfectly uniform rate, large means an abrupt level shift at
+    ``change_tick``.
+
+    Scale shape: one fact HashAggregate onto (group, tick), two
+    window passes over the TICK dim per group (days/hours — never the
+    corpus), one final pick. BIGINT-safe: S_j*m <= T*m ~ 1e10 * 1e5."""
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
+    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    w_run = Window.partitionBy("g").orderBy("t")
+    w_all = Window.partitionBy("g")
+    run = ticks.select(
+        "g",
+        "t",
+        F.row_number().over(w_run).alias("j"),
+        F.sum("y").over(w_run).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.sum("y").over(w_all).alias("tot"),
+    ).withColumn("dev", F.abs(F.col("s") * F.col("m") - F.col("j") * F.col("tot")))
+    w_pick = Window.partitionBy("g").orderBy(F.col("dev").desc(), F.col("t").asc())
+    return (
+        run.withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("m").cast("long").alias("n_ticks"),
+            F.col("tot").cast("long").alias("total_rows"),
+            F.col("t").alias("change_tick"),
+            F.col("dev").cast("long").alias("cusum_num"),
+            F.expr(
+                f"CAST(dev AS {_D}) * 1000000"
+                f" div (CAST(tot AS {_D}) * m)"
+            )
+            .cast("long")
+            .alias("cusum_ppm"),
+        )
+    )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], ks: list[int]) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    ``quasi_cols``: for each threshold k in ``ks``, how many
+    equivalence classes have fewer than k rows and how many rows sit
+    in them (re-identification risk before releasing a corpus slice).
+    NULL is a real quasi-identifier value (it identifies), so null
+    groups are counted like any other. Returns one row per k:
+    (k, n_groups, n_rows, groups_below, rows_at_risk, min_class_size).
+
+    Scale shape: one fact HashAggregate onto the quasi tuple, then a
+    |ks|-way fan-out of the class-size DIM (never the facts) and one
+    tiny aggregate."""
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    fanned = sizes.select(
+        "sz",
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+    )
+    return (
+        fanned.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0)).alias(
+                "groups_below"
+            ),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+            F.min("sz").alias("min_class_size"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("groups_below").cast("long").alias("groups_below"),
+            F.col("rows_at_risk").cast("long").alias("rows_at_risk"),
+            F.col("min_class_size").cast("long").alias("min_class_size"),
+        )
+    )
+
+
+def _count_histogram(df: DataFrame, unit_col: str) -> DataFrame:
+    """Histogram of per-unit row counts: one row per DISTINCT count
+    value x with c = #units having exactly x rows, plus exclusive
+    cumulative units/rows below x and grand totals. The block form
+    every exact concentration statistic needs, with windows over the
+    count-VALUE dim (≪ unit dim ≪ corpus)."""
+    counts = df.where(F.col(unit_col).isNotNull()).groupBy(unit_col).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    hist = counts.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    w_run = Window.orderBy("x")
+    w_all = Window.partitionBy()
+    return hist.select(
+        "x",
+        "c",
+        (F.sum("c").over(w_run) - F.col("c")).alias("cu_prev"),
+        (F.sum(F.col("x") * F.col("c")).over(w_run) - F.col("x") * F.col("c")).alias(
+            "cr_prev"
+        ),
+        F.sum("c").over(w_all).alias("n_units"),
+        F.sum(F.col("x") * F.col("c")).over(w_all).alias("tot_rows"),
+    )
+
+
+def lorenz_deciles(df: DataFrame, unit_col: str) -> DataFrame:
+    """Lorenz concentration curve of rows over units (events over
+    users, pages over hosts): for each decile d, the exact cumulative
+    row share (ppm) held by the bottom ``(d * n_units) div 10`` units
+    when units are sorted by ascending row count — the 'is the crawl
+    budget all going to ten hosts' audit. Bottom-decile shares near 0
+    with a top decile near 1e6 = extreme concentration.
+
+    Exactness without a global unit sort: units with equal count are
+    interchangeable, so the prefix sum at unit-rank r inside a count
+    block of value x is cr_prev + (r - cu_prev) * x — identical to
+    sorting all units by (count, unit) and summing the first r. The
+    windows run over the count-VALUE histogram; the decile dim (10
+    rows) range-joins into it."""
+    hist = _count_histogram(df, unit_col)
+    deciles = hist.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    bounded = F.broadcast(deciles).crossJoin(
+        F.broadcast(hist.select("n_units", "tot_rows").limit(1))
+    ).withColumn("r", F.expr("decile * n_units div 10"))
+    joined = bounded.join(
+        hist.select("x", "c", "cu_prev", "cr_prev"),
+        (F.col("cu_prev") < F.col("r"))
+        & (F.col("r") <= F.col("cu_prev") + F.col("c")),
+        "left",
+    )
+    return joined.select(
+        "decile",
+        F.col("r").cast("long").alias("unit_rank"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.coalesce(
+            F.col("cr_prev") + (F.col("r") - F.col("cu_prev")) * F.col("x"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_rows"),
+        F.coalesce(
+            F.expr(
+                f"CAST(cr_prev + (r - cu_prev) * x AS {_D}) * 1000000"
+                " div tot_rows"
+            ),
+            F.lit(0).cast(_D),
+        )
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )
+
+
+def gini_concentration(df: DataFrame, unit_col: str) -> DataFrame:
+    """Exact Gini coefficient (ppm) of row counts over units — the
+    scalar companion to ``lorenz_deciles`` (inequality of the crawl /
+    traffic allocation, NOT label impurity — see ``gini_impurity``).
+    With units sorted ascending by count, a block of c units of count
+    x occupying ranks cu_prev+1..cu_prev+c contributes
+    2*sum(i*x_i) = x * c * (2*cu_prev + c + 1); then
+    ``gini_ppm = (sum_blocks - (n+1)*T) * 1e6 div (n*T)`` — the exact
+    floor of the textbook (2*sum(i*x_i) - (n+1)*T) / (n*T), which is
+    >= 0 because ascending order minimizes the rank-weighted sum at
+    (n+1)*T/2 (equality when all counts are equal). One window pass
+    over the count-value histogram, one scalar aggregate."""
+    hist = _count_histogram(df, unit_col)
+    blocks = hist.select(
+        "n_units",
+        "tot_rows",
+        (
+            F.col("x").cast(_D)
+            * F.col("c")
+            * (2 * F.col("cu_prev") + F.col("c") + 1)
+        ).alias("blk"),
+    )
+    return (
+        blocks.groupBy("n_units", "tot_rows")
+        .agg(F.sum("blk").alias("s2"))
+        .select(
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("tot_rows").cast("long").alias("tot_rows"),
+            F.expr(
+                f"(s2 - (CAST(n_units AS {_D}) + 1) * tot_rows) * 1000000"
+                f" div (CAST(n_units AS {_D}) * tot_rows)"
+            )
+            .cast("long")
+            .alias("gini_ppm"),
+        )
+    )
+
+
+def _signed_ppm(num: str, den: str, scale: int = 1000000) -> str:
+    """Sign-symmetric integer scaling: Spark ``div`` truncates toward
+    zero but DuckDB ``//`` floors, so they disagree on negative
+    numerators — route the division through the absolute value on
+    BOTH engines (the DuckDB mirror uses the same CASE with ``//``)."""
+    return (
+        f"CASE WHEN {num} < 0"
+        f" THEN -(CAST(-({num}) AS {_D}) * {scale} div ({den}))"
+        f" ELSE CAST({num} AS {_D}) * {scale} div ({den}) END"
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame, group_col: str, tick_col: str
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test over per-tick row counts:
+    ``S = sum_{i<j} sign(y_j - y_i)`` over tick-ordered counts — the
+    nonparametric 'is this feed's rate monotonically trending' audit
+    (pairs with equal counts contribute 0 to S but still count in the
+    tau-a denominator ``n_pairs = m(m-1)/2``). ``tau_ppm`` is the
+    sign-symmetric exact scaling of S / n_pairs in [-1e6, 1e6]:
+    +1e6 = strictly increasing, -1e6 = strictly decreasing, ~0 = no
+    monotone trend. Complements cusum_changepoint (level SHIFT) with
+    monotone DRIFT.
+
+    Scale shape: one fact HashAggregate onto (group, tick), then a
+    per-group pair self-join over the TICK DIM (fan-out m² on
+    days/hours — never the corpus; m=365 days is 66k pairs). Groups
+    with one tick are excluded (no pairs)."""
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
+    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    a = ticks.select("g", F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = ticks.select("g", F.col("t").alias("tj"), F.col("y").alias("yj"))
+    pairs = a.join(b, "g").where(F.col("ti") < F.col("tj"))
+    per_g = pairs.groupBy("g").agg(
+        F.sum(F.signum(F.col("yj") - F.col("yi")).cast("long")).alias("s_num"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("yj") == F.col("yi"), 1).otherwise(0)).alias(
+            "n_tie_pairs"
+        ),
+    )
+    m = ticks.groupBy("g").agg(F.count(F.lit(1)).alias("n_ticks"))
+    return (
+        per_g.join(F.broadcast(m), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_ticks").cast("long").alias("n_ticks"),
+            F.col("s_num").cast("long").alias("s_num"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_tie_pairs").cast("long").alias("n_tie_pairs"),
+            F.expr(_signed_ppm("s_num", "n_pairs"))
+            .cast("long")
+            .alias("tau_ppm"),
+        )
+    )
+
+
+def trend_ols(df: DataFrame, group_col: str, tick_col: str) -> DataFrame:
+    """Per-group least-squares trend slope of per-tick row counts
+    against the tick RANK x = 1..m (observed ticks in order — gaps
+    collapse; use dispersion_stats/cusum for gap-sensitive audits):
+    exact integer numerator/denominator of the closed-form OLS slope
+
+        slope = (m*Σxy - Σx*Σy) / (m*Σx² - (Σx)²)
+
+    plus ``slope_micro`` = slope * 1e6 under sign-symmetric truncating
+    division — 'rows per tick per tick' drift rate, the magnitude
+    companion to mann_kendall_trend's direction. Groups with m < 2
+    are excluded (denominator 0).
+
+    Scale shape: one fact HashAggregate onto (group, tick), one
+    row_number window over the TICK DIM, one final HashAggregate.
+    BIGINT-safe to ~1e5 ticks × 1e9 rows/tick (Σxy ≤ m²·ymax)."""
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
+    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("g").orderBy("t")
+    xy = ticks.select("g", "y", F.row_number().over(w).alias("x"))
+    agg = xy.groupBy("g").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        agg.where(F.col("m") >= 2)
+        .withColumn("slope_num", F.expr("m * sxy - sx * sy"))
+        .withColumn("slope_den", F.expr("m * sxx - sx * sx"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("m").cast("long").alias("n_ticks"),
+            F.col("sy").cast("long").alias("total_rows"),
+            F.col("slope_num").cast("long").alias("slope_num"),
+            F.col("slope_den").cast("long").alias("slope_den"),
+            F.expr(_signed_ppm("slope_num", "slope_den"))
+            .cast("long")
+            .alias("slope_micro"),
+        )
+    )
+
+
+def dispersion_stats(
+    df: DataFrame, group_col: str, tick_col: str
+) -> DataFrame:
+    """Per-group index of dispersion (Fano factor) of per-tick row
+    counts over the INTEGER tick span [min_tick, max_tick] — ticks
+    with zero rows inside the span COUNT as zeros (they carry the
+    burstiness): with span s and total T,
+
+        dispersion_ppm = (s*Σy² - T²) * 1e6 div (s*T)
+
+    = variance/mean in exact ppm. ~1e6 = Poisson-like arrivals,
+    ≫1e6 = bursty (bot storms, batch re-feeds), ≪1e6 = rate-limited/
+    uniform. ``tick_col`` must already be integral (day index via
+    datediff — zero-tick inclusion needs arithmetic, not categories).
+
+    Scale shape: one fact HashAggregate onto (group, tick), one
+    per-group scalar aggregate — no window, no join, no span
+    materialization (zeros only affect s, never Σy²). Numerator in
+    DECIMAL(38,0) (s·Σy² can pass BIGINT at 1e5 ticks × 1e7/tick)."""
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(tick_col).cast("long").alias("t")
+    )
+    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    agg = ticks.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        (F.max("t") - F.min("t") + 1).alias("span"),
+        F.sum("y").alias("tot"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        F.col("span").cast("long").alias("span"),
+        F.col("tot").cast("long").alias("total_rows"),
+        F.expr(
+            f"(CAST(span AS {_D}) * syy - CAST(tot AS {_D}) * tot)"
+            f" * 1000000 div (CAST(span AS {_D}) * tot)"
+        )
+        .cast("long")
+        .alias("dispersion_ppm"),
+    )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Exact per-group weighted quantile (default: lower weighted
+    median): the smallest value v whose inclusive cumulative weight
+    satisfies ``cumw * q_den >= W * q_num`` — 'the size below which
+    half the BYTES sit' (vs the row median's half the DOCS; weight =
+    bytes/tokens/quantity). Integer-exact: the threshold compare is
+    cross-multiplied, never divided. Rows with weight <= 0 or NULL
+    value are excluded; groups losing all rows vanish.
+
+    Scale shape: one fact HashAggregate onto (group, value) cells
+    (weights pre-summed — ties collapse), one running-sum window over
+    the DISTINCT-VALUE dim per group (pre-bucket continuous values),
+    one final MIN aggregate."""
+    facts = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(weight_col).cast("long") > 0)
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    cells = facts.groupBy("g", "v").agg(F.sum("w").alias("wv"))
+    w_run = Window.partitionBy("g").orderBy("v")
+    w_all = Window.partitionBy("g")
+    run = cells.select(
+        "g",
+        "v",
+        F.sum("wv").over(w_run).alias("cumw"),
+        F.sum("wv").over(w_all).alias("tot_w"),
+    )
+    return (
+        run.where(F.col("cumw") * q_den >= F.col("tot_w") * q_num)
+        .groupBy("g", "tot_w")
+        .agg(F.min("v").alias("wq"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("tot_w").cast("long").alias("total_weight"),
+            F.col("wq").cast("long").alias("weighted_quantile"),
+        )
     )

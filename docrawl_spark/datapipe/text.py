@@ -1277,3 +1277,61 @@ def benford_deviation(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def group_vocab_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between GROUPS (sources, languages,
+    shards): |vocab(A) ∩ vocab(B)| / |vocab(A) ∪ vocab(B)| in exact ppm
+    — the corpus-mixing audit ("are these two feeds the same site?",
+    "does shard 7 speak the same language as shard 8?").
+
+    Shape: distinct (group, token) HashAggregate → inverted-index
+    self-join on the token (each token fans out only into the groups
+    that contain it — pair fan-out bounded by #groups², never corpus²)
+    → pair-count HashAggregate → broadcast size dims. Output is SPARSE:
+    pairs with zero shared tokens are absent (Jaccard 0). Meant for a
+    DIM-sized group axis (sources, langs); for host-scale pairwise
+    similarity use the MinHash-LSH pipeline instead.
+    """
+    toks = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .where(F.length("token") >= min_len)
+        .distinct()
+    )
+    sizes = toks.groupBy("g").agg(F.count(F.lit(1)).alias("n_types"))
+    a = toks.select(F.col("g").alias("ga"), "token")
+    b = toks.select(F.col("g").alias("gb"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("ga"), F.col("n_types").alias("n_types_a"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("gb"), F.col("n_types").alias("n_types_b"))),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias(f"{group_col}_a"),
+            F.col("gb").alias(f"{group_col}_b"),
+            "n_types_a",
+            "n_types_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "n_common * 1000000 div (n_types_a + n_types_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -5817,6 +5817,218 @@ def q_source_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_row_scores(docs, "source", "lang")
 
 
+def q_source_lang_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini impurity of the language mix in exact ppm
+    (datapipe/stats.gini_impurity) — the diversity audit: impurity
+    collapsing toward 0 flags a feed gone monolingual. Integer-exact
+    (single truncating division on aggregated sums)."""
+    from docrawl_spark.datapipe.stats import gini_impurity
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_impurity(docs, "source", "lang")
+
+
+def q_rank_rbo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two per-event-type user rankings —
+    count-rank vs spend-rank (datapipe/search.rbo_overlap, exact
+    integer RBO@10, p=0.9): the 'did the ranker change reorder
+    anything' diagnostic. One equi-join on (query, item) + one
+    HashAggregate via precomputed suffix weights — no per-depth pass."""
+    from docrawl_spark.datapipe.search import rbo_overlap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("user_id").asc()
+    )
+    a = per.select(
+        "event_type", "user_id", F.row_number().over(wa).alias("rank")
+    )
+    b = per.select(
+        "event_type", "user_id", F.row_number().over(wb).alias("rank")
+    )
+    return rbo_overlap(
+        a, b, query_col="event_type", item_col="user_id", rank_col="rank",
+        k=10, p_num=9, p_den=10,
+    )
+
+
+def q_vocab_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources in exact ppm
+    (datapipe/text.group_vocab_jaccard) — the corpus-mixing audit:
+    which feeds share a vocabulary. Inverted-index self-join on the
+    token (pair fan-out bounded by #sources², never corpus²); sparse
+    output (zero-overlap pairs absent)."""
+    from docrawl_spark.datapipe.text import group_vocab_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_vocab_jaccard(docs, group_col="source", min_len=1)
+
+
+def q_order_budget_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained greedy selection
+    (datapipe/sampling.greedy_budget_select) exercised on lineitem:
+    per order, keep the best price-per-quantity lines while the
+    cumulative quantity stays within 60 — the corpus analog is
+    quality-per-byte selection under a per-source byte budget.
+    Integer-exact ratio (cents * 2^20 div qty), deterministic
+    linenumber tie-break."""
+    from docrawl_spark.datapipe.sampling import greedy_budget_select
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("score_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return greedy_budget_select(
+        li,
+        group_col="l_orderkey",
+        id_col="l_linenumber",
+        score_col="score_c",
+        cost_col="qty",
+        budget=60,
+    ).withColumnRenamed("score", "score_c").withColumnRenamed("cost", "qty")
+
+
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type early-vs-late-month distribution drift of value
+    (datapipe/stats.rank_drift_stats): exact-integer Mann-Whitney
+    AUC (P(early > late), ties half-credit, 500000 ppm = no drift)
+    plus the exact KS two-sample statistic — the assumption-free 'did
+    this metric's distribution move' audit. Values in centi-units;
+    sample A = day-of-month <= 15."""
+    from docrawl_spark.datapipe.stats import rank_drift_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofmonth("ts") <= 15).alias("early"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return rank_drift_stats(ev, "event_type", "early", "vc")
+
+
+def q_events_cusum_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint over daily event counts
+    (datapipe/stats.cusum_changepoint): the day where the cumulative
+    count deviates most from the uniform-rate line (exact integer
+    numerator, ppm scale) — the 'when did the feed's rate shift'
+    audit. date_trunc day grain (TIMESTAMP on both engines)."""
+    from docrawl_spark.datapipe.stats import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    return cusum_changepoint(ev, "event_type", "day")
+
+
+def q_docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the documents release slice over the
+    (source, lang, size-KB bucket) quasi-identifier tuple
+    (datapipe/stats.k_anonymity): for k in {2, 5, 10}, equivalence
+    classes below k and rows at re-identification risk. NULL counts
+    as a real quasi value."""
+    from docrawl_spark.datapipe.stats import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr("n_chars div 1000").alias("size_kb")
+    )
+    return k_anonymity(docs, ["source", "lang", "size_kb"], [2, 5, 10])
+
+
+def q_events_user_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of events over users
+    (datapipe/stats.lorenz_deciles): exact cumulative event share
+    (ppm) held by the bottom d/10 of users — the traffic-concentration
+    / bot-dominance audit. Windows run over the count-value histogram
+    (never the user dim), deciles range-join in."""
+    from docrawl_spark.datapipe.stats import lorenz_deciles
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return lorenz_deciles(ev, "user_id")
+
+
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient (ppm) of the per-user event-count
+    allocation (datapipe/stats.gini_concentration) — the scalar
+    inequality companion to events_user_lorenz, block-exact over the
+    count histogram vs the oracle's textbook rank-weighted form."""
+    from docrawl_spark.datapipe.stats import gini_concentration
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return gini_concentration(ev, "user_id")
+
+
+def q_events_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Kendall trend over daily event counts
+    (datapipe/stats.mann_kendall_trend): exact S statistic and
+    sign-symmetric tau-a ppm — the nonparametric 'is this feed's rate
+    monotonically trending' audit (complements events_cusum_day's
+    level-shift detector). Pair fan-out over the day DIM only."""
+    from docrawl_spark.datapipe.stats import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    return mann_kendall_trend(ev, "event_type", "day")
+
+
+def q_events_daily_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact OLS trend slope of daily counts against
+    the day rank (datapipe/stats.trend_ols): integer slope num/den
+    plus sign-symmetric micro-slope — the 'rows per day per day' drift
+    magnitude next to Mann-Kendall's direction."""
+    from docrawl_spark.datapipe.stats import trend_ols
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    return trend_ols(ev, "event_type", "day")
+
+
+def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type index of dispersion (Fano factor) of daily
+    event counts over the integer day-index span, zero days included
+    (datapipe/stats.dispersion_stats): ~1e6 ppm = Poisson-like
+    arrivals, >>1e6 = bursty bot storms / batch re-feeds."""
+    from docrawl_spark.datapipe.stats import dispersion_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    )
+    return dispersion_stats(ev, "event_type", "day_idx")
+
+
+def q_lineitem_price_wmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag quantity-weighted median of the lineitem price
+    in cents (datapipe/stats.weighted_quantile): the price below
+    which half the shipped QUANTITY sits (vs the row median's half
+    the lines) — the corpus analog is the doc size below which half
+    the corpus BYTES sit. Cross-multiplied threshold, integer-exact."""
+    from docrawl_spark.datapipe.stats import weighted_quantile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantile(
+        li, "l_returnflag", "price_c", "qty", q_num=1, q_den=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6035,6 +6247,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trimmed_stats": q_events_trimmed_stats,
         "source_lang_chisq": q_source_lang_chisq,
         "source_drift_scores": q_source_drift_scores,
+        "vocab_source_jaccard": q_vocab_source_jaccard,
+        "order_budget_lines": q_order_budget_lines,
+        "source_lang_gini": q_source_lang_gini,
+        "rank_rbo_events": q_rank_rbo_events,
+        "events_value_drift": q_events_value_drift,
+        "events_cusum_day": q_events_cusum_day,
+        "docs_k_anonymity": q_docs_k_anonymity,
+        "events_user_lorenz": q_events_user_lorenz,
+        "events_user_gini": q_events_user_gini,
+        "events_mk_trend": q_events_mk_trend,
+        "events_daily_ols": q_events_daily_ols,
+        "events_rate_dispersion": q_events_rate_dispersion,
+        "lineitem_price_wmedian": q_lineitem_price_wmedian,
     }
 
 
@@ -6079,6 +6304,49 @@ _JACCARD_PAIRS_SQL = r"""
             JOIN d b ON b.doc_id = c.id_b
             WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+        """
+
+
+def _rbo_oracle(k: int = 10, p_num: int = 9, p_den: int = 10) -> str:
+    """DuckDB mirror of datapipe/search.rbo_overlap over the events
+    count-rank vs spend-rank pair — the suffix weights are the SAME
+    pure-Python exact integers the Spark operator bakes in."""
+    from math import lcm
+
+    big_l = lcm(*range(1, k + 1))
+    d_scale = p_den**k * big_l
+    w = [
+        (p_den - p_num) * p_num ** (d - 1) * p_den ** (k - d) * (big_l // d)
+        for d in range(1, k + 1)
+    ]
+    suffix = [sum(w[m:]) for m in range(k)]
+    arr = "[" + ", ".join(f"{s}::HUGEINT" for s in suffix) + "]"
+    return f"""
+            WITH per AS (
+              SELECT event_type, user_id, COUNT(*) AS n,
+                     SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+              FROM events GROUP BY 1, 2),
+            a AS (
+              SELECT event_type, user_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY n DESC, user_id) AS ra
+              FROM per),
+            b AS (
+              SELECT event_type, user_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY s DESC, user_id) AS rb
+              FROM per),
+            j AS (
+              SELECT a.event_type,
+                     GREATEST(a.ra, b.rb) AS dm
+              FROM a JOIN b ON a.event_type = b.event_type
+                           AND a.user_id = b.user_id
+              WHERE a.ra <= {k} AND b.rb <= {k})
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST((SUM(({arr})[dm]) * 1000000) // {d_scale}
+                        AS BIGINT) AS rbo_ppm
+            FROM j GROUP BY event_type
         """
 
 
@@ -11261,5 +11529,315 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(observed) AS BIGINT) AS row_total,
                    CAST(SUM(chi2_cell_micro) AS BIGINT) AS chi2_row_micro
             FROM chisq_cells GROUP BY source
+        """,
+        "vocab_source_jaccard": r"""
+            WITH toks AS (
+              SELECT DISTINCT source AS g, t.tok AS token
+              FROM documents,
+                   UNNEST(string_split(lower(regexp_replace(trim(text),
+                          '\s+', ' ', 'g')), ' ')) AS t(tok)
+              WHERE length(t.tok) >= 1),
+            sizes AS (SELECT g, COUNT(*) AS n FROM toks GROUP BY g),
+            inter AS (
+              SELECT a.g AS ga, b.g AS gb, COUNT(*) AS ni
+              FROM toks a JOIN toks b USING (token)
+              WHERE a.g < b.g GROUP BY 1, 2)
+            SELECT ga AS source_a, gb AS source_b,
+                   CAST(sa.n AS BIGINT) AS n_types_a,
+                   CAST(sb.n AS BIGINT) AS n_types_b,
+                   CAST(ni AS BIGINT) AS n_common,
+                   CAST(ni * 1000000 // (sa.n + sb.n - ni) AS BIGINT)
+                     AS jaccard_ppm
+            FROM inter
+            JOIN sizes sa ON sa.g = ga
+            JOIN sizes sb ON sb.g = gb
+        """,
+        "order_budget_lines": """
+            WITH d AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS score_c,
+                     CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+            r AS (
+              SELECT *, CASE WHEN score_c < 0
+                        THEN -((-score_c * 1048576) // qty)
+                        ELSE (score_c * 1048576) // qty END AS ratio
+              FROM d),
+            w AS (
+              SELECT *,
+                     CAST(SUM(qty) OVER (PARTITION BY l_orderkey
+                          ORDER BY ratio DESC, l_linenumber ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY ratio DESC, l_linenumber ASC)
+                          AS BIGINT) AS pick_rank
+              FROM r)
+            SELECT l_orderkey, l_linenumber, score_c, qty,
+                   CAST(ratio AS BIGINT) AS ratio, cum_cost, pick_rank
+            FROM w WHERE cum_cost <= 60
+        """,
+        "source_lang_gini": """
+            WITH facts AS (
+              SELECT source AS g, lang AS l FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL),
+            cells AS (SELECT g, l, COUNT(*) AS o FROM facts GROUP BY g, l),
+            agg AS (
+              SELECT g, SUM(o) AS n, SUM(o * o) AS sq,
+                     COUNT(*) AS n_labels
+              FROM cells GROUP BY g)
+            SELECT g AS source,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(n_labels AS BIGINT) AS n_labels,
+                   CAST(1000000 - (sq * 1000000) // (n * n) AS BIGINT)
+                     AS gini_ppm
+            FROM agg
+        """,
+        "rank_rbo_events": _rbo_oracle(),
+        # exact Mann-Whitney (midranks via 2x scaling) + KS over the
+        # (group, value) cell table — HUGEINT for the ppm scalings
+        "events_value_drift": """
+            WITH f AS (
+              SELECT event_type AS g,
+                     (date_part('day', ts) <= 15) AS a,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL),
+            cells AS (
+              SELECT g, v,
+                     SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca_v,
+                     SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb_v
+              FROM f GROUP BY g, v),
+            run AS (
+              SELECT g, v, ca_v, cb_v,
+                     SUM(ca_v + cb_v) OVER (PARTITION BY g ORDER BY v)
+                       AS c_incl,
+                     SUM(ca_v) OVER (PARTITION BY g ORDER BY v) AS ca_incl,
+                     SUM(cb_v) OVER (PARTITION BY g ORDER BY v) AS cb_incl,
+                     SUM(ca_v) OVER (PARTITION BY g) AS n_a,
+                     SUM(cb_v) OVER (PARTITION BY g) AS n_b
+              FROM cells),
+            per_g AS (
+              SELECT g, n_a, n_b,
+                     SUM(ca_v * (2 * c_incl - ca_v - cb_v + 1))
+                       AS ranksum2_a,
+                     MAX(ABS(ca_incl * n_b - cb_incl * n_a)) AS ks_num,
+                     SUM(ABS(ca_v * n_b - cb_v * n_a)) AS tv_num
+              FROM run GROUP BY g, n_a, n_b)
+            SELECT g AS event_type,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(ranksum2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(CAST(ranksum2_a - n_a * (n_a + 1) AS HUGEINT)
+                        * 1000000 // (2 * CAST(n_a AS HUGEINT) * n_b)
+                        AS BIGINT) AS auc_ppm,
+                   CAST(ks_num AS BIGINT) AS ks_num,
+                   CAST(CAST(ks_num AS HUGEINT) * 1000000
+                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS ks_ppm,
+                   CAST(tv_num AS BIGINT) AS tv_num,
+                   CAST(CAST(tv_num AS HUGEINT) * 1000000
+                        // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS tv_ppm
+            FROM per_g WHERE n_a > 0 AND n_b > 0
+        """,
+        # the window-derived dev is materialized in its own CTE before
+        # the pick window (DuckDB forbids nested window calls)
+        "events_cusum_day": """
+            WITH f AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            run AS (
+              SELECT g, t,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS j,
+                     SUM(y) OVER (PARTITION BY g ORDER BY t) AS s,
+                     COUNT(*) OVER (PARTITION BY g) AS m,
+                     SUM(y) OVER (PARTITION BY g) AS tot
+              FROM ticks),
+            dev AS (SELECT *, ABS(s * m - j * tot) AS dv FROM run),
+            pick AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                          ORDER BY dv DESC, t ASC) AS pk
+              FROM dev)
+            SELECT g AS event_type,
+                   CAST(m AS BIGINT) AS n_ticks,
+                   CAST(tot AS BIGINT) AS total_rows,
+                   t AS change_tick,
+                   CAST(dv AS BIGINT) AS cusum_num,
+                   CAST(CAST(dv AS HUGEINT) * 1000000
+                        // (CAST(tot AS HUGEINT) * m) AS BIGINT)
+                     AS cusum_ppm
+            FROM pick WHERE pk = 1
+        """,
+        "docs_k_anonymity": """
+            WITH sizes AS (
+              SELECT COUNT(*) AS sz FROM documents
+              GROUP BY source, lang, n_chars // 1000),
+            fan AS (
+              SELECT sz, k FROM sizes
+              CROSS JOIN (VALUES (2), (5), (10)) AS u(k))
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+                     AS groups_below,
+                   CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+                     AS rows_at_risk,
+                   CAST(MIN(sz) AS BIGINT) AS min_class_size
+            FROM fan GROUP BY k
+        """,
+        # naive textbook mirror: rank every user globally (tiny at
+        # oracle sf) vs the engine's count-histogram block form
+        "events_user_lorenz": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS x FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id),
+            r AS (
+              SELECT x,
+                     ROW_NUMBER() OVER (ORDER BY x, user_id) AS rn,
+                     SUM(x) OVER (ORDER BY x, user_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     COUNT(*) OVER () AS n_units,
+                     SUM(x) OVER () AS tot
+              FROM c),
+            d AS (
+              SELECT k.decile,
+                     (k.decile * t.n_units) // 10 AS r,
+                     t.n_units, t.tot
+              FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10))
+                     AS k(decile)
+              CROSS JOIN (SELECT n_units, tot FROM r LIMIT 1) t)
+            SELECT CAST(d.decile AS BIGINT) AS decile,
+                   CAST(d.r AS BIGINT) AS unit_rank,
+                   CAST(d.n_units AS BIGINT) AS n_units,
+                   CAST(COALESCE(r.cum, 0) AS BIGINT) AS cum_rows,
+                   CAST(COALESCE(CAST(r.cum AS HUGEINT) * 1000000
+                                 // d.tot, 0) AS BIGINT) AS cum_share_ppm
+            FROM d LEFT JOIN r ON r.rn = d.r
+        """,
+        "events_user_gini": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS x FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id),
+            r AS (
+              SELECT x,
+                     ROW_NUMBER() OVER (ORDER BY x, user_id) AS i,
+                     COUNT(*) OVER () AS n,
+                     SUM(x) OVER () AS tot
+              FROM c)
+            SELECT CAST(n AS BIGINT) AS n_units,
+                   CAST(tot AS BIGINT) AS tot_rows,
+                   CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                         - (CAST(n AS HUGEINT) + 1) * tot) * 1000000
+                        // (CAST(n AS HUGEINT) * tot) AS BIGINT)
+                     AS gini_ppm
+            FROM r GROUP BY n, tot
+        """,
+        # sign-symmetric tau: route the // through ABS on both engines
+        # (DuckDB // floors, Spark div truncates — they differ below 0)
+        "events_mk_trend": """
+            WITH f AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            p AS (
+              SELECT a.g,
+                     CAST(SIGN(b.y - a.y) AS BIGINT) AS s,
+                     CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie
+              FROM ticks a JOIN ticks b ON a.g = b.g AND a.t < b.t),
+            per AS (
+              SELECT g, SUM(s) AS s_num, COUNT(*) AS n_pairs,
+                     SUM(tie) AS n_tie_pairs
+              FROM p GROUP BY g),
+            m AS (SELECT g, COUNT(*) AS n_ticks FROM ticks GROUP BY g)
+            SELECT per.g AS event_type,
+                   CAST(n_ticks AS BIGINT) AS n_ticks,
+                   CAST(s_num AS BIGINT) AS s_num,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_tie_pairs AS BIGINT) AS n_tie_pairs,
+                   CAST(CASE WHEN s_num < 0
+                        THEN -(CAST(-s_num AS HUGEINT) * 1000000
+                               // n_pairs)
+                        ELSE CAST(s_num AS HUGEINT) * 1000000 // n_pairs
+                        END AS BIGINT) AS tau_ppm
+            FROM per JOIN m ON per.g = m.g
+        """,
+        "events_daily_ols": """
+            WITH f AS (
+              SELECT event_type AS g, date_trunc('day', ts) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            xy AS (
+              SELECT g, y,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS x
+              FROM ticks),
+            agg AS (
+              SELECT g, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM xy GROUP BY g),
+            d AS (
+              SELECT g, m, sy,
+                     m * sxy - sx * sy AS slope_num,
+                     m * sxx - sx * sx AS slope_den
+              FROM agg WHERE m >= 2)
+            SELECT g AS event_type,
+                   CAST(m AS BIGINT) AS n_ticks,
+                   CAST(sy AS BIGINT) AS total_rows,
+                   CAST(slope_num AS BIGINT) AS slope_num,
+                   CAST(slope_den AS BIGINT) AS slope_den,
+                   CAST(CASE WHEN slope_num < 0
+                        THEN -(CAST(-slope_num AS HUGEINT) * 1000000
+                               // slope_den)
+                        ELSE CAST(slope_num AS HUGEINT) * 1000000
+                             // slope_den
+                        END AS BIGINT) AS slope_micro
+            FROM d
+        """,
+        "events_rate_dispersion": """
+            WITH f AS (
+              SELECT event_type AS g,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            agg AS (
+              SELECT g, COUNT(*) AS n_ticks,
+                     MAX(t) - MIN(t) + 1 AS span,
+                     SUM(y) AS tot, SUM(y * y) AS syy
+              FROM ticks GROUP BY g)
+            SELECT g AS event_type,
+                   CAST(n_ticks AS BIGINT) AS n_ticks,
+                   CAST(span AS BIGINT) AS span,
+                   CAST(tot AS BIGINT) AS total_rows,
+                   CAST((CAST(span AS HUGEINT) * syy
+                         - CAST(tot AS HUGEINT) * tot) * 1000000
+                        // (CAST(span AS HUGEINT) * tot) AS BIGINT)
+                     AS dispersion_ppm
+            FROM agg
+        """,
+        "lineitem_price_wmedian": """
+            WITH f AS (
+              SELECT l_returnflag AS g,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND CAST(l_quantity AS BIGINT) > 0),
+            cells AS (SELECT g, v, SUM(w) AS wv FROM f GROUP BY g, v),
+            run AS (
+              SELECT g, v,
+                     SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cumw,
+                     SUM(wv) OVER (PARTITION BY g) AS tot_w
+              FROM cells)
+            SELECT g AS l_returnflag,
+                   CAST(tot_w AS BIGINT) AS total_weight,
+                   CAST(MIN(v) AS BIGINT) AS weighted_quantile
+            FROM run WHERE cumw * 2 >= tot_w * 1
+            GROUP BY g, tot_w
         """,
     }

@@ -472,3 +472,49 @@ def test_chao1_completeness_hand_case(spark):
     assert out["b"]["chao1_est"] == 3
     assert out["b"]["coverage_ppm"] == 1000000
     assert out["b"]["unseen_mass_ppm"] == 0
+
+
+def test_rbo_overlap_exact(spark):
+    """RBO@k exact-integer form vs a Fraction reference: identical
+    rankings hit floor((1 - p^k) * 1e6); disjoint queries are absent;
+    partial overlap matches the per-depth definition exactly."""
+    from fractions import Fraction
+
+    from docrawl_spark.datapipe.search import rbo_overlap
+
+    k, p = 10, Fraction(9, 10)
+
+    def ref_ppm(ra, rb):
+        # ra/rb: item -> rank maps
+        total = Fraction(0)
+        for d in range(1, k + 1):
+            ad = {i for i, r in ra.items() if r <= d}
+            bd = {i for i, r in rb.items() if r <= d}
+            total += (1 - p) * p ** (d - 1) * Fraction(len(ad & bd), d)
+        return int(total * 10**6)  # floor
+
+    ident = {f"i{j}": j for j in range(1, k + 1)}
+    swapped = dict(ident)
+    swapped["i1"], swapped["i2"] = 2, 1  # swap top-2
+    shifted = {f"i{j}": j - 1 for j in range(2, k + 2)}  # i2..i11 at 1..10
+    rows_a, rows_b = [], []
+    for q, (ra, rb) in {
+        "same": (ident, ident),
+        "swap": (ident, swapped),
+        "shift": (ident, shifted),
+        "disjoint": (ident, {f"z{j}": j for j in range(1, k + 1)}),
+    }.items():
+        rows_a += [(q, i, r) for i, r in ra.items()]
+        rows_b += [(q, i, r) for i, r in rb.items()]
+    a = spark.createDataFrame(rows_a, "query string, item string, rank int")
+    b = spark.createDataFrame(rows_b, "query string, item string, rank int")
+    got = {
+        r["query"]: (r["n_common"], r["rbo_ppm"])
+        for r in rbo_overlap(a, b).collect()
+    }
+    assert got["same"] == (10, ref_ppm(ident, ident))
+    assert got["same"][1] == 651321  # floor((1 - 0.9^10) * 1e6)
+    assert got["swap"] == (10, ref_ppm(ident, swapped))
+    assert got["shift"] == (9, ref_ppm(ident, shifted))
+    assert "disjoint" not in got  # sparse: no common items -> no row
+    assert got["shift"][1] < got["swap"][1] < got["same"][1]

@@ -69,3 +69,217 @@ def test_chisq_nulls_excluded_and_row_scores(spark):
         t, chi = by_src.get(r["source"], (0, 0))
         by_src[r["source"]] = (t + r["observed"], chi + r["chi2_cell_micro"])
     assert scores == by_src
+
+
+def test_gini_impurity_hand(spark):
+    from docrawl_spark.datapipe.stats import gini_impurity
+
+    rows = (
+        [("pure", "en")] * 5
+        + [("uni4", "a"), ("uni4", "b"), ("uni4", "c"), ("uni4", "d")]
+        + [("skew", "en")] * 9 + [("skew", "de")]
+        + [("nul", None), (None, "x")]
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {
+        r["source"]: (r["n_rows"], r["n_labels"], r["gini_ppm"])
+        for r in gini_impurity(df, "source", "lang").collect()
+    }
+    assert got["pure"] == (5, 1, 0)
+    assert got["uni4"] == (4, 4, 750000)  # uniform k=4 -> 1 - 1/4
+    # skew: 1 - (81+1)/100 = 0.18 exactly
+    assert got["skew"] == (10, 2, 180000)
+    assert set(got) == {"pure", "uni4", "skew"}  # null keys excluded
+
+
+def test_rank_drift_stats_hand(spark):
+    from docrawl_spark.datapipe.stats import rank_drift_stats
+
+    # A = [1, 2, 2], B = [2, 3]: midranks 1, 3, 3 (tie block 2,3,4),
+    # ranksum_A = 7 -> u2_a = 14 - 12 = 2 (U_A = 1: one tie pair at
+    # half credit x2 plus the 2>2 half ... exact pair count checked
+    # below); KS at v=2: |F_A - F_B| = |1 - 1/2| -> ks_ppm = 500000.
+    rows = (
+        [("g", True, 1), ("g", True, 2), ("g", True, 2)]
+        + [("g", False, 2), ("g", False, 3)]
+        + [("solo", True, 1)]          # one-sample group: excluded
+        + [("g", None, 9), ("g", True, None), (None, True, 1)]  # nulls
+    )
+    df = spark.createDataFrame(rows, "g string, a boolean, v long")
+    out = rank_drift_stats(df, "g", "a", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g"], r["n_a"], r["n_b"]) == ("g", 3, 2)
+    # exact pair check: U_A = sum over (a,b) of 1[a>b] + 0.5*1[a==b]
+    av, bv = [1, 2, 2], [2, 3]
+    u2 = sum(2 * (x > y) + (x == y) for x in av for y in bv)
+    assert r["u2_a"] == u2 == 2
+    assert r["auc_ppm"] == (u2 * 10**6) // (2 * 3 * 2) == 166666
+    assert r["ks_num"] == 3 and r["ks_ppm"] == 500000
+    # TV cells: v=1 |1*2-0*3|=2, v=2 |2*2-1*3|=1, v=3 |0*2-1*3|=3
+    # -> 6; ppm = 6e6 // (2*3*2) = 500000 = (1/3 + 1/6 + 1/2) / 2
+    assert r["tv_num"] == 6 and r["tv_ppm"] == 500000
+
+
+def test_rank_drift_identical_samples_is_half(spark):
+    from docrawl_spark.datapipe.stats import rank_drift_stats
+
+    rows = [("g", lab, v) for lab in (True, False) for v in (1, 5, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, a boolean, v long")
+    r = rank_drift_stats(df, "g", "a", "v").collect()[0]
+    assert r["auc_ppm"] == 500000  # identical dists: AUC exactly 1/2
+    assert r["ks_num"] == 0 and r["ks_ppm"] == 0
+    assert r["tv_num"] == 0 and r["tv_ppm"] == 0
+
+
+def test_cusum_changepoint_hand(spark):
+    from docrawl_spark.datapipe.stats import cusum_changepoint
+
+    # counts per tick: t1 -> 5, t2..t4 -> 1 each; m=4, T=8;
+    # dev = |S*m - j*T| = 12, 8, 4, 0 -> peak at t1, ppm = 12e6//32.
+    rows = [("g", "t1")] * 5 + [("g", "t2"), ("g", "t3"), ("g", "t4")]
+    rows += [("flat", t) for t in ("t1", "t2") for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = {r["g"]: r for r in cusum_changepoint(df, "g", "t").collect()}
+    r = got["g"]
+    assert (r["n_ticks"], r["total_rows"], r["change_tick"]) == (4, 8, "t1")
+    assert r["cusum_num"] == 12 and r["cusum_ppm"] == 375000
+    # perfectly uniform rate: dev 0 everywhere, earliest tick wins
+    assert got["flat"]["cusum_num"] == 0
+    assert got["flat"]["change_tick"] == "t1"
+
+
+def test_k_anonymity_hand(spark):
+    from docrawl_spark.datapipe.stats import k_anonymity
+
+    # class sizes: (a,x):3  (a,y):1  (b,x):2  (None,x):1 — null is a
+    # real quasi-identifier value
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] + [("b", "x")] * 2 + [(None, "x")]
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    got = {r["k"]: r for r in k_anonymity(df, ["q1", "q2"], [2, 5]).collect()}
+    assert got[2]["n_groups"] == 4 and got[2]["n_rows"] == 7
+    assert got[2]["groups_below"] == 2 and got[2]["rows_at_risk"] == 2
+    assert got[5]["groups_below"] == 4 and got[5]["rows_at_risk"] == 7
+    assert got[2]["min_class_size"] == 1
+
+
+def test_lorenz_and_gini_hand(spark):
+    from docrawl_spark.datapipe.stats import gini_concentration, lorenz_deciles
+
+    # unit counts: u1->1 u2->1 u3->2 u4->4 (n=4, T=8)
+    rows = [("u1",)] + [("u2",)] + [("u3",)] * 2 + [("u4",)] * 4
+    df = spark.createDataFrame(rows, "u string")
+    lz = {r["decile"]: r for r in lorenz_deciles(df, "u").collect()}
+    assert len(lz) == 10
+    # naive reference: sort counts asc, prefix-sum the first (d*4)//10
+    xs = [1, 1, 2, 4]
+    for d in range(1, 11):
+        r = (d * 4) // 10
+        cum = sum(xs[:r])
+        assert lz[d]["unit_rank"] == r
+        assert lz[d]["cum_rows"] == cum
+        assert lz[d]["cum_share_ppm"] == (cum * 10**6) // 8
+    g = gini_concentration(df, "u").collect()[0]
+    # 2*sum(i*x_i) = 2*(1+2+6+16) = 50; (n+1)*T = 40; /(n*T)=10/32
+    assert (g["n_units"], g["tot_rows"], g["gini_ppm"]) == (4, 8, 312500)
+
+
+def test_gini_concentration_equal_counts_is_zero(spark):
+    from docrawl_spark.datapipe.stats import gini_concentration
+
+    rows = [(f"u{i}",) for i in range(5) for _ in range(3)]
+    df = spark.createDataFrame(rows, "u string")
+    assert gini_concentration(df, "u").collect()[0]["gini_ppm"] == 0
+
+
+def test_mann_kendall_hand(spark):
+    from docrawl_spark.datapipe.stats import mann_kendall_trend
+
+    rows = []
+    # up: counts 1,2,3,4 -> S=6, pairs=6, tau=+1e6
+    for i, c in enumerate([1, 2, 3, 4]):
+        rows += [("up", f"t{i}")] * c
+    # down: counts 4,3,2,1 -> S=-6, tau=-1e6 (sign-symmetric exact)
+    for i, c in enumerate([4, 3, 2, 1]):
+        rows += [("down", f"t{i}")] * c
+    # mixed: counts 2,1,1 -> pairs (2,1)-1 (2,1)-1 (1,1)0 -> S=-2,
+    # pairs 3, ties 1, tau = -(2e6 div 3) = -666666 (truncation
+    # symmetric on BOTH engines via the ABS route)
+    for i, c in enumerate([2, 1, 1]):
+        rows += [("mixed", f"t{i}")] * c
+    rows += [("solo", "t0")]  # single tick: no pairs -> excluded
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = {r["g"]: r for r in mann_kendall_trend(df, "g", "t").collect()}
+    assert got["up"]["s_num"] == 6 and got["up"]["tau_ppm"] == 1000000
+    assert got["down"]["s_num"] == -6 and got["down"]["tau_ppm"] == -1000000
+    m = got["mixed"]
+    assert (m["s_num"], m["n_pairs"], m["n_tie_pairs"]) == (-2, 3, 1)
+    assert m["tau_ppm"] == -666666
+    assert "solo" not in got
+
+
+def test_trend_ols_hand(spark):
+    from docrawl_spark.datapipe.stats import trend_ols
+
+    rows = []
+    for i, c in enumerate([1, 2, 3]):       # slope exactly +1/tick
+        rows += [("up", f"t{i}")] * c
+    for i, c in enumerate([3, 2, 1]):       # slope exactly -1/tick
+        rows += [("down", f"t{i}")] * c
+    for i, c in enumerate([5, 5, 5]):       # flat: slope 0
+        rows += [("flat", f"t{i}")] * c
+    rows += [("solo", "t0")] * 7            # m=1: excluded (den 0)
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = {r["g"]: r for r in trend_ols(df, "g", "t").collect()}
+    up = got["up"]
+    assert (up["slope_num"], up["slope_den"]) == (6, 6)
+    assert up["slope_micro"] == 1000000 and up["total_rows"] == 6
+    assert got["down"]["slope_micro"] == -1000000
+    assert got["flat"]["slope_num"] == 0 and got["flat"]["slope_micro"] == 0
+    assert "solo" not in got
+
+
+def test_dispersion_hand(spark):
+    from docrawl_spark.datapipe.stats import dispersion_stats
+
+    rows = []
+    # poissonish: ticks 0,2 counts 3,3 over span 3 (tick 1 = zero):
+    # var_num = 3*18 - 36 = 18 -> ppm = 18e6 // (3*6) = 1e6
+    rows += [("even", 0)] * 3 + [("even", 2)] * 3
+    # bursty: ticks 0:4, 3:1, span 4: (4*17 - 25) = 43 -> 43e6//20
+    rows += [("burst", 0)] * 4 + [("burst", 3)]
+    # single tick: span 1, var 0 -> 0 ppm
+    rows += [("one", 5)] * 4
+    df = spark.createDataFrame(rows, "g string, t long")
+    got = {r["g"]: r for r in dispersion_stats(df, "g", "t").collect()}
+    e = got["even"]
+    assert (e["n_ticks"], e["span"], e["total_rows"]) == (2, 3, 6)
+    assert e["dispersion_ppm"] == 1000000
+    assert got["burst"]["dispersion_ppm"] == 43 * 10**6 // 20  # 2150000
+    assert got["one"]["dispersion_ppm"] == 0
+
+
+def test_weighted_quantile_hand(spark):
+    from docrawl_spark.datapipe.stats import weighted_quantile
+
+    rows = [
+        ("g", 1, 1), ("g", 2, 1), ("g", 10, 2),   # W=4: median at v=2
+        ("g", 3, 0),                               # weight 0: excluded
+        ("h", 7, 5),                               # single value
+        ("z", 9, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    med = {
+        r["g"]: (r["total_weight"], r["weighted_quantile"])
+        for r in weighted_quantile(df, "g", "v", "w").collect()
+    }
+    assert med["g"] == (4, 2)       # cumw(2)=2, 2*2 >= 4*1
+    assert med["h"] == (5, 7)
+    assert "z" not in med           # null weight excluded -> empty
+    q3 = {
+        r["g"]: r["weighted_quantile"]
+        for r in weighted_quantile(df, "g", "v", "w", 3, 4).collect()
+    }
+    assert q3["g"] == 10            # need cumw*4 >= 4*3 -> cumw >= 3
