@@ -640,3 +640,176 @@ def weighted_quantile(
             F.col("wq").cast("long").alias("weighted_quantile"),
         )
     )
+def agreement_kappa(
+    df: DataFrame, group_col: str, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """Per-group Cohen's kappa between two label columns ("raters") —
+    the chance-corrected agreement audit for corpus curation: when a
+    new quality classifier is rolled out next to the old one (or a
+    cheap heuristic next to an expensive model), raw percent agreement
+    is inflated by label imbalance; kappa subtracts the agreement two
+    independent raters with these margins would get by chance:
+
+        kappa = (N*diag - pe_num) / (N^2 - pe_num)
+        pe_num = sum_k rowmargin_a(k) * colmargin_b(k)
+
+    exact in ppm (sign-symmetric division — kappa is negative when
+    raters agree LESS than chance). Also returns exact ``po_ppm``
+    (observed agreement) and ``pe_ppm`` (chance agreement). Groups
+    where both raters are constant with the same single label are
+    excluded (denominator 0: kappa undefined, agreement vacuous).
+
+    Scale shape: one fact HashAggregate onto (group, a, b) cells, two
+    margin HashAggregates over the CELL table, one margin-x-margin
+    inner join on the label (dim-sized), one final join — the corpus
+    is touched once. BIGINT-safe to N ~ 3e9 rows/group (N*diag); the
+    ppm scaling runs in DECIMAL(38,0)/HUGEINT.
+
+    Rebuild-original operator (no reference counterpart — the
+    reference has no classifier-agreement tooling)."""
+    facts = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(rater_a_col).isNotNull()
+        & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(rater_a_col).alias("a"),
+        F.col(rater_b_col).alias("b"),
+    )
+    cells = facts.groupBy("g", "a", "b").agg(F.count(F.lit(1)).alias("o"))
+    per_g = cells.groupBy("g").agg(
+        F.sum("o").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("o")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    ma = cells.groupBy("g", F.col("a").alias("k")).agg(F.sum("o").alias("ra"))
+    mb = cells.groupBy("g", F.col("b").alias("k")).agg(F.sum("o").alias("cb"))
+    pe = (
+        ma.join(mb, ["g", "k"])
+        .groupBy("g")
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+    )
+    out = per_g.join(pe, "g").where(
+        F.col("n") * F.col("n") != F.col("pe_num")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(f"CAST(diag AS {_D}) * 1000000 div n")
+        .cast("long")
+        .alias("po_ppm"),
+        F.expr(f"CAST(pe_num AS {_D}) * 1000000 div (CAST(n AS {_D}) * n)")
+        .cast("long")
+        .alias("pe_ppm"),
+        F.expr(
+            _signed_ppm("n * diag - pe_num", f"CAST(n AS {_D}) * n - pe_num")
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
+
+
+def autocorr_lag(
+    df: DataFrame, group_col: str, tick_col: str, lag: int
+) -> DataFrame:
+    """Per-group lag-``k`` autocorrelation of per-tick row counts over
+    the INTEGER tick span — the seasonality audit (lag=7 over daily
+    counts: does this feed breathe weekly?). Ticks with zero rows
+    inside [min_tick, max_tick] COUNT as zeros: a feed that posts
+    Mondays only is perfectly weekly precisely because the other six
+    days are zero. ``tick_col`` must be integral (e.g. datediff from
+    a fixed epoch).
+
+    Exact Pearson r over the n = span - lag aligned pairs
+    (x_i, z_i) = (y_i, y_{i+lag}):
+
+        num  = n*Σxz - Σx*Σz
+        den² = (n*Σx² - Σx²tot) * (n*Σz² - Σz²tot)
+
+    r itself needs a square root, so the cross-engine-exact output is
+    ``r2_signed_ppm`` = sign(num) * num² * 1e6 div den² — the signed
+    squared correlation in [-1e6, 1e6] (+1e6 perfect periodicity,
+    negative = anti-phase). The subrange sums Σx (ticks ≤ hi-lag) and
+    Σz (ticks ≥ lo+lag) are computed from the nonzero cells only —
+    implicit zeros contribute nothing to any Σ; only n carries the
+    span. Σxz comes from ONE equi-join of the cell table onto itself
+    at t+lag (zero-count terms vanish from the product). Groups where
+    either aligned window is constant (den 0 — e.g. span ≤ lag) are
+    excluded.
+
+    Scale shape: one fact HashAggregate onto (group, tick), one
+    self-join + three HashAggregates over the TICK DIM (days — never
+    the corpus). num² runs in DECIMAL(38,0)/HUGEINT: num ≤ n·Σxz ~
+    span²·ymax², so num² stays inside 38 digits for span ≤ 1e4 ticks
+    with ymax ≤ 1e7 rows/tick (document scale: years of days).
+
+    Rebuild-original operator (no reference counterpart)."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), F.col(tick_col).cast("long").alias("t"))
+    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    span = ticks.groupBy("g").agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    )
+    cells = ticks.join(F.broadcast(span), "g")
+    side = cells.groupBy("g", "lo", "hi").agg(
+        F.sum(F.when(F.col("t") <= F.col("hi") - lag, F.col("y")).otherwise(0))
+        .alias("sx"),
+        F.sum(
+            F.when(
+                F.col("t") <= F.col("hi") - lag, F.col("y") * F.col("y")
+            ).otherwise(0)
+        ).alias("sxx"),
+        F.sum(F.when(F.col("t") >= F.col("lo") + lag, F.col("y")).otherwise(0))
+        .alias("sz"),
+        F.sum(
+            F.when(
+                F.col("t") >= F.col("lo") + lag, F.col("y") * F.col("y")
+            ).otherwise(0)
+        ).alias("szz"),
+    )
+    lead = ticks.select(
+        "g", (F.col("t") - lag).alias("t"), F.col("y").alias("y_lead")
+    )
+    sxz = (
+        ticks.join(lead, ["g", "t"])
+        .groupBy("g")
+        .agg(F.sum(F.col("y") * F.col("y_lead")).alias("sxz"))
+    )
+    agg = (
+        side.join(sxz, "g", "left")
+        .select(
+            "g",
+            (F.col("hi") - F.col("lo") + 1 - lag).alias("n"),
+            "sx",
+            "sxx",
+            "sz",
+            "szz",
+            F.coalesce("sxz", F.lit(0)).alias("sxz"),
+        )
+        .where(F.col("n") >= 2)
+        .withColumn("num", F.expr("n * sxz - sx * sz"))
+        .withColumn("denx", F.expr("n * sxx - sx * sx"))
+        .withColumn("denz", F.expr("n * szz - sz * sz"))
+        .where((F.col("denx") > 0) & (F.col("denz") > 0))
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("num").cast("long").alias("acov_num"),
+        F.col("denx").cast("long").alias("den_x"),
+        F.col("denz").cast("long").alias("den_z"),
+        # num^2 is non-negative, so the truncating division agrees
+        # across engines; only the SIGN of num flips the result.
+        F.expr(
+            f"CASE WHEN num < 0 THEN -(CAST(num AS {_D}) * num * 1000000"
+            f" div (CAST(denx AS {_D}) * denz))"
+            f" ELSE CAST(num AS {_D}) * num * 1000000"
+            f" div (CAST(denx AS {_D}) * denz) END"
+        )
+        .cast("long")
+        .alias("r2_signed_ppm"),
+    )

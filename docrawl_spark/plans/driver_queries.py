@@ -6029,6 +6029,50 @@ def q_lineitem_price_wmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa between two cheap binary quality
+    raters (datapipe/stats.agreement_kappa) — rater A = char-length
+    gate (n_chars > 400), rater B = word-count gate (> 60 spaces):
+    the chance-corrected 'do the filters agree' audit run before
+    swapping one quality gate for another. Exact ppm, sign-symmetric
+    (negative kappa = below-chance agreement)."""
+    from docrawl_spark.datapipe.stats import agreement_kappa
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    rated = docs.select(
+        "source",
+        (F.col("n_chars") > 400).cast("int").alias("a"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, ' ', '')"))
+            > 60
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    return agreement_kappa(rated, "source", "a", "b")
+
+
+def q_events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type lag-7 autocorrelation of daily event counts
+    (datapipe/stats.autocorr_lag) — the weekly-seasonality audit:
+    r2_signed_ppm near +1e6 means the feed breathes on a weekly
+    cycle; zero days inside the span count as zeros (a Mondays-only
+    feed IS perfectly weekly). Exact signed squared Pearson over the
+    aligned pairs; integer day index from the epoch (datediff ≡
+    DuckDB date_diff on dates)."""
+    from docrawl_spark.datapipe.stats import autocorr_lag
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    )
+    return autocorr_lag(ev, "event_type", "day_idx", lag=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6260,6 +6304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_ols": q_events_daily_ols,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
+        "docs_rater_kappa": q_docs_rater_kappa,
+        "events_weekly_autocorr": q_events_weekly_autocorr,
     }
 
 
@@ -11839,5 +11885,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(v) AS BIGINT) AS weighted_quantile
             FROM run WHERE cumw * 2 >= tot_w * 1
             GROUP BY g, tot_w
+        """,
+        # Cohen's kappa: chance-corrected two-rater agreement; the
+        # numerator n*diag - pe_num can be negative -> sign-symmetric
+        # ABS routing (Spark div truncates, DuckDB // floors)
+        "docs_rater_kappa": """
+            WITH f AS (
+              SELECT source AS g,
+                     CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN LENGTH(text) -
+                               LENGTH(REPLACE(text, ' ', '')) > 60
+                          THEN 1 ELSE 0 END AS b
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                AND text IS NOT NULL),
+            cells AS (
+              SELECT g, a, b, COUNT(*) AS o FROM f GROUP BY g, a, b),
+            per_g AS (
+              SELECT g, SUM(o) AS n,
+                     SUM(CASE WHEN a = b THEN o ELSE 0 END) AS diag
+              FROM cells GROUP BY g),
+            ma AS (SELECT g, a AS k, SUM(o) AS ra FROM cells GROUP BY g, a),
+            mb AS (SELECT g, b AS k, SUM(o) AS cb FROM cells GROUP BY g, b),
+            pe AS (
+              SELECT ma.g, SUM(ra * cb) AS pe_num
+              FROM ma JOIN mb ON ma.g = mb.g AND ma.k = mb.k
+              GROUP BY ma.g)
+            SELECT p.g AS source,
+                   CAST(p.n AS BIGINT) AS n_rows,
+                   CAST(CAST(p.diag AS HUGEINT) * 1000000 // p.n AS BIGINT)
+                     AS po_ppm,
+                   CAST(CAST(e.pe_num AS HUGEINT) * 1000000
+                        // (CAST(p.n AS HUGEINT) * p.n) AS BIGINT) AS pe_ppm,
+                   CAST(CASE WHEN p.n * p.diag - e.pe_num < 0
+                        THEN -(CAST(-(p.n * p.diag - e.pe_num) AS HUGEINT)
+                               * 1000000
+                               // (CAST(p.n AS HUGEINT) * p.n - e.pe_num))
+                        ELSE CAST(p.n * p.diag - e.pe_num AS HUGEINT)
+                             * 1000000
+                             // (CAST(p.n AS HUGEINT) * p.n - e.pe_num)
+                        END AS BIGINT) AS kappa_ppm
+            FROM per_g p JOIN pe e ON p.g = e.g
+            WHERE CAST(p.n AS HUGEINT) * p.n <> e.pe_num
+        """,
+        # lag-7 autocorrelation of daily counts: subrange sums from the
+        # nonzero cells only (implicit zero days contribute nothing to
+        # any sum; only n = span - lag carries the span); num^2 is
+        # non-negative so only num's SIGN needs the symmetric CASE
+        "events_weekly_autocorr": """
+            WITH f AS (
+              SELECT event_type AS g,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            span AS (SELECT g, MIN(t) AS lo, MAX(t) AS hi
+                     FROM ticks GROUP BY g),
+            side AS (
+              SELECT k.g, k.lo, k.hi,
+                     SUM(CASE WHEN c.t <= k.hi - 7 THEN c.y ELSE 0 END)
+                       AS sx,
+                     SUM(CASE WHEN c.t <= k.hi - 7 THEN c.y * c.y ELSE 0 END)
+                       AS sxx,
+                     SUM(CASE WHEN c.t >= k.lo + 7 THEN c.y ELSE 0 END)
+                       AS sz,
+                     SUM(CASE WHEN c.t >= k.lo + 7 THEN c.y * c.y ELSE 0 END)
+                       AS szz
+              FROM span k JOIN ticks c ON c.g = k.g
+              GROUP BY k.g, k.lo, k.hi),
+            x AS (
+              SELECT a.g, SUM(a.y * b.y) AS sxz
+              FROM ticks a JOIN ticks b ON a.g = b.g AND b.t = a.t + 7
+              GROUP BY a.g),
+            agg AS (
+              SELECT s.g, s.hi - s.lo + 1 - 7 AS n,
+                     s.sx, s.sxx, s.sz, s.szz,
+                     COALESCE(x.sxz, 0) AS sxz
+              FROM side s LEFT JOIN x ON s.g = x.g),
+            d AS (
+              SELECT g, n,
+                     n * sxz - sx * sz AS num,
+                     n * sxx - sx * sx AS denx,
+                     n * szz - sz * sz AS denz
+              FROM agg WHERE n >= 2)
+            SELECT g AS event_type,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CAST(num AS BIGINT) AS acov_num,
+                   CAST(denx AS BIGINT) AS den_x,
+                   CAST(denz AS BIGINT) AS den_z,
+                   CAST(CASE WHEN num < 0
+                        THEN -(CAST(num AS HUGEINT) * num * 1000000
+                               // (CAST(denx AS HUGEINT) * denz))
+                        ELSE CAST(num AS HUGEINT) * num * 1000000
+                             // (CAST(denx AS HUGEINT) * denz)
+                        END AS BIGINT) AS r2_signed_ppm
+            FROM d WHERE denx > 0 AND denz > 0
         """,
     }

@@ -283,3 +283,73 @@ def test_weighted_quantile_hand(spark):
         for r in weighted_quantile(df, "g", "v", "w", 3, 4).collect()
     }
     assert q3["g"] == 10            # need cumw*4 >= 4*3 -> cumw >= 3
+
+
+def test_agreement_kappa_hand(spark):
+    from docrawl_spark.datapipe.stats import agreement_kappa
+
+    # N=50, diag=35 (po=0.7); margins a: 30/20, b: 25/25 ->
+    # pe_num = 30*25 + 20*25 = 1250 (pe=0.5);
+    # kappa = (50*35 - 1250) / (2500 - 1250) = 0.4 exactly
+    rows = (
+        [("g", 1, 1)] * 20 + [("g", 0, 0)] * 15
+        + [("g", 1, 0)] * 10 + [("g", 0, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    [r] = agreement_kappa(df, "g", "a", "b").collect()
+    assert (r["n_rows"], r["po_ppm"], r["pe_ppm"], r["kappa_ppm"]) == (
+        50, 700000, 500000, 400000
+    )
+
+
+def test_agreement_kappa_negative_and_excluded(spark):
+    from docrawl_spark.datapipe.stats import agreement_kappa
+
+    # systematic disagreement: kappa = -1 exactly
+    rows = [("neg", 1, 0)] * 5 + [("neg", 0, 1)] * 5
+    # both raters constant with the SAME single label: denominator 0,
+    # group excluded
+    rows += [("const", 1, 1)] * 4
+    # null rater rows drop
+    rows += [("neg", None, 1), ("neg", 1, None)]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    got = {r["g"]: r for r in agreement_kappa(df, "g", "a", "b").collect()}
+    assert set(got) == {"neg"}
+    assert got["neg"]["n_rows"] == 10
+    assert got["neg"]["kappa_ppm"] == -1000000
+    assert got["neg"]["po_ppm"] == 0
+
+
+def test_autocorr_perfect_weekly_and_antiphase(spark):
+    from docrawl_spark.datapipe.stats import autocorr_lag
+
+    rows = []
+    # period-7 spike train over a 28-day span: lag-7 r = +1 exactly
+    for t in range(28):
+        rows += [("weekly", t)] * (5 if t % 7 == 0 else 1)
+    # period-14 block wave: lag-7 pairs are perfectly anti-phase,
+    # r = -1 exactly
+    for t in range(28):
+        rows += [("anti", t)] * (5 if (t // 7) % 2 == 0 else 1)
+    df = spark.createDataFrame(rows, "g string, t int")
+    got = {r["g"]: r for r in autocorr_lag(df, "g", "t", lag=7).collect()}
+    assert got["weekly"]["n_pairs"] == 21
+    assert got["weekly"]["r2_signed_ppm"] == 1000000
+    assert got["anti"]["r2_signed_ppm"] == -1000000
+
+
+def test_autocorr_implicit_zero_days_carry_the_cycle(spark):
+    from docrawl_spark.datapipe.stats import autocorr_lag
+
+    # Mondays-only feed: rows exist ONLY at t = 0,7,14,21 — the six
+    # silent days each week are implicit zeros, and with them the
+    # series is perfectly weekly (without them there would be no
+    # variance at all)
+    rows = [("mon", t) for t in (0, 7, 14, 21) for _ in range(3)]
+    # constant daily feed: zero variance in both windows -> excluded
+    rows += [("flat", t) for t in range(20)]
+    df = spark.createDataFrame(rows, "g string, t int")
+    got = {r["g"]: r for r in autocorr_lag(df, "g", "t", lag=7).collect()}
+    assert set(got) == {"mon"}
+    assert got["mon"]["n_pairs"] == 15  # span 22 minus lag 7
+    assert got["mon"]["r2_signed_ppm"] == 1000000
