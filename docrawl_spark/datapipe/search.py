@@ -442,8 +442,19 @@ def rbo_overlap(
     exact one)."""
     from math import lcm
 
+    if k < 1:
+        raise ValueError("k must be >= 1")
     big_l = lcm(*range(1, k + 1))
     d_scale = p_den**k * big_l
+    # the scaled weights ride BIGINT literals and per-query BIGINT
+    # sums (bounded by the full mass d_scale); only the final *1e6
+    # division is DECIMAL. d_scale passes int64 at k=14 (p_den=10) —
+    # fail loudly at build time, not at a mid-query cast
+    if d_scale > 2**63 - 1:
+        raise ValueError(
+            f"k={k}, p_den={p_den} scale {d_scale} overflows the BIGINT "
+            "weight path (limit k<=13 at p_den=10); reduce k or p_den"
+        )
     w = [
         (p_den - p_num) * p_num ** (d - 1) * p_den ** (k - d) * (big_l // d)
         for d in range(1, k + 1)

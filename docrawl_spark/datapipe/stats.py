@@ -238,6 +238,20 @@ def rank_drift_stats(
     )
 
 
+def _tick_counts(
+    df: DataFrame, group_col: str, tick_col: str, cast_long: bool = False
+) -> DataFrame:
+    """Shared prelude of every per-tick-count operator (cusum,
+    mann_kendall, trend_ols, dispersion, autocorr): null group/tick
+    rows excluded, one fact HashAggregate onto (g, t, y=count).
+    ``cast_long`` forces an integral tick for span arithmetic."""
+    t = F.col(tick_col).cast("long") if cast_long else F.col(tick_col)
+    facts = df.where(
+        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), t.alias("t"))
+    return facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+
+
 def cusum_changepoint(
     df: DataFrame, group_col: str, tick_col: str
 ) -> DataFrame:
@@ -254,10 +268,7 @@ def cusum_changepoint(
     Scale shape: one fact HashAggregate onto (group, tick), two
     window passes over the TICK dim per group (days/hours — never the
     corpus), one final pick. BIGINT-safe: S_j*m <= T*m ~ 1e10 * 1e5."""
-    facts = df.where(
-        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
-    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
-    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    ticks = _tick_counts(df, group_col, tick_col)
     w_run = Window.partitionBy("g").orderBy("t")
     w_all = Window.partitionBy("g")
     run = ticks.select(
@@ -471,10 +482,7 @@ def mann_kendall_trend(
     per-group pair self-join over the TICK DIM (fan-out m² on
     days/hours — never the corpus; m=365 days is 66k pairs). Groups
     with one tick are excluded (no pairs)."""
-    facts = df.where(
-        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
-    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
-    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    ticks = _tick_counts(df, group_col, tick_col)
     a = ticks.select("g", F.col("t").alias("ti"), F.col("y").alias("yi"))
     b = ticks.select("g", F.col("t").alias("tj"), F.col("y").alias("yj"))
     pairs = a.join(b, "g").where(F.col("ti") < F.col("tj"))
@@ -516,11 +524,14 @@ def trend_ols(df: DataFrame, group_col: str, tick_col: str) -> DataFrame:
 
     Scale shape: one fact HashAggregate onto (group, tick), one
     row_number window over the TICK DIM, one final HashAggregate.
-    BIGINT-safe to ~1e5 ticks × 1e9 rows/tick (Σxy ≤ m²·ymax)."""
-    facts = df.where(
-        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
-    ).select(F.col(group_col).alias("g"), F.col(tick_col).alias("t"))
-    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    Overflow envelope: the input sums stay in BIGINT to m²·ymax ≤
+    9e18 (m = 1e4 ticks × ymax = 9e10 rows/tick); the num/den
+    arithmetic runs in DECIMAL(38,0)/HUGEINT because m·Σxy ~ m³·ymax
+    passes BIGINT much earlier; the FINAL slope_num ~ m³·ymax/12 must
+    still fit the BIGINT output columns — holds for daily grain to
+    ~30 years × 2e9 rows/day (m³·ymax ≤ 1.1e20). DuckDB mirrors get
+    this width free (SUM(int) → HUGEINT)."""
+    ticks = _tick_counts(df, group_col, tick_col)
     w = Window.partitionBy("g").orderBy("t")
     xy = ticks.select("g", "y", F.row_number().over(w).alias("x"))
     agg = xy.groupBy("g").agg(
@@ -532,8 +543,14 @@ def trend_ols(df: DataFrame, group_col: str, tick_col: str) -> DataFrame:
     )
     return (
         agg.where(F.col("m") >= 2)
-        .withColumn("slope_num", F.expr("m * sxy - sx * sy"))
-        .withColumn("slope_den", F.expr("m * sxx - sx * sx"))
+        .withColumn(
+            "slope_num",
+            F.expr(f"CAST(m AS {_D}) * sxy - CAST(sx AS {_D}) * sy"),
+        )
+        .withColumn(
+            "slope_den",
+            F.expr(f"CAST(m AS {_D}) * sxx - CAST(sx AS {_D}) * sx"),
+        )
         .select(
             F.col("g").alias(group_col),
             F.col("m").cast("long").alias("n_ticks"),
@@ -566,12 +583,7 @@ def dispersion_stats(
     per-group scalar aggregate — no window, no join, no span
     materialization (zeros only affect s, never Σy²). Numerator in
     DECIMAL(38,0) (s·Σy² can pass BIGINT at 1e5 ticks × 1e7/tick)."""
-    facts = df.where(
-        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("g"), F.col(tick_col).cast("long").alias("t")
-    )
-    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    ticks = _tick_counts(df, group_col, tick_col, cast_long=True)
     agg = ticks.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_ticks"),
         (F.max("t") - F.min("t") + 1).alias("span"),
@@ -740,9 +752,14 @@ def autocorr_lag(
 
     Scale shape: one fact HashAggregate onto (group, tick), one
     self-join + three HashAggregates over the TICK DIM (days — never
-    the corpus). num² runs in DECIMAL(38,0)/HUGEINT: num ≤ n·Σxz ~
-    span²·ymax², so num² stays inside 38 digits for span ≤ 1e4 ticks
-    with ymax ≤ 1e7 rows/tick (document scale: years of days).
+    the corpus). Overflow envelope: num² * 1e6 runs in
+    DECIMAL(38,0)/HUGEINT, so it needs |num| ≤ ~3e15; num is the
+    centered cross-moment, |num| ≤ (span·ymax)²/4, giving
+    span·ymax ≲ 2e8 (e.g. 3 years of days × 1.8e5 rows/day, or 90
+    days × 2e6). Past that, coarsen the tick grain (weekly lag over
+    week ticks) or pre-scale the counts (y div c) before calling —
+    Pearson r is insensitive to uniform count scaling up to the
+    integer-floor perturbation.
 
     Rebuild-original operator (no reference counterpart)."""
     if lag < 1:
