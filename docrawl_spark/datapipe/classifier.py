@@ -116,3 +116,60 @@ def linear_quality_scores(
             .alias("keep"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    conf_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / expected-calibration-error cells for a
+    classifier score against a boolean reference label — the "is the
+    new quality model's confidence honest" audit run before its scores
+    gate corpus admission. ``conf_col`` must already be a confidence
+    in ppm [0, 1e6]; rows with null confidence or label are excluded.
+
+    Bins are equal-width deciles of the confidence range
+    (``bin = least(n_bins-1, conf*n_bins div 1e6)``). Per bin:
+    row count, positive count, exact observed-accuracy ppm
+    (pos*1e6 div n), exact mean-confidence ppm (Σconf div n — both
+    numerators non-negative, so truncating div is cross-engine safe),
+    the absolute accuracy-confidence gap, and ``ece_num = n * gap``
+    whose sum over bins div N is the standard ECE. Empty bins are
+    absent (sparse — the reader treats missing as n=0).
+
+    Scale shape: one projection + one n_bins-cell HashAggregate over
+    the corpus; no window, no join. BIGINT-safe: Σconf ≤ 1e6 * n ~
+    1e6 * 1e12."""
+    facts = df.where(
+        F.col(conf_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(conf_col).cast("long").alias("conf"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).select(
+        F.least(
+            F.lit(int(n_bins) - 1).cast("long"),
+            F.expr(f"conf * {int(n_bins)} div 1000000"),
+        ).alias("bin"),
+        "conf",
+        "y",
+    )
+    per = facts.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("long")).alias("pos"),
+        F.sum("conf").alias("conf_sum"),
+    )
+    return per.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.expr("pos * 1000000 div n").cast("long").alias("acc_ppm"),
+        F.expr("conf_sum div n").cast("long").alias("mean_conf_ppm"),
+        F.expr(
+            "abs(pos * 1000000 div n - conf_sum div n)"
+        ).cast("long").alias("gap_ppm"),
+        F.expr(
+            "n * abs(pos * 1000000 div n - conf_sum div n)"
+        ).cast("long").alias("ece_num"),
+    )

@@ -6073,6 +6073,85 @@ def q_events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorr_lag(ev, "event_type", "day_idx", lag=7)
 
 
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents snapshot
+    (datapipe/audit.column_profile): per column, rows / nulls / exact
+    distinct count / min-max — the 'what actually landed' audit run
+    on every new ingest (n_distinct(lang) exploding flags a broken
+    tagger). One agg, stack() unpivot; exact distinct here (the
+    oracle-checkable form), approx_count_distinct on the 100 TB path."""
+    from docrawl_spark.datapipe.audit import column_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return column_profile(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse FK edges
+    (datapipe/audit.fk_orphan_audit): orphan row counts for
+    lineitem→orders/part/supplier, orders→customer, customer→nation.
+    Non-zero orphans = corrupt upstream snapshot. Anti-join on key
+    dims, orphans weighted by fact multiplicity."""
+    from docrawl_spark.datapipe.audit import fk_orphan_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return fk_orphan_audit(
+        [
+            ("lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem_part", li, "l_partkey",
+             _t(spark, sf_dir, "part"), "p_partkey"),
+            ("lineitem_supplier", li, "l_suppkey",
+             _t(spark, sf_dir, "supplier"), "s_suppkey"),
+            ("orders_customer", orders, "o_custkey",
+             _t(spark, sf_dir, "customer"), "c_custkey"),
+            ("customer_nation", _t(spark, sf_dir, "customer"), "c_nationkey",
+             _t(spark, sf_dir, "nation"), "n_nationkey"),
+        ]
+    )
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed linear quality classifier
+    (datapipe/classifier.calibration_bins) against the char-length
+    gate as reference label: mean feature weight mapped to a [0,1e6]
+    ppm confidence (weights are uniform in ±1000 milli-units, so
+    conf = (score_fp + 1000·n_feats)·500 div n_feats — numerator
+    non-negative, cross-engine-safe truncation), decile bins, exact
+    per-bin accuracy / mean-confidence / gap / ECE numerator. The
+    'is the score honest before it gates admission' audit."""
+    from docrawl_spark.datapipe.classifier import (
+        calibration_bins,
+        linear_quality_scores,
+        synthetic_weights,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    w = synthetic_weights(spark, n_buckets=512, seed=3)
+    scores = linear_quality_scores(docs, w, n_buckets=512, threshold_fp=50)
+    chars = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    conf = (
+        scores.where(F.col("n_feats") > 0)
+        .join(chars, "doc_id")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            F.least(
+                F.lit(1000000).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.expr(
+                        "(score_fp + 1000 * n_feats) * 500 div n_feats"
+                    ),
+                ),
+            ).alias("conf_ppm"),
+            (F.col("n_chars") > 400).alias("label"),
+        )
+    )
+    return calibration_bins(conf, "conf_ppm", "label", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6306,7 +6385,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
         "events_weekly_autocorr": q_events_weekly_autocorr,
+        "docs_profile": q_docs_profile,
+        "ref_integrity": q_ref_integrity,
+        "classifier_calibration": q_classifier_calibration,
     }
+
+
+# hashed linear classifier scoring CTE — shared by the
+# quality_classifier and classifier_calibration oracles (identical
+# tokens/buckets/weights by construction)
+_CLF_SCORED_CTE = r"""
+            WITH toks AS (
+              SELECT doc_id, t[i] AS tok
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+                    FROM documents),
+                   UNNEST(range(1, len(t) + 1)) AS u(i)
+              WHERE t[i] <> ''),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+              FROM toks),
+            w AS (
+              SELECT b AS bucket,
+                     ('0x' || substr(md5('w:3:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                       % 2001 - 1000 AS weight_fp
+              FROM UNNEST(range(0, 512)) AS t(b)),
+            scored AS (
+              SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     CAST(SUM(w.weight_fp) AS BIGINT) AS score_fp
+              FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id)
+"""
 
 
 _JACCARD_PAIRS_SQL = r"""
@@ -11401,27 +11510,7 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS grade_centi
             FROM base b LEFT JOIN pw p ON p.doc_id = b.doc_id
         """,
-        "quality_classifier": r"""
-            WITH toks AS (
-              SELECT doc_id, t[i] AS tok
-              FROM (SELECT doc_id,
-                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
-                    FROM documents),
-                   UNNEST(range(1, len(t) + 1)) AS u(i)
-              WHERE t[i] <> ''),
-            feats AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
-              FROM toks),
-            w AS (
-              SELECT b AS bucket,
-                     ('0x' || substr(md5('w:3:' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
-                       % 2001 - 1000 AS weight_fp
-              FROM UNNEST(range(0, 512)) AS t(b)),
-            scored AS (
-              SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-                     CAST(SUM(w.weight_fp) AS BIGINT) AS score_fp
-              FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id)
+        "quality_classifier": _CLF_SCORED_CTE + r"""
             SELECT d.doc_id,
                    COALESCE(s.n_feats, 0) AS n_feats,
                    COALESCE(s.score_fp, 0) AS score_fp,
@@ -11981,5 +12070,120 @@ def oracle_sql() -> dict[str, str]:
                              // (CAST(denx AS HUGEINT) * denz)
                         END AS BIGINT) AS r2_signed_ppm
             FROM d WHERE denx > 0 AND denz > 0
+        """,
+        "docs_profile": """
+            SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   COALESCE(CAST(MIN(doc_id) AS VARCHAR), '') AS min_s,
+                   COALESCE(CAST(MAX(doc_id) AS VARCHAR), '') AS max_s
+            FROM documents
+            UNION ALL
+            SELECT 'text', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT text) AS BIGINT),
+                   COALESCE(MIN(text), ''), COALESCE(MAX(text), '')
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT lang) AS BIGINT),
+                   COALESCE(MIN(lang), ''), COALESCE(MAX(lang), '')
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT source) AS BIGINT),
+                   COALESCE(MIN(source), ''), COALESCE(MAX(source), '')
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+                   COALESCE(CAST(MIN(n_chars) AS VARCHAR), ''),
+                   COALESCE(CAST(MAX(n_chars) AS VARCHAR), '')
+            FROM documents
+        """,
+        "ref_integrity": """
+            SELECT 'lineitem_orders' AS fk_edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN f.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_fk,
+                   CAST(SUM(CASE WHEN f.l_orderkey IS NOT NULL
+                                  AND d.k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans
+            FROM lineitem f LEFT JOIN
+                 (SELECT DISTINCT o_orderkey AS k FROM orders) d
+                 ON f.l_orderkey = d.k
+            UNION ALL
+            SELECT 'lineitem_part', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN f.l_partkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN f.l_partkey IS NOT NULL
+                                  AND d.k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM lineitem f LEFT JOIN
+                 (SELECT DISTINCT p_partkey AS k FROM part) d
+                 ON f.l_partkey = d.k
+            UNION ALL
+            SELECT 'lineitem_supplier', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN f.l_suppkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN f.l_suppkey IS NOT NULL
+                                  AND d.k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM lineitem f LEFT JOIN
+                 (SELECT DISTINCT s_suppkey AS k FROM supplier) d
+                 ON f.l_suppkey = d.k
+            UNION ALL
+            SELECT 'orders_customer', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN f.o_custkey IS NOT NULL
+                                  AND d.k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM orders f LEFT JOIN
+                 (SELECT DISTINCT c_custkey AS k FROM customer) d
+                 ON f.o_custkey = d.k
+            UNION ALL
+            SELECT 'customer_nation', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN f.c_nationkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(SUM(CASE WHEN f.c_nationkey IS NOT NULL
+                                  AND d.k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM customer f LEFT JOIN
+                 (SELECT DISTINCT n_nationkey AS k FROM nation) d
+                 ON f.c_nationkey = d.k
+        """,
+        "classifier_calibration": _CLF_SCORED_CTE + """
+            , conf AS (
+              SELECT LEAST(1000000, GREATEST(0,
+                       (s.score_fp + 1000 * s.n_feats) * 500
+                       // s.n_feats)) AS conf,
+                     (d.n_chars > 400) AS y
+              FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+              WHERE s.n_feats > 0 AND d.n_chars IS NOT NULL),
+            cells AS (
+              SELECT LEAST(9, conf * 10 // 1000000) AS bin,
+                     COUNT(*) AS n,
+                     SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+                     SUM(conf) AS conf_sum
+              FROM conf GROUP BY 1)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(pos AS BIGINT) AS n_pos,
+                   CAST(pos * 1000000 // n AS BIGINT) AS acc_ppm,
+                   CAST(conf_sum // n AS BIGINT) AS mean_conf_ppm,
+                   CAST(ABS(pos * 1000000 // n - conf_sum // n) AS BIGINT)
+                     AS gap_ppm,
+                   CAST(n * ABS(pos * 1000000 // n - conf_sum // n)
+                        AS BIGINT) AS ece_num
+            FROM cells
         """,
     }

@@ -1,0 +1,76 @@
+"""Warehouse data-quality audits (datapipe/audit) and classifier
+calibration (datapipe/classifier.calibration_bins): hand-checked
+profiles, orphan multiplicity weighting, exact reliability cells."""
+
+from docrawl_spark.datapipe.audit import column_profile, fk_orphan_audit
+from docrawl_spark.datapipe.classifier import calibration_bins
+
+
+def test_column_profile_hand(spark):
+    rows = [
+        (1, "b", None),
+        (2, "a", None),
+        (2, None, None),
+        (None, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, dead string")
+    got = {r["col_name"]: r for r in column_profile(df, ["id", "s", "dead"]).collect()}
+    assert got["id"]["n_rows"] == 4
+    assert got["id"]["n_nulls"] == 1
+    assert got["id"]["n_distinct"] == 2  # distinct skips null
+    assert (got["id"]["min_s"], got["id"]["max_s"]) == ("1", "2")
+    assert got["s"]["n_nulls"] == 1
+    assert got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "b")
+    # all-null column: zero distinct, empty-string min/max (COALESCE)
+    assert got["dead"]["n_nulls"] == 4
+    assert got["dead"]["n_distinct"] == 0
+    assert (got["dead"]["min_s"], got["dead"]["max_s"]) == ("", "")
+
+
+def test_fk_orphan_audit_multiplicity_and_nulls(spark):
+    fact = spark.createDataFrame(
+        [(10,), (10,), (99,), (99,), (99,), (None,)], "fk int"
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "pk int")
+    [r] = fk_orphan_audit([("edge", fact, "fk", dim, "pk")]).collect()
+    assert r["fk_edge"] == "edge"
+    assert r["n_rows"] == 6
+    assert r["n_null_fk"] == 1  # null FK is excused, not an orphan
+    assert r["n_orphans"] == 3  # 99 appears 3x: rows, not keys
+
+
+def test_fk_orphan_audit_clean_edge_and_union(spark):
+    fact = spark.createDataFrame([(1,), (2,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = fk_orphan_audit(
+        [("clean", fact, "fk", dim, "pk"), ("clean2", fact, "fk", dim, "pk")]
+    ).collect()
+    assert sorted(r["fk_edge"] for r in out) == ["clean", "clean2"]
+    assert all(r["n_orphans"] == 0 and r["n_null_fk"] == 0 for r in out)
+
+
+def test_calibration_bins_hand(spark):
+    # bin 0: conf {0, 50000}, labels F,F -> acc 0, mean_conf 25000
+    # bin 9: conf {950000, 1000000} (1e6 clamps into bin 9 via least),
+    #        labels T,F -> acc 500000, mean_conf 975000
+    rows = [
+        (0, False),
+        (50000, False),
+        (950000, True),
+        (1000000, False),
+        (None, True),       # null conf drops
+        (500000, None),     # null label drops
+    ]
+    df = spark.createDataFrame(rows, "conf long, y boolean")
+    got = {r["bin"]: r for r in calibration_bins(df, "conf", "y").collect()}
+    assert set(got) == {0, 9}
+    b0, b9 = got[0], got[9]
+    assert (b0["n"], b0["n_pos"], b0["acc_ppm"], b0["mean_conf_ppm"]) == (
+        2, 0, 0, 25000
+    )
+    assert b0["gap_ppm"] == 25000 and b0["ece_num"] == 50000
+    assert (b9["n"], b9["n_pos"], b9["acc_ppm"], b9["mean_conf_ppm"]) == (
+        2, 1, 500000, 975000
+    )
+    assert b9["gap_ppm"] == 475000 and b9["ece_num"] == 950000
