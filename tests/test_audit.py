@@ -74,3 +74,53 @@ def test_calibration_bins_hand(spark):
         2, 1, 500000, 975000
     )
     assert b9["gap_ppm"] == 475000 and b9["ece_num"] == 950000
+
+
+def _plan_of(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_audit_plan_shapes(spark):
+    """Scale shape: the profile is ONE aggregate pass (multi-distinct
+    via Expand, no join at all — min(STRING) demotes the agg to
+    SortAggregate, the documented benign oracle-mode demotion; with
+    no grouping keys it never sorts the corpus); the FK audit's
+    orphan detection is a broadcast-able ANTI equi-join, never a
+    cartesian (the single-row crossJoin stitches are the documented
+    benign BNLJ)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    prof = column_profile(docs, ["doc_id", "lang", "source"])
+    pplan = _plan_of(prof)
+    assert "Expand" in pplan  # one-pass multi-distinct, not per-column scans
+    assert "Join" not in pplan.replace("BroadcastNestedLoopJoin", "")
+    # the corpus is read ONCE (simple mode prints each node once)
+    simple = prof._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Scan parquet") == 1
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    audit = fk_orphan_audit(
+        [("e", li, "l_orderkey", orders, "o_orderkey")]
+    )
+    aplan = _plan_of(audit)
+    assert "CartesianProduct" not in aplan
+    assert "LeftAnti" in aplan
+
+
+def test_calibration_plan_shape(spark):
+    """The reliability cells are one projection + one HashAggregate:
+    no window, no join, no SortAggregate demotion (all-integer agg)."""
+    df = spark.createDataFrame(
+        [(100000 * i, i % 2 == 0) for i in range(10)], "conf long, y boolean"
+    )
+    plan = _plan_of(calibration_bins(df, "conf", "y"))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan

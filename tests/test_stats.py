@@ -353,3 +353,33 @@ def test_autocorr_implicit_zero_days_carry_the_cycle(spark):
     assert set(got) == {"mon"}
     assert got["mon"]["n_pairs"] == 15  # span 22 minus lag 7
     assert got["mon"]["r2_signed_ppm"] == 1000000
+
+
+def test_kappa_and_autocorr_plan_shapes(spark):
+    """Scale shapes: kappa is cell/margin HashAggregates + dim joins
+    (no SortAggregate, no cartesian); autocorr's Σxz is an equi-join
+    over the TICK dim (no cartesian), all aggregation hash-based."""
+    import io
+    from contextlib import redirect_stdout
+
+    from docrawl_spark.datapipe.stats import agreement_kappa, autocorr_lag
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    rows = [("g", i % 2, (i * 3) % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, a int, b int")
+    kplan = plan_of(agreement_kappa(df, "g", "a", "b"))
+    assert "HashAggregate" in kplan
+    assert "SortAggregate" not in kplan
+    assert "CartesianProduct" not in kplan
+
+    tick_rows = [("g", t) for t in range(30) for _ in range(t % 3 + 1)]
+    tdf = spark.createDataFrame(tick_rows, "g string, t int")
+    aplan = plan_of(autocorr_lag(tdf, "g", "t", lag=7))
+    assert "HashAggregate" in aplan
+    assert "SortAggregate" not in aplan
+    assert "CartesianProduct" not in aplan
