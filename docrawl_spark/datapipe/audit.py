@@ -115,3 +115,85 @@ def fk_orphan_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def rebalance_audit(
+    df: DataFrame,
+    id_col: str,
+    n_old: int,
+    n_new: int,
+) -> DataFrame:
+    """Resharding movement audit: when the shard count changes
+    ``n_old → n_new``, what fraction of the corpus MOVES under (a)
+    naive mod-hash placement and (b) rendezvous (highest-random-
+    weight) hashing? Mod placement moves ~1 - 1/lcm-ish of all rows
+    (an 8→10 reshard moves ~80% of a 100 TB corpus); rendezvous moves
+    only the keys the new shards win (~(n_new-n_old)/n_new), which is
+    the minimal-movement bound — THE argument for ring/HRW sharding
+    at scale. Returns one row per policy: (policy, n_docs, n_moved,
+    moved_ppm), exact ppm.
+
+    Mechanics (cross-engine exact, md5-based like the classifier's
+    hashed features): key hash h = md5_60bit(id); mod owner = h mod n.
+    Rendezvous owner = argmax over shards s of w(s, id) =
+    md5_60bit('shard:<s>:<id>'), computed distributively as ONE
+    HashAggregate argmax via BIGINT packing — pack = (w div 32)*32 + s
+    (the low 5 bits of the 60-bit weight are traded for the shard id;
+    weight ties then break to the larger shard id, deterministically
+    in both engines) — never a struct-max (SortAggregate demotion) or
+    a window. Fan-out: one shard-dim explode ×(n_old + n_new), one
+    HashAggregate, one final 2-row rollup. Requires n_old, n_new ≤ 32
+    (the pack width); null ids excluded."""
+    if not (0 < n_old <= 32 and 0 < n_new <= 32):
+        raise ValueError("shard counts must be in 1..32 (pack width)")
+    ids = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("id")
+    )
+    h = F.conv(F.substring(F.md5(F.col("id")), 1, 15), 16, 10).cast("long")
+    mod = ids.select(
+        (h % n_old != h % n_new).cast("long").alias("moved")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("moved"), F.lit(0)).alias("n_moved"),
+    ).select(F.lit("mod").alias("policy"), "n_docs", "n_moved")
+
+    shards = F.sequence(F.lit(0), F.lit(max(n_old, n_new) - 1))
+    fan = ids.select(
+        "id", F.explode(shards).alias("s")
+    ).select(
+        "id",
+        "s",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("s").cast("string"),
+                               F.lit(":"), F.col("id"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("w"),
+    )
+    packed = fan.groupBy("id").agg(
+        F.max(
+            F.when(F.col("s") < n_old, F.expr("w div 32 * 32 + s"))
+        ).alias("p_old"),
+        F.max(
+            F.when(F.col("s") < n_new, F.expr("w div 32 * 32 + s"))
+        ).alias("p_new"),
+    )
+    rdv = packed.select(
+        ((F.col("p_old") % 32) != (F.col("p_new") % 32))
+        .cast("long")
+        .alias("moved")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("moved"), F.lit(0)).alias("n_moved"),
+    ).select(F.lit("rendezvous").alias("policy"), "n_docs", "n_moved")
+
+    return mod.unionByName(rdv).select(
+        "policy",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_moved").cast("long").alias("n_moved"),
+        F.expr("n_moved * 1000000 div n_docs").cast("long").alias(
+            "moved_ppm"
+        ),
+    )

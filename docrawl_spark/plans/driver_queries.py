@@ -6152,6 +6152,19 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(conf, "conf_ppm", "label", n_bins=10)
 
 
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding movement audit 8→10 shards over documents
+    (datapipe/audit.rebalance_audit): exact fraction of the corpus
+    that moves under mod-hash (~80%) vs rendezvous/HRW hashing
+    (~20%, the minimal-movement bound) — the quantified argument for
+    consistent placement before resharding 100 TB. Packed-BIGINT
+    HashAggregate argmax, explode ×10 fan-out, no window."""
+    from docrawl_spark.datapipe.audit import rebalance_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return rebalance_audit(docs, "doc_id", n_old=8, n_new=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6388,6 +6401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_profile": q_docs_profile,
         "ref_integrity": q_ref_integrity,
         "classifier_calibration": q_classifier_calibration,
+        "shard_rebalance": q_shard_rebalance,
     }
 
 
@@ -12185,5 +12199,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * ABS(pos * 1000000 // n - conf_sum // n)
                         AS BIGINT) AS ece_num
             FROM cells
+        """,
+        # rendezvous owner via the same packed-BIGINT argmax as the
+        # engine: (w // 32)*32 + s — ties break to the larger shard id
+        "shard_rebalance": """
+            WITH ids AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+              WHERE doc_id IS NOT NULL),
+            hm AS (
+              SELECT id, ('0x' || substr(md5(id), 1, 15))::BIGINT AS h
+              FROM ids),
+            modp AS (
+              SELECT 'mod' AS policy, COUNT(*) AS n_docs,
+                     SUM(CASE WHEN h % 8 <> h % 10 THEN 1 ELSE 0 END)
+                       AS n_moved
+              FROM hm),
+            fan AS (
+              SELECT id, s,
+                     ('0x' || substr(md5('shard:' || CAST(s AS VARCHAR)
+                                         || ':' || id), 1, 15))::BIGINT AS w
+              FROM ids, UNNEST(range(0, 10)) AS u(s)),
+            packed AS (
+              SELECT id,
+                     MAX(CASE WHEN s < 8 THEN w // 32 * 32 + s END) AS p_old,
+                     MAX(CASE WHEN s < 10 THEN w // 32 * 32 + s END) AS p_new
+              FROM fan GROUP BY id),
+            rdv AS (
+              SELECT 'rendezvous' AS policy, COUNT(*) AS n_docs,
+                     SUM(CASE WHEN p_old % 32 <> p_new % 32
+                              THEN 1 ELSE 0 END) AS n_moved
+              FROM packed),
+            u AS (SELECT * FROM modp UNION ALL SELECT * FROM rdv)
+            SELECT policy, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_moved AS BIGINT) AS n_moved,
+                   CAST(CAST(n_moved AS HUGEINT) * 1000000 // n_docs
+                        AS BIGINT) AS moved_ppm
+            FROM u
         """,
     }

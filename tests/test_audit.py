@@ -124,3 +124,40 @@ def test_calibration_plan_shape(spark):
     assert "SortAggregate" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_rebalance_audit_python_reference_and_guard(spark):
+    """Exact mirror of the md5 placement math in pure Python: both
+    policies' moved counts must match, rendezvous must move at most
+    what mod moves on this fixture, and n_old == n_new moves nothing."""
+    import hashlib
+
+    import pytest
+
+    from docrawl_spark.datapipe.audit import rebalance_audit
+
+    ids = [str(i) for i in range(300)]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def rdv_owner(i, n):
+        best = max(((h60(f"shard:{s}:{i}") // 32) * 32 + s for s in range(n)))
+        return best % 32
+
+    mod_moved = sum(1 for i in ids if h60(i) % 8 != h60(i) % 10)
+    rdv_moved = sum(1 for i in ids if rdv_owner(i, 8) != rdv_owner(i, 10))
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {r["policy"]: r for r in rebalance_audit(df, "doc_id", 8, 10).collect()}
+    assert got["mod"]["n_moved"] == mod_moved
+    assert got["rendezvous"]["n_moved"] == rdv_moved
+    assert got["rendezvous"]["n_moved"] < got["mod"]["n_moved"]
+    assert all(r["n_docs"] == 300 for r in got.values())
+
+    same = {r["policy"]: r["n_moved"]
+            for r in rebalance_audit(df, "doc_id", 10, 10).collect()}
+    assert same == {"mod": 0, "rendezvous": 0}
+
+    with pytest.raises(ValueError):
+        rebalance_audit(df, "doc_id", 8, 64)
