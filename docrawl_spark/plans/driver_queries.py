@@ -6165,6 +6165,53 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_audit(docs, "doc_id", n_old=8, n_new=10)
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: for every
+    'purchase' event, the earliest and the most recent preceding
+    non-purchase event_type by the same user (running
+    first/last-ignore-nulls carries over (ts, event_id) order — the
+    cross-engine-exact IGNORE NULLS window pair), rolled up to
+    (model, touch_type, n_conversions). Conversions with no preceding
+    touch attribute to 'none'. Per-user windows — partition size is a
+    user's history, never the corpus."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "touch"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "event_type",
+        F.first("touch", ignorenulls=True).over(w).alias("first_touch"),
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    first = carried.select(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("none")).alias("touch_type"),
+    )
+    last = carried.select(
+        F.lit("last").alias("model"),
+        F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
@@ -6402,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_integrity": q_ref_integrity,
         "classifier_calibration": q_classifier_calibration,
         "shard_rebalance": q_shard_rebalance,
+        "events_attribution": q_events_attribution,
     }
 
 
@@ -12235,5 +12283,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(n_moved AS HUGEINT) * 1000000 // n_docs
                         AS BIGINT) AS moved_ppm
             FROM u
+        """,
+        "events_attribution": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN event_type <> 'purchase'
+                          THEN event_type END AS touch
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
+            c AS (
+              SELECT event_type,
+                     FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch,
+                     LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)),
+            conv AS (SELECT * FROM c WHERE event_type = 'purchase'),
+            u AS (
+              SELECT 'first' AS model,
+                     COALESCE(first_touch, 'none') AS touch_type FROM conv
+              UNION ALL
+              SELECT 'last', COALESCE(last_touch, 'none') FROM conv)
+            SELECT model, touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions
+            FROM u GROUP BY model, touch_type
         """,
     }

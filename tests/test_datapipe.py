@@ -1632,3 +1632,40 @@ def test_near_dedup_best_raises_on_unpackable_ids(spark):
         near_dedup_best(
             docs, quality_col="q", n_hashes=8, n_bands=4, hash_mode="md5hex"
         ).collect()
+
+
+def test_events_attribution_hand(spark, tmp_path):
+    from datetime import datetime as DT
+
+    from docrawl_spark.plans.driver_queries import q_events_attribution
+
+    t = lambda m: DT(2024, 1, 1, 0, m)
+    spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase: first=view, last=click
+            (1, 1, "view", t(1)), (2, 1, "click", t(2)),
+            (3, 1, "purchase", t(3)),
+            # user 1 buys again after another view: first STAYS view
+            # (journey-long carry), last becomes view
+            (4, 1, "view", t(4)), (5, 1, "purchase", t(5)),
+            # user 2: purchase with no preceding touch -> 'none'
+            (6, 2, "purchase", t(1)), (7, 2, "view", t(2)),
+            # user 3: ts tie between touch and purchase — event_id
+            # orders the carry (click@id8 precedes purchase@id9)
+            (8, 3, "click", t(1)), (9, 3, "purchase", t(1)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["model"], r["touch_type"]): r["n_conversions"]
+        for r in q_events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("first", "view"): 2,   # user 1 twice
+        ("first", "none"): 1,   # user 2
+        ("first", "click"): 1,  # user 3
+        ("last", "click"): 2,   # user 1 first purchase, user 3
+        ("last", "view"): 1,    # user 1 second purchase
+        ("last", "none"): 1,    # user 2
+    }
