@@ -36,7 +36,18 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
 
     At 100 TB swap F.count_distinct for F.approx_count_distinct (HLL,
     no expand, mergeable across shards) — the exact form here is the
-    oracle-checkable one."""
+    oracle-checkable one.
+
+    ``cols`` must be non-empty plain identifiers (the names are
+    interpolated into the stack() expression — exotic parquet names
+    need renaming upstream)."""
+    import re
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for c in cols:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(f"column name {c!r} is not a plain identifier")
     aggs = []
     for c in cols:
         aggs += [
@@ -87,7 +98,9 @@ def fk_orphan_audit(
     DISTINCT dim keys — the anti-join runs on the key dims (broadcast
     when the dim is small), and the orphan count weights each missing
     key by its fact multiplicity, so the numbers mean rows, not keys.
-    Edges union into one frame (n_edges is tiny)."""
+    Edges union into one frame (n_edges is tiny; must be non-empty)."""
+    if not edges:
+        raise ValueError("edges must be non-empty")
     outs = []
     for name, fact, fk, dim, pk in edges:
         keyed = fact.select(F.col(fk).alias("k"))
@@ -143,11 +156,17 @@ def rebalance_audit(
     in both engines) — never a struct-max (SortAggregate demotion) or
     a window. Fan-out: one shard-dim explode ×(n_old + n_new), one
     HashAggregate, one final 2-row rollup. Requires n_old, n_new ≤ 32
-    (the pack width); null ids excluded."""
+    (the pack width); null ids excluded. Placement is per KEY, so ids
+    are deduplicated up front — both policies count distinct keys and
+    their ppms are directly comparable even on non-unique id columns.
+    Empty inputs yield both policy rows with zero counts (no
+    divide-by-zero)."""
     if not (0 < n_old <= 32 and 0 < n_new <= 32):
         raise ValueError("shard counts must be in 1..32 (pack width)")
-    ids = df.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col).cast("string").alias("id")
+    ids = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).cast("string").alias("id"))
+        .distinct()
     )
     h = F.conv(F.substring(F.md5(F.col("id")), 1, 15), 16, 10).cast("long")
     mod = ids.select(
@@ -193,7 +212,8 @@ def rebalance_audit(
         "policy",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_moved").cast("long").alias("n_moved"),
-        F.expr("n_moved * 1000000 div n_docs").cast("long").alias(
-            "moved_ppm"
-        ),
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN 0"
+            " ELSE n_moved * 1000000 div n_docs END"
+        ).cast("long").alias("moved_ppm"),
     )

@@ -142,6 +142,8 @@ def calibration_bins(
     Scale shape: one projection + one n_bins-cell HashAggregate over
     the corpus; no window, no join. BIGINT-safe: Σconf ≤ 1e6 * n ~
     1e6 * 1e12."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
     facts = df.where(
         F.col(conf_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(

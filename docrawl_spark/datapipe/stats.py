@@ -764,10 +764,7 @@ def autocorr_lag(
     Rebuild-original operator (no reference counterpart)."""
     if lag < 1:
         raise ValueError("lag must be >= 1")
-    facts = df.where(
-        F.col(group_col).isNotNull() & F.col(tick_col).isNotNull()
-    ).select(F.col(group_col).alias("g"), F.col(tick_col).cast("long").alias("t"))
-    ticks = facts.groupBy("g", "t").agg(F.count(F.lit(1)).alias("y"))
+    ticks = _tick_counts(df, group_col, tick_col, cast_long=True)
     span = ticks.groupBy("g").agg(
         F.min("t").alias("lo"), F.max("t").alias("hi")
     )

@@ -6178,6 +6178,9 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
+        # event_id is the order tiebreaker: Spark sorts NULLS FIRST,
+        # DuckDB NULLS LAST — exclude nulls so the carry agrees
+        & F.col("event_id").isNotNull()
     ).select(
         "user_id",
         "event_id",
@@ -12252,7 +12255,7 @@ def oracle_sql() -> dict[str, str]:
         # engine: (w // 32)*32 + s — ties break to the larger shard id
         "shard_rebalance": """
             WITH ids AS (
-              SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+              SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM documents
               WHERE doc_id IS NOT NULL),
             hm AS (
               SELECT id, ('0x' || substr(md5(id), 1, 15))::BIGINT AS h
@@ -12280,8 +12283,9 @@ def oracle_sql() -> dict[str, str]:
             u AS (SELECT * FROM modp UNION ALL SELECT * FROM rdv)
             SELECT policy, CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(n_moved AS BIGINT) AS n_moved,
-                   CAST(CAST(n_moved AS HUGEINT) * 1000000 // n_docs
-                        AS BIGINT) AS moved_ppm
+                   CAST(CASE WHEN n_docs = 0 THEN 0
+                        ELSE CAST(n_moved AS HUGEINT) * 1000000 // n_docs
+                        END AS BIGINT) AS moved_ppm
             FROM u
         """,
         "events_attribution": """
@@ -12291,7 +12295,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN event_type END AS touch
               FROM events
               WHERE user_id IS NOT NULL AND ts IS NOT NULL
-                AND event_type IS NOT NULL),
+                AND event_type IS NOT NULL AND event_id IS NOT NULL),
             c AS (
               SELECT event_type,
                      FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch,

@@ -76,17 +76,7 @@ def test_calibration_bins_hand(spark):
     assert b9["gap_ppm"] == 475000 and b9["ece_num"] == 950000
 
 
-def _plan_of(df):
-    import io
-    from contextlib import redirect_stdout
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def test_audit_plan_shapes(spark):
+def test_audit_plan_shapes(spark, plan_of):
     """Scale shape: the profile is ONE aggregate pass (multi-distinct
     via Expand, no join at all — min(STRING) demotes the agg to
     SortAggregate, the documented benign oracle-mode demotion; with
@@ -96,7 +86,7 @@ def test_audit_plan_shapes(spark):
     benign BNLJ)."""
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     prof = column_profile(docs, ["doc_id", "lang", "source"])
-    pplan = _plan_of(prof)
+    pplan = plan_of(prof)
     assert "Expand" in pplan  # one-pass multi-distinct, not per-column scans
     assert "Join" not in pplan.replace("BroadcastNestedLoopJoin", "")
     # the corpus is read ONCE (simple mode prints each node once)
@@ -108,18 +98,18 @@ def test_audit_plan_shapes(spark):
     audit = fk_orphan_audit(
         [("e", li, "l_orderkey", orders, "o_orderkey")]
     )
-    aplan = _plan_of(audit)
+    aplan = plan_of(audit)
     assert "CartesianProduct" not in aplan
     assert "LeftAnti" in aplan
 
 
-def test_calibration_plan_shape(spark):
+def test_calibration_plan_shape(spark, plan_of):
     """The reliability cells are one projection + one HashAggregate:
     no window, no join, no SortAggregate demotion (all-integer agg)."""
     df = spark.createDataFrame(
         [(100000 * i, i % 2 == 0) for i in range(10)], "conf long, y boolean"
     )
-    plan = _plan_of(calibration_bins(df, "conf", "y"))
+    plan = plan_of(calibration_bins(df, "conf", "y"))
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
     assert "Window" not in plan
@@ -161,3 +151,40 @@ def test_rebalance_audit_python_reference_and_guard(spark):
 
     with pytest.raises(ValueError):
         rebalance_audit(df, "doc_id", 8, 64)
+
+
+def test_rebalance_audit_dup_ids_and_empty(spark):
+    """Both policies count DISTINCT keys (comparable ppms even on
+    non-unique id columns) and an empty input yields zero-count rows
+    instead of a divide-by-zero."""
+    from docrawl_spark.datapipe.audit import rebalance_audit
+
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], "doc_id string")
+    got = {r["policy"]: r for r in rebalance_audit(dup, "doc_id", 8, 10).collect()}
+    assert got["mod"]["n_docs"] == 2
+    assert got["rendezvous"]["n_docs"] == 2
+
+    empty = spark.createDataFrame([], "doc_id string")
+    rows = {r["policy"]: r for r in rebalance_audit(empty, "doc_id", 8, 10).collect()}
+    assert set(rows) == {"mod", "rendezvous"}
+    assert all(
+        (r["n_docs"], r["n_moved"], r["moved_ppm"]) == (0, 0, 0)
+        for r in rows.values()
+    )
+
+
+def test_audit_input_guards(spark):
+    import pytest
+
+    from docrawl_spark.datapipe.audit import column_profile, fk_orphan_audit
+    from docrawl_spark.datapipe.classifier import calibration_bins
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(ValueError):
+        column_profile(df, [])
+    with pytest.raises(ValueError):
+        column_profile(df, ["bad name"])
+    with pytest.raises(ValueError):
+        fk_orphan_audit([])
+    with pytest.raises(ValueError):
+        calibration_bins(df.selectExpr("a as conf", "a > 0 as y"), "conf", "y", n_bins=0)

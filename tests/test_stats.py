@@ -355,20 +355,11 @@ def test_autocorr_implicit_zero_days_carry_the_cycle(spark):
     assert got["mon"]["r2_signed_ppm"] == 1000000
 
 
-def test_kappa_and_autocorr_plan_shapes(spark):
+def test_kappa_and_autocorr_plan_shapes(spark, plan_of):
     """Scale shapes: kappa is cell/margin HashAggregates + dim joins
     (no SortAggregate, no cartesian); autocorr's Σxz is an equi-join
     over the TICK dim (no cartesian), all aggregation hash-based."""
-    import io
-    from contextlib import redirect_stdout
-
     from docrawl_spark.datapipe.stats import agreement_kappa, autocorr_lag
-
-    def plan_of(df):
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        return buf.getvalue()
 
     rows = [("g", i % 2, (i * 3) % 2) for i in range(40)]
     df = spark.createDataFrame(rows, "g string, a int, b int")
