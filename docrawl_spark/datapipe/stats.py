@@ -827,3 +827,97 @@ def autocorr_lag(
         .cast("long")
         .alias("r2_signed_ppm"),
     )
+
+
+# Poisson(1) CDF in exact ppm: P(X <= k) for k = 0..6; weights above
+# the last threshold cap at 7 (P(X >= 8) < 1e-5 — the cap shifts a
+# replicate mean by < 0.01% and is applied identically in the oracle).
+_POIS1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 24,
+    salt: str = "boot1",
+) -> DataFrame:
+    """Deterministic hash-based Poisson bootstrap: per-group mean with
+    order-statistic confidence bounds, without resampling data movement.
+
+    The classic way to put error bars on 100 TB aggregates: true
+    resampling-with-replacement needs global coordination, but for
+    n -> inf the multinomial resample count of each row converges to
+    Poisson(1), so each replicate just WEIGHTS every row independently
+    — a map-side operation. Weights here are a PURE FUNCTION of
+    (salt, replicate, row id) via the md5-ppm idiom
+    (datapipe/sampling._hash_ppm): bit-reproducible across runs,
+    engines, partitionings, and cluster sizes, and exactly mirrored by
+    the DuckDB oracle.
+
+    ``value_col`` must be an exact BIGINT (e.g. cents); replicate
+    means are micro-units via BIGINT ``div`` — no float sum-order
+    drift. Replicate -1 carries weight 1 everywhere (the point
+    estimate rides the same aggregation). Output per group:
+    n_events, point_mean_micro, n_reps_used, boot_lo_micro /
+    boot_hi_micro (2nd / (R-1)th order statistics of the R replicate
+    means — a ~92% interval at the default R=24).
+
+    Scale shape: explode x(R+1) then ONE HashAggregate on
+    (group, rep) with map-side combine — the shuffle carries only
+    |groups| * R rows; the final per-group collect_list holds R
+    BIGINTs. No window over the fact table, no self-join.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_vc"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_reps) - 1))).alias("rep"),
+    )
+    key = F.concat(
+        F.lit(f"{salt}|"),
+        F.col("rep").cast("string"),
+        F.lit("|"),
+        F.col("_id"),
+    )
+    ppm = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    wt = F.lit(7)
+    for k in range(len(_POIS1_CDF_PPM) - 1, -1, -1):
+        wt = F.when(ppm < F.lit(_POIS1_CDF_PPM[k]), F.lit(k)).otherwise(wt)
+    wt = F.when(F.col("rep") == -1, F.lit(1)).otherwise(wt)
+
+    per_rep = (
+        base.withColumn("wt", wt.cast("long"))
+        .groupBy("g", "rep")
+        .agg(
+            F.sum("wt").alias("sw"),
+            F.sum(F.expr("wt * _vc")).alias("svc"),
+        )
+        .where(F.col("sw") > 0)
+        .withColumn("mean_micro", F.expr("(svc * 10000) div sw"))
+    )
+    agg = per_rep.groupBy("g").agg(
+        F.max(F.when(F.col("rep") == -1, F.col("sw"))).alias("n_events"),
+        F.max(F.when(F.col("rep") == -1, F.col("mean_micro"))).alias(
+            "point_mean_micro"
+        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rep") >= 0, F.col("mean_micro")))
+        ).alias("ms"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("point_mean_micro").cast("long").alias("point_mean_micro"),
+        F.size("ms").cast("long").alias("n_reps_used"),
+        F.try_element_at("ms", F.lit(2)).cast("long").alias("boot_lo_micro"),
+        F.try_element_at(
+            "ms", F.greatest(F.size("ms") - 1, F.lit(1))
+        )
+        .cast("long")
+        .alias("boot_hi_micro"),
+    )

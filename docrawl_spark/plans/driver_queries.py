@@ -5794,6 +5794,28 @@ def q_events_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    value per event_type (datapipe/stats.poisson_bootstrap_means): 24
+    hash-weighted replicates (md5-ppm weights, Poisson(1) inverse CDF),
+    replicate means in exact micro-cents via BIGINT div, bounds as the
+    2nd/23rd order statistics. The error-bar primitive for corpus
+    telemetry at 100 TB: one map-side weighting pass + one
+    HashAggregate on (event_type, rep) — no resampling data movement,
+    no fact-table window, bit-reproducible across engines and cluster
+    sizes."""
+    from docrawl_spark.datapipe.stats import poisson_bootstrap_means
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return poisson_bootstrap_means(
+        ev, "event_type", "vc", "event_id", n_reps=24, salt="boot1"
+    )
+
+
 def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell chi-square decomposition of the source x lang
     contingency table (datapipe/stats.chisq_cells) — the corpus-drift
@@ -6431,6 +6453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_alias_pairs": q_typo_alias_pairs,
         "skyline_parts": q_skyline_parts,
         "events_trimmed_stats": q_events_trimmed_stats,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
         "source_lang_chisq": q_source_lang_chisq,
         "source_drift_scores": q_source_drift_scores,
         "vocab_source_jaccard": q_vocab_source_jaccard,
@@ -11716,6 +11739,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(vc) AS BIGINT) AS lo_c,
                    CAST(MAX(vc) AS BIGINT) AS hi_c
             FROM kept GROUP BY event_type, n
+        """,
+        # Poisson(1) inverse-CDF weights from the md5-ppm hash; rep -1
+        # carries weight 1 (the point estimate). list indexing is
+        # 1-based and out-of-range -> NULL, matching try_element_at.
+        "events_bootstrap_ci": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(event_id AS VARCHAR) AS id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            reps AS (
+              SELECT CAST(r.range AS BIGINT) AS rep FROM range(-1, 24) r),
+            x AS (
+              SELECT event_type, rep, vc,
+                     ('0x' || substr(md5('boot1|' || CAST(rep AS VARCHAR)
+                        || '|' || id), 1, 15))::BIGINT % 1000000 AS ppm
+              FROM v CROSS JOIN reps),
+            w AS (
+              SELECT event_type, rep, vc,
+                     CASE WHEN rep = -1 THEN 1
+                          WHEN ppm < 367879 THEN 0
+                          WHEN ppm < 735759 THEN 1
+                          WHEN ppm < 919699 THEN 2
+                          WHEN ppm < 981012 THEN 3
+                          WHEN ppm < 996340 THEN 4
+                          WHEN ppm < 999406 THEN 5
+                          WHEN ppm < 999917 THEN 6
+                          ELSE 7 END AS wt
+              FROM x),
+            m AS (
+              SELECT event_type, rep,
+                     CAST(SUM(wt) AS BIGINT) AS sw,
+                     CAST(SUM(wt * vc) AS BIGINT) AS svc
+              FROM w GROUP BY 1, 2
+              HAVING CAST(SUM(wt) AS BIGINT) > 0),
+            mm AS (
+              SELECT event_type, rep, sw,
+                     (svc * 10000) // sw AS mean_micro
+              FROM m),
+            agg AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rep = -1 THEN sw END) AS n_events,
+                     MAX(CASE WHEN rep = -1 THEN mean_micro END)
+                       AS point_mean_micro,
+                     list_sort(list(mean_micro)
+                       FILTER (WHERE rep >= 0)) AS ms
+              FROM mm GROUP BY 1)
+            SELECT event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(point_mean_micro AS BIGINT) AS point_mean_micro,
+                   CAST(len(ms) AS BIGINT) AS n_reps_used,
+                   CAST(ms[2] AS BIGINT) AS boot_lo_micro,
+                   CAST(ms[greatest(len(ms) - 1, 1)] AS BIGINT)
+                     AS boot_hi_micro
+            FROM agg
         """,
         # integer chi-square in HUGEINT (the squared numerator passes
         # BIGINT at corpus scale; ** is float power in DuckDB — use d*d)

@@ -374,3 +374,53 @@ def test_kappa_and_autocorr_plan_shapes(spark, plan_of):
     assert "HashAggregate" in aplan
     assert "SortAggregate" not in aplan
     assert "CartesianProduct" not in aplan
+
+
+def test_poisson_bootstrap_means_hand_and_plan(spark, plan_of):
+    """Point estimate is the exact floor mean in micro-units, bounds
+    are ordered and bracket-free of the fact table: one explode + one
+    (group, rep) HashAggregate, no cartesian, no fact-table window.
+    The weights are pure hash functions, so the result is invariant
+    under repartitioning."""
+    from docrawl_spark.datapipe.stats import poisson_bootstrap_means
+
+    rows = [("a", i, 100 + (i * 7) % 50) for i in range(60)] + [
+        ("b", 1000 + i, 2000 + i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, vc long")
+    out = poisson_bootstrap_means(
+        df, "event_type", "vc", "event_id", n_reps=24, salt="boot1"
+    )
+    got = {r["event_type"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    for g, grows in (
+        ("a", [v for (k, _i, v) in rows if k == "a"]),
+        ("b", [v for (k, _i, v) in rows if k == "b"]),
+    ):
+        r = got[g]
+        assert r["n_events"] == len(grows)
+        assert r["point_mean_micro"] == (sum(grows) * 10000) // len(grows)
+        assert r["n_reps_used"] == 24
+        assert r["boot_lo_micro"] <= r["boot_hi_micro"]
+        # Poisson weights average 1: replicate means stay in the value
+        # envelope, so the order statistics do too.
+        assert min(grows) * 10000 <= r["boot_lo_micro"]
+        assert r["boot_hi_micro"] <= max(grows) * 10000
+
+    again = poisson_bootstrap_means(
+        df.repartition(7, "event_id"),
+        "event_type",
+        "vc",
+        "event_id",
+        n_reps=24,
+        salt="boot1",
+    )
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r.asDict().values()) for r in out.collect()
+    }
+
+    plan = plan_of(out)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
