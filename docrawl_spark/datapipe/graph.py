@@ -1349,3 +1349,54 @@ def host_coreness(
         )
     und.unpersist()
     return c.select(F.col("h").alias("host"), F.col("v").alias("coreness"))
+
+
+def adamic_adar_pairs(
+    edges: DataFrame,
+    min_cocite: int = 2,
+    max_out: int = 64,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Adamic-Adar link prediction over co-citing sources (Adamic &
+    Adar 2003): like ``cocitation_pairs`` but each common source
+    contributes 1/log(outdegree) instead of 1 — a hub page citing 60
+    targets says far less about any pair of them than a focused page
+    citing 3. The standard related-host / missing-link score when raw
+    co-citation over-rewards navigation hubs.
+
+    Integer-exact cross-engine surrogate: 1/log2 via the bit length,
+    ``w_ppm = 1_000_000 div length(bin(outdeg))`` — bit length is
+    floor(log2)+1, monotone in outdegree, and behaves identically in
+    Spark and DuckDB (both strip leading zeros). Output per unordered
+    target pair: ``(a, b, cocites, aa_ppm)`` with
+    ``cocites >= min_cocite``.
+
+    Scale shape: identical to ``cocitation_pairs`` — the mega-hub cap
+    (> ``max_out`` distinct targets dropped) bounds the source
+    self-join fan-out at C(max_out, 2), the explicit join-key
+    repartition keeps the fan-out parallel under AQE, and the weight
+    rides the pairing join as one extra BIGINT; no new shuffle.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("_out"))
+    kept = e.join(deg.where(F.col("_out") <= max_out), "src")
+    kept = kept.withColumn(
+        "w_ppm", F.expr("1000000 div CAST(length(bin(_out)) AS BIGINT)")
+    )
+    kept = kept.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "src"
+    )
+    a = kept.select("src", "w_ppm", F.col("dst").alias("a"))
+    b = kept.select("src", F.col("dst").alias("b"))
+    pairs = a.join(b, "src").where(F.col("a") < F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cocites"),
+            F.sum("w_ppm").cast("long").alias("aa_ppm"),
+        )
+        .where(F.col("cocites") >= min_cocite)
+    )

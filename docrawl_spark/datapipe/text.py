@@ -1335,3 +1335,78 @@ def group_vocab_jaccard(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PAN (card-number) detection with Luhn validation — the precision
+# layer the bare digit-run regex lacks: most 13-19 digit runs in web
+# text are ids/timestamps/serials, and only ~10% of random runs pass
+# the Luhn mod-10 checksum, so validating before redaction keeps
+# training signal the blanket rule would destroy. Pure integer
+# arithmetic (digit explode -> HashAggregate), identical in DuckDB.
+# ---------------------------------------------------------------------------
+
+# 13-19 digits with optional single space/dash separators; Java ∩ RE2
+# dialect (no lookaround) so the oracle regex is the same string.
+PAN_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_pan_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per document: how many card-number-shaped digit runs appear,
+    and how many survive the Luhn mod-10 checksum (the redaction set).
+
+    Luhn: reverse the digit string, double every even position folding
+    >9 back (2d-9), valid iff the sum is 0 mod 10. Computed by
+    exploding digit positions into ONE HashAggregate per candidate —
+    no Python, no HOF (interpreted, per CLAUDE.md), no window; the
+    explode fan-out is bounded at 19 per candidate.
+    """
+    cands = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(PAN_CANDIDATE_RE),
+                F.lit(0),
+            )
+        ).alias("_ci", "_cand"),
+    ).withColumn("_rev", F.reverse(F.regexp_replace("_cand", "[ -]", "")))
+    cands = cands.where(F.length("_rev").between(13, 19))
+    # Luhn positions are 1-based from the right (the check digit is
+    # position 1, never doubled); substring-by-position rather than an
+    # empty-pattern split (engine-divergent trailing-empty behavior)
+    digits = cands.select(
+        "_id",
+        "_ci",
+        "_rev",
+        F.explode(F.sequence(F.lit(1), F.length("_rev"))).alias("_i"),
+    ).select(
+        "_id",
+        "_ci",
+        "_i",
+        F.expr("CAST(substring(_rev, _i, 1) AS INT)").alias("_dig"),
+    )
+    summed = (
+        digits.withColumn(
+            "_c",
+            F.when(
+                F.col("_i") % 2 == 0,
+                F.when(F.col("_dig") * 2 > 9, F.col("_dig") * 2 - 9).otherwise(
+                    F.col("_dig") * 2
+                ),
+            ).otherwise(F.col("_dig")),
+        )
+        .groupBy("_id", "_ci")
+        .agg(F.sum("_c").alias("_s"))
+        .withColumn("_valid", (F.col("_s") % 10 == 0).cast("long"))
+    )
+    return (
+        summed.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pan_candidates"),
+            F.sum("_valid").cast("long").alias("n_pan_valid"),
+        )
+        .select(F.col("_id").alias(id_col), "n_pan_candidates", "n_pan_valid")
+    )

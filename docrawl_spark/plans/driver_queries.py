@@ -4367,13 +4367,11 @@ def q_postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_stats(_t(spark, sf_dir, "documents"))
 
 
-def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-citation pairs (datapipe/graph.cocitation_pairs): pages pick
-    3 targets from a 40-target pool (md5-deterministic), plus one
-    mega-hub source (70 targets) that the outdegree cap must drop;
-    unordered target pairs cited together by >= 2 sources."""
-    from docrawl_spark.datapipe.graph import cocitation_pairs
-
+def _cocite_fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared link-fixture derivation for the co-citation family:
+    pages pick 3 targets from a 40-target pool (md5-deterministic),
+    plus one mega-hub source (doc 0, 70 targets) that the outdegree
+    cap must drop. Mirrored verbatim in the DuckDB oracles."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -4415,8 +4413,27 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == 0,
         F.concat(F.lit("hub"), F.col("k").cast("string"), F.lit(".test")),
     ).otherwise(F.concat(F.lit("t"), pick, F.lit(".test")))
-    edges = e0.select(F.col("src").alias("src_host"), dst.alias("dst_host"))
-    return cocitation_pairs(edges)
+    return e0.select(F.col("src").alias("src_host"), dst.alias("dst_host"))
+
+
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (datapipe/graph.cocitation_pairs) over the
+    shared link fixture: unordered target pairs cited together by
+    >= 2 sources, after the mega-hub outdegree cap."""
+    from docrawl_spark.datapipe.graph import cocitation_pairs
+
+    return cocitation_pairs(_cocite_fixture_edges(spark, sf_dir))
+
+
+def q_adamic_adar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar related-host scores (datapipe/graph.
+    adamic_adar_pairs) over the shared link fixture: co-citation where
+    each common source counts 1/log2(outdegree) (integer-exact via the
+    cross-engine bit-length idiom) — focused pages outvote hubs. Same
+    mega-hub cap and bounded pair fan-out as cocitation_pairs."""
+    from docrawl_spark.datapipe.graph import adamic_adar_pairs
+
+    return adamic_adar_pairs(_cocite_fixture_edges(spark, sf_dir))
 
 
 def q_wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5816,6 +5833,60 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pan_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number (PAN) detection with Luhn mod-10 validation
+    (datapipe/text.luhn_pan_audit): per doc, candidate digit runs vs
+    runs that survive the checksum — the precision layer that keeps a
+    PII redactor from destroying ids/timestamps/serials. Fixture: each
+    doc embeds a dashed 16-digit and a spaced 15-digit md5-derived run
+    (validity falls where the checksum says — identically in both
+    engines) plus an 8-digit decoy below the candidate floor."""
+    from docrawl_spark.datapipe.text import luhn_pan_audit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _digits(salt: str, n: int):
+        h = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10**n),
+        )
+        return F.lpad(h.cast("string"), n, "0")
+
+    p16 = _digits("pan|", 16)
+    p15 = _digits("pan2|", 15)
+    dashed = F.concat_ws(
+        "-",
+        F.substring(p16, 1, 4),
+        F.substring(p16, 5, 4),
+        F.substring(p16, 9, 4),
+        F.substring(p16, 13, 4),
+    )
+    spaced = F.concat_ws(
+        " ", F.substring(p15, 1, 4), F.substring(p15, 5, 6), F.substring(p15, 11, 5)
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" pay "),
+            dashed,
+            F.lit(" ref 12345678 alt "),
+            spaced,
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return luhn_pan_audit(docs)
+
+
 def q_source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell chi-square decomposition of the source x lang
     contingency table (datapipe/stats.chisq_cells) — the corpus-drift
@@ -6404,6 +6475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_data": q_structured_data,
         "postings_gaps": q_postings_gaps,
         "cocitation_pairs": q_cocitation_pairs,
+        "adamic_adar_pairs": q_adamic_adar_pairs,
         "wand_bounds": q_wand_bounds,
         "domain_caps": q_domain_caps,
         "surt_keys": q_surt_keys,
@@ -6454,6 +6526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "events_trimmed_stats": q_events_trimmed_stats,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "pan_luhn_audit": q_pan_luhn_audit,
         "source_lang_chisq": q_source_lang_chisq,
         "source_drift_scores": q_source_drift_scores,
         "vocab_source_jaccard": q_vocab_source_jaccard,
@@ -10519,6 +10592,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cocites
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # Adamic-Adar over the same link fixture: each common source
+        # weighs 1e6 // bitlen(outdeg) (the integer log2 surrogate —
+        # length(bin(x)) is identical in Spark and DuckDB).
+        "adamic_adar_pairs": '''
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/'
+                       || CAST(doc_id AS VARCHAR) AS src
+              FROM documents),
+            e0 AS (
+              SELECT doc_id, src,
+                     unnest(generate_series(0,
+                       CASE WHEN doc_id = 0 THEN 69 ELSE 2 END)) AS k
+              FROM d),
+            e1 AS (
+              SELECT DISTINCT src,
+                     CASE WHEN doc_id = 0
+                          THEN 'hub' || CAST(k AS VARCHAR) || '.test'
+                          ELSE 't' || CAST(
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 40
+                            AS VARCHAR) || '.test' END AS dst
+              FROM e0),
+            deg AS (SELECT src, COUNT(*) AS o FROM e1 GROUP BY src),
+            kept AS (
+              SELECT e1.src, e1.dst,
+                     1000000 // CAST(length(bin(o)) AS BIGINT) AS w_ppm
+              FROM e1 JOIN deg USING (src)
+              WHERE o <= 64),
+            p AS (
+              SELECT x.dst AS a, y.dst AS b, x.w_ppm
+              FROM kept x JOIN kept y ON x.src = y.src AND x.dst < y.dst)
+            SELECT a, b,
+                   CAST(COUNT(*) AS BIGINT) AS cocites,
+                   CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
+            FROM p GROUP BY a, b HAVING COUNT(*) >= 2
+        ''',
         # WAND bounds: the bm25 fixed-point algebra over the WHOLE vocab
         # (hits = all non-empty tokens), folded to per-term maxima.
         "wand_bounds": r"""
@@ -11794,6 +11904,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ms[greatest(len(ms) - 1, 1)] AS BIGINT)
                      AS boot_hi_micro
             FROM agg
+        """,
+        # Luhn over md5-derived fixture runs: candidate index via the
+        # generate_series unnest (duplicate candidates count twice,
+        # like posexplode); regexp_replace needs the explicit 'g'.
+        "pan_luhn_audit": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     lpad(CAST(('0x' || substr(md5('pan|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 10000000000000000 AS VARCHAR), 16, '0') AS p16,
+                     lpad(CAST(('0x' || substr(md5('pan2|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000000000000 AS VARCHAR), 15, '0') AS p15
+              FROM documents),
+            docs AS (
+              SELECT doc_id,
+                     'doc ' || CAST(doc_id AS VARCHAR) || ' pay '
+                       || substr(p16, 1, 4) || '-' || substr(p16, 5, 4)
+                       || '-' || substr(p16, 9, 4) || '-'
+                       || substr(p16, 13, 4)
+                       || ' ref 12345678 alt '
+                       || substr(p15, 1, 4) || ' ' || substr(p15, 5, 6)
+                       || ' ' || substr(p15, 11, 5) || ' end' AS text
+              FROM base),
+            c0 AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '\b(?:\d[ -]?){12,18}\d\b') AS l
+              FROM docs),
+            c1 AS (
+              SELECT doc_id, l,
+                     unnest(generate_series(1, len(l))) AS ci
+              FROM c0),
+            c2 AS (
+              SELECT doc_id, ci,
+                     reverse(regexp_replace(l[ci], '[ -]', '', 'g')) AS rev
+              FROM c1),
+            c3 AS (
+              SELECT * FROM c2
+              WHERE length(rev) BETWEEN 13 AND 19),
+            d1 AS (
+              SELECT doc_id, ci, rev,
+                     unnest(generate_series(1, length(rev))) AS p
+              FROM c3),
+            d2 AS (
+              SELECT doc_id, ci, p,
+                     CAST(substr(rev, p, 1) AS INT) AS dig
+              FROM d1),
+            s AS (
+              SELECT doc_id, ci,
+                     SUM(CASE WHEN p % 2 = 0
+                              THEN CASE WHEN dig * 2 > 9 THEN dig * 2 - 9
+                                        ELSE dig * 2 END
+                              ELSE dig END) AS luhn_sum
+              FROM d2 GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pan_candidates,
+                   CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pan_valid
+            FROM s GROUP BY doc_id
         """,
         # integer chi-square in HUGEINT (the squared numerator passes
         # BIGINT at corpus scale; ** is float power in DuckDB — use d*d)

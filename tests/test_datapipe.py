@@ -1669,3 +1669,33 @@ def test_events_attribution_hand(spark, tmp_path):
         ("last", "view"): 1,    # user 1 second purchase
         ("last", "none"): 1,    # user 2
     }
+
+
+def test_luhn_pan_audit_known_numbers(spark, plan_of):
+    """Classic test PANs: 4111111111111111 (Visa) and 378282246310005
+    (Amex) pass Luhn, a last-digit twiddle fails it; separators are
+    stripped before validation; an 8-digit run never becomes a
+    candidate; docs with no candidates emit no row. Plan: explode ->
+    HashAggregate, no window, no cartesian."""
+    from docrawl_spark.datapipe.text import luhn_pan_audit
+
+    rows = [
+        (1, "pay 4111-1111-1111-1111 now"),            # valid, dashed
+        (2, "amex 378282246310005 ok"),                 # valid, bare
+        (3, "bad 4111 1111 1111 1112 here"),            # checksum fails
+        (4, "two 4111111111111111 and 378282246310006"),  # 1 of 2 valid
+        (5, "short 12345678 only"),                     # below the floor
+        (6, None),                                      # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in luhn_pan_audit(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_pan_candidates"], out[1]["n_pan_valid"]) == (1, 1)
+    assert (out[2]["n_pan_candidates"], out[2]["n_pan_valid"]) == (1, 1)
+    assert (out[3]["n_pan_candidates"], out[3]["n_pan_valid"]) == (1, 0)
+    assert (out[4]["n_pan_candidates"], out[4]["n_pan_valid"]) == (2, 1)
+
+    plan = plan_of(luhn_pan_audit(df))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

@@ -854,3 +854,38 @@ def test_dense_subgraph_family_vs_brute_random_graphs(spark):
             if r["in_ktruss"]
         }
         assert got_truss == es, f"ktruss seed={seed}"
+
+
+def test_adamic_adar_pairs_hand_weights_and_cap(spark, plan_of):
+    """Hand graph: each co-citing source contributes
+    1e6 div bitlen(outdeg) — s1 (outdeg 3, bitlen 2) gives 500000,
+    s2 (outdeg 2, bitlen 2) gives 500000, s3 (outdeg 2) gives 500000,
+    so focused co-citers outweigh a 4-target source (bitlen 3 ->
+    333333). Hub above the cap vanishes; single co-citations pruned;
+    plan stays equi-join (no cartesian)."""
+    from docrawl_spark.datapipe.graph import adamic_adar_pairs
+
+    edges = [
+        ("s1", "x"), ("s1", "y"), ("s1", "z"),
+        ("s2", "x"), ("s2", "y"),
+        ("s3", "y"), ("s3", "z"),
+        ("s4", "x"), ("s4", "y"), ("s4", "z"), ("s4", "w"),
+        ("s2", "x"),  # duplicate edge must not double-count
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    out = {
+        (r["a"], r["b"]): (r["cocites"], r["aa_ppm"])
+        for r in adamic_adar_pairs(df, min_cocite=2, max_out=3).collect()
+    }
+    # s1 outdeg 3 -> bitlen('11')=2 -> 500000; s2/s3 outdeg 2 -> 500000
+    assert out == {("x", "y"): (2, 1000000), ("y", "z"): (2, 1000000)}
+    relaxed = {
+        (r["a"], r["b"]): (r["cocites"], r["aa_ppm"])
+        for r in adamic_adar_pairs(df, min_cocite=2, max_out=64).collect()
+    }
+    # hub s4 outdeg 4 -> bitlen('100')=3 -> 333333 joins the x,y score
+    assert relaxed[("x", "y")] == (3, 1333333)
+
+    plan = plan_of(adamic_adar_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
