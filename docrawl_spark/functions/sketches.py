@@ -194,6 +194,41 @@ def hll_union(*register_tables: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
 
 
+def hll_rolling_estimate(
+    df: DataFrame,
+    day_col: str,
+    key_col: str,
+    window_days: int = 7,
+    p: int = 6,
+) -> DataFrame:
+    """Rolling trailing-window distinct count via HLL register merge —
+    "7-day distinct users per day" without ever re-scanning the window:
+    per-day register tables (ONE fact-table HashAggregate) are merged
+    by (window-day, bucket) MAX, the sketch-union property that makes
+    HLL the right cardinality structure at 100 TB. The register
+    explode fans out ``window_days`` rows per REGISTER (≤ m per day),
+    never per event; days near the start merge their shorter available
+    ramp-up window. ``day_col`` must be an integer day index.
+    """
+    reg = hll_registers_grouped(df, [day_col], key_col, p=p)
+    days = df.select(F.col(day_col).alias("win_day")).distinct()
+    contrib = reg.select(
+        F.explode(
+            F.sequence(
+                F.col(day_col), F.col(day_col) + F.lit(int(window_days) - 1)
+            )
+        ).alias("win_day"),
+        "bucket",
+        "max_rho",
+    )
+    merged = (
+        contrib.join(days, "win_day")
+        .groupBy("win_day", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    return hll_estimate_grouped(merged, ["win_day"], p=p)
+
+
 def cms_counters(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:

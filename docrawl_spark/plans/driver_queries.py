@@ -2954,6 +2954,26 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(hll_registers(urls, "url", p=6), p=6)
 
 
+def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day via HLL register merge
+    (functions/sketches.hll_rolling_estimate): per-day sketches from
+    one fact-table pass, window-merged by (day, bucket) MAX — the
+    mergeability property that answers trailing-window cardinality at
+    100 TB without re-scanning 7 days of events per day. The oracle
+    replays the identical register/merge/estimate arithmetic."""
+    from docrawl_spark.functions.sketches import hll_rolling_estimate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("day_idx"),
+        F.col("user_id"),
+    )
+    out = hll_rolling_estimate(ev, "day_idx", "user_id", window_days=7, p=6)
+    return out.select(
+        F.col("win_day").cast("long").alias("win_day"), "estimate_units"
+    )
+
+
 def q_cms_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min hot-host detection: the d×w counter sketch over the
     frontier's host column, point-queried for every candidate host —
@@ -6421,6 +6441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": q_hll_estimate,
         "hll_host_cardinality": q_hll_host_cardinality,
         "hll_union_estimate": q_hll_union_estimate,
+        "events_rolling_distinct": q_events_rolling_distinct,
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
@@ -8831,6 +8852,53 @@ def oracle_sql() -> dict[str, str]:
                        // 1000000 AS raw
               FROM agg)
             SELECT host,
+                   CAST(CASE WHEN zeros > 0 AND raw <= 160
+                             THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
+                             ELSE raw END AS BIGINT) AS estimate_units
+            FROM rawe
+        """,
+        # rolling 7-day HLL: per-day registers, window-merged by
+        # (win_day, bucket) MAX; same p=6 register/estimate arithmetic
+        # as hll_host_cardinality, day spine from the data itself.
+        "events_rolling_distinct": f"""
+            WITH e AS (
+              SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS day_idx,
+                     CAST(user_id AS VARCHAR) AS k
+              FROM events),
+            h AS (
+              SELECT day_idx,
+                     ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+              FROM e),
+            reg AS (
+              SELECT day_idx, h % 64 AS bucket,
+                     MAX(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                       AS max_rho
+              FROM h GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day_idx AS win_day FROM e),
+            contrib AS (
+              SELECT day_idx + t.o AS win_day, bucket, max_rho
+              FROM reg, UNNEST(generate_series(0, 6)) AS t(o)),
+            m AS (
+              SELECT c.win_day, bucket, MAX(max_rho) AS max_rho
+              FROM contrib c JOIN days USING (win_day)
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT win_day,
+                     CAST(COALESCE(SUM(1::BIGINT
+                              << CAST(greatest(40 - max_rho, 0) AS INTEGER)),
+                            0) AS BIGINT)
+                       + (64::BIGINT - COUNT(*)) * (1::BIGINT << 40) AS s,
+                     CAST(64 - COUNT(*) AS BIGINT) AS zeros
+              FROM m GROUP BY win_day),
+            rawe AS (
+              SELECT win_day, zeros,
+                     709340::BIGINT
+                       * ((4096::BIGINT * (1::BIGINT << 40)) // s)
+                       // 1000000 AS raw
+              FROM agg)
+            SELECT CAST(win_day AS BIGINT) AS win_day,
                    CAST(CASE WHEN zeros > 0 AND raw <= 160
                              THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
                              ELSE raw END AS BIGINT) AS estimate_units

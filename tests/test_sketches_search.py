@@ -518,3 +518,40 @@ def test_rbo_overlap_exact(spark):
     assert got["shift"] == (9, ref_ppm(ident, shifted))
     assert "disjoint" not in got  # sparse: no common items -> no row
     assert got["shift"][1] < got["swap"][1] < got["same"][1]
+
+
+def test_hll_rolling_estimate_matches_direct_window_union(spark):
+    """The rolling merge is EXACTLY a sketch union: for any day, the
+    windowed (day, bucket) MAX-merge must reproduce the estimate of an
+    HLL built directly on the trailing-window rows — including the
+    short ramp-up windows at the start. Days outside the data emit no
+    row (the spine comes from the data itself)."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_rolling_estimate,
+    )
+
+    rows = [
+        (d, u)
+        for d in range(10)
+        for u in range(d * 5, d * 5 + 20)  # overlapping user ranges
+    ]
+    df = spark.createDataFrame(rows, "day_idx int, user_id long")
+    out = {
+        r["win_day"]: r["estimate_units"]
+        for r in hll_rolling_estimate(
+            df, "day_idx", "user_id", window_days=7, p=6
+        ).collect()
+    }
+    assert set(out) == set(range(10))
+    for d in (0, 3, 6, 9):
+        w = df.where(
+            (F.col("day_idx") >= d - 6) & (F.col("day_idx") <= d)
+        )
+        direct = hll_estimate(hll_registers(w, "user_id", p=6), p=6).collect()[
+            0
+        ]["estimate_units"]
+        assert out[d] == direct, f"day {d}: rolling {out[d]} != direct {direct}"
