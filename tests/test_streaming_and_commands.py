@@ -711,3 +711,75 @@ def test_streaming_transitions_match_batch(spark, tmp_path):
     }
     assert got == want
     assert ("click", "purchase") in got  # the stitched boundary pair
+
+
+def test_streaming_hll_registers_match_batch_including_late(spark, tmp_path):
+    """The live register table equals the batch sketch over everything
+    ingested — including a second micro-batch whose events arrive LATE
+    (earlier event time) but inside the watermark: they fold in by
+    register MAX exactly like on-time rows. Estimation off the stored
+    registers is a batch fold (hll_estimate_grouped)."""
+    import datetime as dt
+
+    from docrawl_spark.functions.sketches import hll_estimate_grouped
+    from docrawl_spark.streaming.cardinality import streaming_hll_registers
+
+    src = str(tmp_path / "ev")
+    schema = "ts timestamp, user_id long"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _rows(offsets_users):
+        return [(t0 + dt.timedelta(minutes=m), u) for m, u in offsets_users]
+
+    batch1 = _rows([(5, 1), (10, 2), (70, 3), (75, 1)])
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    reg = streaming_hll_registers(
+        stream, "ts", "user_id", window_dur="1 hour", watermark="2 hours"
+    )
+    q = (
+        reg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_reg_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: late events (hour-10 window again) + a new user
+        batch2 = _rows([(20, 4), (80, 5), (25, 2)])
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["bucket"], r["max_rho"])
+            for r in spark.sql("SELECT * FROM hll_reg_out").collect()
+        }
+    finally:
+        q.stop()
+
+    expect = {
+        (r["win_start"], r["bucket"], r["max_rho"])
+        for r in streaming_hll_registers(
+            spark.read.parquet(src), "ts", "user_id", window_dur="1 hour"
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    est = {
+        r["win_start"].hour: r["estimate_units"]
+        for r in hll_estimate_grouped(
+            spark.sql("SELECT * FROM hll_reg_out"), ["win_start"], p=6
+        ).collect()
+    }
+    # hour 10 saw users {1,2,4}, hour 11 saw {1,3,5} — tiny cardinalities
+    # sit on the exact linear-counting branch
+    assert est[10] == 3 and est[11] == 3
