@@ -1,4 +1,6 @@
-"""Streaming windowed cardinality — live distinct counts via HLL.
+"""Streaming windowed sketches — live distinct counts (HLL) and
+heavy-hitter frequencies (count-min), both as bounded-state windowed
+aggregates.
 
 The streaming twin of ``functions/sketches``: per-event-time-window
 distinct counts (users, URLs, hosts) as a continuously-maintained HLL
@@ -66,5 +68,45 @@ def streaming_hll_registers(
             F.col("win.start").alias("win_start"),
             "bucket",
             "max_rho",
+        )
+    )
+
+
+def streaming_cms_counters(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "host",
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-(event-time window, row, cell) count-min counter stream —
+    live "hot hosts this hour" without per-key state: the state bound
+    is d*w cells per open window no matter how many distinct keys
+    arrive, and counters ADD across late/on-time rows and across a
+    batch backfill (same cell hash as ``sketches.cms_counters``).
+    Point-query the stored counters with ``sketches.cms_estimate``
+    filtered to one window (min-over-rows upper bound).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    keyed = df.select(
+        F.window(F.col(ts_col), window_dur).alias("win"),
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(rows).alias("row"),
+    )
+    cell = (
+        _hash60(F.concat_ws("|", F.col("row").cast("string"), F.col("k")))
+        % F.lit(width)
+    )
+    return (
+        keyed.select("win", "row", cell.alias("cell"))
+        .groupBy("win", "row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("win_start"), "row", "cell", "cnt"
         )
     )

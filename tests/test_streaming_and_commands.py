@@ -783,3 +783,78 @@ def test_streaming_hll_registers_match_batch_including_late(spark, tmp_path):
     # hour 10 saw users {1,2,4}, hour 11 saw {1,3,5} — tiny cardinalities
     # sit on the exact linear-counting branch
     assert est[10] == 3 and est[11] == 3
+
+
+def test_streaming_cms_counters_match_batch_and_bound(spark, tmp_path):
+    """Streamed windowed count-min counters equal the batch sketch per
+    window across micro-batches (late rows ADD into their window), and
+    the stored counters point-query to the classic upper bound: exact
+    for keys with no cell collisions, never below the true count."""
+    import datetime as dt
+
+    from docrawl_spark.functions.sketches import cms_estimate
+    from docrawl_spark.streaming.cardinality import streaming_cms_counters
+
+    src = str(tmp_path / "hits")
+    schema = "ts timestamp, host string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _rows(spec):
+        return [
+            (t0 + dt.timedelta(minutes=m), h) for m, h, n in spec for _ in range(n)
+        ]
+
+    spark.createDataFrame(
+        _rows([(5, "a.test", 6), (10, "b.test", 2), (70, "a.test", 1)]), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_cms_counters(
+        stream, "ts", "host", window_dur="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late batch: hour-10 rows again, plus a new host
+        spark.createDataFrame(
+            _rows([(20, "a.test", 3), (80, "c.test", 4)]), schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["row"], r["cell"], r["cnt"])
+            for r in spark.sql("SELECT * FROM cms_out").collect()
+        }
+    finally:
+        q.stop()
+
+    expect = {
+        (r["win_start"], r["row"], r["cell"], r["cnt"])
+        for r in streaming_cms_counters(
+            spark.read.parquet(src), "ts", "host", window_dur="1 hour"
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    hour10 = spark.sql(
+        "SELECT row, cell, cnt FROM cms_out "
+        "WHERE win_start = timestamp'2024-01-01 10:00:00'"
+    )
+    cand = spark.createDataFrame(
+        [("a.test",), ("b.test",), ("nope.test",)], "host string"
+    )
+    est = {
+        r["host"]: r["cm_estimate"]
+        for r in cms_estimate(hour10, cand, "host").collect()
+    }
+    # upper bound, exact here (3 keys in 4x1024 cells never collide)
+    assert est == {"a.test": 9, "b.test": 2, "nope.test": 0}
