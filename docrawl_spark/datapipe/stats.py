@@ -835,6 +835,43 @@ def autocorr_lag(
 _POIS1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
 
 
+def _poisson_weighted(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int,
+    salt: str,
+) -> DataFrame:
+    """(g, rep, _vc, wt) rows: the ×(R+1) replicate explode with
+    Poisson(1) inverse-CDF weights from the md5-ppm hash of
+    (salt, rep, id); rep -1 carries weight 1 everywhere (the point
+    estimate rides the same aggregation). Shared by the bootstrap
+    mean and quantile estimators so the resample universe is
+    identical across statistics for the same salt."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_vc"),
+        F.explode(F.sequence(F.lit(-1), F.lit(int(n_reps) - 1))).alias("rep"),
+    )
+    key = F.concat(
+        F.lit(f"{salt}|"),
+        F.col("rep").cast("string"),
+        F.lit("|"),
+        F.col("_id"),
+    )
+    ppm = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    wt = F.lit(7)
+    for k in range(len(_POIS1_CDF_PPM) - 1, -1, -1):
+        wt = F.when(ppm < F.lit(_POIS1_CDF_PPM[k]), F.lit(k)).otherwise(wt)
+    wt = F.when(F.col("rep") == -1, F.lit(1)).otherwise(wt)
+    return base.withColumn("wt", wt.cast("long"))
+
+
 def poisson_bootstrap_means(
     df: DataFrame,
     group_col: str,
@@ -869,30 +906,9 @@ def poisson_bootstrap_means(
     |groups| * R rows; the final per-group collect_list holds R
     BIGINTs. No window over the fact table, no self-join.
     """
-    base = df.select(
-        F.col(group_col).alias("g"),
-        F.col(id_col).cast("string").alias("_id"),
-        F.col(value_col).cast("long").alias("_vc"),
-        F.explode(F.sequence(F.lit(-1), F.lit(int(n_reps) - 1))).alias("rep"),
-    )
-    key = F.concat(
-        F.lit(f"{salt}|"),
-        F.col("rep").cast("string"),
-        F.lit("|"),
-        F.col("_id"),
-    )
-    ppm = F.pmod(
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
-        F.lit(1_000_000),
-    )
-    wt = F.lit(7)
-    for k in range(len(_POIS1_CDF_PPM) - 1, -1, -1):
-        wt = F.when(ppm < F.lit(_POIS1_CDF_PPM[k]), F.lit(k)).otherwise(wt)
-    wt = F.when(F.col("rep") == -1, F.lit(1)).otherwise(wt)
-
+    base = _poisson_weighted(df, group_col, value_col, id_col, n_reps, salt)
     per_rep = (
-        base.withColumn("wt", wt.cast("long"))
-        .groupBy("g", "rep")
+        base.groupBy("g", "rep")
         .agg(
             F.sum("wt").alias("sw"),
             F.sum(F.expr("wt * _vc")).alias("svc"),
@@ -920,4 +936,70 @@ def poisson_bootstrap_means(
         )
         .cast("long")
         .alias("boot_hi_micro"),
+    )
+
+
+def poisson_bootstrap_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 24,
+    salt: str = "bootq1",
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Bootstrap confidence bounds for a per-group QUANTILE (default:
+    lower median) — the statistic where the bootstrap earns its keep:
+    a mean has a CLT standard error, a median does not. Same
+    deterministic Poisson-weight replicates as
+    ``poisson_bootstrap_means`` (same salt → same resample universe);
+    each replicate's quantile is the exact weighted quantile of its
+    resample (weighted_quantile's cross-multiplied threshold, values
+    with zero resample weight excluded). Output per group: n_events,
+    point_q (the weight-1 replicate), n_reps_used, boot_lo_q /
+    boot_hi_q (2nd / (R-1)th order statistics of the replicate
+    quantiles).
+
+    Scale shape: one HashAggregate onto (group, rep, value) cells,
+    one running-sum window over the DISTINCT-VALUE dim per
+    (group, rep) — the fact table itself is never windowed — then
+    R-sized collect_lists per group.
+    """
+    base = _poisson_weighted(df, group_col, value_col, id_col, n_reps, salt)
+    cells = (
+        base.groupBy("g", "rep", "_vc")
+        .agg(F.sum("wt").alias("wv"))
+        .where(F.col("wv") > 0)
+    )
+    w_run = Window.partitionBy("g", "rep").orderBy("_vc")
+    w_all = Window.partitionBy("g", "rep")
+    run = cells.select(
+        "g",
+        "rep",
+        "_vc",
+        F.sum("wv").over(w_run).alias("cumw"),
+        F.sum("wv").over(w_all).alias("tot"),
+    )
+    per_rep = (
+        run.where(F.col("cumw") * q_den >= F.col("tot") * q_num)
+        .groupBy("g", "rep")
+        .agg(F.min("_vc").alias("qv"), F.max("tot").alias("tot"))
+    )
+    agg = per_rep.groupBy("g").agg(
+        F.max(F.when(F.col("rep") == -1, F.col("tot"))).alias("n_events"),
+        F.max(F.when(F.col("rep") == -1, F.col("qv"))).alias("point_q"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rep") >= 0, F.col("qv")))
+        ).alias("qs"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("point_q").cast("long").alias("point_q"),
+        F.size("qs").cast("long").alias("n_reps_used"),
+        F.try_element_at("qs", F.lit(2)).cast("long").alias("boot_lo_q"),
+        F.try_element_at("qs", F.greatest(F.size("qs") - 1, F.lit(1)))
+        .cast("long")
+        .alias("boot_hi_q"),
     )

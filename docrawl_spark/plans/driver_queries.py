@@ -5853,6 +5853,25 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-event-type MEDIAN
+    value (datapipe/stats.poisson_bootstrap_quantiles) — the statistic
+    with no CLT standard error, where the bootstrap is the standard
+    answer. Same deterministic Poisson-weight replicates as
+    events_bootstrap_ci; each replicate's median is the exact weighted
+    quantile of its resample, in integer cents."""
+    from docrawl_spark.datapipe.stats import poisson_bootstrap_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return poisson_bootstrap_quantiles(
+        ev, "event_type", "vc", "event_id", n_reps=24, salt="bootq1"
+    )
+
+
 def q_pan_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Card-number (PAN) detection with Luhn mod-10 validation
     (datapipe/text.luhn_pan_audit): per doc, candidate digit runs vs
@@ -6547,6 +6566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "events_trimmed_stats": q_events_trimmed_stats,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "events_bootstrap_median": q_events_bootstrap_median,
         "pan_luhn_audit": q_pan_luhn_audit,
         "source_lang_chisq": q_source_lang_chisq,
         "source_drift_scores": q_source_drift_scores,
@@ -11971,6 +11991,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ms[2] AS BIGINT) AS boot_lo_micro,
                    CAST(ms[greatest(len(ms) - 1, 1)] AS BIGINT)
                      AS boot_hi_micro
+            FROM agg
+        """,
+        # bootstrap median: same Poisson-weight construction as
+        # events_bootstrap_ci (salt bootq1), each replicate's median =
+        # exact weighted quantile (cross-multiplied threshold); the
+        # running sum lives in its OWN CTE (DuckDB forbids nesting).
+        "events_bootstrap_median": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(event_id AS VARCHAR) AS id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            reps AS (
+              SELECT CAST(r.range AS BIGINT) AS rep FROM range(-1, 24) r),
+            x AS (
+              SELECT event_type, rep, vc,
+                     ('0x' || substr(md5('bootq1|' || CAST(rep AS VARCHAR)
+                        || '|' || id), 1, 15))::BIGINT % 1000000 AS ppm
+              FROM v CROSS JOIN reps),
+            w AS (
+              SELECT event_type, rep, vc,
+                     CASE WHEN rep = -1 THEN 1
+                          WHEN ppm < 367879 THEN 0
+                          WHEN ppm < 735759 THEN 1
+                          WHEN ppm < 919699 THEN 2
+                          WHEN ppm < 981012 THEN 3
+                          WHEN ppm < 996340 THEN 4
+                          WHEN ppm < 999406 THEN 5
+                          WHEN ppm < 999917 THEN 6
+                          ELSE 7 END AS wt
+              FROM x),
+            cells AS (
+              SELECT event_type, rep, vc,
+                     CAST(SUM(wt) AS BIGINT) AS wv
+              FROM w GROUP BY 1, 2, 3
+              HAVING CAST(SUM(wt) AS BIGINT) > 0),
+            run AS (
+              SELECT event_type, rep, vc,
+                     SUM(wv) OVER (PARTITION BY event_type, rep
+                                   ORDER BY vc) AS cumw,
+                     SUM(wv) OVER (PARTITION BY event_type, rep) AS tot
+              FROM cells),
+            q AS (
+              SELECT event_type, rep,
+                     MIN(vc) AS qv, MAX(tot) AS tot
+              FROM run WHERE cumw * 2 >= tot
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rep = -1 THEN tot END) AS n_events,
+                     MAX(CASE WHEN rep = -1 THEN qv END) AS point_q,
+                     list_sort(list(qv) FILTER (WHERE rep >= 0)) AS qs
+              FROM q GROUP BY 1)
+            SELECT event_type,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(point_q AS BIGINT) AS point_q,
+                   CAST(len(qs) AS BIGINT) AS n_reps_used,
+                   CAST(qs[2] AS BIGINT) AS boot_lo_q,
+                   CAST(qs[greatest(len(qs) - 1, 1)] AS BIGINT)
+                     AS boot_hi_q
             FROM agg
         """,
         # Luhn over md5-derived fixture runs: candidate index via the

@@ -424,3 +424,40 @@ def test_poisson_bootstrap_means_hand_and_plan(spark, plan_of):
     assert "CartesianProduct" not in plan
     assert "SortAggregate" not in plan
     assert "Window" not in plan
+
+
+def test_poisson_bootstrap_quantiles_hand_and_plan(spark, plan_of):
+    """The weight-1 replicate reproduces the exact lower median;
+    bounds are ordered and inside the value envelope; the result is
+    partitioning-invariant; the only window runs over the
+    (group, rep, value) cell dim, and nothing is cartesian."""
+    from docrawl_spark.datapipe.stats import poisson_bootstrap_quantiles
+
+    vals = [100, 101, 102, 150, 200, 201, 202, 300, 301, 400] * 6
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, vc long")
+    out = poisson_bootstrap_quantiles(
+        df, "event_type", "vc", "event_id", n_reps=24, salt="bootq1"
+    )
+    r = out.collect()[0].asDict()
+    svals = sorted(vals)
+    # lower weighted median with unit weights == value at ceil(n/2)
+    exact = svals[(len(svals) + 1) // 2 - 1]
+    assert r["n_events"] == len(vals)
+    assert r["point_q"] == exact
+    assert r["n_reps_used"] == 24
+    assert min(vals) <= r["boot_lo_q"] <= r["boot_hi_q"] <= max(vals)
+
+    again = poisson_bootstrap_quantiles(
+        df.repartition(5, "event_id"),
+        "event_type",
+        "vc",
+        "event_id",
+        n_reps=24,
+        salt="bootq1",
+    ).collect()[0].asDict()
+    assert again == r
+
+    plan = plan_of(out)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
