@@ -214,3 +214,78 @@ class WindowedSeenFilter:
 
     def live_epochs(self) -> list[int]:
         return [e for e, _ in self._shards]
+
+
+# ---------------------------------------------------------------------------
+# Relational Bloom twin — the filter as PLAIN SQL, for cross-engine
+# FPR calibration. The production Bloom above is numpy/xxhash64 inside
+# mapInPandas (fast, opaque); this twin builds the same double-hashed
+# bit set as ROWS (position = (h1 + i*h2) mod m), so membership and
+# the false-positive rate are auditable by any SQL engine, and the
+# no-false-negative property is checkable value-for-value.
+# ---------------------------------------------------------------------------
+
+
+def _sql_bloom_h(key_col, salt: str):
+    """60-bit md5 slice (DuckDB-reproducible) of salt|key."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), key_col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_bloom_positions(
+    df, key_col: str, m_bits: int = 1024, k: int = 3
+):
+    """(key, pos) rows: the k double-hashed bit positions of each key
+    — h1 = H('b1|key') mod m, step h2 = H('b2|key') mod (m-1) + 1
+    (never 0, so the k probes are distinct mod m when m is prime-ish
+    and k small). Feed the DISTINCT pos of the member set as the bit
+    array; a candidate is bloom-positive iff ALL its k positions are
+    set."""
+    from pyspark.sql import functions as F
+
+    key = F.col(key_col).cast("string")
+    h1 = _sql_bloom_h(key, "b1") % F.lit(m_bits)
+    h2 = _sql_bloom_h(key, "b2") % F.lit(m_bits - 1) + F.lit(1)
+    return df.select(
+        F.col(key_col),
+        h1.alias("_h1"),
+        h2.alias("_h2"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("_i"),
+    ).select(
+        key_col,
+        F.pmod(F.col("_h1") + F.col("_i") * F.col("_h2"), F.lit(m_bits)).alias(
+            "pos"
+        ),
+    )
+
+
+def sql_bloom_membership(
+    members, candidates, key_col: str, m_bits: int = 1024, k: int = 3
+):
+    """Per candidate key: bloom_positive (all k positions set by the
+    member set). Structurally zero false negatives; false positives
+    at the textbook (1 - e^(-kn/m))^k rate — the calibration twin for
+    sizing the production filter. Shape: one distinct over member
+    positions (≤ m rows — the bit array), broadcast to the candidate
+    probes, one HashAggregate; never a key-by-key join."""
+    from pyspark.sql import functions as F
+
+    bits = (
+        sql_bloom_positions(members, key_col, m_bits, k)
+        .select("pos")
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = sql_bloom_positions(candidates, key_col, m_bits, k)
+    return (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k)
+            .cast("int")
+            .alias("bloom_positive")
+        )
+    )

@@ -2954,6 +2954,28 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(hll_registers(urls, "url", p=6), p=6)
 
 
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom false-positive calibration (functions/bloom.
+    sql_bloom_membership): the relational double-hash twin of the
+    engine's numpy Bloom, sized tight (m=1024, k=3) so the fixture
+    actually exhibits false positives. Members = even doc_ids; every
+    URL probed; structurally zero false negatives, and the measured
+    FPR is what sizes the production filter. The bit array is the
+    DISTINCT member-position set (≤ m rows, broadcast)."""
+    from docrawl_spark.functions.bloom import sql_bloom_membership
+
+    urls = _doc_urls(spark, sf_dir).select("doc_id", "url")
+    members = urls.where(F.col("doc_id") % 2 == 0).select("url")
+    out = sql_bloom_membership(
+        members, urls.select("url"), "url", m_bits=1024, k=3
+    )
+    return out.join(urls, "url").select(
+        "url",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("truly_seen"),
+        "bloom_positive",
+    )
+
+
 def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day via HLL register merge
     (functions/sketches.hll_rolling_estimate): per-day sketches from
@@ -6461,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_cardinality": q_hll_host_cardinality,
         "hll_union_estimate": q_hll_union_estimate,
         "events_rolling_distinct": q_events_rolling_distinct,
+        "bloom_fpr_audit": q_bloom_fpr_audit,
         "cms_hot_hosts": q_cms_hot_hosts,
         "bm25_search": q_bm25_search,
         "snapshot_diff": q_snapshot_diff,
@@ -8876,6 +8899,43 @@ def oracle_sql() -> dict[str, str]:
                              THEN ([{_HLL_LC_TABLE}])[CAST(zeros AS INTEGER)]
                              ELSE raw END AS BIGINT) AS estimate_units
             FROM rawe
+        """,
+        # relational Bloom: positions (h1 + i*h2) % m from two md5
+        # salts; positive = all k positions in the member bit set.
+        "bloom_fpr_audit": f"""
+            WITH u AS ({_DOC_URLS_SQL}),
+            mh AS (
+              SELECT url,
+                     ('0x' || substr(md5('b1|' || url), 1, 15))::BIGINT
+                       % 1024 AS h1,
+                     ('0x' || substr(md5('b2|' || url), 1, 15))::BIGINT
+                       % 1023 + 1 AS h2
+              FROM u WHERE doc_id % 2 = 0),
+            mpos AS (
+              SELECT DISTINCT (h1 + t.i * h2) % 1024 AS pos
+              FROM mh, UNNEST([0, 1, 2]) AS t(i)),
+            ch AS (
+              SELECT url,
+                     ('0x' || substr(md5('b1|' || url), 1, 15))::BIGINT
+                       % 1024 AS h1,
+                     ('0x' || substr(md5('b2|' || url), 1, 15))::BIGINT
+                       % 1023 + 1 AS h2
+              FROM u),
+            cpos AS (
+              SELECT url, (h1 + t.i * h2) % 1024 AS pos
+              FROM ch, UNNEST([0, 1, 2]) AS t(i)),
+            hits AS (
+              SELECT c.url,
+                     SUM(CASE WHEN mp.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_hits
+              FROM cpos c LEFT JOIN mpos mp USING (pos)
+              GROUP BY 1)
+            SELECT u.url,
+                   CAST(CASE WHEN u.doc_id % 2 = 0 THEN 1 ELSE 0 END
+                     AS INTEGER) AS truly_seen,
+                   CAST(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END
+                     AS INTEGER) AS bloom_positive
+            FROM hits JOIN u USING (url)
         """,
         # rolling 7-day HLL: per-day registers, window-merged by
         # (win_day, bucket) MAX; same p=6 register/estimate arithmetic

@@ -87,3 +87,44 @@ def test_windowed_seen_filter_expiry():
     assert frac < 0.1, frac
     # current-window keys still all present
     assert w.contains(np.concatenate([epochs[3], epochs[4], epochs[5]])).all()
+
+
+def test_sql_bloom_twin_no_false_negatives_and_calibratable_fpr(spark):
+    """The relational Bloom twin: every member probes positive
+    (structural — its own positions are set), non-members show a
+    false-positive rate in the textbook band for m=256, k=3, n=60
+    (expected (1 - e^(-kn/m))^3 ~ 0.12), and the membership frame is
+    deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.functions.bloom import sql_bloom_membership
+
+    universe = spark.range(0, 400).select(
+        F.concat(F.lit("https://h.test/p/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+        (F.col("id") < 60).alias("member"),
+    )
+    members = universe.where("member").select("url")
+    out = sql_bloom_membership(members, universe, "url", m_bits=256, k=3)
+    joined = {
+        r["url"]: (r["member"], r["bloom_positive"])
+        for r in out.join(universe, "url").collect()
+    }
+    assert len(joined) == 400
+    n_fp = 0
+    for _url, (member, positive) in joined.items():
+        if member:
+            assert positive == 1  # no false negatives, ever
+        else:
+            n_fp += positive
+    # 340 non-members at ~12% expected FPR: demand a non-degenerate,
+    # sane band rather than a point (hash-deterministic, so stable)
+    assert 5 <= n_fp <= 120
+
+    again = sql_bloom_membership(
+        members.repartition(7), universe.repartition(5), "url", m_bits=256, k=3
+    )
+    assert {
+        (r["url"], r["bloom_positive"]) for r in again.collect()
+    } == {(u, p) for u, (_m, p) in joined.items()}
