@@ -1003,3 +1003,150 @@ def poisson_bootstrap_quantiles(
         .cast("long")
         .alias("boot_hi_q"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str, side_col: str
+) -> DataFrame:
+    """Per-group exact two-sample Kolmogorov-Smirnov distance between
+    the ``value_col`` distributions of side 0 and side 1 — the
+    nonparametric "did this numeric distribution DRIFT between two
+    populations" audit (weekday vs weekend telemetry, old crawl vs
+    recrawl latencies, shard A vs shard B quality scores). Complements
+    chisq_cells (categorical mix) and cusum/mann_kendall (rate over
+    time) with distribution SHAPE drift.
+
+    Everything is integer-exact and cross-engine: ``value_col`` must
+    already be an integral lattice (centi-units etc.), ``side_col`` a
+    0/1 int. With per-value counts a_v, b_v and totals n_a, n_b, the
+    classic D = max_v |A(v)/n_a - B(v)/n_b| over the cumulative counts
+    A, B is computed as the integer ``dnum = max |A(v)*n_b - B(v)*n_a|``
+    and reported as ``ks_ppm = dnum * 1e6 div (n_a*n_b)`` (DECIMAL(38,0)
+    arithmetic — the cross product passes BIGINT at ~3e9 rows/side;
+    DuckDB mirrors in HUGEINT for free). ``ks_at`` is the smallest
+    lattice value attaining the max (deterministic tie-break). Groups
+    with an empty side are excluded (D undefined).
+
+    Scale shape: one fact HashAggregate onto (g, value) — the only
+    corpus-sized shuffle; the cumulative window runs over the per-group
+    DISTINCT-VALUE LATTICE (bounded by the lattice, not row count —
+    centi-quantized telemetry has ≤ ~1e6 distinct cells regardless of
+    corpus size), then dim-sized broadcasts for totals and the argmax.
+    """
+    facts = df.where(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(side_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(side_col).alias("side"),
+    )
+    cnt = facts.groupBy("g", "v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("b_cnt"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "g",
+        "v",
+        F.sum("a_cnt").over(w).alias("cum_a"),
+        F.sum("b_cnt").over(w).alias("cum_b"),
+    )
+    tot = (
+        cnt.groupBy("g")
+        .agg(F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b"))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    d = cum.join(F.broadcast(tot), "g").select(
+        "g",
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast(_D) * F.col("n_b")
+            - F.col("cum_b").cast(_D) * F.col("n_a")
+        ).alias("dnum"),
+    )
+    mx = d.groupBy("g").agg(F.max("dnum").alias("dmax"))
+    return (
+        d.join(F.broadcast(mx), "g")
+        .where(F.col("dnum") == F.col("dmax"))
+        .groupBy("g", "n_a", "n_b", "dmax")
+        .agg(F.min("v").alias("ks_at"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                f"dmax * 1000000 div (CAST(n_a AS {_D}) * n_b)"
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+            F.col("ks_at").cast("long").alias("ks_at"),
+        )
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame, group_col: str, tick_col: str
+) -> DataFrame:
+    """Per-group Theil-Sen trend estimator over per-tick row counts:
+    the MEDIAN of all pairwise slopes (y_j - y_i)/(t_j - t_i) over
+    tick-ordered counts — the robust magnitude companion to
+    mann_kendall_trend (direction) and trend_ols (least-squares
+    magnitude, which one burst day can drag arbitrarily; the Theil-Sen
+    median has a 29% breakdown point). Unlike trend_ols this uses REAL
+    tick spacing (gaps count), so the slope is per tick-unit.
+
+    Integer-exact and cross-engine by construction: each pairwise
+    slope is first fixed to ``s_micro = (dy * 1e6) div dt`` under the
+    sign-symmetric truncating division (_signed_ppm — Spark div and
+    DuckDB // disagree on negative numerators), and the reported
+    statistic is the median over the DOUBLED domain
+    (``slope_med2_micro`` = percentile(2*s_micro, 0.5), exact because
+    even-n midpoints of even integers are integers) — i.e. exactly 2x
+    the median micro-slope. The statistic is DEFINED over the
+    truncated micro-slopes, which makes it reproducible to the bit on
+    both engines.
+
+    Scale shape: one fact HashAggregate onto (g, t), then a per-group
+    pair self-join over the TICK DIM (m² on days — m=365 is 66k pairs,
+    never corpus-sized), one exact-percentile HashAggregate whose
+    buffer is the pair dim. Groups with < 2 ticks drop (no pairs)."""
+    ticks = _tick_counts(df, group_col, tick_col, cast_long=True)
+    a = ticks.select("g", F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = ticks.select("g", F.col("t").alias("tj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("ti") < F.col("tj"))
+        .select(
+            "g",
+            (F.col("yj") - F.col("yi")).alias("dy"),
+            (F.col("tj") - F.col("ti")).alias("dt"),
+        )
+    )
+    slopes = pairs.select(
+        "g", F.expr(_signed_ppm("dy", "dt")).cast("long").alias("s_micro")
+    )
+    m = ticks.groupBy("g").agg(F.count(F.lit(1)).alias("n_ticks"))
+    return (
+        slopes.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.percentile(F.col("s_micro") * 2, F.lit(0.5))
+            .cast("long")
+            .alias("slope_med2_micro"),
+        )
+        .join(F.broadcast(m), "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_ticks").cast("long").alias("n_ticks"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_med2_micro"),
+        )
+    )

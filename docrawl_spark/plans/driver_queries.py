@@ -6149,6 +6149,46 @@ def q_events_daily_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_ols(ev, "event_type", "day")
 
 
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday value-distribution drift per event_type:
+    exact two-sample Kolmogorov-Smirnov distance in ppm over
+    centi-quantized values (datapipe/stats.ks_two_sample) — the
+    distribution-SHAPE companion to events_value_drift (mean-level)
+    and events_cusum_day (rate over time). Day-of-week derives from
+    epoch-day mod 7 (day 0 = Thu 1970-01-01, so weekend Sat/Sun =
+    {2, 3}) — engine-neutral, unlike dayofweek() whose origin differs
+    between Spark (1=Sun) and DuckDB (0=Sun). ``ks_at`` is the
+    smallest centi-value attaining the max gap."""
+    from docrawl_spark.datapipe.stats import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7"
+            " IN (2, 3) AS INT)"
+        ).alias("side"),
+    )
+    return ks_two_sample(ev, "event_type", "vc", "side")
+
+
+def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen trend over daily counts on the REAL
+    epoch-day axis (datapipe/stats.theil_sen_trend): median pairwise
+    micro-slope, robust where one bot-storm day drags the OLS slope
+    (events_daily_ols) arbitrarily. Pair fan-out over the day DIM
+    only; doubled-domain median keeps it integer-exact cross-engine."""
+    from docrawl_spark.datapipe.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("day_idx"),
+    )
+    return theil_sen_trend(ev, "event_type", "day_idx")
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6604,6 +6644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_gini": q_events_user_gini,
         "events_mk_trend": q_events_mk_trend,
         "events_daily_ols": q_events_daily_ols,
+        "events_ks_drift": q_events_ks_drift,
+        "events_theilsen_trend": q_events_theilsen_trend,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -12452,6 +12494,79 @@ def oracle_sql() -> dict[str, str]:
                              // slope_den
                         END AS BIGINT) AS slope_micro
             FROM d
+        """,
+        "events_ks_drift": """
+            WITH vals AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 100) AS BIGINT) AS v,
+                     CASE WHEN date_diff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) % 7 IN (2, 3)
+                          THEN 1 ELSE 0 END AS side
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND ts IS NOT NULL),
+            cnt AS (
+              SELECT g, v,
+                     SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a_cnt,
+                     SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b_cnt
+              FROM vals GROUP BY g, v),
+            cum AS (
+              SELECT g, v,
+                     SUM(a_cnt) OVER (PARTITION BY g ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     SUM(b_cnt) OVER (PARTITION BY g ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM cnt),
+            tot AS (
+              SELECT g, CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+                     CAST(SUM(b_cnt) AS BIGINT) AS n_b
+              FROM cnt GROUP BY g
+              HAVING SUM(a_cnt) > 0 AND SUM(b_cnt) > 0),
+            d AS (
+              SELECT c.g, c.v, t.n_a, t.n_b,
+                     ABS(CAST(c.cum_a AS HUGEINT) * t.n_b
+                         - CAST(c.cum_b AS HUGEINT) * t.n_a) AS dnum
+              FROM cum c JOIN tot t ON c.g = t.g),
+            mx AS (SELECT g, MAX(dnum) AS dmax FROM d GROUP BY g)
+            SELECT d.g AS event_type,
+                   CAST(MAX(d.n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(d.n_b) AS BIGINT) AS n_b,
+                   CAST(MAX(d.dnum) * 1000000
+                        // (CAST(MAX(d.n_a) AS HUGEINT) * MAX(d.n_b))
+                        AS BIGINT) AS ks_ppm,
+                   CAST(MIN(d.v) AS BIGINT) AS ks_at
+            FROM d JOIN mx ON d.g = mx.g AND d.dnum = mx.dmax
+            GROUP BY d.g
+        """,
+        "events_theilsen_trend": """
+            WITH f AS (
+              SELECT event_type AS g,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS t
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            ticks AS (SELECT g, t, COUNT(*) AS y FROM f GROUP BY g, t),
+            p AS (
+              SELECT a.g,
+                     CAST(b.y - a.y AS BIGINT) AS dy,
+                     CAST(b.t - a.t AS BIGINT) AS dt
+              FROM ticks a JOIN ticks b ON a.g = b.g AND a.t < b.t),
+            slopes AS (
+              SELECT g,
+                     CAST(CASE WHEN dy < 0
+                          THEN -(CAST(-dy AS HUGEINT) * 1000000 // dt)
+                          ELSE CAST(dy AS HUGEINT) * 1000000 // dt
+                          END AS BIGINT) AS s_micro
+              FROM p),
+            m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_ticks
+                  FROM ticks GROUP BY g)
+            SELECT s.g AS event_type,
+                   MAX(m.n_ticks) AS n_ticks,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(quantile_cont(2 * s.s_micro, 0.5) AS BIGINT)
+                       AS slope_med2_micro
+            FROM slopes s JOIN m ON s.g = m.g
+            GROUP BY s.g
         """,
         "events_rate_dispersion": """
             WITH f AS (

@@ -461,3 +461,89 @@ def test_poisson_bootstrap_quantiles_hand_and_plan(spark, plan_of):
     plan = plan_of(out)
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- KS drift
+
+
+def test_ks_two_sample_hand_reference(spark):
+    from docrawl_spark.datapipe.stats import ks_two_sample
+
+    rows = [("g", v, 0) for v in [1, 2, 3, 4]] + [
+        ("g", v, 1) for v in [3, 4, 5, 6]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, side int")
+    out = ks_two_sample(df, "g", "v", "side").collect()
+    assert len(out) == 1
+    r = out[0]
+    # cumulative A over v=1..6: 1,2,3,4,4,4; B: 0,0,1,2,3,4 (n_a=n_b=4)
+    # dnum = |A*4 - B*4| = 4,8,8,8,4,0 -> max 8 first at v=2
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.ks_ppm == (8 * 1000000) // 16  # D = 0.5
+    assert r.ks_at == 2
+
+
+def test_ks_two_sample_identical_and_excluded_groups(spark):
+    from docrawl_spark.datapipe.stats import ks_two_sample
+
+    rows = (
+        [("same", v, 0) for v in [10, 20, 30]]
+        + [("same", v, 1) for v in [10, 20, 30]]
+        + [("onesided", v, 0) for v in [1, 2]]  # no side-1 rows: excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v long, side int")
+    got = {r.g: r for r in ks_two_sample(df, "g", "v", "side").collect()}
+    assert set(got) == {"same"}
+    assert got["same"].ks_ppm == 0
+    assert got["same"].ks_at == 10  # deterministic tie-break: min lattice v
+
+
+def test_ks_two_sample_disjoint_is_full_distance(spark):
+    from docrawl_spark.datapipe.stats import ks_two_sample
+
+    rows = [("g", v, 0) for v in [1, 2]] + [("g", v, 1) for v in [5, 6]]
+    df = spark.createDataFrame(rows, "g string, v long, side int")
+    r = ks_two_sample(df, "g", "v", "side").collect()[0]
+    assert r.ks_ppm == 1000000  # fully separated distributions
+    assert r.ks_at == 2
+
+
+# ------------------------------------------------------------- Theil-Sen
+
+
+def _ts_frame(spark, ticks):
+    """ticks: list of (g, t, y) -> one row per unit of y."""
+    rows = [(g, t) for (g, t, y) in ticks for _ in range(y)]
+    return spark.createDataFrame(rows, "g string, t long")
+
+
+def test_theil_sen_hand_reference_with_gap(spark):
+    from docrawl_spark.datapipe.stats import theil_sen_trend
+
+    # y = 2,4,6,7 at t = 0,1,2,10 — pairwise micro-slopes:
+    # 2e6, 2e6, 5e5, 2e6, 333333, 125000 -> doubled sorted
+    # [25e4, 666666, 1e6, 4e6, 4e6, 4e6], median = (1e6+4e6)/2
+    df = _ts_frame(spark, [("g", 0, 2), ("g", 1, 4), ("g", 2, 6), ("g", 10, 7)])
+    r = theil_sen_trend(df, "g", "t").collect()[0]
+    assert (r.n_ticks, r.n_pairs) == (4, 6)
+    assert r.slope_med2_micro == 2500000
+
+
+def test_theil_sen_negative_slope_sign_symmetric(spark):
+    from docrawl_spark.datapipe.stats import theil_sen_trend
+
+    df = _ts_frame(spark, [("g", 0, 5), ("g", 1, 3), ("g", 2, 1)])
+    r = theil_sen_trend(df, "g", "t").collect()[0]
+    assert r.slope_med2_micro == -4000000  # all pairwise slopes = -2/tick
+
+
+def test_theil_sen_robust_to_single_burst_day(spark):
+    from docrawl_spark.datapipe.stats import theil_sen_trend, trend_ols
+
+    # flat series y=3 except one 100x bot-storm day
+    ticks = [("g", t, 3) for t in range(9)] + [("g", 9, 300)]
+    df = _ts_frame(spark, ticks)
+    ts = theil_sen_trend(df, "g", "t").collect()[0]
+    ols = trend_ols(df, "g", "t").collect()[0]
+    assert ts.slope_med2_micro == 0  # median slope unmoved by the burst
+    assert ols.slope_micro > 1000000  # OLS dragged hard by the same day
