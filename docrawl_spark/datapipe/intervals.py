@@ -30,7 +30,7 @@ length so the per-row fan-out stays O(1-3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _B = "__ovl_bucket"
@@ -88,3 +88,82 @@ def overlap_join_bucketed(
         & (F.col(_B) == F.greatest(F.col("__first_l"), F.col("__first_r")))
     )
     return joined.select(*left.columns, *right.columns)
+
+
+def scd2_intervals(
+    df: DataFrame, key_col: str, tick_col: str, attr_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension (SCD Type 2) interval build — the
+    classic gaps-and-islands collapse: per ``key_col``, observations
+    ordered by ``tick_col`` are grouped into maximal runs of identical
+    ``attr_col`` values, and each run becomes one versioned validity
+    row (valid_from, valid_to, version, n_obs, is_current). This is
+    how a crawl turns per-wave host observations (status class, robots
+    signature, mirror target ...) into a warehouse dimension that
+    history queries can join AS OF any tick.
+
+    Semantics: runs are over the OBSERVATION sequence, not the
+    calendar — a gap in ticks does not close a run unless the value
+    changed when observation resumed. NULL attrs are real values (a
+    host that stopped reporting is a state): run comparison uses
+    null-safe equality. ``version`` is 1-based per key in tick order;
+    ``is_current`` marks the run containing the key's newest tick.
+
+    Cross-engine note (CLAUDE.md): the change flag uses lag() and the
+    run id a running SUM over it — DuckDB forbids nesting the lag
+    inside the window SUM, so both engines materialize the lag in its
+    own select before the running sum.
+
+    Scale shape: two windows over (key × that key's own ticks) — the
+    per-key observation count bounds the window, never the corpus —
+    then one HashAggregate onto (key, run). A key with 10^5 snapshots
+    is one task's window; per-host wave observations are years of
+    dailies at worst. Output is dim-sized (runs ≤ observations)."""
+    w = Window.partitionBy("k").orderBy("t")
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        F.col(tick_col).alias("t"),
+        F.col(attr_col).alias("a"),
+    )
+    lagged = obs.select(
+        "k", "t", "a", F.lag("a").over(w).alias("prev_a"),
+        F.row_number().over(w).alias("rn"),
+    )
+    flagged = lagged.select(
+        "k",
+        "t",
+        "a",
+        F.when(
+            (F.col("rn") == 1) | ~F.col("a").eqNullSafe(F.col("prev_a")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.select(
+        "k",
+        "t",
+        "a",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    per_run = runs.groupBy("k", "version", "a").agg(
+        F.min("t").alias("valid_from"),
+        F.max("t").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    newest = per_run.groupBy("k").agg(F.max("valid_to").alias("max_to"))
+    return (
+        per_run.join(F.broadcast(newest), "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("version").cast("long").alias("version"),
+            F.col("a").alias(attr_col),
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long").alias("valid_to"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            (F.col("valid_to") == F.col("max_to"))
+            .cast("int")
+            .alias("is_current"),
+        )
+    )

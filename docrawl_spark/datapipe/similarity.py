@@ -575,3 +575,135 @@ def margin_mine_pairs(
             "id_a", "id_b", F.col("c_ppm").alias("cosine_ppm"), "margin_ppm"
         )
     )
+
+
+def triplet_mining(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    margin_ppm: int = 200_000,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Supervised contrastive TRIPLET mining over an embedding corpus
+    — the training-pair generator for metric-learning / embedding
+    fine-tuning (FaceNet-style hard-negative mining): for every anchor
+    vector, the best POSITIVE (highest-cosine candidate sharing the
+    anchor's ``label_col``) and the HARDEST NEGATIVE (highest-cosine
+    candidate with a different label), plus a ``violates_margin`` flag
+    (neg_cos + margin > pos_cos — exactly the triplets a trainer wants
+    first). Anchors missing either side are dropped.
+
+    Candidates come from the same SRP multi-probe equi-join as
+    margin_mine_pairs / embedding_neardup_bucketed — anchors explode
+    hamming-``probe_hamming`` probe keys, candidates key on their raw
+    bucket, so the pair space is bucket collisions, never the corpus
+    cross-join. Hard negatives are exactly what LSH buckets surface:
+    high-cosine different-label neighbors collide by construction.
+
+    Cross-engine-exact argmax WITHOUT struct aggregates (struct-max
+    demotes to SortAggregate — CLAUDE.md): each candidate packs into
+    one BIGINT ``(c_ppm + 1e6) * 1e12 + (1e12 - 1 - id)`` — cosine
+    desc then id asc — and the per-anchor argmax is a plain MAX
+    HashAggregate; ids must fit < 1e12 (pack ≤ 2e18 < 2^63). NULL
+    labels are excluded (unlabeled rows can anchor nothing).
+
+    Scale shape: one probe-key equi-join (explicit repartition on the
+    join key as the AQE fan-out guard), one HashAggregate per anchor.
+    """
+    from itertools import combinations
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = (
+        emb.where(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("_lab"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .withColumn("_bucket", srp_bucket_col(F.col("_v"), planes))
+        .withColumn("_n", _norm(F.col("_v")))
+    )
+    probe_keys = [F.col("_bucket")]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            probe_keys.append(F.col("_bucket").bitwiseXOR(F.lit(mask)))
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_lab").alias("lab_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
+        F.explode(F.array(*probe_keys)).alias("_probe"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_lab").alias("lab_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_bucket").alias("_probe"),
+    )
+    a = a.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "_probe"
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        dot / (F.col("n_a") * F.col("n_b")),
+    ).otherwise(F.lit(0.0))
+    pack = (F.round(cos * 1_000_000).cast("long") + F.lit(1_000_000)) * F.lit(
+        1_000_000_000_000
+    ) + (F.lit(999_999_999_999) - F.col("id_b"))
+    cands = (
+        a.join(b, "_probe")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "lab_a",
+            F.when(F.col("lab_a") == F.col("lab_b"), pack).alias("pos_pack"),
+            F.when(F.col("lab_a") != F.col("lab_b"), pack).alias("neg_pack"),
+        )
+    )
+    best = (
+        cands.groupBy("id_a", "lab_a")
+        .agg(
+            F.max("pos_pack").alias("pp"), F.max("neg_pack").alias("np")
+        )
+        .where(F.col("pp").isNotNull() & F.col("np").isNotNull())
+    )
+    t = F.lit(1_000_000_000_000)
+    return best.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("lab_a").cast("int").alias("label"),
+        (F.lit(999_999_999_999) - F.col("pp") % t).cast("long").alias(
+            "pos_id"
+        ),
+        (F.expr("pp div 1000000000000") - F.lit(1_000_000))
+        .cast("long")
+        .alias("pos_cos_ppm"),
+        (F.lit(999_999_999_999) - F.col("np") % t).cast("long").alias(
+            "neg_id"
+        ),
+        (F.expr("np div 1000000000000") - F.lit(1_000_000))
+        .cast("long")
+        .alias("neg_cos_ppm"),
+        (
+            F.expr("np div 1000000000000") + F.lit(margin_ppm)
+            > F.expr("pp div 1000000000000")
+        )
+        .cast("int")
+        .alias("violates_margin"),
+    )

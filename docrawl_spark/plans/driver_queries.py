@@ -6189,6 +6189,50 @@ def q_events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(ev, "event_type", "day_idx")
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised contrastive triplet mining over the embeddings table
+    (datapipe/similarity.triplet_mining): per anchor, best same-label
+    positive + hardest different-label negative from SRP hamming-1
+    bucket candidates, with the margin-violation flag trainers sample
+    first. Packed-BIGINT argmax keeps it one HashAggregate and
+    hash-exact cross-engine."""
+    from docrawl_spark.datapipe.similarity import triplet_mining
+
+    return triplet_mining(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+def q_host_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 host-dimension build (datapipe/intervals.
+    scd2_intervals): per-host daily event-volume class observations
+    (low/mid/high by daily count) collapsed gaps-and-islands style
+    into versioned validity intervals (valid_from, valid_to, version,
+    is_current) — how per-wave host observations become a warehouse
+    dimension joinable AS OF any tick. Hosts simulated as user_id %
+    50; day is the engine-neutral epoch-day index."""
+    from docrawl_spark.datapipe.intervals import scd2_intervals
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 50).alias("host_id"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    obs = daily.select(
+        "host_id",
+        "day_idx",
+        F.when(F.col("y") < 5, "low")
+        .when(F.col("y") < 9, "mid")
+        .otherwise("high")
+        .alias("volume_class"),
+    )
+    return scd2_intervals(obs, "host_id", "day_idx", "volume_class")
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6646,6 +6690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_ols": q_events_daily_ols,
         "events_ks_drift": q_events_ks_drift,
         "events_theilsen_trend": q_events_theilsen_trend,
+        "host_status_scd2": q_host_status_scd2,
+        "contrastive_triplets": q_contrastive_triplets,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11354,6 +11400,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
         """,
+        # Triplet mining: same SRP bucket + packed-BIGINT argmax as the
+        # Spark side; // and div agree (packs are non-negative).
+        "contrastive_triplets": f"""
+            WITH bk AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                     {_srp_bucket_sql(64, 8, 42)} AS bucket
+              FROM embeddings WHERE label IS NOT NULL),
+            c AS (
+              SELECT a.vec_id AS id_a, a.label AS lab_a, b.label AS lab_b,
+                     (CAST(ROUND(list_cosine_similarity(a.v, b.v)
+                                 * 1000000) AS BIGINT) + 1000000)
+                       * 1000000000000
+                       + (999999999999 - b.vec_id) AS pack
+              FROM bk a JOIN bk b
+                ON a.vec_id <> b.vec_id
+               AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+            best AS (
+              SELECT id_a, lab_a,
+                     MAX(CASE WHEN lab_a = lab_b THEN pack END) AS pp,
+                     MAX(CASE WHEN lab_a <> lab_b THEN pack END) AS np
+              FROM c GROUP BY id_a, lab_a)
+            SELECT id_a AS anchor_id,
+                   CAST(lab_a AS INT) AS label,
+                   CAST(999999999999 - pp % 1000000000000 AS BIGINT)
+                     AS pos_id,
+                   CAST(pp // 1000000000000 - 1000000 AS BIGINT)
+                     AS pos_cos_ppm,
+                   CAST(999999999999 - np % 1000000000000 AS BIGINT)
+                     AS neg_id,
+                   CAST(np // 1000000000000 - 1000000 AS BIGINT)
+                     AS neg_cos_ppm,
+                   CAST(CASE WHEN np // 1000000000000 + 200000
+                                  > pp // 1000000000000
+                        THEN 1 ELSE 0 END AS INT) AS violates_margin
+            FROM best WHERE pp IS NOT NULL AND np IS NOT NULL
+        """,
         # Chao1 (bias-corrected) + Good-Turing: pure BIGINT, // matches
         # Spark div on non-negative operands.
         "crawl_completeness": f"""
@@ -12537,6 +12619,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(d.v) AS BIGINT) AS ks_at
             FROM d JOIN mx ON d.g = mx.g AND d.dnum = mx.dmax
             GROUP BY d.g
+        """,
+        "host_status_scd2": """
+            WITH daily AS (
+              SELECT user_id % 50 AS k,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS t,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            obs AS (
+              SELECT k, t,
+                     CASE WHEN y < 5 THEN 'low'
+                          WHEN y < 9 THEN 'mid'
+                          ELSE 'high' END AS a
+              FROM daily),
+            lagged AS (
+              SELECT k, t, a,
+                     LAG(a) OVER (PARTITION BY k ORDER BY t) AS prev_a,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn
+              FROM obs),
+            flagged AS (
+              SELECT k, t, a,
+                     CASE WHEN rn = 1 OR prev_a IS DISTINCT FROM a
+                          THEN 1 ELSE 0 END AS chg
+              FROM lagged),
+            runs AS (
+              SELECT k, t, a,
+                     SUM(chg) OVER (PARTITION BY k ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS version
+              FROM flagged),
+            per_run AS (
+              SELECT k, version, a,
+                     MIN(t) AS valid_from, MAX(t) AS valid_to,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM runs GROUP BY k, version, a),
+            newest AS (
+              SELECT k, MAX(valid_to) AS max_to FROM per_run GROUP BY k)
+            SELECT p.k AS host_id,
+                   CAST(p.version AS BIGINT) AS version,
+                   p.a AS volume_class,
+                   CAST(p.valid_from AS BIGINT) AS valid_from,
+                   CAST(p.valid_to AS BIGINT) AS valid_to,
+                   p.n_obs AS n_obs,
+                   CAST(CASE WHEN p.valid_to = n.max_to THEN 1 ELSE 0
+                        END AS INT) AS is_current
+            FROM per_run p JOIN newest n ON p.k = n.k
         """,
         "events_theilsen_trend": """
             WITH f AS (

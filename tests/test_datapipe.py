@@ -1699,3 +1699,43 @@ def test_luhn_pan_audit_known_numbers(spark, plan_of):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_triplet_mining_picks_best_pos_and_hardest_neg(spark):
+    """Per anchor: highest-cosine same-label candidate as positive,
+    highest-cosine different-label as hard negative, margin flag set
+    exactly when neg_cos + 0.2e6 > pos_cos. n_planes=2 +
+    probe_hamming=2 makes every pair a candidate — the test pins the
+    selection algebra, not LSH recall."""
+    from docrawl_spark.datapipe.similarity import triplet_mining
+
+    rows = [
+        (0, 1, [1.0, 0.0, 0.0, 0.0]),   # anchor under test
+        (1, 1, [1.0, 0.2, 0.0, 0.0]),   # same label, cos ~ .981  <- pos
+        (2, 1, [0.0, 1.0, 0.0, 0.0]),   # same label, cos 0
+        (3, 2, [1.0, 0.5, 0.0, 0.0]),   # diff label, cos ~ .894  <- neg
+        (4, 2, [0.0, 0.0, 1.0, 0.0]),   # diff label, cos 0
+        (5, None, [1.0, 0.0, 0.0, 0.0]),  # unlabeled: excluded entirely
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {
+        r["anchor_id"]: r
+        for r in triplet_mining(
+            emb, n_planes=2, probe_hamming=2, dim=4
+        ).collect()
+    }
+    assert 5 not in out
+    a = out[0]
+    assert (a["pos_id"], a["neg_id"]) == (1, 3)
+    assert a["pos_cos_ppm"] > 980000 and 890000 < a["neg_cos_ppm"] < 900000
+    # neg (.894) + .2 > pos (.981): violation
+    assert a["violates_margin"] == 1
+    # anchor 4: pos is the orthogonal 3 (cos 0), negs are all cos 0
+    # except... every other vector has cos 0 with e3 -> no violation
+    # margin: 0 + 200000 > 0 -> violates. Check flag logic directly:
+    assert out[4]["violates_margin"] == 1
+    # tie-break: anchor 2's negatives 3 and 4 — cos(2,3) ~ .447 beats
+    # cos(2,4)=0, so neg is 3 (higher cosine, not lower id 4).
+    assert out[2]["neg_id"] == 3

@@ -93,3 +93,60 @@ def test_overlap_hypothesis_any_width(spark, lspec, rspec, width):
     rows = [(x["lid"], x["rid"]) for x in got.collect()]
     assert len(rows) == len(set(rows))
     assert set(rows) == _brute(left, right)
+
+
+# ----------------------------------------------------------------- SCD2
+
+
+def _scd2(spark, rows):
+    from docrawl_spark.datapipe.intervals import scd2_intervals
+
+    df = spark.createDataFrame(rows, "k string, t long, a string")
+    out = scd2_intervals(df, "k", "t", "a").collect()
+    return {
+        (r.k, r.version): (r.a, r.valid_from, r.valid_to, r.n_obs, r.is_current)
+        for r in out
+    }
+
+
+def test_scd2_basic_runs(spark):
+    got = _scd2(
+        spark,
+        [
+            ("h", 1, "ok"), ("h", 2, "ok"), ("h", 3, "slow"),
+            ("h", 5, "slow"), ("h", 9, "ok"),
+        ],
+    )
+    assert got == {
+        ("h", 1): ("ok", 1, 2, 2, 0),
+        ("h", 2): ("slow", 3, 5, 2, 0),  # the 3->5 tick gap does NOT split
+        ("h", 3): ("ok", 9, 9, 1, 1),  # newest run is current
+    }
+
+
+def test_scd2_gap_does_not_close_run_and_null_attrs_are_states(spark):
+    got = _scd2(
+        spark,
+        [
+            ("h", 1, "ok"), ("h", 7, "ok"),  # same value across a gap: one run
+            ("h", 8, None), ("h", 9, None),  # NULL is a real state (one run)
+            ("h", 10, "ok"),
+        ],
+    )
+    assert got == {
+        ("h", 1): ("ok", 1, 7, 2, 0),
+        ("h", 2): (None, 8, 9, 2, 0),
+        ("h", 3): ("ok", 10, 10, 1, 1),
+    }
+
+
+def test_scd2_per_key_independence(spark):
+    got = _scd2(
+        spark,
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "x"), ("b", 2, "x")],
+    )
+    assert got == {
+        ("a", 1): ("x", 1, 1, 1, 0),
+        ("a", 2): ("y", 2, 2, 1, 1),
+        ("b", 1): ("x", 1, 2, 2, 1),
+    }
