@@ -858,3 +858,122 @@ def test_streaming_cms_counters_match_batch_and_bound(spark, tmp_path):
     }
     # upper bound, exact here (3 keys in 4x1024 cells never collide)
     assert est == {"a.test": 9, "b.test": 2, "nope.test": 0}
+
+
+# ------------------------------------------------- stream-stream join
+
+
+def _ssj_sources(spark, tmp_path):
+    fetches = [
+        ("h1.test", "http://h1.test/a", 200, "2026-01-01 00:10:00"),
+        ("h3.test", "http://h3.test/x", 200, "2026-01-01 00:10:00"),
+    ]
+    robots = [
+        ("h1.test", "sigA", "2026-01-01 00:05:00"),  # 300 s old: match
+        ("h1.test", "sigB", "2026-01-01 00:09:00"),  # 60 s old: match
+        ("h1.test", "sigC", "2026-01-01 00:10:30"),  # future: no match
+        ("h1.test", "sigD", "2025-12-31 23:50:00"),  # > lag_s: no match
+        ("h2.test", "sigE", "2026-01-01 00:09:00"),  # other host
+    ]
+    fsrc, rsrc = str(tmp_path / "fet"), str(tmp_path / "rob")
+    spark.createDataFrame(
+        fetches, "host string, url string, status int, ts_s string"
+    ).select("host", "url", "status", F.to_timestamp("ts_s").alias("fetched_at")).write.parquet(fsrc)
+    spark.createDataFrame(
+        robots, "host string, robots_sig string, ts_s string"
+    ).select("host", "robots_sig", F.to_timestamp("ts_s").alias("published_at")).write.parquet(rsrc)
+    fs = spark.readStream.schema(
+        "host string, url string, status int, fetched_at timestamp"
+    ).parquet(fsrc)
+    rs = spark.readStream.schema(
+        "host string, robots_sig string, published_at timestamp"
+    ).parquet(rsrc)
+    return fs, rs
+
+
+def test_stream_stream_interval_join_inner(spark, tmp_path):
+    from docrawl_spark.streaming.joins import robots_fetch_interval_join
+
+    fs, rs = _ssj_sources(spark, tmp_path)
+    out = robots_fetch_interval_join(fs, rs, lag_s=600, watermark_s=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_inner")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["host"], r["robots_sig"], r["robots_age_s"])
+        for r in spark.sql("SELECT * FROM ssj_inner").collect()
+    }
+    # exactly the in-window same-host snapshots; h3 (no robots) absent
+    assert got == {("h1.test", "sigA", 300), ("h1.test", "sigB", 60)}
+
+
+def test_stream_stream_interval_join_left_outer_starts(spark, tmp_path):
+    """leftOuter form is accepted by the planner and runs; null-side
+    emission awaits watermark closure, so tiny inputs may emit only
+    matches — assert the matched rows and that h3's row, if emitted,
+    carries nulls."""
+    from docrawl_spark.streaming.joins import robots_fetch_interval_join
+
+    fs, rs = _ssj_sources(spark, tmp_path)
+    out = robots_fetch_interval_join(
+        fs, rs, lag_s=600, watermark_s=60, how="leftOuter"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ssj_outer").collect()
+    sigs = {r["robots_sig"] for r in rows if r["robots_sig"] is not None}
+    assert sigs == {"sigA", "sigB"}
+    for r in rows:
+        if r["host"] == "h3.test":
+            assert r["robots_sig"] is None and r["robots_age_s"] is None
+
+
+def test_newest_robots_per_fetch_reduce(spark):
+    from docrawl_spark.streaming.joins import newest_robots_per_fetch
+
+    rows = [
+        # (host, url, status, fetched_at, robots_sig, published_at, age)
+        ("h1", "u1", 200, "2026-01-01 00:10:00", "old", "2026-01-01 00:05:00", 300),
+        ("h1", "u1", 200, "2026-01-01 00:10:00", "new", "2026-01-01 00:09:00", 60),
+        # tie on age: deterministic winner (same every run)
+        ("h2", "u2", 200, "2026-01-01 00:10:00", "t1", "2026-01-01 00:09:00", 60),
+        ("h2", "u2", 200, "2026-01-01 00:10:00", "t2", "2026-01-01 00:09:00", 60),
+        # leftOuter no-match row: null robots must PASS THROUGH
+        ("h3", "u3", 200, "2026-01-01 00:10:00", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "host string, url string, status int, f_s string, robots_sig string,"
+        " p_s string, robots_age_s long",
+    ).select(
+        "host", "url", "status",
+        F.to_timestamp("f_s").alias("fetched_at"),
+        "robots_sig",
+        F.to_timestamp("p_s").alias("published_at"),
+        "robots_age_s",
+    )
+    out = {r["host"]: r for r in newest_robots_per_fetch(df).collect()}
+    assert len(out) == 3
+    assert out["h1"]["robots_sig"] == "new"
+    assert out["h2"]["robots_sig"] in ("t1", "t2")
+    # and the tie winner is stable across invocations
+    again = {r["host"]: r for r in newest_robots_per_fetch(df).collect()}
+    assert again["h2"]["robots_sig"] == out["h2"]["robots_sig"]
+    assert out["h3"]["robots_sig"] is None
