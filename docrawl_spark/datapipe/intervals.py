@@ -63,6 +63,7 @@ def overlap_join_bucketed(
     right_start: str,
     right_end: str,
     bucket_width: int,
+    keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Inner-join ``left`` x ``right`` on closed-interval overlap
     (l_start <= r_end AND r_start <= l_end), each overlapping pair
@@ -70,9 +71,14 @@ def overlap_join_bucketed(
     frames (rename before calling). Returns left columns then right
     columns; the bucket/bookkeeping columns are dropped.
 
+    ``keys`` adds equi-join key pairs ``(left_col, right_col)`` on top
+    of the time bucket — the per-entity temporal join (host AS-OF a
+    versioned dimension): the shuffle key becomes (entity, bucket), so
+    a hot time bucket still spreads across entities.
+
     Plan shape: explode (per-row fan-out len/width + 1) -> one equi
-    shuffle on the bucket id -> residual overlap filter. Never a
-    cartesian; plan-asserted in tests/test_intervals.py.
+    shuffle on the (keys..., bucket) composite -> residual overlap
+    filter. Never a cartesian; plan-asserted in tests/test_intervals.py.
     """
     overlap_names = set(left.columns) & set(right.columns)
     if overlap_names:
@@ -81,11 +87,19 @@ def overlap_join_bucketed(
     rb = _bucketed(right, right_start, right_end, bucket_width, "r")
     ls, le = F.col(left_start).cast("long"), F.col(left_end).cast("long")
     rs, re_ = F.col(right_start).cast("long"), F.col(right_end).cast("long")
-    joined = lb.join(rb, on=_B, how="inner").where(
+    cond = F.col(f"{_B}_l") == F.col(f"{_B}_r")
+    lb = lb.withColumnRenamed(_B, f"{_B}_l")
+    rb = rb.withColumnRenamed(_B, f"{_B}_r")
+    for lk, rk in keys or []:
+        cond = cond & (F.col(lk) == F.col(rk))
+    joined = lb.join(rb, on=cond, how="inner").where(
         (ls <= re_)
         & (rs <= le)
         # first common bucket only: exactly-once without a distinct
-        & (F.col(_B) == F.greatest(F.col("__first_l"), F.col("__first_r")))
+        & (
+            F.col(f"{_B}_l")
+            == F.greatest(F.col("__first_l"), F.col("__first_r"))
+        )
     )
     return joined.select(*left.columns, *right.columns)
 

@@ -6233,6 +6233,52 @@ def q_host_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(obs, "host_id", "day_idx", "volume_class")
 
 
+def q_events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension time-travel: every event joined AS OF its day against
+    the versioned SCD2 host dimension (q_host_status_scd2) via the
+    bucketized interval join with the host as an extra equi-key
+    (datapipe/intervals.overlap_join_bucketed keys=...) — the pattern
+    that answers "what policy/state governed this fact when it
+    happened" without a full-history window. Events are day-point
+    intervals; the composite (host, bucket) shuffle key keeps hot days
+    spread across hosts. Aggregated to per-class totals; every event
+    lands in exactly one validity run by construction, so
+    SUM(n_events) equals the event count — the exactly-once invariant
+    the oracle re-checks with a BETWEEN join."""
+    from docrawl_spark.datapipe.intervals import overlap_join_bucketed
+
+    dim = q_host_status_scd2(spark, sf_dir).select(
+        F.col("host_id").alias("dim_host"),
+        "volume_class",
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            (F.col("user_id") % 50).alias("f_host"),
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("f_day"),
+        )
+    )
+    joined = overlap_join_bucketed(
+        facts,
+        dim,
+        "f_day",
+        "f_day",
+        "valid_from",
+        "valid_to",
+        bucket_width=8,
+        keys=[("f_host", "dim_host")],
+    )
+    return joined.groupBy("volume_class").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("f_host", "f_day").alias("n_host_days"),
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6692,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen_trend": q_events_theilsen_trend,
         "host_status_scd2": q_host_status_scd2,
         "contrastive_triplets": q_contrastive_triplets,
+        "events_scd2_asof": q_events_scd2_asof,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -12666,6 +12713,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN p.valid_to = n.max_to THEN 1 ELSE 0
                         END AS INT) AS is_current
             FROM per_run p JOIN newest n ON p.k = n.k
+        """,
+        "events_scd2_asof": """
+            WITH daily AS (
+              SELECT user_id % 50 AS k,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS t,
+                     CAST(COUNT(*) AS BIGINT) AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            obs AS (
+              SELECT k, t,
+                     CASE WHEN y < 5 THEN 'low'
+                          WHEN y < 9 THEN 'mid'
+                          ELSE 'high' END AS a
+              FROM daily),
+            lagged AS (
+              SELECT k, t, a,
+                     LAG(a) OVER (PARTITION BY k ORDER BY t) AS prev_a,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) AS rn
+              FROM obs),
+            flagged AS (
+              SELECT k, t, a,
+                     CASE WHEN rn = 1 OR prev_a IS DISTINCT FROM a
+                          THEN 1 ELSE 0 END AS chg
+              FROM lagged),
+            runs AS (
+              SELECT k, t, a,
+                     SUM(chg) OVER (PARTITION BY k ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS version
+              FROM flagged),
+            dim AS (
+              SELECT k, version, a AS volume_class,
+                     MIN(t) AS valid_from, MAX(t) AS valid_to
+              FROM runs GROUP BY k, version, a),
+            facts AS (
+              SELECT user_id % 50 AS f_host,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS f_day
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT d.volume_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT (f.f_host, f.f_day)) AS BIGINT)
+                     AS n_host_days
+            FROM facts f JOIN dim d
+              ON f.f_host = d.k
+             AND f.f_day BETWEEN d.valid_from AND d.valid_to
+            GROUP BY d.volume_class
         """,
         "events_theilsen_trend": """
             WITH f AS (

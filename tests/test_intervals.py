@@ -150,3 +150,25 @@ def test_scd2_per_key_independence(spark):
         ("a", 2): ("y", 2, 2, 1, 1),
         ("b", 1): ("x", 1, 2, 2, 1),
     }
+
+
+def test_overlap_join_with_entity_keys(spark):
+    """keys=... adds an equi-key to the bucket join: same time window on
+    different entities must NOT match, and the plan stays an equi hash
+    join (no cartesian / BNLJ)."""
+    left = spark.createDataFrame(
+        [("h1", 5, 5), ("h2", 5, 5)], "lh string, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [("h1", 0, 10, "r1"), ("h2", 20, 30, "r2")],
+        "rh string, rs long, re long, rid string",
+    )
+    out = overlap_join_bucketed(
+        left, right, "ls", "le", "rs", "re", bucket_width=4,
+        keys=[("lh", "rh")],
+    )
+    rows = [(r["lh"], r["rid"]) for r in out.collect()]
+    assert rows == [("h1", "r1")]  # h2's day-5 point is outside r2
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
