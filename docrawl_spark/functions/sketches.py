@@ -415,3 +415,120 @@ def chao1_completeness(
         ).alias("coverage_ppm"),
         F.expr("f1 * 1000000L div n_discoveries").alias("unseen_mass_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — distinct-set OVERLAP estimation
+# ---------------------------------------------------------------------------
+
+
+def kmv_mins(
+    df: DataFrame, group_col: str, key_col: str, k: int = 128
+) -> DataFrame:
+    """K-minimum-values sketch per group: the k smallest DISTINCT
+    60-bit hashes of ``key_col`` — the sketch HLL can't replace when
+    the question is set ALGEBRA (intersection / difference / Jaccard
+    between corpus slices), not just size: two KMV sketches compose
+    into union/intersection estimates; HLL unions but never
+    intersects without inclusion-exclusion error blowup.
+
+    Output: (group, h, rn) with rn = 1..k in hash order — theta (the
+    kth min) is ``max(h)``, and the group's own cardinality estimate
+    is ``(k-1) * 2^60 div theta`` (exact count when the group has
+    < k distinct keys; see kmv_pair_overlap).
+
+    Scale shape: one distinct HashAggregate onto (g, h) — the only
+    corpus-sized shuffle — then the SALTED two-phase top-k (phase 1
+    bounds every window partition to one salt's share; phase 2 ranks
+    <= 17*k survivors per group): the operators/politeness.budget_topk
+    pattern, immune to a group holding 10^9 distinct keys."""
+    h = _hash60(F.col(key_col).cast("string"))
+    dg = (
+        df.where(F.col(group_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("g", F.col("h") % 17).orderBy("h")
+    survivors = dg.withColumn("_rn1", F.row_number().over(w1)).where(
+        F.col("_rn1") <= k
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("g", "h", "rn")
+    )
+
+
+def kmv_pair_overlap(mins: DataFrame, k: int = 128) -> DataFrame:
+    """All-pairs set-overlap estimates between the groups of a
+    ``kmv_mins`` sketch table. For each group pair (a < b), the union
+    sketch is the k smallest hashes of mins_a UNION mins_b with theta
+    its kth value; ``inter_in_uk`` counts union-sketch entries present
+    in BOTH sides, giving the unbiased Jaccard estimate
+    ``inter_in_uk / k_u`` and from it the intersection size. All
+    integer: estimates use DECIMAL(38,0) internally ((k-1)*2^60
+    passes BIGINT at k > 8) and truncating div — DuckDB mirrors in
+    HUGEINT. Groups with < k distinct keys estimate EXACTLY (theta
+    then covers the whole set; est = observed count).
+
+    Scale shape: the input is already the dim-sized sketch table
+    (groups x k rows); pair fan-out is groups^2, each pair carrying
+    <= 2k rows through one window — sketch algebra, never the corpus."""
+    from pyspark.sql import Window
+
+    groups = mins.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .join(groups.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+        .withColumn("pair_id", F.concat_ws("|", "g_a", "g_b"))
+    )
+    members = pairs.select(
+        "pair_id", "g_a", "g_b", F.explode(F.array("g_a", "g_b")).alias("g")
+    )
+    pu = (
+        members.join(mins, "g")
+        .groupBy("pair_id", "g_a", "g_b", "h")
+        .agg(
+            F.max((F.col("g") == F.col("g_a")).cast("int")).alias("in_a"),
+            F.max((F.col("g") == F.col("g_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("pair_id").orderBy("h")
+    ranked = pu.withColumn("urn", F.row_number().over(wu)).where(
+        F.col("urn") <= k
+    )
+    agg = ranked.groupBy("pair_id", "g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_uk"),
+    )
+    two60 = 1 << 60
+    est_union = F.when(
+        F.col("k_u") < k, F.col("k_u").cast("long")
+    ).otherwise(
+        F.expr(f"CAST((k_u - 1) AS DECIMAL(38,0)) * {two60} div theta")
+        .cast("long")
+    )
+    return (
+        agg.select(
+            "g_a",
+            "g_b",
+            F.col("k_u").cast("long").alias("k_u"),
+            F.col("theta").cast("long").alias("theta"),
+            F.col("inter_in_uk").cast("long").alias("inter_in_uk"),
+            est_union.alias("est_union"),
+            F.expr("CAST(inter_in_uk AS BIGINT) * 1000000 div k_u")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr(
+                "CAST(est_union AS DECIMAL(38,0)) * inter_in_uk div k_u"
+            ).cast("long"),
+        )
+    )

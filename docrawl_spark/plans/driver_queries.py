@@ -6279,6 +6279,41 @@ def q_events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap via KMV/theta sketches
+    (functions/sketches.kmv_mins + kmv_pair_overlap, k=64): union /
+    intersection / Jaccard ESTIMATES from k-minimum-values sketch
+    algebra — the constant-memory twin of the exact
+    vocab_source_jaccard inverted-index join (at 10^5 sources the
+    exact token fan-out explodes; sketches keep 64 longs per source).
+    Accuracy vs the exact query is property-tested in
+    test_sketches_search.py; the oracle pins the sketch construction
+    bit-for-bit (shared md5 60-bit hash)."""
+    from docrawl_spark.datapipe.text import tokens_col
+    from docrawl_spark.functions.sketches import kmv_mins, kmv_pair_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.explode(tokens_col(F.col("text"))).alias("token"),
+        )
+        .where(F.length("token") >= 1)
+    )
+    mins = kmv_mins(toks, "src", "token", k=64)
+    return kmv_pair_overlap(mins, k=64).select(
+        F.col("g_a").alias("source_a"),
+        F.col("g_b").alias("source_b"),
+        "k_u",
+        "theta",
+        "inter_in_uk",
+        "est_union",
+        "jaccard_ppm",
+        "est_inter",
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6739,6 +6774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_status_scd2": q_host_status_scd2,
         "contrastive_triplets": q_contrastive_triplets,
         "events_scd2_asof": q_events_scd2_asof,
+        "source_vocab_kmv": q_source_vocab_kmv,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11446,6 +11482,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, c_ppm AS cosine_ppm,
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
+        """,
+        # KMV/theta sketch: shared md5 60-bit hash; HUGEINT mirrors the
+        # Spark DECIMAL(38,0) estimate arithmetic ((k-1)*2^60 > BIGINT).
+        "source_vocab_kmv": r"""
+            WITH toks AS (
+              SELECT DISTINCT source AS g,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                       AS h
+              FROM (SELECT source,
+                           UNNEST(string_split(lower(regexp_replace(
+                             trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+                    FROM documents
+                    WHERE source IS NOT NULL AND text IS NOT NULL)
+              WHERE len(tok) >= 1),
+            mins AS (
+              SELECT g, h FROM (
+                SELECT g, h,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h)
+                         AS rn
+                FROM toks) WHERE rn <= 64),
+            gs AS (SELECT DISTINCT g FROM mins),
+            pairs AS (
+              SELECT a.g AS g_a, b.g AS g_b
+              FROM gs a JOIN gs b ON a.g < b.g),
+            pu AS (
+              SELECT p.g_a, p.g_b, m.h,
+                     MAX(CASE WHEN m.g = p.g_a THEN 1 ELSE 0 END) AS in_a,
+                     MAX(CASE WHEN m.g = p.g_b THEN 1 ELSE 0 END) AS in_b
+              FROM pairs p JOIN mins m ON m.g IN (p.g_a, p.g_b)
+              GROUP BY p.g_a, p.g_b, m.h),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY g_a, g_b
+                                           ORDER BY h) AS urn
+              FROM pu),
+            agg AS (
+              SELECT g_a, g_b, CAST(COUNT(*) AS BIGINT) AS k_u,
+                     CAST(MAX(h) AS BIGINT) AS theta,
+                     CAST(SUM(in_a * in_b) AS BIGINT) AS inter_in_uk
+              FROM ranked WHERE urn <= 64 GROUP BY g_a, g_b),
+            est AS (
+              SELECT *,
+                     CAST(CASE WHEN k_u < 64 THEN k_u
+                          ELSE CAST(k_u - 1 AS HUGEINT)
+                               * 1152921504606846976 // theta
+                          END AS BIGINT) AS est_union
+              FROM agg)
+            SELECT g_a AS source_a, g_b AS source_b, k_u, theta,
+                   inter_in_uk, est_union,
+                   CAST(inter_in_uk * 1000000 // k_u AS BIGINT)
+                     AS jaccard_ppm,
+                   CAST(CAST(est_union AS HUGEINT) * inter_in_uk // k_u
+                        AS BIGINT) AS est_inter
+            FROM est
         """,
         # Triplet mining: same SRP bucket + packed-BIGINT argmax as the
         # Spark side; // and div agree (packs are non-negative).

@@ -555,3 +555,62 @@ def test_hll_rolling_estimate_matches_direct_window_union(spark):
             0
         ]["estimate_units"]
         assert out[d] == direct, f"day {d}: rolling {out[d]} != direct {direct}"
+
+
+# --------------------------------------------------------------- KMV/theta
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with < k distinct keys: the sketch IS the set, so union,
+    intersection, and Jaccard are exact."""
+    from docrawl_spark.functions.sketches import kmv_mins, kmv_pair_overlap
+
+    rows = [("A", f"t{i}") for i in range(30)] + [
+        ("B", f"t{i}") for i in range(20, 60)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    mins = kmv_mins(df, "g", "key", k=128)
+    out = kmv_pair_overlap(mins, k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    # |A|=30, |B|=40, inter=10, union=60
+    assert r["k_u"] == 60
+    assert r["est_union"] == 60
+    assert r["inter_in_uk"] == 10
+    assert r["est_inter"] == 10
+    assert r["jaccard_ppm"] == 10 * 1000000 // 60
+
+
+def test_kmv_estimates_within_tolerance_above_k(spark):
+    """2000-token union with 500 shared, k=128: estimates must land
+    within ~4/sqrt(k) (~35%) of truth — the sketch bound with margin
+    for an unlucky hash draw on one fixed seedless md5 universe."""
+    from docrawl_spark.functions.sketches import kmv_mins, kmv_pair_overlap
+
+    rows = [("X", f"tok{i}") for i in range(1250)] + [
+        ("Y", f"tok{i}") for i in range(750, 2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = kmv_pair_overlap(kmv_mins(df, "g", "key", k=128), k=128).collect()[0]
+    assert out["k_u"] == 128
+    assert abs(out["est_union"] - 2000) <= 700
+    assert abs(out["est_inter"] - 500) <= 260
+    assert abs(out["jaccard_ppm"] - 250000) <= 130000
+
+
+def test_kmv_mins_is_k_smallest_distinct(spark):
+    """The sketch holds exactly the k smallest distinct hashes —
+    duplicates collapse and rn is dense in hash order."""
+    from docrawl_spark.functions.sketches import _hash60, kmv_mins
+
+    rows = [("g", f"v{i % 40}") for i in range(400)]  # heavy duplicates
+    df = spark.createDataFrame(rows, "g string, key string")
+    got = kmv_mins(df, "g", "key", k=10).collect()
+    hs = sorted(r["h"] for r in got)
+    assert len(got) == 10
+    assert [r["h"] for r in sorted(got, key=lambda r: r["rn"])] == hs
+    exact = sorted(
+        r["h"]
+        for r in df.select(_hash60(F.col("key")).alias("h")).distinct().collect()
+    )[:10]
+    assert hs == exact
