@@ -155,6 +155,10 @@ def rank_drift_stats(
       max-form (KS sees one big localized shift; TV sees mass spread
       across many cells).
 
+    For the VALUE at which the KS gap peaks (the separating
+    threshold), use ks_two_sample — the location drill-down this
+    panel deliberately omits.
+
     Groups missing either sample are excluded (no comparison exists).
     Scale shape: one fact HashAggregate onto (group, value) cells,
     two windows over the DISTINCT-VALUE dim per group (never the
@@ -1008,13 +1012,14 @@ def poisson_bootstrap_quantiles(
 def ks_two_sample(
     df: DataFrame, group_col: str, value_col: str, side_col: str
 ) -> DataFrame:
-    """Per-group exact two-sample Kolmogorov-Smirnov distance between
-    the ``value_col`` distributions of side 0 and side 1 — the
-    nonparametric "did this numeric distribution DRIFT between two
-    populations" audit (weekday vs weekend telemetry, old crawl vs
-    recrawl latencies, shard A vs shard B quality scores). Complements
-    chisq_cells (categorical mix) and cusum/mann_kendall (rate over
-    time) with distribution SHAPE drift.
+    """Per-group exact two-sample Kolmogorov-Smirnov distance WITH the
+    location of the maximum divergence — the drill-down companion to
+    rank_drift_stats (which reports MW-AUC/KS/TV magnitudes but not
+    WHERE the distributions diverge): ``ks_at`` is the lattice value
+    at which the cumulative gap peaks, i.e. the threshold that best
+    separates the two populations (latency shifted above 300 ms; the
+    quality split moved at score 0.42). Use rank_drift_stats for the
+    full drift panel; this when the answer must name the break point.
 
     Everything is integer-exact and cross-engine: ``value_col`` must
     already be an integral lattice (centi-units etc.), ``side_col`` a

@@ -6153,8 +6153,9 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekend-vs-weekday value-distribution drift per event_type:
     exact two-sample Kolmogorov-Smirnov distance in ppm over
     centi-quantized values (datapipe/stats.ks_two_sample) — the
-    distribution-SHAPE companion to events_value_drift (mean-level)
-    and events_cusum_day (rate over time). Day-of-week derives from
+    LOCATION drill-down next to events_value_drift's magnitude panel
+    (rank_drift_stats: MW-AUC/KS/TV): this one names the centi-value
+    where the cumulative gap peaks. Day-of-week derives from
     epoch-day mod 7 (day 0 = Thu 1970-01-01, so weekend Sat/Sun =
     {2, 3}) — engine-neutral, unlike dayofweek() whose origin differs
     between Spark (1=Sun) and DuckDB (0=Sun). ``ks_at`` is the
