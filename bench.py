@@ -121,6 +121,12 @@ HEADLINE = [
     "vocab_growth",
     "char_runs",
     "events_mad_outliers",
+    # round-3 session-8: KMV sketch algebra (salted top-k windows +
+    # pair union ranking), SRP-bucketed triplet mining (packed argmax),
+    # and the SCD2 build + entity-keyed interval as-of join
+    "source_vocab_kmv",
+    "contrastive_triplets",
+    "events_scd2_asof",
 ]
 
 

@@ -478,3 +478,76 @@ def greedy_budget_select(
         F.row_number().over(w).cast("long").alias("pick_rank"),
     )
     return ranked.where(F.col("cum_cost") <= budget)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    step: int,
+    salt: str = "pps",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size SYSTEMATIC
+    sampling per group — the byte-weighted corpus sampler: lay the
+    group's rows on a weight line in hash order and select every row
+    whose weight interval covers a multiple of ``step``. Expected
+    inclusion is min(w/step, 1) with ZERO randomness state — the same
+    input always yields the same sample (the hash order is the random
+    rotation), and heavy rows (w >= step) are always selected with
+    ``n_hits`` = how many lattice points they cover (their replication
+    multiplicity for Horvitz-Thompson reweighting: est_total =
+    sum n_hits * step).
+
+    Unlike stratified_sample (uniform per-row coin flips) this weights
+    inclusion by ``weight_col`` (bytes, tokens, cost) — the estimator
+    of any weight-proportional total is exactly unbiased under the
+    systematic design.
+
+    Selection rule in pure integers (non-negative weights; negative or
+    null weights are dropped): with inclusive cumulative weight C and
+    row weight w, selected iff ``C div step > (C - w) div step``.
+
+    Scale shape: one per-group window (prefix sum over the group's own
+    rows in hash order) — groups are strata dims (source, lang,
+    shard); a 10^9-row group is one ordered window partition, so
+    pre-shard the group key if strata are corpus-sized. Output is the
+    sampled subset with lineage (cum_w, n_hits)."""
+    from pyspark.sql import Window
+
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    rows = df.where(
+        F.col(group_col).isNotNull() & (F.col(weight_col) >= 0)
+    ).withColumn(
+        "_skey",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_skey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rows.withColumn(
+        "cum_w", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    hits = F.expr(
+        f"cum_w div {int(step)} - (cum_w - {weight_col}) div {int(step)}"
+    )
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .where(F.col("n_hits") > 0)
+        .drop("_skey")
+    )

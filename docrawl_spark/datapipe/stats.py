@@ -1155,3 +1155,65 @@ def theil_sen_trend(
             F.col("slope_med2_micro"),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ls: list[int],
+) -> DataFrame:
+    """Distinct l-diversity audit — k_anonymity's companion: a class
+    can be large (k-anonymous) yet still leak if every member shares
+    the same SENSITIVE value, so for each threshold l in ``ls`` count
+    the equivalence classes (quasi-identifier tuples) whose number of
+    DISTINCT ``sensitive_col`` values is below l, and the rows exposed
+    in them. NULL quasi values are real classes (they identify); NULL
+    sensitive values are dropped from the distinct count (an absent
+    attribute discloses nothing) but their rows still count as
+    exposed members.
+
+    Returns one row per l: (l, n_classes, n_rows, classes_below,
+    rows_at_risk, min_diversity).
+
+    Scale shape: one fact HashAggregate onto (quasi..., sensitive)
+    cells, one class-dim aggregate, then a |ls|-way fan-out of the
+    class DIM — the k_anonymity shape with one extra dedup level."""
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col).alias("_s")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    classes = cells.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("_n").alias("sz"),
+        F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0)).alias(
+            "n_distinct_sensitive"
+        ),
+    )
+    fanned = classes.select(
+        "sz",
+        "n_distinct_sensitive",
+        F.explode(F.array(*[F.lit(int(l)) for l in ls])).alias("l"),
+    )
+    return (
+        fanned.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").alias("n_rows"),
+            F.sum(
+                F.when(F.col("n_distinct_sensitive") < F.col("l"), 1).otherwise(0)
+            ).alias("classes_below"),
+            F.sum(
+                F.when(
+                    F.col("n_distinct_sensitive") < F.col("l"), F.col("sz")
+                ).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.min("n_distinct_sensitive").alias("min_diversity"),
+        )
+        .select(
+            F.col("l").cast("long").alias("l"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("classes_below").cast("long").alias("classes_below"),
+            F.col("rows_at_risk").cast("long").alias("rows_at_risk"),
+            F.col("min_diversity").cast("long").alias("min_diversity"),
+        )
+    )

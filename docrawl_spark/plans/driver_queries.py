@@ -6315,6 +6315,46 @@ def q_source_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-weighted systematic PPS sample of documents per source
+    (datapipe/sampling.pps_systematic_sample, step=1000 chars):
+    inclusion probability proportional to n_chars, zero randomness
+    state, Horvitz-Thompson multiplicities in n_hits — the
+    curation-time "sample 0.1% of bytes, not 0.1% of docs" primitive
+    (doc-uniform sampling over-represents short docs in byte space).
+    """
+    from docrawl_spark.datapipe.sampling import pps_systematic_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = pps_systematic_sample(
+        docs, "source", "doc_id", "n_chars", step=1000
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cum_w").cast("long").alias("cum_w"),
+        "n_hits",
+    )
+
+
+def q_docs_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity release audit over documents
+    (datapipe/stats.l_diversity): quasi-identifier = (lang,
+    100-char length bucket), sensitive attribute = source — how many
+    quasi classes would reveal their members' source because every
+    member shares it. The k-anonymity companion (docs_k_anonymity):
+    size protects identity, diversity protects the attribute."""
+    from docrawl_spark.datapipe.stats import l_diversity
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.expr("n_chars div 100").alias("len_bucket"), "source"
+    )
+    return l_diversity(docs, ["lang", "len_bucket"], "source", [2, 3, 5, 10])
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6776,6 +6816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": q_contrastive_triplets,
         "events_scd2_asof": q_events_scd2_asof,
         "source_vocab_kmv": q_source_vocab_kmv,
+        "docs_pps_sample": q_docs_pps_sample,
+        "docs_l_diversity": q_docs_l_diversity,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11483,6 +11525,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, c_ppm AS cosine_ppm,
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
+        """,
+        # PPS systematic sampling: shared md5 hash order; // == div on
+        # the non-negative cumulative weights.
+        "docs_pps_sample": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(('0x' || substr(md5('pps|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS skey
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars >= 0),
+            cum AS (
+              SELECT source, doc_id, n_chars,
+                     SUM(n_chars) OVER (PARTITION BY source ORDER BY skey
+                                        ROWS UNBOUNDED PRECEDING) AS cum_w
+              FROM r)
+            SELECT source, doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cum_w AS BIGINT) AS cum_w,
+                   CAST(cum_w // 1000 - (cum_w - n_chars) // 1000
+                        AS BIGINT) AS n_hits
+            FROM cum
+            WHERE cum_w // 1000 - (cum_w - n_chars) // 1000 > 0
+        """,
+        "docs_l_diversity": """
+            WITH cells AS (
+              SELECT lang, n_chars // 100 AS len_bucket, source,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2, 3),
+            classes AS (
+              SELECT lang, len_bucket, CAST(SUM(n) AS BIGINT) AS sz,
+                     CAST(SUM(CASE WHEN source IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM cells GROUP BY 1, 2),
+            f AS (SELECT sz, nd, UNNEST([2, 3, 5, 10]) AS l FROM classes)
+            SELECT CAST(l AS BIGINT) AS l,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN nd < l THEN 1 ELSE 0 END)
+                        AS BIGINT) AS classes_below,
+                   CAST(SUM(CASE WHEN nd < l THEN sz ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(MIN(nd) AS BIGINT) AS min_diversity
+            FROM f GROUP BY l
         """,
         # KMV/theta sketch: shared md5 60-bit hash; HUGEINT mirrors the
         # Spark DECIMAL(38,0) estimate arithmetic ((k-1)*2^60 > BIGINT).

@@ -1739,3 +1739,47 @@ def test_triplet_mining_picks_best_pos_and_hardest_neg(spark):
     # tie-break: anchor 2's negatives 3 and 4 — cos(2,3) ~ .447 beats
     # cos(2,4)=0, so neg is 3 (higher cosine, not lower id 4).
     assert out[2]["neg_id"] == 3
+
+
+# ----------------------------------------------------------- PPS sampling
+
+
+def test_pps_sample_telescoping_and_heavy_rows(spark):
+    """Sum of n_hits per group telescopes to total_weight div step
+    exactly; rows with w >= step are always selected; zero-weight rows
+    never are; deterministic across invocations."""
+    from docrawl_spark.datapipe.sampling import pps_systematic_sample
+
+    rows = (
+        [("g1", i, 500) for i in range(10)]          # total 5000
+        + [("g1", 100, 5000)]                         # heavy row
+        + [("g1", 101, 0)]                            # zero weight
+        + [("g2", i, 300) for i in range(200, 207)]   # total 2100
+    )
+    df = spark.createDataFrame(rows, "src string, id long, w long")
+    out = pps_systematic_sample(df, "src", "id", "w", step=1000).collect()
+    hits = {}
+    for r in out:
+        hits[r["src"]] = hits.get(r["src"], 0) + r["n_hits"]
+        assert r["n_hits"] >= 1
+    assert hits["g1"] == 10000 // 1000  # telescoped exactly
+    assert hits["g2"] == 2100 // 1000
+    ids_g1 = {r["id"] for r in out if r["src"] == "g1"}
+    assert 100 in ids_g1       # heavy row always in
+    assert 101 not in ids_g1   # zero-weight row never in
+    heavy = next(r for r in out if r["id"] == 100)
+    assert heavy["n_hits"] in (5, 6)  # w=5*step covers 5 +- alignment
+
+    again = pps_systematic_sample(df, "src", "id", "w", step=1000).collect()
+    assert sorted((r["src"], r["id"]) for r in again) == sorted(
+        (r["src"], r["id"]) for r in out
+    )
+
+
+def test_pps_sample_rejects_bad_step(spark):
+    from docrawl_spark.datapipe.sampling import pps_systematic_sample
+    import pytest as _pt
+
+    df = spark.createDataFrame([("g", 1, 1)], "src string, id long, w long")
+    with _pt.raises(ValueError):
+        pps_systematic_sample(df, "src", "id", "w", step=0)

@@ -979,3 +979,37 @@ def test_bucketed_band_index_probe_is_exchange_free_on_index_side(spark, tmp_pat
     got = {(r["new_id"], r["corpus_id"]) for r in probed.collect()}
     assert got == live and len(got) > 0
     spark.sql("DROP TABLE bt_band_index")
+
+
+def test_triplet_mining_is_bucket_joined(spark):
+    """Triplet candidates must come from the SRP probe equi-join —
+    never an anchors x corpus cross — and the per-anchor argmax must
+    stay a codegen HashAggregate (the packed-BIGINT design), not a
+    struct-min SortAggregate demotion."""
+    from docrawl_spark.datapipe.similarity import triplet_mining
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(triplet_mining(emb, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_probe" in plan  # the bucket equi-join key
+    assert "SortAggregate" not in plan
+
+
+def test_kmv_mins_salted_two_phase_and_pair_join_shape(spark):
+    """kmv_mins must run the salted two-phase top-k (phase-1 window
+    partitioned by (g, h % 17) so a hot group spreads over salts), and
+    kmv_pair_overlap's member-to-mins join must be a hash equi-join on
+    g — the only nested-loop is the groups-dim pair cross (dim x dim,
+    documented benign)."""
+    from docrawl_spark.functions.sketches import kmv_mins, kmv_pair_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mins = kmv_mins(docs.select("source", "text"), "source", "text", k=16)
+    p1 = plan_of(mins)
+    assert "pmod" in p1 or "% 17" in p1  # salted phase-1 partition key
+    assert p1.count("RunningWindowFunction") >= 1 or "Window" in p1
+    pairs = kmv_pair_overlap(mins, k=16)
+    p2 = plan_of(pairs)
+    assert "CartesianProduct" not in p2  # pair cross broadcasts (dim)
+    assert "BroadcastHashJoin" in p2 or "SortMergeJoin" in p2

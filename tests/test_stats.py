@@ -547,3 +547,34 @@ def test_theil_sen_robust_to_single_burst_day(spark):
     ols = trend_ols(df, "g", "t").collect()[0]
     assert ts.slope_med2_micro == 0  # median slope unmoved by the burst
     assert ols.slope_micro > 1000000  # OLS dragged hard by the same day
+
+
+# ------------------------------------------------------------ l-diversity
+
+
+def test_l_diversity_hand_reference(spark):
+    from docrawl_spark.datapipe.stats import l_diversity
+
+    rows = [
+        # class (en, 1): 3 rows, all source A -> diversity 1
+        ("en", 1, "A"), ("en", 1, "A"), ("en", 1, "A"),
+        # class (en, 2): 2 rows, sources A, B -> diversity 2
+        ("en", 2, "A"), ("en", 2, "B"),
+        # class (de, 1): 2 rows, one NULL sensitive -> diversity 1,
+        # but BOTH rows count as exposed members
+        ("de", 1, "C"), ("de", 1, None),
+        # class (NULL, 9): null quasi is a real class, diversity 1
+        (None, 9, "D"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, b long, src string")
+    out = {
+        r["l"]: r for r in l_diversity(df, ["lang", "b"], "src", [2, 3]).collect()
+    }
+    assert out[2]["n_classes"] == 4 and out[2]["n_rows"] == 8
+    # classes below l=2: (en,1), (de,1), (NULL,9) -> 3+2+1 = 6 rows
+    assert out[2]["classes_below"] == 3
+    assert out[2]["rows_at_risk"] == 6
+    assert out[2]["min_diversity"] == 1
+    # l=3: (en,2) with diversity 2 also falls below
+    assert out[3]["classes_below"] == 4
+    assert out[3]["rows_at_risk"] == 8
