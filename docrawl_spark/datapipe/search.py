@@ -487,3 +487,58 @@ def rbo_overlap(
             ).cast("long").alias("rbo_ppm"),
         )
     )
+
+
+def retrieval_mrr(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    rel_min: int = 1,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Integer-exact MRR / hit-rate / precision@k — the binary-judged
+    companion to retrieval_ndcg (graded): per query, the rank of the
+    FIRST relevant result (rel >= ``rel_min``) gives
+    ``rr_ppm = 1e6 div first_hit_rank`` (the reciprocal-rank term a
+    macro average sums), plus ``n_hits`` in the top-k and textbook
+    ``precision_ppm = n_hits * 1e6 div k`` (denominator k even when
+    fewer rows were ranked). Queries whose top-k has no relevant doc
+    emit first_hit_rank = 0 / rr_ppm = 0 — present with zero credit,
+    exactly how trec_eval folds misses into the mean.
+
+    Scale shape: one (query, doc) equi-join, one query-grain
+    HashAggregate — the min-rank argmin needs no window."""
+    r = ranked.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).where(F.col(rank_col) <= k)
+    qr = qrels.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("d"),
+        F.col(rel_col).cast("int").alias("rel"),
+    )
+    scored = r.join(qr, ["q", "d"], "left").withColumn(
+        "_hit", (F.coalesce(F.col("rel"), F.lit(0)) >= rel_min).cast("int")
+    )
+    per_q = scored.groupBy("q").agg(
+        F.min(F.when(F.col("_hit") == 1, F.col("rank"))).alias("_first"),
+        F.sum("_hit").alias("n_hits"),
+    )
+    return per_q.select(
+        F.col("q").alias(query_col),
+        F.coalesce(F.col("_first"), F.lit(0))
+        .cast("long")
+        .alias("first_hit_rank"),
+        F.when(F.col("_first").isNotNull(), F.expr("1000000L div _first"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_ppm"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(f"n_hits * 1000000L div {int(k)}")
+        .cast("long")
+        .alias("precision_ppm"),
+    )

@@ -1217,3 +1217,56 @@ def l_diversity(
             F.col("min_diversity").cast("long").alias("min_diversity"),
         )
     )
+
+
+def discrete_hazard(df: DataFrame, duration_col: str) -> DataFrame:
+    """Discrete-time survival table over integer durations (one row
+    per subject, e.g. session length in minutes, crawl-job runtime in
+    waves): for each observed duration d,
+
+        n_at_risk  = subjects with duration >= d
+        n_ended    = subjects with duration == d
+        hazard_ppm   = n_ended  * 1e6 div n_at_risk   (end NOW given
+                                                       survived to d)
+        survival_ppm = (n_at_risk - n_ended) * 1e6 div n_total
+                                                      (still alive
+                                                       PAST d)
+
+    With complete observation (no censoring) this IS the Kaplan-Meier
+    estimator — the survival column is the exact empirical tail
+    fraction, no probability products needed, so everything stays in
+    integers. Rows exist only at observed durations (the KM
+    convention: the curve steps at event times). The classic use:
+    "do sessions die uniformly per minute (geometric / constant
+    hazard) or at specific cliff minutes (timeouts, rate caps)?" —
+    constant hazard_ppm across d is the geometric signature; spikes
+    mark engineered cliffs.
+
+    Scale shape: one subject-grain HashAggregate onto the duration
+    histogram, then one window over the DURATION DIM (distinct
+    durations, never subjects) for the reverse cumulative at-risk
+    count, and a broadcast total."""
+    durs = df.where(
+        F.col(duration_col).isNotNull() & (F.col(duration_col) >= 0)
+    ).select(F.col(duration_col).cast("long").alias("d"))
+    hist = durs.groupBy("d").agg(F.count(F.lit(1)).alias("n_ended"))
+    w = (
+        Window.orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = hist.withColumn("n_at_risk", F.sum("n_ended").over(w))
+    total = hist.agg(F.sum("n_ended").alias("n_total"))
+    return (
+        at_risk.crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").alias(duration_col),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_ended").cast("long").alias("n_ended"),
+            F.expr("n_ended * 1000000 div n_at_risk")
+            .cast("long")
+            .alias("hazard_ppm"),
+            F.expr("(n_at_risk - n_ended) * 1000000 div n_total")
+            .cast("long")
+            .alias("survival_ppm"),
+        )
+    )

@@ -6355,6 +6355,104 @@ def q_docs_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(docs, ["lang", "len_bucket"], "source", [2, 3, 5, 10])
 
 
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-judged retrieval eval (datapipe/search.retrieval_mrr)
+    over the SAME synthetic rankings/qrels as retrieval_ndcg: per
+    query the first-relevant rank, reciprocal-rank ppm, hits@10 and
+    textbook precision@10 — the metric pair (MRR for known-item,
+    NDCG for graded) every retrieval stack reports together."""
+    from pyspark.sql import Window
+
+    from docrawl_spark.datapipe.search import retrieval_mrr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    qd = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("query_id"),
+    )
+    cand = qd.where(F.col("doc_id") % 5 == F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("query_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 10
+    )
+    qrels = qd.where(F.col("doc_id") % 2 == 0).select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") + F.col("query_id")) % 4).cast("int").alias("rel"),
+    )
+    return retrieval_mrr(ranked, qrels, k=10)
+
+
+def q_session_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete session-survival table (datapipe/stats.discrete_hazard)
+    over 30-min-gap session durations in whole minutes: per observed
+    duration, at-risk/ended counts, hazard ppm (die NOW given
+    survived here) and exact empirical survival ppm — constant hazard
+    means geometric session decay; spikes mark timeout cliffs. Shares
+    _with_session_ids, the one session definition."""
+    from docrawl_spark.datapipe.stats import discrete_hazard
+
+    sess = _with_session_ids(_t(spark, sf_dir, "events"))
+    # ts is TIMESTAMP_NTZ in the parquet: ANSI forbids NTZ -> BIGINT
+    # directly; route through TIMESTAMP like _with_session_ids does
+    durs = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "(max(CAST(CAST(ts AS TIMESTAMP) AS LONG))"
+            " - min(CAST(CAST(ts AS TIMESTAMP) AS LONG))) div 60"
+        ).alias("duration_min")
+    )
+    return discrete_hazard(durs, "duration_min")
+
+
+def q_warehouse_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-changelog apply (sources/storage.cdc_compact +
+    cdc_apply): a deterministic I/U/D changelog over the documents
+    content-signature table — two stacked updates (last-wins), late
+    deletes (tombstone beats same-key updates by sequence), and
+    fresh-key inserts — compacted to one op per key and applied to
+    the base state. The batch twin of a streaming CDC sink; the
+    oracle re-derives the final state relationally."""
+    from docrawl_spark.sources.storage import cdc_apply
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", F.md5("text").alias("sig"))
+    u1 = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.md5(F.concat(F.col("text"), F.lit("v2"))).alias("sig"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    u2 = docs.where(F.col("doc_id") % 14 == 0).select(
+        "doc_id",
+        F.md5(F.concat(F.col("text"), F.lit("v3"))).alias("sig"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    dels = docs.where(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("sig"),
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit("new"))).alias("sig"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changelog = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    return cdc_apply(base, changelog, ["doc_id"], "seq")
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6818,6 +6916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_kmv": q_source_vocab_kmv,
         "docs_pps_sample": q_docs_pps_sample,
         "docs_l_diversity": q_docs_l_diversity,
+        "retrieval_mrr": q_retrieval_mrr,
+        "session_hazard": q_session_hazard,
+        "warehouse_cdc_state": q_warehouse_cdc_state,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11525,6 +11626,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, c_ppm AS cosine_ppm,
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
+        """,
+        # MRR over the ndcg fixture's rankings: binary rel >= 1.
+        "retrieval_mrr": """
+            WITH qd AS (
+              SELECT doc_id, unnest([0, 1, 2]) AS query_id FROM documents),
+            cand AS (
+              SELECT query_id, doc_id FROM qd
+              WHERE doc_id % 5 = query_id),
+            rk AS (
+              SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'
+                                    || CAST(query_id AS VARCHAR)),
+                                doc_id) AS rank
+              FROM cand),
+            ranked AS (SELECT * FROM rk WHERE rank <= 10),
+            qrels AS (
+              SELECT query_id, doc_id,
+                     CAST((doc_id + query_id) % 4 AS INT) AS rel
+              FROM qd WHERE doc_id % 2 = 0),
+            sc AS (
+              SELECT r.query_id, r.rank,
+                     CASE WHEN COALESCE(q.rel, 0) >= 1 THEN 1 ELSE 0
+                     END AS hit
+              FROM ranked r LEFT JOIN qrels q
+                ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+            per AS (
+              SELECT query_id,
+                     MIN(CASE WHEN hit = 1 THEN rank END) AS first_hit,
+                     CAST(SUM(hit) AS BIGINT) AS n_hits
+              FROM sc GROUP BY query_id)
+            SELECT query_id,
+                   CAST(COALESCE(first_hit, 0) AS BIGINT)
+                     AS first_hit_rank,
+                   CAST(CASE WHEN first_hit IS NOT NULL
+                        THEN 1000000 // first_hit ELSE 0 END AS BIGINT)
+                     AS rr_ppm,
+                   n_hits,
+                   CAST(n_hits * 1000000 // 10 AS BIGINT)
+                     AS precision_ppm
+            FROM per
+        """,
+        # Discrete hazard over 30-min-gap session durations (whole
+        # minutes); epoch() cast to BIGINT mirrors Spark's ts->long.
+        "session_hazard": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            y AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x),
+            d AS (
+              SELECT user_id, session_id,
+                     (MAX(CAST(floor(epoch(ts)) AS BIGINT))
+                      - MIN(CAST(floor(epoch(ts)) AS BIGINT))) // 60
+                       AS dur
+              FROM y GROUP BY 1, 2),
+            hist AS (
+              SELECT dur AS dm, CAST(COUNT(*) AS BIGINT) AS n_ended
+              FROM d GROUP BY 1),
+            ar AS (
+              SELECT dm, n_ended,
+                     SUM(n_ended) OVER (ORDER BY dm DESC
+                       ROWS UNBOUNDED PRECEDING) AS n_at_risk
+              FROM hist),
+            t AS (SELECT CAST(SUM(n_ended) AS BIGINT) AS n_total
+                  FROM hist)
+            SELECT ar.dm AS duration_min,
+                   CAST(ar.n_at_risk AS BIGINT) AS n_at_risk,
+                   ar.n_ended,
+                   CAST(ar.n_ended * 1000000 // ar.n_at_risk AS BIGINT)
+                     AS hazard_ppm,
+                   CAST((ar.n_at_risk - ar.n_ended) * 1000000
+                        // t.n_total AS BIGINT) AS survival_ppm
+            FROM ar, t
+        """,
+        # CDC changelog apply: same op-severity tie-break (D > U > I)
+        # inside the ROW_NUMBER as storage.cdc_compact.
+        "warehouse_cdc_state": """
+            WITH base AS (
+              SELECT doc_id, md5(text) AS sig FROM documents),
+            chg AS (
+              SELECT doc_id, md5(text || 'v2') AS sig, 'U' AS op,
+                     1 AS seq
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id, md5(text || 'v3'), 'U', 2
+              FROM documents WHERE doc_id % 14 = 0
+              UNION ALL
+              SELECT doc_id, NULL, 'D', 3
+              FROM documents WHERE doc_id % 11 = 3
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text || 'new'), 'I', 1
+              FROM documents WHERE doc_id % 13 = 0),
+            lastv AS (
+              SELECT doc_id, sig, op FROM (
+                SELECT doc_id, sig, op, seq,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY seq DESC,
+                                  CASE op WHEN 'D' THEN 2
+                                          WHEN 'U' THEN 1
+                                          ELSE 0 END DESC) AS rn
+                FROM chg) WHERE rn = 1)
+            SELECT b.doc_id, b.sig
+            FROM base b LEFT JOIN lastv l ON b.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL
+            UNION ALL
+            SELECT doc_id, sig FROM lastv WHERE op <> 'D'
         """,
         # PPS systematic sampling: shared md5 hash order; // == div on
         # the non-negative cumulative weights.

@@ -317,3 +317,65 @@ def snapshot_diff(
         *[j[f"_nv_{c}"].alias(f"new_{c}") for c in compare_cols],
     )
     return keyed.where(F.col("change_type").isNotNull())
+
+
+def cdc_compact(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Last-wins compaction of an ordered CDC changelog (rows carry
+    ``op`` in {'I','U','D'} and a monotone ``seq_col``): one row per
+    key — the newest by sequence, ties broken by op severity
+    D > U > I (a tombstone sharing the final sequence number wins,
+    the Debezium/Kafka-compaction convention), then nothing (equal
+    (key, seq, op) duplicates are identical payloads by contract).
+    This is the shuffle that turns an hours-long changelog into a
+    key-sized delta BEFORE any table rewrite — compact first, then
+    merge once.
+
+    Scale shape: one per-key window (bounded by a key's own change
+    count) — the classic log-compaction HashPartition."""
+    from pyspark.sql import Window
+
+    rank = F.when(F.col(op_col) == "D", 2).otherwise(
+        F.when(F.col(op_col) == "U", 1).otherwise(0)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), rank.desc()
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered CDC changelog to a base table state: compact
+    the log (cdc_compact), then every key the log mentions is REPLACED
+    by its final payload — or dropped when the final op is a delete —
+    while untouched base rows pass through. The batch twin of a
+    streaming CDC sink; output columns = base columns.
+
+    Semantics pinned by tests: an insert-then-delete key never
+    appears; a delete-then-reinsert key carries the reinserted
+    payload; updates to absent keys are upserts (CDC logs from an
+    earlier base are replayable — idempotent on re-application).
+
+    Scale shape: cdc_compact's per-key window on the LOG (not the
+    base), one left-anti equi-join to retire touched base rows, one
+    union — base is never shuffled beyond the join."""
+    last = cdc_compact(changelog, key_cols, seq_col, op_col)
+    kept = base.join(
+        last.select(*key_cols), key_cols, "left_anti"
+    )
+    upserts = last.where(F.col(op_col) != "D").select(*base.columns)
+    return kept.unionByName(upserts)

@@ -578,3 +578,51 @@ def test_l_diversity_hand_reference(spark):
     # l=3: (en,2) with diversity 2 also falls below
     assert out[3]["classes_below"] == 4
     assert out[3]["rows_at_risk"] == 8
+
+
+# ------------------------------------------------------------- MRR
+
+
+def test_retrieval_mrr_hand_reference(spark):
+    from docrawl_spark.datapipe.search import retrieval_mrr
+
+    ranked = spark.createDataFrame(
+        [
+            # q1: first hit at rank 3; two hits total in top-5
+            (1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4), (1, "e", 5),
+            # q2: no relevant docs at all
+            (2, "x", 1), (2, "y", 2),
+            # q3: hit at rank 1
+            (3, "m", 1), (3, "n", 2),
+        ],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "c", 2), (1, "e", 1), (1, "zz", 3), (3, "m", 1), (2, "y", 0)],
+        "query_id int, doc_id string, rel int",
+    )
+    out = {r["query_id"]: r for r in retrieval_mrr(ranked, qrels, k=5).collect()}
+    assert out[1]["first_hit_rank"] == 3
+    assert out[1]["rr_ppm"] == 1000000 // 3
+    assert out[1]["n_hits"] == 2
+    assert out[1]["precision_ppm"] == 2 * 1000000 // 5
+    assert out[2]["first_hit_rank"] == 0 and out[2]["rr_ppm"] == 0
+    assert out[3]["rr_ppm"] == 1000000
+
+
+# ------------------------------------------------------------- hazard
+
+
+def test_discrete_hazard_hand_reference(spark):
+    from docrawl_spark.datapipe.stats import discrete_hazard
+
+    df = spark.createDataFrame([(0,), (1,), (1,), (3,)], "dur long")
+    out = {r["dur"]: r for r in discrete_hazard(df, "dur").collect()}
+    assert out[0]["n_at_risk"] == 4 and out[0]["n_ended"] == 1
+    assert out[0]["hazard_ppm"] == 250000
+    assert out[0]["survival_ppm"] == 750000
+    assert out[1]["n_at_risk"] == 3 and out[1]["n_ended"] == 2
+    assert out[1]["hazard_ppm"] == 666666
+    assert out[1]["survival_ppm"] == 250000
+    assert out[3]["n_at_risk"] == 1 and out[3]["hazard_ppm"] == 1000000
+    assert out[3]["survival_ppm"] == 0

@@ -269,3 +269,46 @@ def test_training_shard_export_deterministic(spark, tmp_path):
         for r in shard_manifest(tampered, 8).collect()
     }
     assert mt != src_manifest
+
+
+# ------------------------------------------------------------- CDC apply
+
+
+def _cdc(spark, base_rows, chg_rows):
+    from docrawl_spark.sources.storage import cdc_apply
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    chg = spark.createDataFrame(chg_rows, "k long, v string, op string, seq int")
+    return {
+        r["k"]: r["v"] for r in cdc_apply(base, chg, ["k"], "seq").collect()
+    }
+
+
+def test_cdc_apply_semantics(spark):
+    base = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    chg = [
+        (2, "b2", "U", 1), (2, "b3", "U", 2),        # stacked updates
+        (3, None, "D", 1),                             # delete
+        (5, "e", "I", 1), (5, None, "D", 2),           # insert-then-delete
+        (6, None, "D", 1), (6, "f", "I", 2),           # delete-then-reinsert
+        (7, "g", "U", 1),                              # update absent = upsert
+    ]
+    got = _cdc(spark, base, chg)
+    assert got == {1: "a", 2: "b3", 4: "d", 6: "f", 7: "g"}
+
+
+def test_cdc_apply_tombstone_wins_equal_seq_and_idempotent(spark):
+    base = [(1, "a"), (2, "b")]
+    chg = [(1, "a2", "U", 5), (1, None, "D", 5)]  # same seq: D beats U
+    got = _cdc(spark, base, chg)
+    assert got == {2: "b"}
+    # replaying the same log over the resulting state changes nothing
+    from docrawl_spark.sources.storage import cdc_apply
+
+    base_df = spark.createDataFrame(base, "k long, v string")
+    chg_df = spark.createDataFrame(chg, "k long, v string, op string, seq int")
+    once = cdc_apply(base_df, chg_df, ["k"], "seq")
+    twice = cdc_apply(once, chg_df, ["k"], "seq")
+    assert sorted((r["k"], r["v"]) for r in twice.collect()) == sorted(
+        (r["k"], r["v"]) for r in once.collect()
+    )
