@@ -6453,6 +6453,73 @@ def q_warehouse_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_apply(base, changelog, ["doc_id"], "seq")
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per funnel step pair (the time
+    companion to events_funnel's counts): for users who progressed
+    view→click and click→purchase under the same strictly-after step
+    rule, the whole-second delta's NEAREST-RANK median and p90 —
+    nearest-rank (value at rank ceil(q·n), pure integers) instead of
+    interpolated percentiles, so both engines agree to the bit with
+    no float quantile in sight. Epoch seconds truncate (Spark ts→long
+    convention; oracle mirrors with floor(epoch()))."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.max("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.max("t2").alias("t2"))
+    )
+
+    def _ep(c: str) -> str:
+        return f"CAST(CAST({c} AS TIMESTAMP) AS LONG)"
+
+    d12 = s2.select(
+        F.lit("view_to_click").alias("pair"),
+        F.expr(f"{_ep('t2')} - {_ep('t1')}").alias("delta_s"),
+    )
+    d23 = s3.select(
+        F.lit("click_to_purchase").alias("pair"),
+        F.expr(f"{_ep('t3')} - {_ep('t2')}").alias("delta_s"),
+    )
+    deltas = d12.unionByName(d23)
+    wo = Window.partitionBy("pair").orderBy("delta_s")
+    wp = Window.partitionBy("pair")
+    r = deltas.select(
+        "pair",
+        "delta_s",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return r.groupBy("pair").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delta_s"))
+        )
+        .cast("long")
+        .alias("med_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delta_s")
+            )
+        )
+        .cast("long")
+        .alias("p90_s"),
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6919,6 +6986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mrr": q_retrieval_mrr,
         "session_hazard": q_session_hazard,
         "warehouse_cdc_state": q_warehouse_cdc_state,
+        "funnel_latency": q_funnel_latency,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11626,6 +11694,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, c_ppm AS cosine_ppm,
                    CAST(margin_ppm AS BIGINT) AS margin_ppm
             FROM fl WHERE rn = 1
+        """,
+        # Funnel latency: nearest-rank quantiles, floor(epoch) seconds.
+        "funnel_latency": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2, MAX(s1.t1) AS t1
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3, MAX(s2.t2) AS t2
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id),
+            d AS (
+              SELECT 'view_to_click' AS pair,
+                     CAST(floor(epoch(t2)) AS BIGINT)
+                     - CAST(floor(epoch(t1)) AS BIGINT) AS delta_s
+              FROM s2
+              UNION ALL
+              SELECT 'click_to_purchase',
+                     CAST(floor(epoch(t3)) AS BIGINT)
+                     - CAST(floor(epoch(t2)) AS BIGINT)
+              FROM s3),
+            r AS (
+              SELECT pair, delta_s,
+                     ROW_NUMBER() OVER (PARTITION BY pair
+                                        ORDER BY delta_s) AS rn,
+                     COUNT(*) OVER (PARTITION BY pair) AS n
+              FROM d)
+            SELECT pair, CAST(MAX(n) AS BIGINT) AS n_users,
+                   CAST(MAX(CASE WHEN rn = (n + 1) // 2
+                            THEN delta_s END) AS BIGINT) AS med_s,
+                   CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10
+                            THEN delta_s END) AS BIGINT) AS p90_s
+            FROM r GROUP BY pair
         """,
         # MRR over the ndcg fixture's rankings: binary rel >= 1.
         "retrieval_mrr": """
