@@ -6520,6 +6520,59 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction evaluation: hold out a deterministic 20% of
+    the co-citation fixture's edges (md5(src>dst) % 5), score
+    Adamic-Adar on the TRAIN split only, label each scored pair
+    positive iff a HELD-OUT source co-cites it, and report the exact
+    Mann-Whitney AUC of the score separating future co-citations from
+    non-co-citations (datapipe/stats.rank_drift_stats does the exact
+    ROC-AUC with tie half-credit — this is the standard temporal
+    link-prediction protocol, integer-exact end to end). AUC >> 0.5
+    = AA predicts unseen co-citation structure."""
+    from docrawl_spark.datapipe.graph import adamic_adar_pairs
+    from docrawl_spark.datapipe.stats import rank_drift_stats
+
+    e = _cocite_fixture_edges(spark, sf_dir).distinct()
+    flag = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src_host"), F.lit(">"), F.col("dst_host")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    train = e.where(~flag)
+    hd = e.where(flag)
+    aa = adamic_adar_pairs(train, min_cocite=1)
+    ha = hd.select(F.col("src_host").alias("s"), F.col("dst_host").alias("a"))
+    hb = hd.select(F.col("src_host").alias("s"), F.col("dst_host").alias("b"))
+    pos = (
+        ha.join(hb, "s")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("_pos", F.lit(True))
+    )
+    labeled = aa.join(pos, ["a", "b"], "left").select(
+        F.lit("aa").alias("g"),
+        F.coalesce(F.col("_pos"), F.lit(False)).alias("is_pos"),
+        "aa_ppm",
+    )
+    return rank_drift_stats(labeled, "g", "is_pos", "aa_ppm").withColumnRenamed(
+        "g", "model"
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -6987,6 +7040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_hazard": q_session_hazard,
         "warehouse_cdc_state": q_warehouse_cdc_state,
         "funnel_latency": q_funnel_latency,
+        "linkpred_eval": q_linkpred_eval,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11159,6 +11213,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS cocites,
                    CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
+        ''',
+        # Link-prediction eval: AA on the train split, MW-AUC machinery
+        # identical to events_value_drift's oracle.
+        "linkpred_eval": '''
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.test/doc/'
+                       || CAST(doc_id AS VARCHAR) AS src
+              FROM documents),
+            e0 AS (
+              SELECT doc_id, src,
+                     unnest(generate_series(0,
+                       CASE WHEN doc_id = 0 THEN 69 ELSE 2 END)) AS k
+              FROM d),
+            e1 AS (
+              SELECT DISTINCT src,
+                     CASE WHEN doc_id = 0
+                          THEN 'hub' || CAST(k AS VARCHAR) || '.test'
+                          ELSE 't' || CAST(
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 40
+                            AS VARCHAR) || '.test' END AS dst
+              FROM e0),
+            se AS (
+              SELECT src, dst,
+                     (('0x' || substr(md5(src || '>' || dst), 1, 15))
+                       ::BIGINT % 5 = 0) AS is_held
+              FROM e1),
+            train AS (SELECT src, dst FROM se WHERE NOT is_held),
+            hd AS (SELECT src, dst FROM se WHERE is_held),
+            deg AS (SELECT src, COUNT(*) AS o FROM train GROUP BY src),
+            kept AS (
+              SELECT t.src, t.dst,
+                     1000000 // CAST(length(bin(o)) AS BIGINT) AS w_ppm
+              FROM train t JOIN deg USING (src)
+              WHERE o <= 64),
+            p AS (
+              SELECT x.dst AS a, y.dst AS b, x.w_ppm
+              FROM kept x JOIN kept y ON x.src = y.src AND x.dst < y.dst),
+            aa AS (
+              SELECT a, b, CAST(SUM(w_ppm) AS BIGINT) AS v
+              FROM p GROUP BY a, b HAVING COUNT(*) >= 1),
+            pos AS (
+              SELECT DISTINCT x.dst AS a, y.dst AS b
+              FROM hd x JOIN hd y ON x.src = y.src AND x.dst < y.dst),
+            f AS (
+              SELECT 'aa' AS g, (pos.a IS NOT NULL) AS lab, aa.v
+              FROM aa LEFT JOIN pos
+                ON aa.a = pos.a AND aa.b = pos.b),
+            cells AS (
+              SELECT g, v,
+                     SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS ca_v,
+                     SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS cb_v
+              FROM f GROUP BY g, v),
+            run AS (
+              SELECT g, v, ca_v, cb_v,
+                     SUM(ca_v + cb_v) OVER (PARTITION BY g ORDER BY v)
+                       AS c_incl,
+                     SUM(ca_v) OVER (PARTITION BY g ORDER BY v) AS ca_incl,
+                     SUM(cb_v) OVER (PARTITION BY g ORDER BY v) AS cb_incl,
+                     SUM(ca_v) OVER (PARTITION BY g) AS n_a,
+                     SUM(cb_v) OVER (PARTITION BY g) AS n_b
+              FROM cells),
+            per_g AS (
+              SELECT g, n_a, n_b,
+                     SUM(ca_v * (2 * c_incl - ca_v - cb_v + 1))
+                       AS ranksum2_a,
+                     MAX(ABS(ca_incl * n_b - cb_incl * n_a)) AS ks_num,
+                     SUM(ABS(ca_v * n_b - cb_v * n_a)) AS tv_num
+              FROM run GROUP BY g, n_a, n_b)
+            SELECT g AS model,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(ranksum2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(CAST(ranksum2_a - n_a * (n_a + 1) AS HUGEINT)
+                        * 1000000 // (2 * CAST(n_a AS HUGEINT) * n_b)
+                        AS BIGINT) AS auc_ppm,
+                   CAST(ks_num AS BIGINT) AS ks_num,
+                   CAST(CAST(ks_num AS HUGEINT) * 1000000
+                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS ks_ppm,
+                   CAST(tv_num AS BIGINT) AS tv_num,
+                   CAST(CAST(tv_num AS HUGEINT) * 1000000
+                        // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS tv_ppm
+            FROM per_g WHERE n_a > 0 AND n_b > 0
         ''',
         # WAND bounds: the bm25 fixed-point algebra over the WHOLE vocab
         # (hits = all non-empty tokens), folded to per-term maxima.
