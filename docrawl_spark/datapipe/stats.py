@@ -1270,3 +1270,66 @@ def discrete_hazard(df: DataFrame, duration_col: str) -> DataFrame:
             .alias("survival_ppm"),
         )
     )
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str, k: int = 8) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram over an integer column —
+    the ANALYZE-statistics artifact a cost-based optimizer and a skew
+    planner both want: k buckets whose upper boundaries are the
+    nearest-rank k-quantiles, computed exactly. Boundary i (1..k) is
+    the smallest lattice value whose inclusive cumulative row count
+    reaches ceil(i*n/k), tested as ``cum*k >= i*n`` in pure BIGINTs —
+    no float quantiles, bit-identical cross-engine.
+
+    Output per bucket: (bucket, upper_v, cum_rows, n_in_bucket) with
+    n_in_bucket the exact rows in (prev boundary, this boundary] —
+    equal to ~n/k except where a heavy value overflows its bucket
+    (the equi-depth skew signal: a bucket holding >> n/k rows IS the
+    hot key).
+
+    Scale shape: one fact HashAggregate onto the distinct-value
+    lattice, one window over the LATTICE (quantized/integer domains
+    are bounded regardless of row count), boundary fan-out exactly k
+    rows via a guarded sequence (empty when a cell spans no boundary
+    — sequence() DESCENDS on inverted ranges, so the span is
+    pre-filtered). The k-row result fits the driver."""
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    n = cells.agg(F.sum("cnt").alias("n"))
+    spans = (
+        run.crossJoin(F.broadcast(n))
+        .withColumn("i_lo", F.expr(f"cum_prev * {int(k)} div n + 1"))
+        .withColumn("i_hi", F.expr(f"cum * {int(k)} div n"))
+        .where(F.col("i_hi") >= F.col("i_lo"))
+        .select(
+            "v",
+            "cum",
+            F.explode(F.expr("sequence(i_lo, i_hi)")).alias("bucket"),
+        )
+    )
+    wb = Window.orderBy("bucket")
+    return (
+        spans.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("v").alias("upper_v"),
+            F.col("cum").cast("long").alias("cum_rows"),
+        )
+        .withColumn(
+            "n_in_bucket",
+            (F.col("cum_rows") - F.coalesce(F.lag("cum_rows").over(wb), F.lit(0)))
+            .cast("long"),
+        )
+    )

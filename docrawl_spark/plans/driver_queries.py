@@ -6573,6 +6573,20 @@ def q_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth statistics (datapipe/stats.
+    equi_depth_histogram, k=8) over lineitem extended price in exact
+    cents: nearest-rank bucket boundaries + exact per-bucket counts —
+    the optimizer/skew-planner stats artifact (a bucket holding far
+    more than n/k rows is the hot-value signal)."""
+    from docrawl_spark.datapipe.stats import equi_depth_histogram
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return equi_depth_histogram(li, "cents", k=8)
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -7041,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warehouse_cdc_state": q_warehouse_cdc_state,
         "funnel_latency": q_funnel_latency,
         "linkpred_eval": q_linkpred_eval,
+        "price_histogram": q_price_histogram,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11214,6 +11229,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # Equi-depth histogram: nearest-rank boundaries as cum*k >= i*n
+        # in integers; HUGEINT cums cast back for generate_series.
+        "price_histogram": """
+            WITH cells AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1),
+            run AS (
+              SELECT v,
+                     SUM(cnt) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(cnt) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev
+              FROM cells),
+            t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+            spans AS (
+              SELECT r.v, r.cum,
+                     UNNEST(generate_series(
+                       CAST(r.cum_prev * 8 // t.n + 1 AS BIGINT),
+                       CAST(r.cum * 8 // t.n AS BIGINT))) AS bucket
+              FROM run r, t
+              WHERE r.cum * 8 // t.n >= r.cum_prev * 8 // t.n + 1)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   v AS upper_v,
+                   CAST(cum AS BIGINT) AS cum_rows,
+                   CAST(cum - COALESCE(LAG(cum) OVER (ORDER BY bucket), 0)
+                        AS BIGINT) AS n_in_bucket
+            FROM spans
+        """,
         # Link-prediction eval: AA on the train split, MW-AUC machinery
         # identical to events_value_drift's oracle.
         "linkpred_eval": '''

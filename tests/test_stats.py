@@ -626,3 +626,33 @@ def test_discrete_hazard_hand_reference(spark):
     assert out[1]["survival_ppm"] == 250000
     assert out[3]["n_at_risk"] == 1 and out[3]["hazard_ppm"] == 1000000
     assert out[3]["survival_ppm"] == 0
+
+
+# ----------------------------------------------------- equi-depth hist
+
+
+def test_equi_depth_histogram_hand_reference(spark):
+    from docrawl_spark.datapipe.stats import equi_depth_histogram
+
+    # 8 rows, k=4 -> boundaries at cum >= 2,4,6,8
+    df = spark.createDataFrame(
+        [(10,), (10,), (20,), (30,), (40,), (40,), (50,), (60,)], "v long"
+    )
+    out = {r["bucket"]: r for r in equi_depth_histogram(df, "v", k=4).collect()}
+    assert [out[i]["upper_v"] for i in (1, 2, 3, 4)] == [10, 30, 40, 60]
+    assert [out[i]["n_in_bucket"] for i in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert out[4]["cum_rows"] == 8
+
+
+def test_equi_depth_histogram_heavy_value_spans_buckets(spark):
+    from docrawl_spark.datapipe.stats import equi_depth_histogram
+
+    # one value holds 6 of 8 rows: it is the boundary for buckets 1-3
+    # (first of the span carries the rows, the rest are degenerate 0s)
+    rows = [(5,)] + [(7,)] * 6 + [(9,)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r["bucket"]: r for r in equi_depth_histogram(df, "v", k=4).collect()}
+    assert [out[i]["upper_v"] for i in (1, 2, 3, 4)] == [7, 7, 7, 9]
+    assert out[1]["n_in_bucket"] == 7  # the hot-value signal
+    assert out[2]["n_in_bucket"] == 0 and out[3]["n_in_bucket"] == 0
+    assert out[4]["n_in_bucket"] == 1
