@@ -656,3 +656,87 @@ def test_equi_depth_histogram_heavy_value_spans_buckets(spark):
     assert out[1]["n_in_bucket"] == 7  # the hot-value signal
     assert out[2]["n_in_bucket"] == 0 and out[3]["n_in_bucket"] == 0
     assert out[4]["n_in_bucket"] == 1
+
+
+# ------------------------------------------- session-8 property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", None])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_matches_python_reference(spark, obs):
+    """Random observation sequences: run lengths, versions, and
+    is_current must equal a pure-Python fold."""
+    from docrawl_spark.datapipe.intervals import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("k", t, a) for t, a in obs], "k string, t long, a string"
+    )
+    got = {
+        r["version"]: (r["a"], r["valid_from"], r["valid_to"], r["n_obs"],
+                       r["is_current"])
+        for r in scd2_intervals(df, "k", "t", "a").collect()
+    }
+    runs = []
+    for t, a in sorted(obs):
+        if runs and runs[-1][0] == a:
+            runs[-1][2] = t
+            runs[-1][3] += 1
+        else:
+            runs.append([a, t, t, 1])
+    expect = {
+        i + 1: (a, lo, hi, n, 1 if i == len(runs) - 1 else 0)
+        for i, (a, lo, hi, n) in enumerate(runs)
+    }
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=30),
+    st.sampled_from([50, 100, 333]),
+)
+def test_pps_telescoping_invariant(spark, weights, step):
+    """Sum of n_hits always equals total_weight div step, regardless
+    of weights or step — the Horvitz-Thompson exactness property."""
+    from docrawl_spark.datapipe.sampling import pps_systematic_sample
+
+    rows = [("g", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "src string, id long, w long")
+    out = pps_systematic_sample(df, "src", "id", "w", step=step).collect()
+    assert sum(r["n_hits"] for r in out) == sum(weights) // step
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.sampled_from([2, 4, 7]),
+)
+def test_equi_depth_matches_python_reference(spark, vals, k):
+    """Boundaries equal the pure-Python nearest-rank quantiles and
+    bucket counts always sum to n."""
+    from docrawl_spark.datapipe.stats import equi_depth_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = sorted(
+        equi_depth_histogram(df, "v", k=k).collect(),
+        key=lambda r: r["bucket"],
+    )
+    s = sorted(vals)
+    n = len(s)
+    import math
+
+    expect_upper = [s[math.ceil(i * n / k) - 1] for i in range(1, k + 1)]
+    assert [r["upper_v"] for r in out] == expect_upper
+    assert sum(r["n_in_bucket"] for r in out) == n
+    assert [r["bucket"] for r in out] == list(range(1, k + 1))
