@@ -6587,6 +6587,83 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(li, "cents", k=8)
 
 
+def q_kmv_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimator calibration per source: the k=64 sketch's
+    distinct-token estimate vs the exact distinct count, with signed
+    error ppm — the companion audit that tells an operator what the
+    sketch's real error looks like on THEIR corpus before trusting
+    overlap numbers (mirrors minhash_calibration for MinHash). Exact
+    below k by construction; the estimate formula engages only when a
+    source's vocabulary exceeds k."""
+    from docrawl_spark.datapipe.stats import _signed_ppm
+    from docrawl_spark.datapipe.text import tokens_col
+    from docrawl_spark.functions.sketches import kmv_mins
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.explode(tokens_col(F.col("text"))).alias("token"),
+        )
+        .where(F.length("token") >= 1)
+    )
+    mins = kmv_mins(toks, "src", "token", k=64)
+    sk = mins.groupBy("g").agg(
+        F.count(F.lit(1)).alias("k_u"), F.max("h").alias("theta")
+    )
+    est = sk.select(
+        "g",
+        F.when(F.col("k_u") < 64, F.col("k_u"))
+        .otherwise(
+            F.expr(
+                f"CAST((k_u - 1) AS DECIMAL(38,0)) * {1 << 60} div theta"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    exact = toks.groupBy(F.col("src").alias("g")).agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    out = est.join(exact, "g").withColumn(
+        "err", F.col("est_distinct") - F.col("n_exact")
+    )
+    return out.select(
+        F.col("g").alias("source"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "est_distinct",
+        F.expr(_signed_ppm("err", "n_exact")).cast("long").alias("err_ppm"),
+    )
+
+
+def q_events_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap (outage) detection per event type: days with NO
+    events between two active days, as (gap_start, gap_end, gap_days)
+    islands from a lead() over the active-day dim — the feed-outage
+    audit a rate CUSUM smooths over. Only interior gaps count (before
+    first / after last activity is unknown, not an outage)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    days = ev.where(
+        F.col("event_type").isNotNull() & F.col("d").isNotNull()
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("d")
+    gaps = days.select(
+        "event_type", "d", F.lead("d").over(w).alias("next_d")
+    ).where(F.col("next_d") > F.col("d") + 1)
+    return gaps.select(
+        "event_type",
+        (F.col("d") + 1).cast("long").alias("gap_start"),
+        (F.col("next_d") - 1).cast("long").alias("gap_end"),
+        (F.col("next_d") - F.col("d") - 1).cast("long").alias("gap_days"),
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -7056,6 +7133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "linkpred_eval": q_linkpred_eval,
         "price_histogram": q_price_histogram,
+        "kmv_calibration": q_kmv_calibration,
+        "events_day_gaps": q_events_day_gaps,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11229,6 +11308,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # KMV calibration: same sketch CTEs as source_vocab_kmv, single
+        # group; sign-symmetric err division.
+        "kmv_calibration": r"""
+            WITH toks AS (
+              SELECT source AS g, tok
+              FROM (SELECT source,
+                           UNNEST(string_split(lower(regexp_replace(
+                             trim(text), '\s+', ' ', 'g')), ' ')) AS tok
+                    FROM documents
+                    WHERE source IS NOT NULL AND text IS NOT NULL)
+              WHERE len(tok) >= 1),
+            th AS (
+              SELECT DISTINCT g,
+                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                       AS h
+              FROM toks),
+            mins AS (
+              SELECT g, h FROM (
+                SELECT g, h,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h)
+                         AS rn
+                FROM th) WHERE rn <= 64),
+            sk AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS k_u,
+                     CAST(MAX(h) AS BIGINT) AS theta
+              FROM mins GROUP BY g),
+            est AS (
+              SELECT g,
+                     CAST(CASE WHEN k_u < 64 THEN k_u
+                          ELSE CAST(k_u - 1 AS HUGEINT)
+                               * 1152921504606846976 // theta
+                          END AS BIGINT) AS est_distinct
+              FROM sk),
+            ex AS (
+              SELECT g, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+              FROM toks GROUP BY g)
+            SELECT e.g AS source, x.n_exact, e.est_distinct,
+                   CAST(CASE WHEN e.est_distinct - x.n_exact < 0
+                        THEN -(CAST(-(e.est_distinct - x.n_exact)
+                                    AS HUGEINT) * 1000000 // x.n_exact)
+                        ELSE CAST(e.est_distinct - x.n_exact AS HUGEINT)
+                             * 1000000 // x.n_exact END AS BIGINT)
+                     AS err_ppm
+            FROM est e JOIN ex x ON e.g = x.g
+        """,
+        "events_day_gaps": """
+            WITH days AS (
+              SELECT DISTINCT event_type,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS d
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            g AS (
+              SELECT event_type, d,
+                     LEAD(d) OVER (PARTITION BY event_type ORDER BY d)
+                       AS next_d
+              FROM days)
+            SELECT event_type,
+                   CAST(d + 1 AS BIGINT) AS gap_start,
+                   CAST(next_d - 1 AS BIGINT) AS gap_end,
+                   CAST(next_d - d - 1 AS BIGINT) AS gap_days
+            FROM g WHERE next_d > d + 1
+        """,
         # Equi-depth histogram: nearest-rank boundaries as cum*k >= i*n
         # in integers; HUGEINT cums cast back for generate_series.
         "price_histogram": """

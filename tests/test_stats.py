@@ -740,3 +740,39 @@ def test_equi_depth_matches_python_reference(spark, vals, k):
     assert [r["upper_v"] for r in out] == expect_upper
     assert sum(r["n_in_bucket"] for r in out) == n
     assert [r["bucket"] for r in out] == list(range(1, k + 1))
+
+
+# --------------------------------------------------------- day gaps
+
+
+def test_events_day_gaps_finds_interior_outages(spark, tmp_path):
+    """sf0.01 events have no missing days (the driver row is a
+    0-row parity check), so prove the semantics on a fixture with
+    real outages: interior gaps reported inclusively, edges ignored."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.plans.driver_queries import q_events_day_gaps
+
+    rows = []
+    for d in [1, 2, 5, 6, 10]:  # gaps: 3-4 and 7-9
+        rows.append((d, "2024-01-%02d 12:00:00" % d, 1, "click", 1.0, "{}"))
+    rows.append((99, "2024-01-03 12:00:00", 2, "view", 1.0, "{}"))  # other type
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["event_type"], r["gap_start"], r["gap_end"], r["gap_days"])
+        for r in q_events_day_gaps(spark, str(tmp_path)).collect()
+    }
+    day1 = 19723  # 2024-01-01 epoch day
+    assert out == {
+        ("click", day1 + 2, day1 + 3, 2),  # Jan 3-4
+        ("click", day1 + 6, day1 + 8, 3),  # Jan 7-9
+    }  # 'view' has one day: no interior gap; edges never reported
