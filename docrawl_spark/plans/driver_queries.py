@@ -6664,6 +6664,57 @@ def q_events_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation over orders —
+    the classic warehouse customer-scoring pattern, built on the
+    SCALABLE NTILE (operators/ranking.with_ntile — three distributed
+    range-sort quintiles, never a single-partition window): per
+    customer the days since last order vs the corpus max date, order
+    count, lifetime cents, and 1-5 quintile scores (5 = best: most
+    recent / most frequent / highest spend) folded into the standard
+    3-digit rfm_code. Oracle runs DuckDB's native NTILE(5) with the
+    identical deterministic (metric, custkey) order — hash equality
+    proves the distributed NTILE reproduces SQL semantics on all
+    three metrics at once."""
+    from docrawl_spark.operators.ranking import with_ntile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = o.agg(F.max("o_orderdate").alias("_ref"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("_ref"), F.to_date("_last")).cast("long"),
+        )
+        .drop("_ref", "_last")
+    )
+    per = with_ntile(per, ["recency_days", "o_custkey"], 5, "rb")
+    per = with_ntile(per, ["frequency", "o_custkey"], 5, "fb")
+    per = with_ntile(per, ["monetary_c", "o_custkey"], 5, "mb")
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary_c",
+        (6 - F.col("rb")).cast("int").alias("r_score"),
+        F.col("fb").cast("int").alias("f_score"),
+        F.col("mb").cast("int").alias("m_score"),
+        ((6 - F.col("rb")) * 100 + F.col("fb") * 10 + F.col("mb"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -7135,6 +7186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "kmv_calibration": q_kmv_calibration,
         "events_day_gaps": q_events_day_gaps,
+        "customer_rfm": q_customer_rfm,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11308,6 +11360,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # RFM: native NTILE(5) with the same deterministic tie-break
+        # order as the distributed with_ntile derivation.
+        "customer_rfm": """
+            WITH mx AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+            per AS (
+              SELECT o_custkey,
+                     date_diff('day',
+                               CAST(MAX(o_orderdate) AS DATE),
+                               CAST(MAX(mx.ref) AS DATE)) AS recency_days,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_c
+              FROM orders, mx GROUP BY o_custkey),
+            sc AS (
+              SELECT o_custkey, recency_days, frequency, monetary_c,
+                     6 - NTILE(5) OVER (ORDER BY recency_days,
+                                        o_custkey) AS r_score,
+                     NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                       AS f_score,
+                     NTILE(5) OVER (ORDER BY monetary_c, o_custkey)
+                       AS m_score
+              FROM per)
+            SELECT o_custkey,
+                   CAST(recency_days AS BIGINT) AS recency_days,
+                   frequency, monetary_c,
+                   CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score AS INT)
+                     AS rfm_code
+            FROM sc
+        """,
         # KMV calibration: same sketch CTEs as source_vocab_kmv, single
         # group; sign-symmetric err division.
         "kmv_calibration": r"""
