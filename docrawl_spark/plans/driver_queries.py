@@ -6715,6 +6715,49 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification over part revenue: parts
+    ranked by lineitem revenue (cents, desc), cumulative share in
+    exact ppm, class A while cum <= 80%, B to 95%, C beyond — the
+    classic "which 20% of parts carry 80% of revenue" warehouse op
+    (the CLASSIFICATION companion to events_user_lorenz's curve).
+    Boundary rule pinned integer-exact: class by the cumulative ppm
+    AT the part's own rank (a part straddling a boundary lands in the
+    lower class). Window runs over the PART DIM ranked by revenue —
+    dim-sized, deterministic (revenue desc, partkey asc)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("rev_c").alias("revenue_c"))
+    w = (
+        Window.orderBy(F.col("revenue_c").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per.agg(F.sum("revenue_c").alias("_t"))
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("revenue_c").cast("long").alias("revenue_c"),
+        F.expr("CAST(1 AS BIGINT)").alias("_one"),
+        F.sum("revenue_c").over(w).alias("_cum"),
+        F.col("_t"),
+    )
+    cum_ppm = F.expr("CAST(_cum AS DECIMAL(38,0)) * 1000000 div _t")
+    return ranked.select(
+        "l_partkey",
+        "revenue_c",
+        cum_ppm.cast("long").alias("cum_ppm"),
+        F.when(cum_ppm <= 800000, "A")
+        .when(cum_ppm <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
 def q_events_rate_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type index of dispersion (Fano factor) of daily
     event counts over the integer day-index span, zero days included
@@ -7187,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_calibration": q_kmv_calibration,
         "events_day_gaps": q_events_day_gaps,
         "customer_rfm": q_customer_rfm,
+        "parts_abc_classes": q_parts_abc_classes,
         "events_rate_dispersion": q_events_rate_dispersion,
         "lineitem_price_wmedian": q_lineitem_price_wmedian,
         "docs_rater_kappa": q_docs_rater_kappa,
@@ -11360,6 +11404,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w_ppm) AS BIGINT) AS aa_ppm
             FROM p GROUP BY a, b HAVING COUNT(*) >= 2
         ''',
+        # ABC classes: HUGEINT cum share, boundary at the part's own
+        # cumulative ppm, ties broken (revenue desc, partkey asc).
+        "parts_abc_classes": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(round(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT) AS rev_c
+              FROM lineitem),
+            per AS (
+              SELECT l_partkey, CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+              FROM li GROUP BY l_partkey),
+            t AS (SELECT CAST(SUM(revenue_c) AS BIGINT) AS tot FROM per),
+            r AS (
+              SELECT p.l_partkey, p.revenue_c,
+                     SUM(p.revenue_c) OVER (ORDER BY p.revenue_c DESC,
+                                            p.l_partkey ASC
+                                            ROWS UNBOUNDED PRECEDING)
+                       AS cum,
+                     t.tot
+              FROM per p, t)
+            SELECT l_partkey, revenue_c,
+                   CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT)
+                     AS cum_ppm,
+                   CASE WHEN CAST(cum AS HUGEINT) * 1000000 // tot
+                             <= 800000 THEN 'A'
+                        WHEN CAST(cum AS HUGEINT) * 1000000 // tot
+                             <= 950000 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r
+        """,
         # RFM: native NTILE(5) with the same deterministic tie-break
         # order as the distributed with_ntile derivation.
         "customer_rfm": """
