@@ -517,37 +517,41 @@ def pps_systematic_sample(
 
     if step <= 0:
         raise ValueError(f"step must be positive, got {step}")
-    rows = df.where(
-        F.col(group_col).isNotNull() & (F.col(weight_col) >= 0)
-    ).withColumn(
-        "_skey",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{salt}|"), F.col(id_col).cast("string")
-                    )
+    rows = (
+        df.where(F.col(group_col).isNotNull() & (F.col(weight_col) >= 0))
+        .withColumn("_w", F.col(weight_col).cast("long"))
+        .withColumn(
+            "_skey",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}|"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
                 ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+                16,
+                10,
+            ).cast("long"),
+        )
     )
     w = (
         Window.partitionBy(group_col)
         .orderBy("_skey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = rows.withColumn(
-        "cum_w", F.sum(F.col(weight_col).cast("long")).over(w)
-    )
+    # The SAME long-cast weight (`_w`) feeds both the cumulative sum
+    # and the hits rule: a DOUBLE/DECIMAL weight_col would make `div`
+    # fail (ANSI) or round differently from the long-cast cumulative,
+    # and a raw-name interpolation breaks on non-identifier names.
+    cum = rows.withColumn("cum_w", F.sum("_w").over(w))
     hits = F.expr(
-        f"cum_w div {int(step)} - (cum_w - {weight_col}) div {int(step)}"
+        f"cum_w div {int(step)} - (cum_w - _w) div {int(step)}"
     )
     return (
         cum.withColumn("n_hits", hits.cast("long"))
         .where(F.col("n_hits") > 0)
-        .drop("_skey")
+        .drop("_skey", "_w")
     )

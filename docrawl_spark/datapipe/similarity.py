@@ -28,6 +28,20 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — an eager one-row
+    job at plan-build time, so callers that may receive an empty frame
+    should pass ``dim`` explicitly. Raises a clear ValueError instead
+    of the bare ``None[...]`` TypeError on empty input."""
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim from an empty frame; pass dim= "
+            f"explicitly (vec_col={vec_col!r})"
+        )
+    return int(row["d"])
+
+
 def cosine_scores(
     emb: DataFrame, query: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -293,8 +307,7 @@ def pq_codebooks(
     8×16 rows for the default parameters — always broadcast-sized."""
     from pyspark.sql import Window
 
-    dim_df = emb.select(F.size(vec_col).alias("d")).first()
-    block_dim = dim_df["d"] // n_blocks
+    block_dim = _infer_dim(emb, vec_col) // n_blocks
     w = Window.orderBy(id_col)
     base = (
         emb.orderBy(id_col)
@@ -329,8 +342,7 @@ def pq_encode(
     integer-packed MIN aggregate as ``centroid_assign_exact`` —
     HashAggregate with map-side combine, codebooks broadcast, one
     shuffle of N·n_blocks pre-combined rows."""
-    dim_df = emb.select(F.size(vec_col).alias("d")).first()
-    block_dim = dim_df["d"] // n_blocks
+    block_dim = _infer_dim(emb, vec_col) // n_blocks
     v = emb.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -492,7 +504,7 @@ def margin_mine_pairs(
     from itertools import combinations
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     v = emb.select(
         F.col(id_col),
@@ -617,7 +629,7 @@ def triplet_mining(
     from itertools import combinations
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        dim = _infer_dim(emb, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
     v = (
         emb.where(F.col(label_col).isNotNull())

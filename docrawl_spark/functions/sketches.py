@@ -507,11 +507,24 @@ def kmv_pair_overlap(mins: DataFrame, k: int = 128) -> DataFrame:
         F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_uk"),
     )
     two60 = 1 << 60
-    est_union = F.when(
-        F.col("k_u") < k, F.col("k_u").cast("long")
-    ).otherwise(
-        F.expr(f"CAST((k_u - 1) AS DECIMAL(38,0)) * {two60} div theta")
-        .cast("long")
+    maxlong = (1 << 63) - 1
+    # Saturate instead of ANSI-overflowing: theta < (k_u-1)*2^60/2^63
+    # (union cardinality beyond ~2^57 at k=64) would push the div past
+    # BIGINT; the DECIMAL comparison is exact, the estimate clamps to
+    # the BIGINT ceiling.
+    est_union = (
+        F.when(F.col("k_u") < k, F.col("k_u").cast("long"))
+        .when(
+            F.expr(
+                f"CAST(theta AS DECIMAL(38,0)) * {maxlong}"
+                f" < CAST((k_u - 1) AS DECIMAL(38,0)) * {two60}"
+            ),
+            F.lit(maxlong).cast("long"),
+        )
+        .otherwise(
+            F.expr(f"CAST((k_u - 1) AS DECIMAL(38,0)) * {two60} div theta")
+            .cast("long")
+        )
     )
     return (
         agg.select(

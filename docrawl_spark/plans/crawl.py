@@ -98,10 +98,16 @@ def run_crawl(
     use_bloom: bool = True,
     n_salts: int = 8,
     resume: bool = False,
-    collect_visits: bool = True,
+    collect_visits: bool = False,
     expected_total_urls: int = 1 << 20,
 ) -> CrawlResult:
     """Run (or resume) a crawl to completion or ``max_waves``.
+
+    ``collect_visits`` defaults to False: collecting the full ordered
+    fetch_log to the driver is what the equality suites need at test
+    scale, and a guaranteed driver OOM at 10^10-URL scale — production
+    callers read ``CrawlResult.fetch_log`` (a DataFrame) instead and
+    the equality tests opt in explicitly.
 
     ``expected_total_urls`` sizes the incremental seen-set Bloom; an
     overshoot only degrades the prefilter's fpp (the exact anti-join

@@ -140,18 +140,23 @@ def run_streaming_crawl(
     checkpoint_dir: str,
     hosts: DataFrame | None = None,
     max_batches: int = 16,
-) -> list[str]:
+    visits_dir: str | None = None,
+) -> DataFrame | None:
     """Self-feeding incremental crawl: seed documents land in
     ``watch_dir``; each micro-batch discovers links, joins the corpus
     (synthetic fetch), and writes newly fetched documents back into
-    ``watch_dir`` — cascading until no new urls remain. Returns the
-    visited doc_ids in completion order of discovery batches.
+    ``watch_dir`` — cascading until no new urls remain.
+
+    Visited doc_ids are recorded to the ``visits_dir`` SINK (one
+    (doc_id, epoch) row per visit) when a caller asks for them —
+    never collected to the driver inside the operator path (a
+    frontier-sized driver list at 10^10 scale). Tests read the sink
+    and order by (epoch, doc_id); returns the sink DataFrame, or None
+    when no ``visits_dir`` was given.
 
     This is the demonstration harness for the streaming mode (file
     source + foreachBatch); the production shape swaps the file source
     for the frontier table's CDC feed."""
-    visited: list[str] = []
-
     seeds_docs.write.mode("append").parquet(watch_dir)
     stream = streaming_candidates(spark, watch_dir)
 
@@ -169,12 +174,18 @@ def run_streaming_crawl(
         new_docs = (
             gated.join(corpus, gated["url"] == corpus["doc_id"], "inner")
             .select(corpus["doc_id"], corpus["spans"])
+            .persist()
         )
-        rows = new_docs.select("doc_id").collect()
-        if rows:
-            for r in sorted(rows, key=lambda x: x["doc_id"]):
-                visited.append(r["doc_id"])
+        # scalar emptiness check (NOT a row collect): an empty epoch
+        # must not write a new file or the file source would cascade
+        # empty batches forever
+        if new_docs.count() > 0:
             new_docs.write.mode("append").parquet(watch_dir)
+            if visits_dir is not None:
+                new_docs.select(
+                    "doc_id", F.lit(int(epoch_id)).alias("epoch")
+                ).write.mode("append").parquet(visits_dir)
+        new_docs.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -187,7 +198,12 @@ def run_streaming_crawl(
             q.processAllAvailable()
     finally:
         q.stop()
-    return visited
+    if visits_dir is None:
+        return None
+    try:
+        return spark.read.parquet(visits_dir)
+    except Exception:  # no doc ever joined — sink never created
+        return spark.createDataFrame([], "doc_id string, epoch long")
 
 
 def streaming_url_dedup(

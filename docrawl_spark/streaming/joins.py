@@ -95,7 +95,10 @@ def newest_robots_per_fetch(batch_df: DataFrame) -> DataFrame:
     age (< 1e6 s by the join's lag bound) packs above the hash slot;
     the argmin's sig rides along via a second-pass join on the packed
     winner. leftOuter no-match rows (null robots) pass through via
-    null-safe equality on the null pack."""
+    null-safe equality on the null pack. A final min(robots_sig)
+    re-aggregate guarantees ONE row per fetch even when two distinct
+    sigs tie on age and collide in the 40-bit hash slot (or a batch
+    carries exact-duplicate join rows)."""
     keyed = batch_df.withColumn(
         "_pack",
         F.col("robots_age_s") * F.lit(1 << 40)
@@ -109,9 +112,18 @@ def newest_robots_per_fetch(batch_df: DataFrame) -> DataFrame:
     best = keyed.groupBy("host", "url", "fetched_at").agg(
         F.min("_pack").alias("_best")
     )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("host", "url", "fetched_at").orderBy(
+        F.col("_pack").asc_nulls_first(),
+        F.col("robots_sig").asc_nulls_first(),
+        F.col("published_at").asc_nulls_first(),
+    )
     return (
         keyed.join(best, ["host", "url", "fetched_at"])
         .where(F.col("_pack").eqNullSafe(F.col("_best")))
+        .withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") == 1)
         .select(
             "host",
             "url",

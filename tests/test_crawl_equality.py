@@ -49,6 +49,7 @@ def test_crawl_order_and_seen_set(spark, fixture_web, tmp_path, use_bloom):
         max_waves=6,
         warehouse=wh,
         use_bloom=use_bloom,
+        collect_visits=True,
     )
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen

@@ -20,7 +20,8 @@ def test_crawl_equality_across_seeds(spark, tmp_path, seed):
     docs_raw, hosts_df, seeds_df = fixture_to_dfs(spark, fx)
     wh = Warehouse(str(tmp_path / f"wh{seed}"), spark)
     res = run_crawl(
-        spark, docs_raw, hosts_df, seeds_df, max_waves=5, warehouse=wh, use_bloom=True
+        spark, docs_raw, hosts_df, seeds_df, max_waves=5, warehouse=wh,
+        use_bloom=True, collect_visits=True,
     )
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen
@@ -36,7 +37,7 @@ def test_bloom_growth_preserves_exactness(spark, tmp_path):
     wh = Warehouse(str(tmp_path / "whg"), spark)
     res = run_crawl(
         spark, docs_raw, hosts_df, seeds_df, max_waves=5, warehouse=wh,
-        use_bloom=True, expected_total_urls=4,
+        use_bloom=True, expected_total_urls=4, collect_visits=True,
     )
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen
@@ -64,7 +65,9 @@ def test_quarantine_captures_canon_errors(spark, tmp_path):
     )
     seeds = spark.createDataFrame([("https://q.test/p0", 0)], SEEDS_SCHEMA)
     wh = Warehouse(str(tmp_path / "whq"), spark)
-    res = run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
+    res = run_crawl(
+        spark, docs, hosts, seeds, max_waves=3, warehouse=wh, collect_visits=True
+    )
     assert [u for _, u in res.visits] == ["https://q.test/p0", "https://q.test/p1"]
     quarantined = wh.read("quarantine").collect()
     assert len(quarantined) == 1
@@ -108,7 +111,9 @@ def test_crlf_robots_blob_equality(spark, tmp_path):
     )
     seeds = spark.createDataFrame([("https://c.test/p0", 0)], SEEDS_SCHEMA)
     wh = Warehouse(str(tmp_path / "whcrlf"), spark)
-    res = run_crawl(spark, docs, hosts, seeds, max_waves=3, warehouse=wh)
+    res = run_crawl(
+        spark, docs, hosts, seeds, max_waves=3, warehouse=wh, collect_visits=True
+    )
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen
 
@@ -132,7 +137,7 @@ def test_crawl_equality_dense_web_tight_budgets(spark, tmp_path, seed):
     wh = Warehouse(str(tmp_path / f"whd{seed}"), spark)
     res = run_crawl(
         spark, docs_raw, hosts_df, seeds_df, max_waves=7, warehouse=wh,
-        use_bloom=True,
+        use_bloom=True, collect_visits=True,
     )
     assert res.visits == sim.visits
     assert res.seen_urls == sim.seen

@@ -42,7 +42,7 @@ def test_crawl_invariant_to_salts_and_partitions(spark, tmp_path):
         docs_rp = docs_raw.repartition(parts)
         res = run_crawl(
             spark, docs_rp, hosts, seeds, max_waves=4, warehouse=wh,
-            use_bloom=False, n_salts=salts,
+            use_bloom=False, n_salts=salts, collect_visits=True,
         )
         results.append((res.visits, res.seen_urls))
     assert results[0] == results[1]

@@ -30,7 +30,7 @@ def test_lm_bits_common_text_scores_lower(spark):
     text's bigrams are corpus-frequent (low surprisal), the unique
     text's are singletons against frequent prefixes (high surprisal)."""
     rows = [(i, "the quick brown fox jumps") for i in range(9)]
-    rows.append((99, "the locomotive brown whale sings"))
+    rows.append((99, "the turbine violet reef hums"))
     got = {r["doc_id"]: r["mean_bits_ppm"] for r in lm_bits_score(_docs(spark, rows)).collect()}
     assert got[99] > got[0]
 

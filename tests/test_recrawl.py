@@ -23,7 +23,10 @@ def test_retire_and_recrawl(spark, tmp_path):
     # crawl to EXHAUSTION so frontier_pending holds only unreachable
     # (robots-blocked) leftovers — retirement then fully determines the
     # resumed visits
-    res = run_crawl(spark, docs, hosts, seeds, max_waves=12, warehouse=wh)
+    res = run_crawl(
+        spark, docs, hosts, seeds, max_waves=12, warehouse=wh,
+        collect_visits=True,
+    )
     assert max(w for w, _ in res.visits) < 11, "graph not exhausted"
     wave0 = {u for w, u in res.visits if w == 0}
     assert wave0
@@ -65,7 +68,8 @@ def test_retire_and_recrawl(spark, tmp_path):
     # still seen, so no cascade), and the seen-set returns to full
     last = max(w for w, _ in res.visits)
     res2 = run_crawl(
-        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh, resume=True
+        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh,
+        resume=True, collect_visits=True,
     )
     revisited = {u for w, u in res2.visits if w > last}
     assert revisited == wave0
@@ -95,15 +99,21 @@ def test_midcrawl_retire_preserves_pending_frontier(spark, tmp_path):
     docs, hosts, seeds = fixture_to_dfs(spark, fx)
     big = hosts.withColumn("budget", F.lit(100))
     wh = Warehouse(str(tmp_path / "wh"), spark)
-    res = run_crawl(spark, docs, big, seeds, max_waves=2, warehouse=wh)
+    res = run_crawl(
+        spark, docs, big, seeds, max_waves=2, warehouse=wh, collect_visits=True
+    )
     early = {u for w, u in res.visits if w == 0}
     n, _ = retire_for_recrawl(wh, F.col("first_wave") == 0)
     assert n == len(early)
-    res2 = run_crawl(spark, docs, big, seeds, max_waves=10, warehouse=wh, resume=True)
+    res2 = run_crawl(
+        spark, docs, big, seeds, max_waves=10, warehouse=wh, resume=True,
+        collect_visits=True,
+    )
     assert early <= {u for w, u in res2.visits if w >= 2}
     full = run_crawl(
         spark, docs, big, seeds, max_waves=10,
         warehouse=Warehouse(str(tmp_path / "wh_full"), spark),
+        collect_visits=True,
     )
     assert res2.seen_urls == full.seen_urls
 
@@ -119,7 +129,10 @@ def test_sitemap_lastmod_drives_recrawl(spark, tmp_path):
     fx = generate_web(seed=13)
     docs, hosts, seeds = fixture_to_dfs(spark, fx)
     wh = Warehouse(str(tmp_path / "wh_sm"), spark)
-    res = run_crawl(spark, docs, hosts, seeds, max_waves=12, warehouse=wh)
+    res = run_crawl(
+        spark, docs, hosts, seeds, max_waves=12, warehouse=wh,
+        collect_visits=True,
+    )
     assert max(w for w, _ in res.visits) < 11, "graph not exhausted"
     visited = [u for _, u in res.visits]
     fresh = sorted(visited)[:3]          # lastmod 2030 > any fetched_at (2024 epoch)
@@ -146,7 +159,8 @@ def test_sitemap_lastmod_drives_recrawl(spark, tmp_path):
 
     last = max(w for w, _ in res.visits)
     res2 = run_crawl(
-        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh, resume=True
+        spark, docs, hosts, seeds, max_waves=last + 8, warehouse=wh,
+        resume=True, collect_visits=True,
     )
     revisited = {u for w, u in res2.visits if w > last}
     assert revisited == set(fresh)

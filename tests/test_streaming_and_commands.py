@@ -193,14 +193,18 @@ def test_streaming_crawl_matches_batch_reachability(spark, tmp_path):
     seed_urls = [normalize_seed(s["url"]) for s in fx.seeds]
     seed_docs = corpus.where(F.col("doc_id").isin(seed_urls))
 
-    visited = run_streaming_crawl(
+    visits_df = run_streaming_crawl(
         spark,
         corpus,
         seed_docs,
         watch_dir=str(tmp_path / "watch"),
         checkpoint_dir=str(tmp_path / "ck"),
         hosts=hosts,
+        visits_dir=str(tmp_path / "visits"),
     )
+    visited = [
+        r["doc_id"] for r in visits_df.orderBy("epoch", "doc_id").collect()
+    ]
     # batch reachability with effectively-unlimited budget
     big_hosts = [dict(h, budget=10_000) for h in fx.hosts]
     sim = simulate_crawl(fx.documents_raw, big_hosts, fx.seeds, max_waves=20)

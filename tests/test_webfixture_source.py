@@ -32,9 +32,11 @@ def test_crawl_over_source_documents(spark, tmp_path):
     fx = generate_web(seed=11)
     docs_df, hosts, seeds = fixture_to_dfs(spark, fx)
     r1 = run_crawl(spark, docs_src, hosts, seeds, max_waves=4,
-                   warehouse=Warehouse(str(tmp_path / "a"), spark))
+                   warehouse=Warehouse(str(tmp_path / "a"), spark),
+                   collect_visits=True)
     r2 = run_crawl(spark, docs_df, hosts, seeds, max_waves=4,
-                   warehouse=Warehouse(str(tmp_path / "b"), spark))
+                   warehouse=Warehouse(str(tmp_path / "b"), spark),
+                   collect_visits=True)
     assert r1.visits == r2.visits and r1.seen_urls == r2.seen_urls
 
 
