@@ -146,17 +146,10 @@ def minhash_band_index(
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, hash_mode)
 
     def _band_key(b):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-        )
         # band position folds into the key; xxhash64 compresses the
         # shuffle key on the scale path, the md5hex oracle mode keeps
         # the raw string (DuckDB-reproducible)
-        pre = F.concat(F.lit(f"{b}|"), joined)
+        pre = _band_pre(b, rows_per_band)
         return F.xxhash64(pre) if hash_mode == "xxhash64" else pre
 
     return sigs.select(
@@ -165,6 +158,95 @@ def minhash_band_index(
             F.array(*[_band_key(b) for b in range(n_bands)])
         ).alias("band_key"),
     )
+
+
+def _band_pre(b: int, rows_per_band: int) -> Column:
+    """The band's pre-hash string over a ``signature`` array column:
+    ``'<b>|' || join(',', minima of band b)`` — the single definition
+    both the engine's band fold and the oracle side table share."""
+    joined = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ),
+    )
+    return F.concat(F.lit(f"{b}|"), joined)
+
+
+def minhash_token_hash_map(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Oracle side table for the xxhash64 MinHash path: one row
+    ``(s, seed, h)`` per distinct corpus shingle per hash seed, where
+    ``h`` is exactly the engine's ``_shingle_hash`` value. DuckDB
+    recomputes the shingles itself and JOINS here for the hash, so the
+    min/band/bucket-join algebra is oracled while the hash function
+    stays opaque (its values are pinned separately by the md5 twin +
+    band-collision property tests)."""
+    sh = (
+        df.select(
+            F.explode(word_shingles_col(F.col(text_col), shingle_k)).alias("s")
+        )
+        .distinct()
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("seed"),
+                _shingle_hash(F.col("s"), i, "xxhash64").alias("h"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return sh.select("s", F.explode(entries).alias("e")).select(
+        "s", F.col("e.seed").alias("seed"), F.col("e.h").alias("h")
+    )
+
+
+def minhash_band_key_map(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Oracle side table for the xxhash64 band fold: distinct
+    ``(pre, band_key)`` where ``pre`` is the band's pre-hash string
+    (:func:`_band_pre`) and ``band_key = xxhash64(pre)``. The oracle
+    reconstructs ``pre`` from the minima it computed itself and joins
+    here — a wrong oracle-side signature misses the map and shows up
+    as a row-count mismatch."""
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, "xxhash64"
+    )
+    pres = sigs.select(
+        F.explode(
+            F.array(*[_band_pre(b, rows_per_band) for b in range(n_bands)])
+        ).alias("pre")
+    ).distinct()
+    return pres.select("pre", F.xxhash64(F.col("pre")).alias("band_key"))
+
+
+def token_hash_map(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Oracle side table for single-arg ``xxhash64(token)`` consumers
+    (SimHash bit votes, winnowing fingerprints): one ``(tok, hv)`` row
+    per distinct whitespace token of the lower/trimmed corpus."""
+    toks = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    return toks.select("tok", F.xxhash64(F.col("tok")).alias("hv"))
 
 
 def lsh_probe_index(

@@ -29,6 +29,76 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Oracle side tables for the xxhash64 scale paths
+# ---------------------------------------------------------------------------
+# DuckDB cannot evaluate Spark's xxhash64, so the xxhash-mode queries
+# (minhash_lsh_pairs, simhash_neardup, winnow_fingerprints) materialize
+# tiny Spark-computed hash-lookup parquets; their oracles recompute the
+# shingle/token/minima/banding ALGEBRA in SQL and only JOIN here for
+# the hash values (which stay pinned by the md5 twins + property
+# tests). The writes are idempotent (skipped when the table already
+# exists — the testdata for a given sf dir is immutable), so bench can
+# pre-materialize once and time the pure operator. Version-suffix the
+# file names when parameters change.
+
+_ORACLE_AUX_ROOT = "/tmp/docrawl_spark_oracle_aux"
+
+
+def _oracle_aux_dir(sf_dir: str) -> str:
+    import os
+
+    return f"{_ORACLE_AUX_ROOT}/{os.path.basename(os.path.normpath(sf_dir))}"
+
+
+def _build_tokhash(docs: DataFrame) -> DataFrame:
+    from docrawl_spark.datapipe.dedup import token_hash_map
+
+    return token_hash_map(docs)
+
+
+def _build_mh_tokhash(docs: DataFrame) -> DataFrame:
+    from docrawl_spark.datapipe.dedup import minhash_token_hash_map
+
+    return minhash_token_hash_map(docs, n_hashes=32, shingle_k=3)
+
+
+def _build_mh_bandkey(docs: DataFrame) -> DataFrame:
+    from docrawl_spark.datapipe.dedup import minhash_band_key_map
+
+    return minhash_band_key_map(docs, n_hashes=32, n_bands=16, shingle_k=3)
+
+
+_AUX_TABLES: dict[str, Callable[[DataFrame], DataFrame]] = {
+    "tokhash_v1": _build_tokhash,
+    "mh_tokhash_v1_h32k3": _build_mh_tokhash,
+    "mh_bandkey_v1_h32b16k3": _build_mh_bandkey,
+}
+
+
+def _ensure_oracle_aux(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> None:
+    import os
+
+    aux = _oracle_aux_dir(sf_dir)
+    docs = None
+    for name in names:
+        path = f"{aux}/{name}.parquet"
+        if os.path.exists(f"{path}/_SUCCESS"):
+            continue
+        if docs is None:
+            docs = _docs_par(spark, sf_dir)
+        _AUX_TABLES[name](docs).write.mode("overwrite").parquet(path)
+
+
+def materialize_oracle_aux(spark: SparkSession, sf_dir: str) -> None:
+    """Build every oracle side table (idempotent). bench.py calls this
+    BEFORE the timing loop so registry callables time the operator,
+    not the one-time aux write."""
+    _ensure_oracle_aux(spark, sf_dir, list(_AUX_TABLES))
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across the cluster for CPU-heavy per-doc work.
 
@@ -1036,21 +1106,32 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — xxhash64-based, no SQL oracle (driver
-    records a rows-only check). hamming ≤ 3 with 4 blocks of 16 bits
-    (the Manku/Google parameterization): 16-bit chunk keys keep bucket
-    collisions ≈ true near-dups instead of flooding the join."""
+    """SimHash near-dup pairs — xxhash64 scale path. hamming ≤ 3 with
+    4 blocks of 16 bits (the Manku/Google parameterization): 16-bit
+    chunk keys keep bucket collisions ≈ true near-dups instead of
+    flooding the join. The oracle brute-forces all pairs over the
+    token-hash side table — reproducing the bit-vote/pack/hamming
+    algebra in SQL and validating the block-permutation trick
+    end-to-end against it."""
     from docrawl_spark.datapipe.dedup import simhash_neardup_pairs
 
+    _ensure_oracle_aux(spark, sf_dir, ["tokhash_v1"])
     return simhash_neardup_pairs(
         _docs_par(spark, sf_dir), max_hamming=3, n_blocks=4
     )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs — xxhash64-based, rows-only check."""
+    """MinHash-LSH candidate pairs — xxhash64 scale path. The oracle
+    recomputes shingles/minima/band strings itself and joins the two
+    Spark-materialized hash maps (shingle×seed hashes, band-key fold)
+    — the full banding/bucket-join/dedup algebra is hash-matched, only
+    the hash function values come from the side tables."""
     from docrawl_spark.datapipe.dedup import minhash_lsh_pairs
 
+    _ensure_oracle_aux(
+        spark, sf_dir, ["mh_tokhash_v1_h32k3", "mh_bandkey_v1_h32b16k3"]
+    )
     return minhash_lsh_pairs(
         _docs_par(spark, sf_dir), n_hashes=32, n_bands=16
     )
@@ -1095,9 +1176,13 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint sets (xxhash64-based — rows-only check)."""
+    """Winnowing fingerprint sets — xxhash64 scale path. The oracle
+    re-derives positions/window-minima/distinct in SQL over the
+    token-hash side table (window function MIN over 4-token frames),
+    so the winnowing algebra itself is hash-matched."""
     from docrawl_spark.datapipe.text import winnow_fingerprints_col
 
+    _ensure_oracle_aux(spark, sf_dir, ["tokhash_v1"])
     return _docs_par(spark, sf_dir).select(
         "doc_id",
         F.explode(winnow_fingerprints_col(F.col("text"))).alias("fingerprint"),
@@ -6978,7 +7063,111 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Names the external driver has already hash-checked in rounds 1-3
+# (union of CORRECTNESS_r01..r03 keys). The driver samples ~50 queries
+# per round IN REGISTRY ORDER, so queries() enumerates the frontier
+# sentinels first, then the three freshly-oracled xxhash scale paths,
+# then every never-driver-checked name, then the rest — rotating
+# first-time coverage to the front each round (VERDICT r3 item 4).
+_DRIVER_CHECKED: frozenset[str] = frozenset([
+    'bpe_pair_stats',
+    'char_runs',
+    'customer_intersect',
+    'customer_semijoin',
+    'customer_set_ops',
+    'decontaminate_overlap',
+    'doc_keywords',
+    'embedding_neardup',
+    'embedding_topk',
+    'events_asof_order',
+    'events_cube',
+    'events_hourly',
+    'events_json_props',
+    'events_session_window',
+    'events_sessionize',
+    'events_type_pivot',
+    'events_value_quantiles',
+    'exact_dedup_docs',
+    'extract_matrix',
+    'fetch_cookies',
+    'fetch_headers',
+    'fetch_json_requests',
+    'frontier_candidates',
+    'frontier_host_metrics',
+    'frontier_politeness_topk',
+    'frontier_seen_antijoin',
+    'gopher_repetition',
+    'host_components',
+    'host_pagerank',
+    'host_seed_distance',
+    'langid',
+    'line_dedup_docs',
+    'minhash_band_minima',
+    'minhash_lsh_pairs',
+    'minhash_lsh_pairs_md5',
+    'neardup_best_reps',
+    'neardup_components',
+    'neardup_dedup_docs',
+    'ngram_containment_pairs',
+    'ngram_jaccard_pairs',
+    'oov_rates',
+    'order_ship_lag',
+    'orders_date_parts',
+    'pagination_chains',
+    'pq_codes',
+    'pricing_summary',
+    'quality_scores',
+    'revenue_by_nation',
+    'revenue_rollup',
+    'robots_change_impact',
+    'robots_gate',
+    'script_mix',
+    'seed_normalize_quirk',
+    'semantic_clusters',
+    'semantic_dedup_docs',
+    'shipping_priority',
+    'simhash_neardup',
+    'simhash_neardup_md5',
+    'sitemap_coverage',
+    'soft404_pages',
+    'source_lang_map',
+    'token_counts',
+    'top_parts_per_brand',
+    'url_dedup_normalize',
+    'vocab_growth',
+    'vocab_top_tokens',
+    'winnow_fingerprints',
+    'winnow_fingerprints_md5',
+    'within_wave_dedup',
+    'zorder_keys'
+])
+
+# always enumerated first: the crawl-engine sentinels plus the three
+# xxhash scale paths whose brand-new side-table oracles need a driver
+# CORRECTNESS row to retire their historical `no_oracle` status
+_PINNED_FIRST = [
+    "frontier_candidates",
+    "frontier_seen_antijoin",
+    "frontier_politeness_topk",
+    "frontier_host_metrics",
+    "minhash_lsh_pairs",
+    "simhash_neardup",
+    "winnow_fingerprints",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    alls = _all_queries()
+    order = list(_PINNED_FIRST)
+    order += [
+        n for n in alls
+        if n not in order and n not in _DRIVER_CHECKED
+    ]
+    order += [n for n in alls if n not in order]
+    return {n: alls[n] for n in order}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_candidates": q_frontier_candidates,
         "frontier_seen_antijoin": q_frontier_seen_antijoin,
@@ -7388,7 +7577,17 @@ _CHISQ_CELLS_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from docrawl_spark.datapipe.export import zorder_sql_expr
+
+    # xxhash64 side tables (see _ensure_oracle_aux): the oracle runs at
+    # the driver's sf (0.01 / ORACLE_SF_DIR) — the matching Spark query
+    # materializes these paths when it runs, always before the oracle.
+    _aux = _oracle_aux_dir(os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01"))
+    _tokhash = f"{_aux}/tokhash_v1.parquet/*.parquet"
+    _mh_tokhash = f"{_aux}/mh_tokhash_v1_h32k3.parquet/*.parquet"
+    _mh_bandkey = f"{_aux}/mh_bandkey_v1_h32b16k3.parquet/*.parquet"
 
     return {
         "frontier_candidates": f"""
@@ -7942,6 +8141,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band_idx, band_key)
             WHERE a.doc_id < b.doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, s
+              FROM toks,
+                   UNNEST(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS u(s)
+              WHERE len(t) >= 3),
+            th AS (SELECT s, seed, h FROM read_parquet('{_mh_tokhash}')),
+            sig AS (
+              SELECT doc_id, seed, MIN(h) AS mh
+              FROM sh JOIN th USING (s) GROUP BY doc_id, seed),
+            bands AS (
+              SELECT doc_id,
+                     CAST(seed // 2 AS INT) AS band_idx,
+                     CAST(CAST(seed // 2 AS INT) AS VARCHAR) || '|' ||
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS pre
+              FROM sig GROUP BY doc_id, band_idx),
+            bk AS (
+              SELECT doc_id, band_key
+              FROM bands JOIN read_parquet('{_mh_bandkey}') USING (pre))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bk a JOIN bk b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash_neardup": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS toks
+              FROM documents),
+            th AS (SELECT tok, hv FROM read_parquet('{_tokhash}')),
+            h AS (
+              SELECT doc_id, hv
+              FROM (SELECT doc_id, u.tok AS tok FROM t, UNNEST(toks) AS u(tok)) x
+              JOIN th USING (tok)),
+            bits AS (
+              SELECT doc_id, b, SUM(((hv >> CAST(b AS INT)) & 1) * 2 - 1) AS cnt
+              FROM h, (SELECT UNNEST(range(0, 64)) AS b) GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN cnt <= 0 THEN 0
+                                   WHEN b = 63 THEN (-9223372036854775807 - 1)
+                                   ELSE (1::BIGINT << CAST(b AS INT)) END)
+                          AS BIGINT) AS sh
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "winnow_fingerprints": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents),
+            pos AS (
+              SELECT doc_id, CAST(i AS INT) AS pos, tk[CAST(i AS INT)] AS tok,
+                     len(tk) AS n
+              FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)),
+            th AS (SELECT tok, hv FROM read_parquet('{_tokhash}')),
+            hv AS (SELECT doc_id, pos, n, th.hv FROM pos JOIN th USING (tok)),
+            wins AS (
+              SELECT doc_id, pos, n,
+                     MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM hv)
+            SELECT DISTINCT doc_id, fp AS fingerprint
+            FROM wins WHERE n >= 4 AND pos <= n - 3
         """,
         "simhash_neardup_md5": r"""
             WITH t AS (
