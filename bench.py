@@ -42,9 +42,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from docrawl_spark.operators.dedup import build_seen_bloom  # noqa: E402
-from docrawl_spark.operators.links import dedup_within_wave  # noqa: E402
 from docrawl_spark.plans import driver_queries  # noqa: E402
-from docrawl_spark.plans.wave import schedule_candidates  # noqa: E402
+from docrawl_spark.operators.links import pack_order_col  # noqa: E402
+from docrawl_spark.plans.wave import schedule_wave  # noqa: E402
 from docrawl_spark.session import get_spark, stop_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -236,20 +236,41 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
         "depth",
         "discovered_by",
     )
-    deduped = dedup_within_wave(good)
     bloom_thread.join()
-    # payload-skinny robots gate + Bloom/anti-join seen-set dedup +
-    # politeness + global rank (plans/wave): the seen-set exchange and
-    # Bloom probe run over 8 B hashes, the windows over ~32 B rows, and
-    # the string payload crosses exactly one broadcast rejoin
-    ranked = schedule_candidates(
-        deduped, hosts, n_salts=8, rank_col="visit_rank",
-        seen=seen, bloom=bloom_box["blob"],
+    # the integrated skinny wave (plans/wave.schedule_wave — the same
+    # operator run_crawl schedules through): within-wave dedup, the
+    # Bloom/anti-join seen probe, the politeness windows and the rank
+    # exchange ALL run over (url_hash, host_hash, budget, pack) rows
+    # (~32 B) — no corpus-sized exchange OR cache build carries a url
+    # string (measured: caching the 16M-row canon output for the
+    # rejoin cost more than the string shuffle it replaced)
+    keys = schedule_wave(
+        good, hosts, n_salts=8, rank_col="visit_rank",
+        seen=seen, bloom=bloom_box["blob"], payload=False,
     )
-    _force(ranked)
+    # payload recovery: ``_pack`` is unique per link row, so the
+    # ranked keys broadcast-join the RAW link stream (regenerating it
+    # JVM-side ≡ run_crawl's frontier parquet rescan) and ONLY the
+    # ≤ Σ budgets selected rows pay canon a second time
+    raw = _synthetic_links(spark, n_urls, n_hosts).withColumn(
+        "_pack", pack_order_col()
+    )
+    sel = raw.join(
+        F.broadcast(keys.select("_pack", "url_hash", "visit_rank")), "_pack"
+    )
+    out = with_abs_url(sel, "media_ref", "discovered_by").select(
+        "url",
+        host_of_col("url").alias("host"),
+        url_hash_col(host_of_col("url")).alias("host_hash"),
+        "url_hash",
+        "parent_rank",
+        "offset",
+        "depth",
+        "discovered_by",
+        "visit_rank",
+    )
+    _force(out)
     elapsed = time.perf_counter() - t0
-    if getattr(ranked, "_wave_persisted", None) is not None:
-        ranked._wave_persisted.unpersist()  # precise: only the wave's cache
     return elapsed
 
 

@@ -18,7 +18,7 @@ a sliver):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from docrawl_spark.functions.canon import (
@@ -81,6 +81,40 @@ _OFF_BITS, _DEPTH_BITS = 20, 5
 _PACK_SHIFT = _OFF_BITS + _DEPTH_BITS
 
 
+def pack_order_col(
+    parent_rank: Column | None = None,
+    offset: Column | None = None,
+    depth: Column | None = None,
+) -> Column:
+    """The wave's keep-first order key packed into ONE BIGINT:
+    (parent_rank+1) << 25 | min(offset, 2^20-1) << 5 | min(depth, 31).
+    min(pack) == lexicographic min of (parent_rank, offset) — shared by
+    the within-wave dedup and the integrated skinny wave
+    (plans/wave.schedule_wave), whose payload rejoin keys on the SAME
+    packed value computed on both sides."""
+    parent_rank = parent_rank if parent_rank is not None else F.col("parent_rank")
+    offset = offset if offset is not None else F.col("offset")
+    depth = depth if depth is not None else F.col("depth")
+    return (
+        (parent_rank + 1) * F.lit(1 << _PACK_SHIFT)
+        + F.least(offset.cast("long"), F.lit((1 << _OFF_BITS) - 1))
+        * F.lit(1 << _DEPTH_BITS)
+        + F.least(depth.cast("long"), F.lit((1 << _DEPTH_BITS) - 1))
+    )
+
+
+def unpack_order_cols(pack: Column) -> tuple[Column, Column, Column]:
+    """(parent_rank, offset, depth) decoded from :func:`pack_order_col`
+    (offset/depth come back clamped)."""
+    return (
+        (F.shiftright(pack, _PACK_SHIFT) - 1),
+        F.shiftright(pack, _DEPTH_BITS)
+        .bitwiseAND(F.lit((1 << _OFF_BITS) - 1))
+        .cast("int"),
+        pack.bitwiseAND(F.lit((1 << _DEPTH_BITS) - 1)).cast("int"),
+    )
+
+
 def dedup_within_wave(candidates: DataFrame) -> DataFrame:
     """Keep-first within-wave dedup: one row per canonical url, the one
     with the smallest (parent_rank, offset) — a plain groupBy
@@ -90,30 +124,22 @@ def dedup_within_wave(candidates: DataFrame) -> DataFrame:
     buffer would demote the aggregate); lineage is relational —
     parent_rank IS the parent's fetch_log.visit_rank (see
     plans/crawl.py's lineage restore)."""
-    pack = (
-        (F.col("parent_rank") + 1) * F.lit(1 << _PACK_SHIFT)
-        + F.least(F.col("offset").cast("long"), F.lit((1 << _OFF_BITS) - 1))
-        * F.lit(1 << _DEPTH_BITS)
-        + F.least(F.col("depth").cast("long"), F.lit((1 << _DEPTH_BITS) - 1))
-    )
     # shuffle only (url, pack): host/host_hash/url_hash are pure
     # functions of url, cheaper to recompute on the (smaller) survivor
     # set than to ship through the shuffle
     from docrawl_spark.functions.canon import host_of_col, url_hash_col
 
-    packed = candidates.select("url", pack.alias("_pack"))
+    packed = candidates.select("url", pack_order_col().alias("_pack"))
     agg = packed.groupBy("url").agg(F.min("_pack").alias("_p"))
+    parent_rank, offset, depth = unpack_order_cols(F.col("_p"))
     return agg.select(
         url_hash_col("url").alias("url_hash"),
         "url",
         host_of_col("url").alias("host"),
         url_hash_col(host_of_col("url")).alias("host_hash"),
-        (F.shiftright(F.col("_p"), _PACK_SHIFT) - 1).alias("parent_rank"),
-        F.shiftright(F.col("_p"), _DEPTH_BITS)
-        .bitwiseAND(F.lit((1 << _OFF_BITS) - 1))
-        .cast("int")
-        .alias("offset"),
-        F.col("_p").bitwiseAND(F.lit((1 << _DEPTH_BITS) - 1)).cast("int").alias("depth"),
+        parent_rank.alias("parent_rank"),
+        offset.alias("offset"),
+        depth.alias("depth"),
     )
 
 

@@ -4,17 +4,30 @@ The reference's only control flow is a sequential poll loop
 (docrawl_core.py:1039-1123) executing one command at a time. Here one
 **wave** is one declarative DataFrame pipeline (SURVEY.md §3.5):
 
-    pending candidates
-      → robots gate + salted per-host budget selection   [politeness]
-      → scalable global rank = deterministic visit order [ranking]
+    pending candidates (raw, may repeat urls)
+      → integrated skinny schedule [plans/wave.schedule_wave]:
+          robots gate (broadcast, no exchange)
+          → hash-keyed within-wave keep-first dedup (min-pack)
+          → Bloom prefilter + exact anti-join vs url_seen
+          → salted per-host budget selection [politeness]
+          → scalable global rank = deterministic visit order [ranking]
+          → ONE payload rejoin (broadcast keys on url_hash + pack)
       → fetch join against the corpus                    [fetch]
       → commit fetch_log + url_seen                      [checkpoint]
       → link discovery (array-filtered explode + canon)  [extract]
-      → within-wave keep-first dedup (groupBy)           [dedup]
-      → Bloom prefilter + exact anti-join vs url_seen    [dedup]
-      → commit next frontier + crawl_state               [checkpoint]
+      → commit raw candidates as next frontier + state   [checkpoint]
 
-and the driver iterates waves. Every wave ends in warehouse commits
+Dedup and the seen-set anti-join run at SCHEDULE time over the skinny
+(url_hash, host_hash, budget, pack) projection, so no corpus-sized
+exchange ever carries a url string: discovery writes the raw candidate
+stream to storage (a partition-local columnar write, not a shuffle)
+and the strings re-enter the plan exactly once, through the ranked
+keys' broadcast rejoin. Filtering seen/dup rows at schedule instead of
+discovery is the same set algebra (url_seen at wave k's start ==
+url_seen after wave k-1's commit; robots/dedup/anti-join are per-url
+filters and commute with keep-first grouping).
+
+The driver iterates waves. Every wave ends in warehouse commits
 (Iceberg-snapshot semantics — see sources/storage.py), which are the
 resume points; `resume=True` continues an interrupted crawl from the
 last committed wave with identical results (tested).
@@ -35,11 +48,10 @@ from docrawl_spark.functions.canon import (
     normalize_seed_url_col,
     url_hash_col,
 )
-from docrawl_spark.operators.dedup import anti_join_seen
 from docrawl_spark.operators.fetch import synthetic_fetch
-from docrawl_spark.operators.links import dedup_within_wave, discover_links
+from docrawl_spark.operators.links import discover_links
 from docrawl_spark.operators.scan import scan_documents
-from docrawl_spark.plans.wave import schedule_candidates
+from docrawl_spark.plans.wave import schedule_wave
 from docrawl_spark.sources.schemas import URL_SEEN_SCHEMA
 from docrawl_spark.sources.storage import Warehouse
 
@@ -121,6 +133,7 @@ def run_crawl(
     bloom_acc: Bloom | None = None
 
     metrics: list[dict] = []
+    url_seen: DataFrame | None = None  # seen set as of the wave's START
     if resume:
         if warehouse is None or not warehouse.exists("crawl_state"):
             raise ValueError("resume requested but no committed crawl_state")
@@ -129,6 +142,8 @@ def run_crawl(
         start_wave = int(last["wave"]) + 1
         visit_base = int(last["metrics"]["visit_base_next"])
         candidates = warehouse.read("frontier_pending")
+        if warehouse.exists("url_seen"):
+            url_seen = warehouse.read("url_seen", empty_schema=URL_SEEN_SCHEMA)
         if use_bloom and warehouse.exists("url_seen"):
             bloom_acc = Bloom.from_bytes(
                 build_bloom(
@@ -142,16 +157,24 @@ def run_crawl(
         candidates = seeds_to_candidates(seeds)
 
     for wave in range(start_wave, max_waves):
-        # robots gate + salted budget + global rank with payload-skinny
-        # shuffles (plans/wave.py) — same results as gate_and_select +
-        # with_global_rank over wide rows, pinned by the crawl-equality
-        # suite
+        # the integrated skinny wave (plans/wave.schedule_wave): gate +
+        # hash-keyed dedup + seen anti-join + salted budgets + global
+        # rank, one payload rejoin — same results as the compositional
+        # dedup_within_wave → anti_join_seen → schedule_candidates
+        # path, pinned by the crawl-equality suite
         wave_persists: list = []  # frames persisted by this wave's plan
-        ranked = schedule_candidates(
+        bloom_bytes = (
+            bloom_acc.to_bytes()
+            if (use_bloom and bloom_acc is not None and url_seen is not None)
+            else None
+        )
+        ranked = schedule_wave(
             candidates,
             hosts_dim,
             n_salts=n_salts,
             rank_col="_wave_rank",
+            seen=url_seen,
+            bloom=bloom_bytes,
             # candidates are warehouse-parquet-backed (or persisted by
             # the in-memory branch below) — rescanning beats a cache
             persist_wide=False,
@@ -209,7 +232,9 @@ def run_crawl(
         else:
             fetched = fetched.persist()
             url_seen = (
-                url_seen.unionByName(seen_delta) if wave > start_wave else seen_delta
+                url_seen.unionByName(seen_delta)
+                if url_seen is not None
+                else seen_delta
             ).persist()
 
         # incremental seen-set Bloom: add only this wave's keys, union
@@ -252,20 +277,15 @@ def run_crawl(
             )
 
         # ---- discover next wave -------------------------------------------
+        # raw candidates go straight to the frontier: dedup and the
+        # seen-set anti-join happen on the skinny projection at the
+        # NEXT wave's schedule (schedule_wave), so discovery itself is
+        # exchange-free — explode + canon + columnar write. The rows
+        # carry discovered_by directly (no lineage-restore join).
         discovered = discover_links(fetched, doc_col="url")
         quarantine = discovered.where(F.col("canon_error").isNotNull())
-        good = discovered.where(F.col("canon_error").isNull()).drop("canon_error")
-        deduped = dedup_within_wave(good)
-        bloom = bloom_acc.to_bytes() if (use_bloom and bloom_acc is not None) else None
-        fresh = anti_join_seen(deduped, url_seen, bloom)
-        # lineage restore: parent_rank IS the parent's visit_rank, so
-        # discovered_by comes back from this wave's fetch log (dedup
-        # dropped the string to keep its aggregate hash-based)
-        lineage = fetched.select(
-            F.col("visit_rank").alias("parent_rank"),
-            F.col("url").alias("discovered_by"),
-        )
-        nxt = fresh.join(lineage, "parent_rank", "left").select(*CANDIDATE_COLS)
+        good = discovered.where(F.col("canon_error").isNull())
+        nxt = good.select(*CANDIDATE_COLS)
 
         # ---- commit next frontier (checkpoint #2 = the resume point) ------
         wave_metrics = {

@@ -138,3 +138,137 @@ def schedule_candidates(
     # tracker.
     out._wave_persisted = wide if persist_wide else None
     return out
+
+
+def schedule_wave(
+    candidates: DataFrame,
+    hosts: DataFrame,
+    n_salts: int = 8,
+    rank_col: str = "_wave_rank",
+    rank_start: int = 0,
+    seen: DataFrame | None = None,
+    bloom: bytes | None = None,
+    persist_wide: bool = True,
+    broadcast_result: bool = True,
+    persist_tracker: list | None = None,
+    payload: bool = True,
+) -> DataFrame:
+    """The integrated hash-only wave: within-wave keep-first dedup +
+    seen-set anti-join + robots gate + salted per-host budgets +
+    deterministic global rank over a candidate stream that may still
+    carry DUPLICATE urls — with NO corpus-sized string exchange
+    anywhere.
+
+    ``schedule_candidates`` requires a pre-deduped frame, and the
+    compositional dedup (``operators/links.dedup_within_wave``) ships
+    (url, pack) strings through its groupBy — the wave's one remaining
+    string exchange, and THE membw bottleneck at 32M urls (BENCH.md:
+    the wave saturates the box's memory bus, not its cores). Here the
+    dedup itself runs on the skinny projection:
+
+    1. broadcast robots gate + budget attach on the wide scan (no
+       exchange; the gate is a per-url filter so it COMMUTES with
+       keep-first dedup — filtering before grouping removes every
+       occurrence of a disallowed url, never just the kept one);
+    2. skinny = (url_hash, host_hash, _budget, _pack) where ``_pack``
+       is the BIGINT keep-first order key (operators/links
+       .pack_order_col) — 32 B/row through every exchange;
+    3. groupBy(url_hash) min-pack dedup (HashAggregate, map-side
+       combine) — and the anti-join that follows reuses its hash
+       partitioning, so the big side never re-shuffles;
+    4. salted budget top-k + scalable global rank over the decoded
+       (parent_rank, offset, url_hash) order — identical ordering to
+       the compositional path because (parent_rank, offset) is unique
+       per candidate row (each is one span slot of one fetched page),
+       so the clamped pack never has to break ties by depth;
+    5. ONE payload rejoin: the ranked keys (≤ Σ budgets rows)
+       broadcast back onto the wide scan keyed on
+       (url_hash, _pack) — the pack pins exactly the KEPT occurrence,
+       so duplicates resolve without a string-side dedup, and
+       discovered_by/url/host come back from the original row.
+
+    Identity note: like the seen set and the anti-join, dedup keys on
+    the 64-bit url_hash — two distinct urls colliding in xxhash64
+    would merge (P ≈ n²/2⁶⁴; the engine already accepts this for
+    url_seen).
+
+    Requires ``candidates`` rows unique on (url_hash, parent_rank,
+    offset) — the rejoin key — true for discover_links output (one
+    row per span slot), seeds_to_candidates (parent_rank -1, unique
+    seed_order offsets), and their union with requeued retirements
+    (unique per url, pack -1|0 distinct from any span slot's).
+
+    Returns the candidate columns + ``rank_col``. ``persist_wide``:
+    cache the wide frame between the skinny pipeline and the rejoin —
+    pass False when candidates are storage-backed (a rescan beats a
+    cache build; run_crawl's frontier is always parquet-backed).
+
+    ``payload=False`` skips the rejoin and returns the ranked SKINNY
+    keys only — (url_hash, host_hash, parent_rank, offset, _pack,
+    rank_col) — for callers that recover the payload from a cheaper
+    source than the candidate frame itself: ``_pack`` is unique per
+    candidate row (parent_rank is a globally-unique visit_rank), so a
+    broadcast join on it against the PRE-CANON link stream selects
+    exactly the kept occurrences, and re-canonicalizing only those
+    ≤ Σ budgets rows beats caching the full canon output (measured:
+    the 16M-row wide cache build + double cache scan cost MORE than
+    the string shuffle it avoided — memory traffic is the wave's
+    scarce resource, cache writes included)."""
+    from docrawl_spark.operators.links import pack_order_col, unpack_order_cols
+
+    payload_cols = candidates.columns
+    persist_wide = persist_wide and payload
+    wide = candidates.persist() if persist_wide else candidates
+    if persist_wide and persist_tracker is not None:
+        persist_tracker.append(wide)
+    dim = hosts.select(
+        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+    )
+    gated = (
+        wide.join(F.broadcast(dim), "host", "left")
+        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
+        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+        .withColumn("_pack", pack_order_col())
+    )
+    skinny = gated.select("url_hash", "host_hash", "_budget", "_pack")
+    deduped = skinny.groupBy("url_hash").agg(
+        F.min("_pack").alias("_pack"),
+        # constant within a url_hash (functions of the url) — min is
+        # just the deterministic pick that keeps the agg a HashAggregate
+        F.min("host_hash").alias("host_hash"),
+        F.min("_budget").alias("_budget"),
+    )
+    if seen is not None:
+        from docrawl_spark.operators.dedup import anti_join_seen
+
+        deduped = anti_join_seen(deduped, seen, bloom)
+    parent_rank, offset, _ = unpack_order_cols(F.col("_pack"))
+    ordered = deduped.withColumn("parent_rank", parent_rank).withColumn(
+        "offset", offset
+    )
+    order_cols = ["parent_rank", "offset", "url_hash"]
+    selected = budget_topk(ordered, order_cols, n_salts)
+    ranked = with_global_rank(
+        selected,
+        order_cols,
+        rank_col=rank_col,
+        start=rank_start,
+        persist_tracker=persist_tracker,
+    )
+    if not payload:
+        out = ranked.select(
+            "url_hash", "host_hash", "parent_rank", "offset", "_pack", rank_col
+        )
+        out._wave_persisted = None
+        return out
+    keys = ranked.select("url_hash", "_pack", rank_col)
+    if broadcast_result:
+        keys = F.broadcast(keys)
+    # rejoin from the PRE-GATE wide frame: every selected key passed
+    # the gate, so gating the rejoin side again would only re-run the
+    # robots filter for nothing
+    out = wide.withColumn("_pack", pack_order_col()).join(
+        keys, ["url_hash", "_pack"]
+    ).drop("_pack")
+    out._wave_persisted = wide if persist_wide else None
+    return out

@@ -1013,3 +1013,117 @@ def test_kmv_mins_salted_two_phase_and_pair_join_shape(spark):
     p2 = plan_of(pairs)
     assert "CartesianProduct" not in p2  # pair cross broadcasts (dim)
     assert "BroadcastHashJoin" in p2 or "SortMergeJoin" in p2
+
+
+def test_schedule_wave_matches_compositional_path(spark):
+    """The integrated hash-only wave (plans/wave.schedule_wave: gate +
+    hash-keyed dedup + anti-join + budgets + rank + pack-keyed rejoin)
+    must reproduce dedup_within_wave → anti_join_seen →
+    schedule_candidates exactly — duplicates present, bloom on/off."""
+    from docrawl_spark.operators.dedup import anti_join_seen, build_seen_bloom
+    from docrawl_spark.operators.links import dedup_within_wave
+    from docrawl_spark.plans.wave import schedule_candidates, schedule_wave
+
+    # 3 occurrences of each url with distinct (parent_rank, offset) —
+    # keep-first must pick the smallest — plus hot-host skew
+    base = spark.range(3000).select(
+        (F.col("id") % 1000).alias("uid"),
+        F.col("id").alias("parent_rank"),
+        (F.col("id") % 29).cast("int").alias("offset"),
+    )
+    from docrawl_spark.functions.canon import url_hash_col
+
+    url = F.concat(
+        F.lit("https://h"), (F.col("uid") % 13).cast("string"),
+        F.lit(".test/p"), F.col("uid").cast("string"),
+    )
+    host = F.concat(F.lit("h"), (F.col("uid") % 13).cast("string"), F.lit(".test"))
+    cands = base.select(
+        url_hash_col(url).alias("url_hash"),
+        url.alias("url"),
+        host.alias("host"),
+        url_hash_col(host).alias("host_hash"),
+        F.lit(1).alias("depth"),
+        "parent_rank",
+        "offset",
+        F.concat(F.lit("parent"), F.col("parent_rank").cast("string")).alias("discovered_by"),
+    )
+    hosts = spark.range(13).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(4).alias("budget"),
+        F.when(F.col("id") % 3 == 0, F.lit("/p1")).otherwise(F.lit("")).alias("robots_blob"),
+    )
+    seen = spark.range(0, 1000, 4).select(
+        url_hash_col(
+            F.concat(
+                F.lit("https://h"), (F.col("id") % 13).cast("string"),
+                F.lit(".test/p"), F.col("id").cast("string"),
+            )
+        ).alias("url_hash")
+    )
+    # compositional reference: dedup_within_wave drops discovered_by,
+    # so compare the shared columns (lineage is restored relationally
+    # by run_crawl; schedule_wave carries it through directly)
+    ref = {
+        tuple(r)
+        for r in schedule_candidates(
+            dedup_within_wave(cands), hosts, seen=seen
+        ).select("url_hash", "url", "host", "parent_rank", "offset", "_wave_rank").collect()
+    }
+    assert ref, "reference selection is empty — fixture broken"
+    for blob in (None, build_seen_bloom(seen, expected_items=300)):
+        got_df = schedule_wave(cands, hosts, seen=seen, bloom=blob)
+        got = {
+            tuple(r)
+            for r in got_df.select(
+                "url_hash", "url", "host", "parent_rank", "offset", "_wave_rank"
+            ).collect()
+        }
+        assert got == ref
+    # discovered_by comes back from the KEPT occurrence (its parent)
+    lineage = {
+        (r["parent_rank"], r["discovered_by"])
+        for r in schedule_wave(cands, hosts, seen=seen).collect()
+    }
+    assert all(d == f"parent{p}" for p, d in lineage)
+    spark.catalog.clearCache()
+
+
+def test_schedule_wave_no_exchange_carries_strings(spark):
+    """THE at-scale invariant of the integrated wave: no Exchange in
+    the whole plan — dedup groupBy, anti-join, both politeness
+    windows, the rank range-repartition — ships the url or
+    discovered_by string; the payload re-enters through the ranked
+    keys' broadcast only."""
+    from docrawl_spark.plans.wave import schedule_wave
+
+    cands = spark.range(2000).select(
+        F.xxhash64((F.col("id") % 700).cast("string")).alias("url_hash"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".test/p"), (F.col("id") % 700).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"), F.lit(".test")).alias("host"),
+        F.xxhash64(F.concat(F.lit("h"), (F.col("id") % 7).cast("string"))).alias("host_hash"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("parent_rank"),
+        (F.col("id") % 31).cast("int").alias("offset"),
+        F.lit("x").alias("discovered_by"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(3).alias("budget"),
+        F.lit("").alias("robots_blob"),
+    )
+    seen = spark.range(0, 700, 5).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    out = schedule_wave(cands, hosts, seen=seen)
+    plan = plan_of(out)
+    blocks = plan.split("\n\n")
+    shuffles = [b for b in blocks if ") Exchange" in b]
+    assert shuffles, "expected shuffle exchanges in the wave plan"
+    for b in shuffles:
+        assert "url#" not in b, f"url string rides an exchange:\n{b}"
+        assert "discovered_by#" not in b, f"payload rides an exchange:\n{b}"
+    spark.catalog.clearCache()
