@@ -533,15 +533,27 @@ def margin_mine_pairs(
         F.col("_bucket").alias("_probe"),
     )
     a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism, "_probe")
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    # Factorized candidate cosines: arrays_zip → explode → product →
+    # HashAggregate — everything whole-stage codegen. The per-row
+    # zip_with+aggregate fold this replaces runs INTERPRETED (HOFs sit
+    # outside codegen; the repo's measured 30-40x lesson, CLAUDE.md)
+    # and was the wave's cost in margin_bitext. The pair grain the
+    # partial agg collapses to is what the downstream windows shuffle
+    # anyway; n_a/n_b ride as group keys (exact per-id constants), so
+    # the aggregate stays a single-sum HashAggregate.
+    pairs = a.join(b, "_probe").select(
+        "id_a", "id_b", "n_a", "n_b",
+        F.explode(F.arrays_zip("v_a", "v_b")).alias("_e"),
+    )
+    dots = pairs.groupBy("id_a", "n_a", "id_b", "n_b").agg(
+        F.sum(F.col("_e.v_a") * F.col("_e.v_b")).alias("_dot")
     )
     cos = F.when(
-        (F.col("n_a") > 0) & (F.col("n_b") > 0), dot / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("_dot") / (F.col("n_a") * F.col("n_b")),
     ).otherwise(F.lit(0.0))
     cands = (
-        a.join(b, "_probe")
-        .select(
+        dots.select(
             "id_a",
             "id_b",
             F.round(cos * 1_000_000).cast("long").alias("c_ppm"),
@@ -667,27 +679,34 @@ def triplet_mining(
     a = a.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "_probe"
     )
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
+    # Factorized candidate cosines (same codegen reshape as
+    # margin_mine_pairs): arrays_zip → explode → product → one-sum
+    # HashAggregate with the per-id constants (labels, norms) riding
+    # as group keys — replaces the interpreted zip_with/aggregate fold
+    # that dominated contrastive_triplets.
+    pairs = (
+        a.join(b, "_probe")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b",
+            F.explode(F.arrays_zip("v_a", "v_b")).alias("_e"),
+        )
+    )
+    dots = pairs.groupBy("id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b").agg(
+        F.sum(F.col("_e.v_a") * F.col("_e.v_b")).alias("_dot")
     )
     cos = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0),
-        dot / (F.col("n_a") * F.col("n_b")),
+        F.col("_dot") / (F.col("n_a") * F.col("n_b")),
     ).otherwise(F.lit(0.0))
     pack = (F.round(cos * 1_000_000).cast("long") + F.lit(1_000_000)) * F.lit(
         1_000_000_000_000
     ) + (F.lit(999_999_999_999) - F.col("id_b"))
-    cands = (
-        a.join(b, "_probe")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "lab_a",
-            F.when(F.col("lab_a") == F.col("lab_b"), pack).alias("pos_pack"),
-            F.when(F.col("lab_a") != F.col("lab_b"), pack).alias("neg_pack"),
-        )
+    cands = dots.select(
+        "id_a",
+        "lab_a",
+        F.when(F.col("lab_a") == F.col("lab_b"), pack).alias("pos_pack"),
+        F.when(F.col("lab_a") != F.col("lab_b"), pack).alias("neg_pack"),
     )
     best = (
         cands.groupBy("id_a", "lab_a")
