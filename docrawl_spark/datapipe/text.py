@@ -993,15 +993,83 @@ def blocklist_filter(
     )
 
 
+def _bpe_apply_fold(l: str, r: str) -> str:
+    """The greedy left-to-right non-overlapping merge of (l, r) over a
+    U+001F-joined token string, as one SQL fold expression."""
+    sep = "char(31)"
+
+    # Spark SQL string literals treat backslash as an escape even
+    # outside ANSI string mode — escape it before the quote pass
+    # (tokens come from corpus text, so assume nothing)
+    def _q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    ql, qr = _q(l), _q(r)
+    return (
+        f"aggregate(slice(split(tokstr, {sep}), 2,"
+        f" size(split(tokstr, {sep})) - 1),"
+        f" split(tokstr, {sep})[0],"
+        f" (acc, x) -> CASE WHEN x = '{qr}' AND (acc = '{ql}'"
+        f" OR endswith(acc, concat({sep}, '{ql}')))"
+        f" THEN concat(acc, x)"
+        f" ELSE concat(acc, {sep}, x) END)"
+    )
+
+
+def _bpe_train_local(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact greedy BPE over a driver-held (word, freq) vocab — the
+    same semantics as the distributed per-round loop: pair counts
+    weighted by word frequency, argmax by (count desc, left asc,
+    right asc) in code-point order (≡ Spark/DuckDB UTF-8 binary
+    collation — UTF-8 byte order preserves code-point order), merges
+    applied greedily left-to-right non-overlapping (a fused token
+    never re-merges within its round — 'aaa' + (a,a) → ['aa','a'])."""
+    vocab: list[tuple[list[str], int]] = [(list(w), n) for w, n in words]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, int(c)))
+        for idx, (syms, n) in enumerate(vocab):
+            out = [syms[0]]
+            for x in syms[1:]:
+                if x == r and out[-1] == l:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            vocab[idx] = (out, n)
+    return merges
+
+
 def _bpe_train(
     df: DataFrame,
     n_merges: int = 6,
     text_col: str = "text",
     min_word_len: int = 2,
+    driver_vocab_limit: int = 2_000_000,
 ):
     """Shared trainer core: returns (merges list, final re-tokenized
     word-frequency frame, the persisted base handle — caller releases).
-    See bpe_train_merges for the full algorithm notes."""
+    See bpe_train_merges for the full algorithm notes.
+
+    Merge SELECTION runs driver-side on the collected (word, freq)
+    vocab whenever it fits under ``driver_vocab_limit`` rows: the
+    vocab dim is corpus-DISTINCT words (10^5-10^7 even at 100 TB of
+    text), and one collect + an in-memory greedy replaces one Spark
+    job per merge round — at a real 32k-merge budget, 2 jobs instead
+    of 32k driver round-trips (the r3 'BPE serialization wall'). The
+    distributed per-round argmax below is the honest fallback for a
+    vocab that genuinely cannot land on a driver. Both paths implement
+    the identical greedy rule, so the merge table (and the oracle
+    hash) is path-independent."""
     sep = "char(31)"
     toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
     wf = (
@@ -1019,7 +1087,21 @@ def _bpe_train(
         .persist()
     )
     wf0 = wf
-    merges: list[tuple[int, str, str, int]] = []
+    n_vocab = wf.count()  # also materializes the cache
+    if n_vocab <= driver_vocab_limit:
+        rows = wf.select("word", "n").collect()
+        merges = _bpe_train_local(
+            [(r["word"], int(r["n"])) for r in rows], n_merges
+        )
+        # the final re-tokenized frame (bpe_encode_stats consumes it)
+        # still applies the learned rules as lazy fold transforms —
+        # no per-round driver round-trips
+        for rank, l, r, _ in merges:
+            wf = wf.select("word", "n", F.expr(_bpe_apply_fold(l, r)).alias("tokstr"))
+            if rank % 8 == 0:
+                wf = wf.localCheckpoint(eager=False)
+        return merges, wf, wf0
+    merges = []
     for rank in range(1, n_merges + 1):
         best = (
             wf.select(F.expr(f"split(tokstr, {sep})").alias("t"), "n")
@@ -1044,23 +1126,7 @@ def _bpe_train(
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, l, r, c))
-        # Spark SQL string literals treat backslash as an escape even
-        # outside ANSI string mode — escape it before the quote pass
-        # (tokens come from corpus text, so assume nothing)
-        def _q(s: str) -> str:
-            return s.replace("\\", "\\\\").replace("'", "''")
-
-        ql, qr = _q(l), _q(r)
-        fold = (
-            f"aggregate(slice(split(tokstr, {sep}), 2,"
-            f" size(split(tokstr, {sep})) - 1),"
-            f" split(tokstr, {sep})[0],"
-            f" (acc, x) -> CASE WHEN x = '{qr}' AND (acc = '{ql}'"
-            f" OR endswith(acc, concat({sep}, '{ql}')))"
-            f" THEN concat(acc, x)"
-            f" ELSE concat(acc, {sep}, x) END)"
-        )
-        wf = wf.select("word", "n", F.expr(fold).alias("tokstr"))
+        wf = wf.select("word", "n", F.expr(_bpe_apply_fold(l, r)).alias("tokstr"))
         if rank % 8 == 0:
             wf = wf.localCheckpoint(eager=False)
     return merges, wf, wf0

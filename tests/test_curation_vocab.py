@@ -91,3 +91,35 @@ def test_greedy_negative_scores_sign_symmetric(spark):
     by_id = {r["id"]: (r["ratio"], r["pick_rank"]) for r in out}
     assert by_id[1] == (-1, 1)   # -3 div 2 -> -1 (toward zero), first
     assert by_id[2] == (-2, 2)
+
+
+def test_bpe_driver_side_equals_distributed_selection(spark):
+    """The driver-side greedy (vocab fits) and the per-round
+    distributed argmax (vocab doesn't) must learn the IDENTICAL merge
+    table — adversarial corpus: count ties broken lexicographically,
+    fused tokens out-ranking remaining pairs ('a b c' makes ('ab','c')
+    beat any lower-count pair after round 1), repeats that must not
+    re-merge within a round, and non-ASCII tokens (binary collation ≡
+    code-point order)."""
+    from docrawl_spark.datapipe.text import _bpe_train
+
+    rows = (
+        [("abc xy",)] * 100      # (a,b):100,(b,c):100 -> then (ab,c):100
+        + [("xyq",)] * 90
+        + [("aaaa",)] * 7        # overlapping pairs: aaaa -> (a,a) twice
+        + [("éclair café",)] * 3 # non-ASCII collation
+    )
+    df = spark.createDataFrame(rows, "text string")
+    fast, wf_f, wf0_f = _bpe_train(df, n_merges=8)
+    slow, wf_s, wf0_s = _bpe_train(df, n_merges=8, driver_vocab_limit=0)
+    wf0_f.unpersist()
+    wf0_s.unpersist()
+    assert fast == slow
+    assert len(fast) == 8
+    # the fused-token re-rank actually exercised: ('ab','c') chosen
+    # while 'xyq''s pairs (90) were pending
+    assert ("ab", "c") in [(l, r) for _, l, r, _ in fast]
+    # final re-tokenization identical too (encode_stats path)
+    a = sorted(map(tuple, wf_f.select("word", "n", "tokstr").collect()))
+    b = sorted(map(tuple, wf_s.select("word", "n", "tokstr").collect()))
+    assert a == b
