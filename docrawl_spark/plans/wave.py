@@ -214,47 +214,15 @@ def schedule_wave(
     the 16M-row wide cache build + double cache scan cost MORE than
     the string shuffle it avoided — memory traffic is the wave's
     scarce resource, cache writes included)."""
-    from docrawl_spark.operators.links import pack_order_col, unpack_order_cols
-
     payload_cols = candidates.columns
     persist_wide = persist_wide and payload
     wide = candidates.persist() if persist_wide else candidates
     if persist_wide and persist_tracker is not None:
         persist_tracker.append(wide)
-    dim = hosts.select(
-        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+    stages = schedule_wave_stages(
+        wide, hosts, n_salts, rank_col, rank_start, seen, bloom, persist_tracker
     )
-    gated = (
-        wide.join(F.broadcast(dim), "host", "left")
-        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
-        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
-        .withColumn("_pack", pack_order_col())
-    )
-    skinny = gated.select("url_hash", "host_hash", "_budget", "_pack")
-    deduped = skinny.groupBy("url_hash").agg(
-        F.min("_pack").alias("_pack"),
-        # constant within a url_hash (functions of the url) — min is
-        # just the deterministic pick that keeps the agg a HashAggregate
-        F.min("host_hash").alias("host_hash"),
-        F.min("_budget").alias("_budget"),
-    )
-    if seen is not None:
-        from docrawl_spark.operators.dedup import anti_join_seen
-
-        deduped = anti_join_seen(deduped, seen, bloom)
-    parent_rank, offset, _ = unpack_order_cols(F.col("_pack"))
-    ordered = deduped.withColumn("parent_rank", parent_rank).withColumn(
-        "offset", offset
-    )
-    order_cols = ["parent_rank", "offset", "url_hash"]
-    selected = budget_topk(ordered, order_cols, n_salts)
-    ranked = with_global_rank(
-        selected,
-        order_cols,
-        rank_col=rank_col,
-        start=rank_start,
-        persist_tracker=persist_tracker,
-    )
+    ranked = stages["ranked"]
     if not payload:
         out = ranked.select(
             "url_hash", "host_hash", "parent_rank", "offset", "_pack", rank_col
@@ -267,8 +235,78 @@ def schedule_wave(
     # rejoin from the PRE-GATE wide frame: every selected key passed
     # the gate, so gating the rejoin side again would only re-run the
     # robots filter for nothing
+    from docrawl_spark.operators.links import pack_order_col
+
     out = wide.withColumn("_pack", pack_order_col()).join(
         keys, ["url_hash", "_pack"]
     ).drop("_pack")
     out._wave_persisted = wide if persist_wide else None
     return out
+
+
+def schedule_wave_stages(
+    candidates: DataFrame,
+    hosts: DataFrame,
+    n_salts: int = 8,
+    rank_col: str = "_wave_rank",
+    rank_start: int = 0,
+    seen: DataFrame | None = None,
+    bloom: bytes | None = None,
+    persist_tracker: list | None = None,
+) -> dict[str, DataFrame]:
+    """The named prefix frames of :func:`schedule_wave`'s skinny
+    pipeline — THE code that builds the wave (schedule_wave consumes
+    ``ranked``), exposed so bench.py can profile stage walls without
+    re-deriving the expressions (zero drift):
+
+    - ``gated_skinny``: broadcast robots gate + budget attach + pack,
+      projected to (url_hash, host_hash, _budget, _pack);
+    - ``deduped``: + keep-first min-pack groupBy(url_hash);
+    - ``unseen``: + Bloom prefilter / exact anti-join (``deduped``
+      when no seen set);
+    - ``selected``: + salted per-host budget top-k;
+    - ``ranked``: + deterministic dense global rank."""
+    from docrawl_spark.operators.links import pack_order_col, unpack_order_cols
+
+    dim = hosts.select(
+        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+    )
+    gated = (
+        candidates.join(F.broadcast(dim), "host", "left")
+        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
+        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+        .withColumn("_pack", pack_order_col())
+    )
+    skinny = gated.select("url_hash", "host_hash", "_budget", "_pack")
+    deduped = skinny.groupBy("url_hash").agg(
+        F.min("_pack").alias("_pack"),
+        # constant within a url_hash (functions of the url) — min is
+        # just the deterministic pick that keeps the agg a HashAggregate
+        F.min("host_hash").alias("host_hash"),
+        F.min("_budget").alias("_budget"),
+    )
+    unseen = deduped
+    if seen is not None:
+        from docrawl_spark.operators.dedup import anti_join_seen
+
+        unseen = anti_join_seen(deduped, seen, bloom)
+    parent_rank, offset, _ = unpack_order_cols(F.col("_pack"))
+    ordered = unseen.withColumn("parent_rank", parent_rank).withColumn(
+        "offset", offset
+    )
+    order_cols = ["parent_rank", "offset", "url_hash"]
+    selected = budget_topk(ordered, order_cols, n_salts)
+    ranked = with_global_rank(
+        selected,
+        order_cols,
+        rank_col=rank_col,
+        start=rank_start,
+        persist_tracker=persist_tracker,
+    )
+    return {
+        "gated_skinny": skinny,
+        "deduped": deduped,
+        "unseen": unseen,
+        "selected": selected,
+        "ranked": ranked,
+    }

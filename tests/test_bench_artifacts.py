@@ -135,3 +135,24 @@ def test_null_walls_never_crash_the_emit(bench, tmp_path):
     thr = rb["best_calm_throughput"]
     assert thr["n_calm_pairs"] == 1  # only the well-formed pair counts
     assert thr["urls_per_sec_32_calm"] == round(32_000_000 / good["sec_32"], 1)
+
+
+def test_stage_profile_covers_the_wave(bench, spark):
+    """frontier.stage_profile (VERDICT r3 item 10): the per-stage wall
+    breakdown must name every wave stage with non-negative deltas that
+    sum to the final cumulative wall."""
+    prof = bench.frontier_wave_stage_profile(spark, 60_000, 50)
+    names = [s["stage"] for s in prof["stages"]]
+    assert names == [
+        "canon",
+        "dedup",
+        "seen_antijoin",
+        "politeness_windows",
+        "rank",
+        "payload_rejoin",
+    ]
+    assert prof["n_urls"] == 60_000 and prof["n_hosts"] == 50
+    total = prof["stages"][-1]["cumulative_sec"]
+    assert abs(sum(s["delta_sec"] for s in prof["stages"]) - total) < 0.01
+    assert all(s["delta_sec"] >= 0 for s in prof["stages"])
+    assert total > 0
