@@ -38,6 +38,28 @@ def _bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def validate_merge_source(df: DataFrame, key_cols: list[str], table: str) -> None:
+    """Iceberg MERGE INTO's source contract, enforced eagerly for both
+    backends: duplicate source keys would be "multiple rows match";
+    NULL keys could never be retired by the equality match and would
+    silently accumulate duplicates."""
+    null_flags = [
+        F.max(F.col(k).isNull().cast("int")).alias(f"_null_{k}") for k in key_cols
+    ]
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("nd"),
+        *null_flags,
+    ).first()
+    if any(stats[f"_null_{k}"] for k in key_cols):
+        raise ValueError(f"merge_upsert({table}): NULL in key columns {key_cols}")
+    if stats["n"] != stats["nd"]:
+        raise ValueError(
+            f"merge_upsert({table}): duplicate source keys "
+            f"({stats['n']} rows, {stats['nd']} distinct {key_cols})"
+        )
+
+
 class Warehouse:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
@@ -119,21 +141,7 @@ class Warehouse:
         """
         from pyspark.sql import functions as F
 
-        null_flags = [
-            F.max(F.col(k).isNull().cast("int")).alias(f"_null_{k}") for k in key_cols
-        ]
-        stats = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in key_cols]).alias("nd"),
-            *null_flags,
-        ).first()
-        if any(stats[f"_null_{k}"] for k in key_cols):
-            raise ValueError(f"merge_upsert({table}): NULL in key columns {key_cols}")
-        if stats["n"] != stats["nd"]:
-            raise ValueError(
-                f"merge_upsert({table}): duplicate source keys "
-                f"({stats['n']} rows, {stats['nd']} distinct {key_cols})"
-            )
+        validate_merge_source(df, key_cols, table)
         if not self.exists(table):
             return self.overwrite(table, df)
         bexpr = _bucket_expr(key_cols, n_buckets)
