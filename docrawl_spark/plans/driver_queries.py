@@ -468,6 +468,16 @@ def q_extract_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     'None' row for a kind with no spans (bullet)."""
     from docrawl_spark.operators.commands import extract_multiple_kinds_matrix
 
+    docs = _synth_span_docs(spark, sf_dir)
+    return extract_multiple_kinds_matrix(
+        docs, ["headline", "text", "link", "bullet"], max_cols=2
+    )
+
+
+def _synth_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract_matrix span synthesis, shared by the artifact-render
+    queries: headline / two text lines (first blanked on doc_id%5==0) /
+    a root-relative link / no bullet spans, per documents row."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".test/doc/"),
@@ -498,10 +508,32 @@ def q_extract_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ),
     )
-    docs = d.select(url.alias("doc_id"), spans.alias("spans"))
-    return extract_multiple_kinds_matrix(
-        docs, ["headline", "text", "link", "bullet"], max_cols=2
-    )
+    return d.select(url.alias("doc_id"), spans.alias("spans"))
+
+
+def q_o4_txt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 txt artifact content (docrawl_core.py:910-918): extract_kind
+    'text' through render_kind_txt — per-doc file bytes (each stripped
+    non-empty line + newline; the literal 'None' line for docs whose
+    text spans all strip empty)."""
+    from docrawl_spark.operators.artifacts import render_kind_txt
+    from docrawl_spark.operators.extract import extract_kind
+
+    docs = _synth_span_docs(spark, sf_dir)
+    return render_kind_txt(extract_kind(docs, "text"))
+
+
+def q_o5_txt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 txt artifact content (docrawl_core.py:944-947): the four-kind
+    extract_multiple_kinds long form through render_multi_txt —
+    newline-joined per-kind blocks, no trailing newline, 'None' block
+    for the span-less bullet kind, links absolutized."""
+    from docrawl_spark.operators.artifacts import render_multi_txt
+    from docrawl_spark.operators.commands import extract_multiple_kinds
+
+    docs = _synth_span_docs(spark, sf_dir)
+    long = extract_multiple_kinds(docs, ["headline", "text", "link", "bullet"])
+    return render_multi_txt(long)
 
 
 def q_seed_normalize_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7204,6 +7236,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_cookies": q_fetch_cookies,
         "fetch_json_requests": q_fetch_json_requests,
         "extract_matrix": q_extract_matrix,
+        "o4_txt_render": q_o4_txt_render,
+        "o5_txt_render": q_o5_txt_render,
         "embedding_neardup": q_embedding_neardup,
         "semantic_clusters": q_semantic_clusters,
         "semantic_dedup_docs": q_semantic_dedup_docs,
@@ -7636,6 +7670,47 @@ def oracle_sql() -> dict[str, str]:
             FROM lines
             UNION ALL
             SELECT url, 3, 'bullet', 'None', CAST(NULL AS VARCHAR) FROM lines
+        """,
+        "o4_txt_render": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            lines AS (
+              SELECT url,
+                     CASE WHEN doc_id % 5 = 0 THEN ''
+                          ELSE COALESCE(array_to_string(tk[1:3], ' '), '') END AS t1,
+                     COALESCE(array_to_string(tk[4:5], ' '), '') AS t2
+              FROM t)
+            SELECT url AS doc_id,
+                   CASE WHEN t1 <> '' AND t2 <> '' THEN t1 || chr(10) || t2 || chr(10)
+                        WHEN t1 <> '' THEN t1 || chr(10)
+                        WHEN t2 <> '' THEN t2 || chr(10)
+                        ELSE 'None' || chr(10) END AS txt
+            FROM lines
+        """,
+        "o5_txt_render": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tk,
+                     'https://' || source || '.test/doc/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            lines AS (
+              SELECT url, doc_id, source,
+                     CASE WHEN doc_id % 5 = 0 THEN ''
+                          ELSE COALESCE(array_to_string(tk[1:3], ' '), '') END AS t1,
+                     COALESCE(array_to_string(tk[4:5], ' '), '') AS t2
+              FROM t)
+            SELECT url AS doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || CASE WHEN t1 <> '' AND t2 <> '' THEN t1 || chr(10) || t2
+                           WHEN t1 <> '' THEN t1
+                           WHEN t2 <> '' THEN t2
+                           ELSE 'None' END || chr(10)
+                   || 'https://' || source || '.test/rel/' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                   || 'None' AS txt
+            FROM lines
         """,
         "fetch_headers": """
             SELECT 'synth/' || source || '.test' AS server,
