@@ -1,0 +1,231 @@
+"""Real HTTP transport for the production fetch stage.
+
+`operators/fetch.http_fetch` ships the Spark-side plumbing (mapInPandas
+batching, retries, error rows) with a transport injection point; the
+sandbox default raises because there is no external network. This
+module supplies the REAL client legs, stdlib-only so they run on any
+cluster with no extra wheels (reference network stack:
+docrawl_core.py:1050-1088 — selenium page loads + selenium-wire request
+capture; here a direct HTTP/1.1 client):
+
+- :func:`pooled_http_transport` — a keep-alive ``http.client``
+  connection pool PER EXECUTOR PROCESS (module global: Python workers
+  are forked per executor, so each holds its own pool and sockets are
+  never pickled). One host's requests on a worker reuse one socket —
+  the per-host connection pooling a polite crawler wants, for free.
+- :func:`make_scheduled_fetch_batches` /
+  :func:`scheduled_http_fetch` — the dispatch leg that honors
+  `operators/politeness.schedule_timeline`'s ``scheduled_at_ms``: rows
+  are host-partitioned and time-sorted, and the worker sleeps until
+  each URL's scheduled instant before issuing the request — the
+  reference's ``time.sleep`` politeness (docrawl_core.py:1088,1105)
+  re-expressed as data the executors obey. Clock and sleeper are
+  injectable, so the timing contract is unit-tested with a fake clock
+  and integration-tested against a real localhost server.
+
+Scale shape: politeness correctness needs each host's timeline to be
+executed by ONE task in time order — exactly the
+``repartition(host_hash) + sortWithinPartitions(scheduled_at_ms)``
+layout `scheduled_http_fetch` builds. Sleeping happens on executors
+(bounded by the wave horizon), never on the driver; a straggler host
+with a long Crawl-delay stretches only its own task, and AQE cannot
+coalesce the layout away because the count is user-specified.
+
+Tested end-to-end against an in-process ``http.server`` in
+tests/test_http_transport.py (localhost needs no external network) —
+status/header/content capture, 404s, connection reuse, retry-then-
+success, connection-refused error rows, and dispatch-time honoring.
+"""
+
+from __future__ import annotations
+
+import email.utils
+import http.client
+import time
+from collections.abc import Iterator
+from datetime import datetime, timezone
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docrawl_spark.operators.fetch import FETCHED_SCHEMA_DDL, _FETCHED_COLUMNS
+
+__all__ = [
+    "pooled_http_transport",
+    "make_scheduled_fetch_batches",
+    "scheduled_http_fetch",
+    "close_pool",
+]
+
+# one pool per Python worker process (never pickled, never shared)
+_POOL: dict[tuple[str, str, int], http.client.HTTPConnection] = {}
+
+_MAX_BODY_BYTES = 16 * 1024 * 1024  # cap runaway bodies; crawler pages are small
+_USER_AGENT = "docrawl-spark/1.0"
+
+
+def _connect(scheme: str, host: str, port: int, timeout_s: float):
+    key = (scheme, host, port)
+    conn = _POOL.get(key)
+    if conn is None:
+        cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        conn = cls(host, port, timeout=timeout_s)
+        _POOL[key] = conn
+    return conn
+
+
+def close_pool() -> None:
+    """Close every pooled connection in this process (test teardown /
+    executor shutdown hook)."""
+    for conn in _POOL.values():
+        try:
+            conn.close()
+        except Exception:
+            pass
+    _POOL.clear()
+
+
+def pooled_http_transport(url: str, timeout_s: float, attempt: int) -> dict:
+    """One GET through the per-process keep-alive pool; raises on
+    transport failure (the fetch wrapper's retry loop catches). On a
+    retry (attempt > 0) the host's pooled socket is discarded first —
+    a dead keep-alive connection must not poison every retry — and an
+    exponential pre-request backoff applies (50 ms · 2^(attempt-1),
+    capped at 2 s)."""
+    parts = urlsplit(url)
+    if parts.scheme not in ("http", "https"):
+        raise ValueError(f"unsupported scheme: {url!r}")
+    host = parts.hostname or ""
+    port = parts.port or (443 if parts.scheme == "https" else 80)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+
+    if attempt > 0:
+        _POOL.pop((parts.scheme, host, port), None)
+        time.sleep(min(0.05 * (2 ** (attempt - 1)), 2.0))
+
+    conn = _connect(parts.scheme, host, port, timeout_s)
+    started = time.monotonic()
+    try:
+        conn.request(
+            "GET", path, headers={"User-Agent": _USER_AGENT, "Accept": "*/*"}
+        )
+        resp = conn.getresponse()
+        body = resp.read(_MAX_BODY_BYTES + 1)
+        if len(body) > _MAX_BODY_BYTES:
+            body = body[:_MAX_BODY_BYTES]
+            # an over-cap body leaves unread bytes on the socket —
+            # drop the connection rather than desync keep-alive framing
+            _POOL.pop((parts.scheme, host, port), None)
+            conn.close()
+    except Exception:
+        # broken socket: evict so the next attempt reconnects
+        _POOL.pop((parts.scheme, host, port), None)
+        try:
+            conn.close()
+        except Exception:
+            pass
+        raise
+    elapsed_ms = (time.monotonic() - started) * 1000.0
+    headers = {k.lower(): v for k, v in resp.getheaders()}
+    fetched_at = datetime.now(timezone.utc)
+    if "date" in headers:
+        try:
+            fetched_at = email.utils.parsedate_to_datetime(headers["date"])
+        except Exception:
+            pass
+    return {
+        "url": url,
+        "status": int(resp.status),
+        "content": bytes(body),
+        "content_type": headers.get("content-type"),
+        "headers": headers,
+        "fetched_at": fetched_at,
+        "elapsed_ms": elapsed_ms,
+        "error": None,
+    }
+
+
+def make_scheduled_fetch_batches(
+    transport,
+    wave_start_epoch_s: float,
+    timeout_s: float = 10.0,
+    batch_size: int = 64,
+    retries: int = 2,
+    clock=time.time,
+    sleeper=time.sleep,
+):
+    """mapInPandas generator over (url, scheduled_at_ms) rows: process
+    rows in scheduled order, sleeping until ``wave_start_epoch_s +
+    scheduled_at_ms/1000`` before each request. Retry/error shaping is
+    `fetch.make_fetch_batches`'s, reused verbatim on one-row frames
+    (per-url retries, status=0 error rows, typed-null fill), so the
+    two fetch paths cannot drift. ``clock``/``sleeper`` injection
+    makes the timing contract testable without wall-clock waits."""
+    from docrawl_spark.operators.fetch import make_fetch_batches
+
+    inner = make_fetch_batches(transport, timeout_s, batch_size, retries)
+
+    def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.sort_values("scheduled_at_ms", kind="mergesort")
+            sched = pdf["scheduled_at_ms"].tolist()
+            urls = pdf["url"].tolist()
+            # walk the timeline: sleep to each row's instant, fetch one
+            for i in range(0, len(urls), batch_size):
+                rows = []
+                for j in range(i, min(i + batch_size, len(urls))):
+                    target = wave_start_epoch_s + sched[j] / 1000.0
+                    wait = target - clock()
+                    if wait > 0:
+                        sleeper(wait)
+                    one = pd.DataFrame({"url": [urls[j]]})
+                    rows.extend(df for df in inner(iter([one])))
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+    return fetch_batches
+
+
+def scheduled_http_fetch(
+    selected: DataFrame,
+    wave_start_epoch_s: float,
+    timeout_s: float = 10.0,
+    batch_size: int = 64,
+    retries: int = 2,
+    transport=None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Politeness-honoring distributed fetch: host-partitioned,
+    time-sorted, dispatched at ``schedule_timeline``'s instants.
+
+    Input needs (url, host_hash, scheduled_at_ms) — the exact output
+    of the politeness stage. The explicit user-specified repartition
+    count keeps AQE from coalescing the host layout (CLAUDE.md AQE
+    fan-out note); sortWithinPartitions orders each host's timeline,
+    and mapInPandas consumes rows in partition order, so per-host
+    requests are serial and spaced."""
+    n = n_partitions or int(
+        selected.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    laid_out = (
+        selected.select("url", "host_hash", "scheduled_at_ms")
+        .repartition(n, "host_hash")
+        .sortWithinPartitions("scheduled_at_ms")
+        .select("url", "scheduled_at_ms")
+    )
+    batches = make_scheduled_fetch_batches(
+        transport or pooled_http_transport,
+        wave_start_epoch_s,
+        timeout_s,
+        batch_size,
+        retries,
+    )
+    return laid_out.mapInPandas(batches, FETCHED_SCHEMA_DDL)
