@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode/resize/feature kernels themselves are STUBS in this sandbox
-(no image/audio libs in the container): each has (a) a
-``NotImplementedError`` real path clearly marked for cluster use and
-(b) a deterministic fake (hash-derived) used by tests so the
-Spark-side plumbing — schemas, batch iteration, partition sizing — is
-real and tested end-to-end.
+Decode legs: PNG/BMP image decode, PNG re-encode (resize), and WAV PCM
+audio decode are REAL — stdlib-only kernels in ``datapipe/codecs.py``
+(zlib + PNG filter reconstruction, BI_RGB rows, ``wave`` + numpy RMS),
+tested end-to-end through the Spark stages. Formats that genuinely
+need native libs absent from this container (JPEG/WebP via
+PIL/libjpeg, video via ffmpeg, compressed audio via soundfile) raise a
+clearly-marked ``NotImplementedError`` and keep (b) a deterministic
+fake (hash-derived) so the Spark-side plumbing — schemas, batch
+iteration, partition sizing — is exercised for every format.
 
 Scale notes baked into the operators:
 - media rows are WIDE (MBs): ``repartition_for_media`` sizes
@@ -65,6 +68,7 @@ _MAGIC: list[tuple[str, bytes]] = [
     ("gif", b"GIF8"),
     ("pdf", b"%PDF"),
     ("riff", b"RIFF"),  # wav/avi/webp containers
+    ("bmp", b"BM"),
 ]
 
 
@@ -92,21 +96,38 @@ def _fake_decode(content: bytes | None, media_id: str) -> tuple[int, int, float,
     return width, height, mean_luma, h
 
 
+def _real_decode(content: bytes | None) -> tuple[int, int, float, str]:
+    """REAL stdlib decode for PNG/BMP (datapipe/codecs.py); JPEG/WebP/
+    GIF genuinely need cluster libs (libjpeg/PIL) and raise."""
+    from docrawl_spark.datapipe import codecs
+
+    if content is None:
+        raise ValueError("media row has no content bytes")
+    b = bytes(content)
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        px = codecs.parse_png(b)
+    elif b.startswith(b"BM"):
+        px = codecs.parse_bmp(b)
+    else:
+        raise NotImplementedError(
+            "image decode beyond PNG/BMP requires PIL/libjpeg on the "
+            "cluster; use fake=True for plumbing tests"
+        )
+    h, w = px.shape[:2]
+    return w, h, round(codecs.mean_luma(px), 6), hashlib.sha256(b).hexdigest()
+
+
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → (media_id, width, height, mean_luma, sha256).
 
-    Real path: decode via PIL/turbojpeg on the cluster —
-    NotImplementedError here (libs not in this container)."""
+    Real path: PNG/BMP decode is REAL here (stdlib zlib + filter
+    reconstruction, `datapipe/codecs.py`); JPEG and friends require
+    PIL/libjpeg on the cluster and raise NotImplementedError."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/libjpeg on the cluster; "
-                    "use fake=True for plumbing tests"
-                )
             rows = [
-                _fake_decode(c, m)
+                _fake_decode(c, m) if fake else _real_decode(c)
                 for c, m in zip(pdf["content"], pdf["media_id"])
             ]
             yield pd.DataFrame(
@@ -168,28 +189,44 @@ def resize_images(
 ) -> DataFrame:
     """media rows → resized thumbnails (binary out column).
 
-    Real path: PIL thumbnail + re-encode — NotImplementedError here.
-    The fake derives output dims by scaling the fake-decoded dims to
-    ``max_side`` (aspect preserved) and emits hash-derived bytes, so
-    downstream byte-budget partitioning is exercised for real."""
+    Real path: PNG/BMP decode → nearest-neighbor downscale → REAL PNG
+    re-encode (stdlib, `datapipe/codecs.py`); other formats need PIL
+    on the cluster and raise. The fake derives output dims by scaling
+    the fake-decoded dims to ``max_side`` (aspect preserved) and emits
+    hash-derived bytes, so downstream byte-budget partitioning is
+    exercised without real pixels."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docrawl_spark.datapipe import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL on the cluster; "
-                    "use fake=True for plumbing tests"
-                )
             out = {"media_id": [], "out_width": [], "out_height": [],
                    "out_bytes": [], "sha256": []}
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, _, sha = _fake_decode(content, mid)
-                scale = min(1.0, max_side / max(w, h))
-                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                if fake:
+                    w, h, _, sha = _fake_decode(content, mid)
+                    scale = min(1.0, max_side / max(w, h))
+                    ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                    ob = bytes.fromhex(sha)[:16]
+                else:
+                    b = bytes(content)
+                    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+                        px = codecs.parse_png(b)
+                    elif b.startswith(b"BM"):
+                        px = codecs.parse_bmp(b)
+                    else:
+                        raise NotImplementedError(
+                            "image resize beyond PNG/BMP requires PIL on "
+                            "the cluster; use fake=True for plumbing tests"
+                        )
+                    small = codecs.resize_nearest(px, max_side)
+                    oh, ow = small.shape[:2]
+                    ob = codecs.png_bytes(small)
+                    sha = hashlib.sha256(b).hexdigest()
                 out["media_id"].append(mid)
                 out["out_width"].append(ow)
                 out["out_height"].append(oh)
-                out["out_bytes"].append(bytes.fromhex(sha)[: 16])
+                out["out_bytes"].append(ob)
                 out["sha256"].append(sha)
             yield pd.DataFrame(out)
 
@@ -199,27 +236,39 @@ def resize_images(
 def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → (duration_ms, sample_rate, rms) audio features.
 
-    Real path: soundfile/librosa decode — NotImplementedError here."""
+    Real path: WAV PCM decode is REAL here (stdlib ``wave`` +
+    numpy RMS, `datapipe/codecs.py`); compressed audio (mp3/ogg/flac)
+    needs soundfile/librosa on the cluster and raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docrawl_spark.datapipe import codecs
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/librosa on the cluster; "
-                    "use fake=True for plumbing tests"
-                )
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                h = hashlib.sha256(
-                    content if content is not None else mid.encode()
-                ).hexdigest()
-                rows.append((
-                    mid,
-                    1000 + int(h[:5], 16) % 600_000,
-                    [8000, 16000, 22050, 44100, 48000][int(h[5], 16) % 5],
-                    round(int(h[6:10], 16) / 65535.0, 6),
-                    h,
-                ))
+                if fake:
+                    h = hashlib.sha256(
+                        content if content is not None else mid.encode()
+                    ).hexdigest()
+                    rows.append((
+                        mid,
+                        1000 + int(h[:5], 16) % 600_000,
+                        [8000, 16000, 22050, 44100, 48000][int(h[5], 16) % 5],
+                        round(int(h[6:10], 16) / 65535.0, 6),
+                        h,
+                    ))
+                    continue
+                b = bytes(content)
+                if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+                    raise NotImplementedError(
+                        "audio decode beyond WAV PCM requires soundfile/"
+                        "librosa on the cluster; use fake=True for "
+                        "plumbing tests"
+                    )
+                dur, rate, rms = codecs.parse_wav(b)
+                rows.append(
+                    (mid, dur, rate, round(rms, 6), hashlib.sha256(b).hexdigest())
+                )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "duration_ms", "sample_rate", "rms", "sha256"],

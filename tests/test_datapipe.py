@@ -205,7 +205,8 @@ def test_multimodal_plumbing(spark):
     au = extract_audio_features(with_bytes, fake=True).collect()
     assert len(au) == 2 and all(r["sample_rate"] in (8000, 16000, 22050, 44100, 48000) for r in au)
 
-    # real path is explicitly not implemented in this container
+    # formats beyond the stdlib codecs (these bytes are no known
+    # format) explicitly raise on the real path
     with pytest.raises(Exception) as e:
         decode_image_features(with_bytes, fake=False).collect()
     assert "NotImplementedError" in str(e.value) or isinstance(
