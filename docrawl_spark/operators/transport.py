@@ -56,6 +56,7 @@ __all__ = [
     "pooled_http_transport",
     "make_scheduled_fetch_batches",
     "scheduled_http_fetch",
+    "make_http_fetcher",
     "close_pool",
 ]
 
@@ -229,3 +230,120 @@ def scheduled_http_fetch(
         retries,
     )
     return laid_out.mapInPandas(batches, FETCHED_SCHEMA_DDL)
+
+
+def make_http_fetcher(
+    transport=None,
+    url_rewrite=None,
+    timeout_s: float = 10.0,
+    batch_size: int = 64,
+    retries: int = 2,
+    context_class: str | None = None,
+    cookies_class: str | None = None,
+    encoding: str = "utf-8",
+):
+    """Build a ``run_crawl(fetcher=...)`` wave-fetch stage that goes
+    over REAL HTTP: batched GETs (`fetch.make_fetch_batches` plumbing,
+    this module's pooled transport by default) + HTML→spans parse
+    (`htmlparse.parse_fetched_html`) + the scan kernel
+    (`scan.clean_spans_col`), producing exactly the synthetic_fetch
+    output contract — the wave loop, seen-set, discovery, checkpoints
+    and resume run unmodified on live pages.
+
+    ``url_rewrite``: optional Column→Column mapping from the crawl's
+    canonical URL to the URL actually requested (test harnesses route
+    fixture hosts to a localhost server this way; a production proxy
+    fleet can route through a gateway the same way). The crawl's
+    identity (dedup, seen-set, discovery base) stays the CANONICAL
+    url — only the wire request is rewritten.
+
+    D7 capture mapping for plain HTTP (no browser): headers = the real
+    response headers; cookies = parsed ``Set-Cookie`` (name/value +
+    the response host as domain); json_requests = empty (XHR capture
+    needs a JS engine — documented drop). A non-200/failed URL is
+    still a visited fetch row with empty spans, exactly like the
+    synthetic 404 leg; transport-dead URLs surface as status=0 rows
+    (the reference raises PageDidNotLoadError and moves on,
+    docrawl_client.py:126-154 — here they are data, not exceptions).
+
+    Politeness note: per-wave spacing can additionally route through
+    `scheduled_http_fetch` when the selected frame carries
+    ``scheduled_at_ms``; this default fetcher relies on the wave
+    loop's per-host budget selection for rate control."""
+    from docrawl_spark.operators.fetch import http_fetch
+    from docrawl_spark.operators.htmlparse import parse_fetched_html
+    from docrawl_spark.operators.scan import clean_spans_col
+
+    tp = transport or pooled_http_transport
+
+    def fetcher(selected: DataFrame) -> DataFrame:
+        fetch_url = (
+            url_rewrite(F.col("url")) if url_rewrite is not None else F.col("url")
+        )
+        to_fetch = selected.select(
+            F.col("url").alias("canon_url"), fetch_url.alias("url")
+        )
+        resp = http_fetch(
+            to_fetch,
+            timeout_s=timeout_s,
+            batch_size=batch_size,
+            retries=retries,
+            transport=tp,
+        )
+        parsed = parse_fetched_html(
+            resp.where(F.col("status") == 200),
+            encoding=encoding,
+            context_class=context_class,
+            cookies_class=cookies_class,
+        )
+        resp_keyed = (
+            resp.withColumnRenamed("url", "fetch_url")
+            .join(
+                parsed.withColumnRenamed("doc_id", "fetch_url"),
+                "fetch_url",
+                "left",
+            )
+            .join(
+                to_fetch.withColumnRenamed("url", "fetch_url"),
+                "fetch_url",
+            )
+        )
+        spans_type = (
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        )
+        raw_spans = F.coalesce(F.col("spans"), F.expr(f"CAST(array() AS {spans_type})"))
+        clean = clean_spans_col(raw_spans)
+        set_cookie = F.element_at(F.col("headers"), F.lit("set-cookie"))
+        cookie = F.struct(
+            F.regexp_extract(set_cookie, r"^\s*([^=;]+)=", 1).alias("name"),
+            F.regexp_extract(set_cookie, r"^\s*[^=;]+=([^;]*)", 1).alias("value"),
+            F.coalesce(
+                F.regexp_extract(F.col("canon_url"), r"^[a-z]+://([^/]+)", 1),
+                F.lit(""),
+            ).alias("domain"),
+        )
+        cookies = F.when(
+            set_cookie.isNotNull(), F.array(cookie)
+        ).otherwise(
+            F.expr(
+                "CAST(array() AS array<struct<name:string,value:string,domain:string>>)"
+            )
+        )
+        empty_reqs = F.expr(
+            "CAST(array() AS array<struct<url:string,status:int,content_type:string>>)"
+        )
+        enriched = resp_keyed.select(
+            F.col("canon_url"),
+            F.coalesce(F.col("status"), F.lit(0)).alias("status"),
+            clean.alias("spans"),
+            F.coalesce(
+                F.col("headers"), F.expr("CAST(map() AS map<string,string>)")
+            ).alias("headers"),
+            cookies.alias("cookies"),
+            empty_reqs.alias("json_requests"),
+        ).withColumn("n_spans", F.size("spans"))
+        return selected.join(
+            enriched, selected["url"] == enriched["canon_url"]
+        ).drop("canon_url")
+
+    return fetcher

@@ -112,6 +112,7 @@ def run_crawl(
     resume: bool = False,
     collect_visits: bool = False,
     expected_total_urls: int = 1 << 20,
+    fetcher=None,
 ) -> CrawlResult:
     """Run (or resume) a crawl to completion or ``max_waves``.
 
@@ -123,10 +124,26 @@ def run_crawl(
 
     ``expected_total_urls`` sizes the incremental seen-set Bloom; an
     overshoot only degrades the prefilter's fpp (the exact anti-join
-    stays the source of truth)."""
+    stays the source of truth).
+
+    ``fetcher``: the wave fetch stage — a callable
+    ``(selected: DataFrame) -> DataFrame`` receiving the ranked wave
+    (url, host, host_hash, url_hash, depth, visit_rank, …) and
+    returning it extended with (status, spans, n_spans, headers,
+    cookies, json_requests). Default: the synthetic corpus join over
+    ``documents_raw`` (`operators/fetch.synthetic_fetch`). Pass
+    `operators/transport.make_http_fetcher(...)` for a REAL HTTP crawl
+    — ``documents_raw`` may then be None. Everything downstream
+    (seen-set, discovery, checkpoints, resume) is fetcher-agnostic."""
     from docrawl_spark.functions.bloom import Bloom, _optimal_params, build_bloom
 
-    docs_clean = scan_documents(documents_raw).persist()
+    if fetcher is None:
+        if documents_raw is None:
+            raise ValueError("run_crawl needs documents_raw or a fetcher=")
+        docs_clean = scan_documents(documents_raw).persist()
+
+        def fetcher(sel: DataFrame) -> DataFrame:
+            return synthetic_fetch(sel, docs_clean)
     hosts_dim = hosts.select("host", "budget", "robots_blob")
     bloom_capacity = expected_total_urls
     bloom_params = _optimal_params(bloom_capacity, 0.03)
@@ -180,7 +197,7 @@ def run_crawl(
             persist_wide=False,
             persist_tracker=wave_persists,
         ).withColumn("visit_rank", (F.lit(visit_base) + F.col("_wave_rank")))
-        fetched = synthetic_fetch(ranked.drop("_wave_rank"), docs_clean)
+        fetched = fetcher(ranked.drop("_wave_rank"))
 
         # ---- commit visits (checkpoint #1) --------------------------------
         # partition_id records which task materialized each row — the

@@ -266,3 +266,88 @@ def test_crawl_over_real_http_equals_synthetic(spark, tmp_path):
     finally:
         srv.shutdown()
         tr.close_pool()
+
+
+def test_run_crawl_with_live_http_fetcher(spark, tmp_path):
+    """The deepest integration: run_crawl's wave loop fetches each
+    SELECTED url over real HTTP per wave (no prefetch) through
+    make_http_fetcher — url identity stays canonical, the wire request
+    is hex-rewritten to the localhost server — and the crawl equals
+    the synthetic-fetch crawl exactly."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.operators import transport as tr
+    from docrawl_spark.plans.crawl import run_crawl
+    from docrawl_spark.sources.storage import Warehouse
+
+    fx = generate_web(seed=29)
+    pages = {
+        u: spans_to_html(raw, title=u).encode()
+        for u, raw in fx.documents_raw.items()
+    }
+
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            # /u/<hex(canonical url)>
+            try:
+                canon = bytes.fromhex(self.path[3:]).decode("utf-8")
+            except ValueError:
+                canon = ""
+            body = pages.get(canon)
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Set-Cookie", "sid=abc123; Path=/")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        fetcher = tr.make_http_fetcher(
+            transport=tr.pooled_http_transport,
+            url_rewrite=lambda url: F.concat(
+                F.lit(f"{base}/u/"), F.lower(F.hex(F.encode(url, "utf-8")))
+            ),
+            context_class=CONTEXT_CLASS,
+            cookies_class=COOKIES_CLASS,
+            retries=1,
+        )
+        docs_ref, hosts_df, seeds_df = fixture_to_dfs(spark, fx)
+        res_live = run_crawl(
+            spark, None, hosts_df, seeds_df, max_waves=4,
+            warehouse=Warehouse(str(tmp_path / "wh_live"), spark),
+            collect_visits=True, fetcher=fetcher,
+        )
+        res_ref = run_crawl(
+            spark, docs_ref, hosts_df, seeds_df, max_waves=4,
+            warehouse=Warehouse(str(tmp_path / "wh_ref2"), spark),
+            collect_visits=True,
+        )
+        assert res_live.visits == res_ref.visits
+        assert set(res_live.seen_urls) == set(res_ref.seen_urls)
+        # the real Set-Cookie header landed in the fetch log's jar
+        jar = (
+            res_live.fetch_log.where(F.col("status") == 200)
+            .select(F.explode("cookies").alias("c"))
+            .select("c.name", "c.value")
+            .distinct()
+            .collect()
+        )
+        assert ("sid", "abc123") in {(r["name"], r["value"]) for r in jar}
+    finally:
+        srv.shutdown()
+        tr.close_pool()
