@@ -347,3 +347,59 @@ def make_http_fetcher(
         ).drop("canon_url")
 
     return fetcher
+
+
+def fetch_robots_blobs(
+    hosts: DataFrame,
+    transport=None,
+    url_rewrite=None,
+    timeout_s: float = 10.0,
+    retries: int = 1,
+    scheme: str = "http",
+) -> DataFrame:
+    """Fetch ``/robots.txt`` for every host over real HTTP → a hosts
+    dimension with live ``robots_blob`` + ``robots_status`` columns,
+    drop-in for the crawl's broadcast hosts dim (the reference relies
+    on Scrapy/Selenium defaults; a real frontier must fetch policy
+    itself — RFC 9309 §2.3: unreachable robots (5xx/network) means
+    CRAWL NOTHING (blob '/'), while 4xx means no restrictions (empty
+    blob)).
+
+    The blob is the RAW robots.txt body, feeding the existing
+    evaluators untouched (`politeness.robots_allowed_rfc_col` RFC
+    engine, `select_agent_rules` UA groups, `crawl_delay_col`).
+    Unreachability is an EXPLICIT column, not smuggled into the blob
+    (a synthetic "Disallow: /" body would read correctly only under
+    one of the two blob dialects this repo supports — the fixture
+    prefix-gate vs the RFC file): ``robots_unreachable`` = True on
+    5xx / transport-dead, and RFC 9309 §2.3.1.4 says such hosts MUST
+    NOT be crawled — gate on it before the per-path evaluator. 4xx =
+    no restrictions (empty blob, §2.3.1.3). ``url_rewrite`` routes
+    the wire request (test harness → localhost; production → proxy
+    gateway) exactly like `make_http_fetcher`.
+
+    Scale shape: the hosts dim is bounded (unique hosts, not URLs), so
+    this is one small mapInPandas sweep per robots-cache refresh
+    cycle; pair with `politeness.robots_cache_schedule` for staleness.
+    """
+    from docrawl_spark.operators.fetch import http_fetch
+
+    tp = transport or pooled_http_transport
+    robots_url = F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt"))
+    fetch_url = url_rewrite(robots_url) if url_rewrite is not None else robots_url
+    to_fetch = hosts.select(F.col("host"), fetch_url.alias("url"))
+    resp = http_fetch(
+        to_fetch, timeout_s=timeout_s, retries=retries, transport=tp
+    ).withColumnRenamed("url", "fetch_url")
+    keyed = to_fetch.withColumnRenamed("url", "fetch_url").join(resp, "fetch_url")
+    blob = F.when(
+        F.col("status") == 200,
+        F.decode(F.coalesce(F.col("content"), F.lit(b"")), "utf-8"),
+    ).otherwise(F.lit(""))
+    unreachable = (F.col("status") == 0) | (F.col("status") >= 500)
+    return keyed.select(
+        "host",
+        blob.alias("robots_blob"),
+        F.col("status").alias("robots_status"),
+        unreachable.alias("robots_unreachable"),
+    )
