@@ -392,9 +392,12 @@ def fetch_robots_blobs(
         to_fetch, timeout_s=timeout_s, retries=retries, transport=tp
     ).withColumnRenamed("url", "fetch_url")
     keyed = to_fetch.withColumnRenamed("url", "fetch_url").join(resp, "fetch_url")
+    # make_valid_utf8 (Spark 4): replacement-char decode — wild robots
+    # bodies carry malformed bytes, and ANSI `decode` THROWS on them
+    # (MALFORMED_CHARACTER_CODING), which would kill the whole sweep
     blob = F.when(
         F.col("status") == 200,
-        F.decode(F.coalesce(F.col("content"), F.lit(b"")), "utf-8"),
+        F.expr("make_valid_utf8(coalesce(content, CAST('' AS BINARY)))"),
     ).otherwise(F.lit(""))
     unreachable = (F.col("status") == 0) | (F.col("status") >= 500)
     return keyed.select(

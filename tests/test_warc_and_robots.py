@@ -118,6 +118,8 @@ def test_fetch_robots_blobs_over_http(spark, tmp_path):
         "/hostA.test/robots.txt": (200, b"User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
         "/hostB.test/robots.txt": (404, b"nope"),
         "/hostC.test/robots.txt": (503, b"down"),
+        # latin-1 bytes: ANSI decode would throw; the sweep must not
+        "/hostD.test/robots.txt": (200, b"User-agent: *\nDisallow: /caf\xe9\n"),
     }
 
     class H(BaseHTTPRequestHandler):
@@ -139,7 +141,8 @@ def test_fetch_robots_blobs_over_http(spark, tmp_path):
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
         hosts = spark.createDataFrame(
-            [("hostA.test",), ("hostB.test",), ("hostC.test",)], "host string"
+            [("hostA.test",), ("hostB.test",), ("hostC.test",), ("hostD.test",)],
+            "host string",
         )
         got = {
             r["host"]: r
@@ -158,6 +161,9 @@ def test_fetch_robots_blobs_over_http(spark, tmp_path):
         assert not got["hostB.test"]["robots_unreachable"]
         # 5xx -> MUST NOT crawl (2.3.1.4), surfaced as the flag
         assert got["hostC.test"]["robots_unreachable"]
+        # malformed bytes decode with U+FFFD instead of killing the job
+        assert "Disallow: /caf�" in got["hostD.test"]["robots_blob"]
+        assert not got["hostD.test"]["robots_unreachable"]
 
         # the live blob feeds the existing RFC evaluator + crawl-delay
         from docrawl_spark.operators.politeness import crawl_delay_col
