@@ -282,31 +282,63 @@ PARSED_DOCS_DDL = (
 )
 
 
+_BOMS = [("utf-8-sig", b"\xef\xbb\xbf"), ("utf-16", b"\xff\xfe"), ("utf-16", b"\xfe\xff")]
+
+
+def _decode_body(c, content_type: str | None, default: str) -> str:
+    """Bytes → text by WHATWG-ish precedence: BOM > Content-Type
+    charset > ``default``; unknown/broken encodings fall back to the
+    default with replacement chars (a crawler never dies on a page)."""
+    if c is None:
+        return ""
+    if not isinstance(c, (bytes, bytearray, memoryview)):
+        return str(c)
+    b = bytes(c)
+    enc = default
+    if content_type:
+        import re
+
+        m = re.search(r"""charset\s*=\s*["']?([^"';\s]+)""", content_type, re.I)
+        if m:
+            enc = m.group(1)
+    for bom_enc, bom in _BOMS:
+        if b.startswith(bom):
+            enc = bom_enc
+            break
+    try:
+        return b.decode(enc, errors="replace")
+    except LookupError:
+        return b.decode(default, errors="replace")
+
+
 def parse_fetched_html(
     fetched: DataFrame,
     url_col: str = "url",
     content_col: str = "content",
+    content_type_col: str | None = None,
     encoding: str = "utf-8",
     strict_link_exclusions: bool = False,
     context_class: str | None = None,
     cookies_class: str | None = None,
 ) -> DataFrame:
     """fetch-stage output (url, content bytes) → raw span documents
-    (doc_id, spans), Arrow-batched. Pair with `scan.clean_spans_col`
-    to obtain kernel-clean documents identical in shape to the
-    synthetic corpus — the bridge that lets `run_crawl` consume real
-    HTTP responses."""
+    (doc_id, spans), Arrow-batched. ``content_type_col`` (e.g. the
+    fetch stage's ``content_type``) enables per-row charset handling
+    (BOM > header charset > ``encoding`` fallback). Pair with
+    `scan.clean_spans_col` to obtain kernel-clean documents identical
+    in shape to the synthetic corpus — the bridge that lets
+    `run_crawl` consume real HTTP responses."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             docs, span_lists = [], []
-            for u, c in zip(pdf[url_col], pdf[content_col]):
-                if c is None:
-                    html = ""
-                elif isinstance(c, (bytes, bytearray, memoryview)):
-                    html = bytes(c).decode(encoding, errors="replace")
-                else:
-                    html = str(c)
+            cts = (
+                pdf[content_type_col]
+                if content_type_col is not None
+                else [None] * len(pdf)
+            )
+            for u, c, ct in zip(pdf[url_col], pdf[content_col], cts):
+                html = _decode_body(c, ct, encoding)
                 s = html_to_spans(
                     html,
                     strict_link_exclusions=strict_link_exclusions,
@@ -319,4 +351,7 @@ def parse_fetched_html(
                 )
             yield pd.DataFrame({"doc_id": docs, "spans": span_lists})
 
-    return fetched.select(url_col, content_col).mapInPandas(run, PARSED_DOCS_DDL)
+    cols = [url_col, content_col]
+    if content_type_col is not None:
+        cols.append(content_type_col)
+    return fetched.select(*cols).mapInPandas(run, PARSED_DOCS_DDL)

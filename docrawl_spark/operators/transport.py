@@ -292,6 +292,7 @@ def make_http_fetcher(
         )
         parsed = parse_fetched_html(
             resp.where(F.col("status") == 200),
+            content_type_col="content_type",
             encoding=encoding,
             context_class=context_class,
             cookies_class=cookies_class,

@@ -351,3 +351,26 @@ def test_run_crawl_with_live_http_fetcher(spark, tmp_path):
     finally:
         srv.shutdown()
         tr.close_pool()
+
+
+def test_parse_fetched_html_honors_charset(spark):
+    """Per-row charset: BOM beats header, header beats default, broken
+    labels fall back with replacement."""
+    latin = "<p>café page</p>".encode("latin-1")
+    bom = "﻿<p>bom page</p>".encode("utf-8")
+    broken = b"<p>plain</p>"
+    df = spark.createDataFrame(
+        [
+            ("u1", bytearray(latin), "text/html; charset=ISO-8859-1"),
+            ("u2", bytearray(bom), "text/html; charset=ISO-8859-1"),
+            ("u3", bytearray(broken), "text/html; charset=no-such-enc"),
+        ],
+        "url string, content binary, content_type string",
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in parse_fetched_html(df, content_type_col="content_type").collect()
+    }
+    assert got["u1"][0]["text"] == "café page"
+    assert got["u2"][0]["text"] == "bom page"  # BOM overrode the header
+    assert got["u3"][0]["text"] == "plain"  # unknown charset fell back
