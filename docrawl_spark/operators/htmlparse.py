@@ -84,29 +84,43 @@ class _Node:
         self.parent = parent
 
 
+# element nesting cap: real pages nest well under 100; adversarial
+# nesting bombs (tens of thousands deep) would otherwise make the
+# per-element ``.//text()`` walks quadratic in page size. Elements
+# opened beyond the cap flatten onto the cap-depth ancestor — content
+# is preserved, pathological structure is not.
+_MAX_DEPTH = 512
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = _Node("#root", {}, None)
         self.cur = self.root
+        self._depth = 0
 
     def handle_starttag(self, tag, attrs):
         while self.cur.tag in _AUTOCLOSE and tag in _AUTOCLOSE[self.cur.tag]:
             self.cur = self.cur.parent
+            self._depth -= 1
         node = _Node(tag, dict(attrs), self.cur)
         self.cur.children.append(node)
-        if tag not in _VOID:
+        if tag not in _VOID and self._depth < _MAX_DEPTH:
             self.cur = node
+            self._depth += 1
 
     def handle_startendtag(self, tag, attrs):
         self.cur.children.append(_Node(tag, dict(attrs), self.cur))
 
     def handle_endtag(self, tag):
         n = self.cur
+        levels = 0
         while n is not None and n.tag != tag:
             n = n.parent
+            levels += 1
         if n is not None and n.parent is not None:
             self.cur = n.parent
+            self._depth = max(0, self._depth - levels - 1)
 
     def handle_data(self, data):
         if data:
@@ -120,34 +134,59 @@ def _parse_tree(html: str) -> _Node:
     return b.root
 
 
-def _walk(node: _Node, tag_pred) -> Iterator[_Node]:
+# per-page extraction work budget (node visits across ALL walks): the
+# nested-section overlap (.//li of nested lists re-visits shared
+# subtrees — reference lxml semantics) is quadratic on adversarial
+# nesting bombs; the budget turns a worst-case multi-minute page into
+# a bounded truncation. Normal pages spend a few × their node count.
+_DEFAULT_WORK_BUDGET = 2_000_000
+
+
+def _walk(node: _Node, tag_pred, budget: list) -> Iterator[_Node]:
     """Document-order descendants matching ``tag_pred`` (the ``//tag``
-    axis — nested matches each yield, like XPath)."""
-    for c in node.children:
+    axis — nested matches each yield, like XPath). Iterative —
+    adversarial pages nest thousands deep and a recursive walk would
+    die on RecursionError. Stops when the page work budget runs out."""
+    stack = [iter(node.children)]
+    while stack:
+        if budget[0] <= 0:
+            return
+        try:
+            c = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        budget[0] -= 1
         if isinstance(c, _Node):
             if tag_pred(c):
                 yield c
-            yield from _walk(c, tag_pred)
+            stack.append(iter(c.children))
 
 
-def _text_fragments(node: _Node) -> list[str]:
+def _text_fragments(node: _Node, budget: list) -> list[str]:
     """``.//text()`` — every descendant text node as its own fragment,
-    document order (script/style excluded: invisible to extraction)."""
+    document order (script/style excluded: invisible to extraction).
+    Iterative + budget-bounded for the same reasons as :func:`_walk`."""
     out: list[str] = []
-
-    def rec(n: _Node) -> None:
-        for c in n.children:
-            if isinstance(c, str):
-                out.append(c)
-            elif c.tag not in ("script", "style"):
-                rec(c)
-
-    rec(node)
+    stack = [iter(node.children)]
+    while stack:
+        if budget[0] <= 0:
+            break
+        try:
+            c = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        budget[0] -= 1
+        if isinstance(c, str):
+            out.append(c)
+        elif c.tag not in ("script", "style"):
+            stack.append(iter(c.children))
     return out
 
 
-def _joined_text(node: _Node) -> str:
-    return "".join(_text_fragments(node))
+def _joined_text(node: _Node, budget: list) -> str:
+    return "".join(_text_fragments(node, budget))
 
 
 def _direct_text_nonempty(node: _Node) -> bool:
@@ -167,7 +206,7 @@ def _is_buttonish_a(n: _Node) -> bool:
     )
 
 
-def _is_link_a(n: _Node, strict: bool) -> bool:
+def _is_link_a(n: _Node, strict: bool, budget: list) -> bool:
     if "href" not in n.attrs:
         return False
     cls = n.attrs.get("class", "") or ""
@@ -176,7 +215,7 @@ def _is_link_a(n: _Node, strict: bool) -> bool:
         return False
     if any(
         isinstance(d, _Node) and d.tag in ("img", "svg")
-        for d in _walk(n, lambda x: True)
+        for d in _walk(n, lambda x: True, budget)
     ):
         return False
     if strict:
@@ -186,20 +225,21 @@ def _is_link_a(n: _Node, strict: bool) -> bool:
     return True
 
 
-def _table_payload(t: _Node) -> str:
-    ths = list(_walk(t, lambda n: n.tag == "th"))
-    trs = list(_walk(t, lambda n: n.tag == "tr"))
-    th = [_text_fragments(x) for x in ths] or None
+def _table_payload(t: _Node, budget: list) -> str:
+    ths = list(_walk(t, lambda n: n.tag == "th", budget))
+    trs = list(_walk(t, lambda n: n.tag == "tr", budget))
+    th = [_text_fragments(x, budget) for x in ths] or None
     rows = [
-        [_text_fragments(td) for td in _walk(tr, lambda n: n.tag == "td")]
+        [_text_fragments(td, budget)
+         for td in _walk(tr, lambda n: n.tag == "td", budget)]
         for tr in trs
     ]
     return json.dumps({"th": th, "rows": rows})
 
 
-def _bullet_payload(ul: _Node) -> str:
-    lis = list(_walk(ul, lambda n: n.tag == "li"))
-    return json.dumps([_text_fragments(li) for li in lis])
+def _bullet_payload(ul: _Node, budget: list) -> str:
+    lis = list(_walk(ul, lambda n: n.tag == "li", budget))
+    return json.dumps([_text_fragments(li, budget) for li in lis])
 
 
 _HEADS = {"h1", "h2", "h3", "h4", "h5", "h6"}
@@ -210,6 +250,7 @@ def html_to_spans(
     strict_link_exclusions: bool = False,
     context_class: str | None = None,
     cookies_class: str | None = None,
+    work_budget: int = _DEFAULT_WORK_BUDGET,
 ) -> list[dict]:
     """One page's HTML → RAW spans [(kind, text, media_ref, offset)],
     section-ordered per the reference dispatch (docrawl_core.py:
@@ -218,6 +259,7 @@ def html_to_spans(
     class contains the marker emit those kinds (in the custom-section
     position, after buttons)."""
     root = _parse_tree(html)
+    budget = [work_budget]
     spans: list[dict] = []
 
     def add(kind: str, text: str = "", media_ref: str = "") -> None:
@@ -227,52 +269,58 @@ def html_to_spans(
         )
 
     # input section (input, textarea — elements.py:72)
-    for n in _walk(root, lambda n: n.tag in ("input", "textarea")):
-        add("input", _joined_text(n) or (n.attrs.get("value", "") or ""))
+    for n in _walk(root, lambda n: n.tag in ("input", "textarea"), budget):
+        add("input", _joined_text(n, budget) or (n.attrs.get("value", "") or ""))
     # tables
-    for n in _walk(root, lambda n: n.tag == "table"):
-        add("table", _table_payload(n))
+    for n in _walk(root, lambda n: n.tag == "table", budget):
+        add("table", _table_payload(n, budget))
     # bullets
-    for n in _walk(root, lambda n: n.tag in ("ul", "ol")):
-        add("bullet", _bullet_payload(n))
+    for n in _walk(root, lambda n: n.tag in ("ul", "ol"), budget):
+        add("bullet", _bullet_payload(n, budget))
     # texts: p/strong/em always; div/span only with direct text
     for n in _walk(
         root,
         lambda n: n.tag in ("p", "strong", "em")
         or (n.tag in ("div", "span") and _direct_text_nonempty(n)),
+        budget,
     ):
-        add("text", _joined_text(n))
+        add("text", _joined_text(n, budget))
     # headlines
-    for n in _walk(root, lambda n: n.tag in _HEADS):
-        add("headline", _joined_text(n))
+    for n in _walk(root, lambda n: n.tag in _HEADS, budget):
+        add("headline", _joined_text(n, budget))
     # links
     for n in _walk(
-        root, lambda n: n.tag == "a" and _is_link_a(n, strict_link_exclusions)
+        root,
+        lambda n: n.tag == "a" and _is_link_a(n, strict_link_exclusions, budget),
+        budget,
     ):
-        add("link", _joined_text(n).strip(), n.attrs.get("href", "") or "")
+        add("link", _joined_text(n, budget).strip(), n.attrs.get("href", "") or "")
     # images: data-src preferred (O17, docrawl_core.py:803)
-    for n in _walk(root, lambda n: n.tag == "img"):
+    for n in _walk(root, lambda n: n.tag == "img", budget):
         ref = n.attrs.get("data-src") or n.attrs.get("src") or ""
         add("image", n.attrs.get("alt", "") or "", ref)
     # buttons
     for n in _walk(
         root,
         lambda n: n.tag == "button" or (n.tag == "a" and _is_buttonish_a(n)),
+        budget,
     ):
-        add("button", _joined_text(n).strip(), n.attrs.get("href", "") or "")
+        add("button", _joined_text(n, budget).strip(), n.attrs.get("href", "") or "")
     # custom context/cookies sections
     if context_class:
         for n in _walk(
             root,
             lambda n: context_class in (n.attrs.get("class", "") or ""),
+            budget,
         ):
-            add("context", _joined_text(n))
+            add("context", _joined_text(n, budget))
     if cookies_class:
         for n in _walk(
             root,
             lambda n: cookies_class in (n.attrs.get("class", "") or ""),
+            budget,
         ):
-            add("cookies", _joined_text(n))
+            add("cookies", _joined_text(n, budget))
     return spans
 
 

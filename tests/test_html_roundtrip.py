@@ -374,3 +374,38 @@ def test_parse_fetched_html_honors_charset(spark):
     assert got["u1"][0]["text"] == "café page"
     assert got["u2"][0]["text"] == "bom page"  # BOM overrode the header
     assert got["u3"][0]["text"] == "plain"  # unknown charset fell back
+
+
+def test_parser_survives_nesting_bomb_and_fuzz():
+    """Adversarial pages: 50k-deep nesting, unclosed tags, stray
+    closers, binary soup — the parser must never raise and must keep
+    the offset invariant (0..n-1 in order)."""
+    bomb = "<div>" * 50_000 + "deep" + "</div>" * 50_000
+    s = html_to_spans(bomb)
+    assert any(x["text"] == "deep" for x in s if x["kind"] == "text")
+
+    deep_table = "<table><tr><td>" + "<b>" * 30_000 + "x" + "</table>"
+    s2 = html_to_spans(deep_table)
+    assert json.loads(s2[0]["text"])["rows"] == [[["x"]]]
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.text(
+            alphabet="<>/abp ulih13\"'=&;\x00é",
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def fuzz(html):
+        spans = html_to_spans(html)
+        assert [x["offset"] for x in spans] == list(range(len(spans)))
+        for x in spans:
+            assert x["kind"] in (
+                "input", "table", "bullet", "text", "headline", "link",
+                "image", "button",
+            )
+
+    fuzz()
