@@ -40,10 +40,41 @@ def anti_join_seen(
     candidates: DataFrame,
     url_seen: DataFrame,
     bloom: bytes | None = None,
+    prepartitioned: bool = False,
 ) -> DataFrame:
-    """Rows of ``candidates`` whose url_hash is not in ``url_seen``."""
-    if bloom is None:
-        return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    """Rows of ``candidates`` whose url_hash is not in ``url_seen``.
+
+    ``prepartitioned=True``: the caller guarantees ``candidates`` is
+    already hash-partitioned on url_hash (e.g. the output of the
+    within-wave dedup groupBy). Then the exact join reuses that
+    partitioning — zero candidate-side exchange, only the seen side
+    shuffles — and the Bloom prefilter is deliberately SKIPPED:
+
+    - its exchange-skipping value is nil here (the big side moves no
+      bytes either way), so all it could save is the in-JVM hash
+      probe of the build relation — cheaper than the Arrow round-trip
+      the probe UDF costs;
+    - measured (this repo, Spark 4.1): a pandas/Arrow UDF projection
+      BREAKS outputPartitioning propagation — inserting the probe
+      column between the dedup aggregate and the join makes the
+      planner RE-EXCHANGE the whole candidate side, costing the exact
+      shuffle the partition reuse avoids. A Bloom in this position is
+      strictly negative until Spark exposes a codegen bloom probe
+      (``bloom_filter_agg``/``might_contain`` are not in the public
+      registry as of 4.1).
+
+    The Bloom stays load-bearing where candidates are NOT co-located
+    with the dedup partitioning: the split path below, recrawl/requeue
+    probes, and the storage-bucketed seen table (BENCH.md 100 TB
+    notes), where rows it rejects skip the anti-join shuffle.
+    ``shuffle_hash`` hint: build the (hash-only) seen side, never
+    sort the candidate stream."""
+    if bloom is None or prepartitioned:
+        return candidates.join(
+            url_seen.select("url_hash").hint("shuffle_hash"),
+            "url_hash",
+            "left_anti",
+        )
     # Persist before splitting: the union of two filters over the same
     # parent would otherwise execute the parent (e.g. the within-wave
     # dedup groupBy) twice.

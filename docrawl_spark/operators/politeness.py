@@ -63,26 +63,54 @@ def gate_and_select(
     return budget_topk(gated, order_cols, n_salts)
 
 
-def budget_topk(df: DataFrame, order_cols: list[str], n_salts: int) -> DataFrame:
+def budget_topk(
+    df: DataFrame,
+    order_cols: list,
+    n_salts: int,
+    budget_dim: DataFrame | None = None,
+) -> DataFrame:
     """The two-phase salted per-host budget selection over any frame
-    carrying (host_hash, url_hash, _budget, *order_cols). Shared by
+    carrying (host_hash, url_hash, *order_cols). Shared by
     ``gate_and_select`` (wide rows, fixture scale) and
-    ``plans/wave.schedule_candidates`` (payload-skinny rows, the
-    at-scale shuffle shape)."""
-    ordering = [F.col(c).asc() for c in order_cols]
+    ``plans/wave.schedule_wave_stages`` (payload-skinny rows, the
+    at-scale shuffle shape). ``order_cols`` entries may be names or
+    Column expressions (the wave orders on ``shiftright(_pack, 5)`` so
+    the decoded order columns never ride an exchange).
+
+    ``budget_dim``: optional ``(host_hash, _budget)`` dimension (unique
+    on host_hash). When given, ``df`` need not carry ``_budget`` — the
+    dim is broadcast-joined AFTER each window, so the budget column
+    rides NEITHER politeness exchange (8 B/row off both shuffles;
+    filters on a window's output don't reorder it, so selection is
+    identical). When None, ``df`` carries ``_budget`` (the wide path)."""
+    ordering = [
+        (F.col(c) if isinstance(c, str) else c).asc() for c in order_cols
+    ]
+
+    def _attach_budget(frame: DataFrame) -> DataFrame:
+        if budget_dim is None:
+            return frame
+        return frame.join(F.broadcast(budget_dim), "host_hash", "left").withColumn(
+            "_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET))
+        )
+
     # phase 1: per-(host, salt) prefilter — bounds any single window
     # partition to ~1/n_salts of a hot host's rows
     salted = df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
     w1 = Window.partitionBy("host_hash", "_salt").orderBy(*ordering)
     phase1 = (
-        salted.withColumn("_rn", F.row_number().over(w1))
+        _attach_budget(salted.withColumn("_rn", F.row_number().over(w1)))
         .where(F.col("_rn") <= F.col("_budget"))
         .drop("_rn", "_salt")
     )
+    if budget_dim is not None:
+        # joined post-window so it skips the phase-1 exchange; drop it
+        # again so it skips the (already small) phase-2 exchange too
+        phase1 = phase1.drop("_budget")
     # phase 2: exact per-host top-B over ≤ n_salts·B rows per host
     w2 = Window.partitionBy("host_hash").orderBy(*ordering)
     return (
-        phase1.withColumn("_rn", F.row_number().over(w2))
+        _attach_budget(phase1.withColumn("_rn", F.row_number().over(w2)))
         .where(F.col("_rn") <= F.col("_budget"))
         .drop("_rn", "_budget")
     )

@@ -22,9 +22,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _as_cols(order_cols: list) -> list[Column]:
+    """Accept column names or Column expressions — expression order
+    keys (e.g. ``shiftright(_pack, 5)``) let the wave sort on a derived
+    key without materializing it through the exchange."""
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
 def with_global_rank(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
@@ -44,11 +51,12 @@ def with_global_rank(
     # re-executes the entire upstream plan (e.g. the politeness windows)
     # a second time.
     df = df.persist()
-    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    ocols = _as_cols(order_cols)
+    ordered = df.repartitionByRange(parts, *ocols)
     local = ordered.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_lrn",
         F.row_number().over(
-            Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+            Window.partitionBy("_pid").orderBy(*[c.asc() for c in ocols])
         ),
     )
     # Persist before the counts action: repartitionByRange samples to

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from docrawl_spark.functions.canon import url_hash_col
 from docrawl_spark.operators.politeness import (
     DEFAULT_BUDGET,
     budget_topk,
@@ -259,49 +260,72 @@ def schedule_wave_stages(
     ``ranked``), exposed so bench.py can profile stage walls without
     re-deriving the expressions (zero drift):
 
-    - ``gated_skinny``: broadcast robots gate + budget attach + pack,
-      projected to (url_hash, host_hash, _budget, _pack);
+    - ``gated_skinny``: broadcast robots gate + pack, projected to
+      (url_hash, host_hash, _pack) — 24 B/row; the budget column rides
+      NO exchange at all (broadcast-joined after each politeness
+      window, see budget_topk's ``budget_dim``);
     - ``deduped``: + keep-first min-pack groupBy(url_hash);
-    - ``unseen``: + Bloom prefilter / exact anti-join (``deduped``
-      when no seen set);
-    - ``selected``: + salted per-host budget top-k;
-    - ``ranked``: + deterministic dense global rank."""
-    from docrawl_spark.operators.links import pack_order_col, unpack_order_cols
-
-    dim = hosts.select(
-        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+    - ``unseen``: + single-pass Bloom-conditioned exact anti-join
+      reusing the dedup partitioning (``deduped`` when no seen set);
+    - ``selected``: + salted per-host budget top-k ordered on
+      ``shiftright(_pack, 5)`` — ≡ (parent_rank, offset) with the
+      depth bits masked, so the decoded order columns never ride the
+      window exchanges either;
+    - ``ranked``: + deterministic dense global rank (same derived
+      order key), with parent_rank/offset decoded at the end."""
+    from docrawl_spark.operators.links import (
+        _DEPTH_BITS,
+        pack_order_col,
+        unpack_order_cols,
     )
+
+    dim = hosts.select("host", F.col("robots_blob").alias("_robots"))
     gated = (
         candidates.join(F.broadcast(dim), "host", "left")
-        .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
         .where(robots_allowed_col(F.col("url"), F.col("_robots")))
         .withColumn("_pack", pack_order_col())
     )
-    skinny = gated.select("url_hash", "host_hash", "_budget", "_pack")
+    skinny = gated.select("url_hash", "host_hash", "_pack")
     deduped = skinny.groupBy("url_hash").agg(
         F.min("_pack").alias("_pack"),
-        # constant within a url_hash (functions of the url) — min is
+        # constant within a url_hash (a function of the url) — min is
         # just the deterministic pick that keeps the agg a HashAggregate
         F.min("host_hash").alias("host_hash"),
-        F.min("_budget").alias("_budget"),
     )
     unseen = deduped
     if seen is not None:
         from docrawl_spark.operators.dedup import anti_join_seen
 
-        unseen = anti_join_seen(deduped, seen, bloom)
-    parent_rank, offset, _ = unpack_order_cols(F.col("_pack"))
-    ordered = unseen.withColumn("parent_rank", parent_rank).withColumn(
-        "offset", offset
+        unseen = anti_join_seen(deduped, seen, bloom, prepartitioned=True)
+    # order on the pack itself, depth bits masked:
+    # shiftright(_pack, 5) = (parent_rank+1) <<20 | clamped_offset, so
+    # ordering by (it, url_hash) ≡ (parent_rank, offset, url_hash) —
+    # including the url_hash tie-break for requeued rows sharing a
+    # sentinel pack — without shipping parent_rank/offset columns
+    # through the window or rank exchanges (16 B/row saved).
+    order_cols = [F.shiftright(F.col("_pack"), _DEPTH_BITS), F.col("url_hash")]
+    budget_dim = (
+        hosts.select(
+            url_hash_col("host").alias("host_hash"),
+            F.col("budget").alias("_budget"),
+        )
+        # unique on host_hash even under a (astronomically unlikely)
+        # host-string hash collision — a duplicate-key broadcast join
+        # would otherwise duplicate candidate rows
+        .groupBy("host_hash")
+        .agg(F.min("_budget").alias("_budget"))
     )
-    order_cols = ["parent_rank", "offset", "url_hash"]
-    selected = budget_topk(ordered, order_cols, n_salts)
+    selected = budget_topk(unseen, order_cols, n_salts, budget_dim=budget_dim)
     ranked = with_global_rank(
         selected,
         order_cols,
         rank_col=rank_col,
         start=rank_start,
         persist_tracker=persist_tracker,
+    )
+    parent_rank, offset, _ = unpack_order_cols(F.col("_pack"))
+    ranked = ranked.withColumn("parent_rank", parent_rank).withColumn(
+        "offset", offset
     )
     return {
         "gated_skinny": skinny,
