@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from docrawl_spark.operators.dedup import build_seen_bloom  # noqa: E402
 from docrawl_spark.plans import driver_queries  # noqa: E402
 from docrawl_spark.operators.links import pack_order_col  # noqa: E402
 from docrawl_spark.plans.wave import schedule_wave  # noqa: E402
@@ -193,8 +192,10 @@ def _synthetic_links(spark, n_urls: int, n_hosts: int):
 def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
     """One full wave pipeline in the engine's real stage order:
     discovered links → canonicalize (Arrow UDF) → within-wave dedup →
-    Bloom + anti-join vs seen → robots gate + salted politeness →
-    deterministic global rank. Returns elapsed seconds."""
+    co-partitioned exact anti-join vs seen (hash-build on the seen
+    side; the Bloom prefilter is measured-negative in this position —
+    operators/dedup.anti_join_seen docstring) → robots gate + salted
+    politeness → deterministic global rank. Returns elapsed seconds."""
     from docrawl_spark.functions.canon import host_of_col, url_hash_col, with_abs_url
 
     links = _synthetic_links(spark, n_urls, n_hosts)
@@ -213,18 +214,6 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
         F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string"))).alias("url_hash")
     )
     t0 = time.perf_counter()
-    # the Bloom build only needs `seen` — overlap it with the
-    # canonicalize/dedup stages (concurrent Spark jobs from a thread)
-    import threading
-
-    bloom_box: dict = {}
-
-    def _build():
-        bloom_box["blob"] = build_seen_bloom(seen, expected_items=n_urls // 4)
-
-    bloom_thread = threading.Thread(target=_build)
-    bloom_thread.start()
-
     canon = with_abs_url(links, "media_ref", "discovered_by")
     good = canon.where(F.col("canon_error").isNull()).select(
         "url",
@@ -236,17 +225,16 @@ def frontier_wave(spark, n_urls: int, n_hosts: int) -> float:
         "depth",
         "discovered_by",
     )
-    bloom_thread.join()
     # the integrated skinny wave (plans/wave.schedule_wave — the same
     # operator run_crawl schedules through): within-wave dedup, the
-    # Bloom/anti-join seen probe, the politeness windows and the rank
-    # exchange ALL run over (url_hash, host_hash, budget, pack) rows
-    # (~32 B) — no corpus-sized exchange OR cache build carries a url
+    # co-partitioned anti-join seen probe, the politeness windows and
+    # the rank exchange ALL run over (url_hash, host_hash, pack) rows
+    # (~24 B) — no corpus-sized exchange OR cache build carries a url
     # string (measured: caching the 16M-row canon output for the
     # rejoin cost more than the string shuffle it replaced)
     keys = schedule_wave(
         good, hosts, n_salts=8, rank_col="visit_rank",
-        seen=seen, bloom=bloom_box["blob"], payload=False,
+        seen=seen, payload=False,
     )
     # payload recovery: ``_pack`` is unique per link row, so the
     # ranked keys broadcast-join the RAW link stream (regenerating it
@@ -296,7 +284,6 @@ def frontier_wave_stage_profile(spark, n_urls: int, n_hosts: int) -> dict:
     seen = spark.range(n_urls // 4).select(
         F.xxhash64(F.concat(F.lit("u"), F.col("id").cast("string"))).alias("url_hash")
     )
-    blob = build_seen_bloom(seen, expected_items=n_urls // 4)
     canon = with_abs_url(links, "media_ref", "discovered_by")
     good = canon.where(F.col("canon_error").isNull()).select(
         "url",
@@ -309,7 +296,7 @@ def frontier_wave_stage_profile(spark, n_urls: int, n_hosts: int) -> dict:
         "discovered_by",
     )
     stages = schedule_wave_stages(
-        good, hosts, n_salts=8, rank_col="visit_rank", seen=seen, bloom=blob
+        good, hosts, n_salts=8, rank_col="visit_rank", seen=seen
     )
     raw = _synthetic_links(spark, n_urls, n_hosts).withColumn(
         "_pack", pack_order_col()

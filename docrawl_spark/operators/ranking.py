@@ -149,8 +149,9 @@ def with_global_prefix_sum(
     prefix-sum algebra: prefix(k) sums rows 1..k)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     df = df.persist()
-    ordered = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    ocols = _as_cols(order_cols)
+    ordered = df.repartitionByRange(parts, *ocols)
+    w = Window.partitionBy("_pid").orderBy(*[c.asc() for c in ocols])
     local = (
         ordered.withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.row_number().over(w))

@@ -107,7 +107,7 @@ def run_crawl(
     seeds: DataFrame,
     max_waves: int = 10,
     warehouse: Warehouse | None = None,
-    use_bloom: bool = True,
+    use_bloom: bool = False,
     n_salts: int = 8,
     resume: bool = False,
     collect_visits: bool = False,
@@ -122,9 +122,19 @@ def run_crawl(
     callers read ``CrawlResult.fetch_log`` (a DataFrame) instead and
     the equality tests opt in explicitly.
 
-    ``expected_total_urls`` sizes the incremental seen-set Bloom; an
-    overshoot only degrades the prefilter's fpp (the exact anti-join
-    stays the source of truth).
+    ``use_bloom`` defaults to False: the integrated skinny wave
+    resolves seen-ness with a co-partitioned exact anti-join whose
+    candidate side moves zero bytes, and in that position a Bloom
+    probe is measured-negative (a pandas-UDF projection breaks
+    partition-reuse and forces the very exchange the join avoids —
+    operators/dedup.anti_join_seen docstring). True keeps maintaining
+    the incremental seen-set Bloom and passing it to the scheduler —
+    results are identical either way (equality-tested); the Bloom
+    remains the right tool for probes NOT co-partitioned with the
+    dedup (recrawl/requeue checks, the windowed TTL filter, and the
+    split-path anti-join). ``expected_total_urls`` sizes that Bloom;
+    an overshoot only degrades fpp (the exact anti-join stays the
+    source of truth).
 
     ``fetcher``: the wave fetch stage — a callable
     ``(selected: DataFrame) -> DataFrame`` receiving the ranked wave

@@ -197,7 +197,12 @@ def schedule_wave(
     offset) — the rejoin key — true for discover_links output (one
     row per span slot), seeds_to_candidates (parent_rank -1, unique
     seed_order offsets), and their union with requeued retirements
-    (unique per url, pack -1|0 distinct from any span slot's).
+    (unique per url, pack -1|0 distinct from any span slot's). Also
+    requires ``host_hash == url_hash_col(host)`` (true for every
+    engine candidate source — discover_links/seeds derive it exactly
+    so): the per-host budget dim joins on a RECOMPUTED
+    url_hash_col(hosts.host), so a candidate frame with a foreign
+    host_hash convention would silently fall back to DEFAULT_BUDGET.
 
     Returns the candidate columns + ``rank_col``. ``persist_wide``:
     cache the wide frame between the skinny pipeline and the rejoin —

@@ -6,6 +6,7 @@ shuffle-free, is top-k a TakeOrdered not a global sort."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -1126,4 +1127,70 @@ def test_schedule_wave_no_exchange_carries_strings(spark):
     for b in shuffles:
         assert "url#" not in b, f"url string rides an exchange:\n{b}"
         assert "discovered_by#" not in b, f"payload rides an exchange:\n{b}"
+    spark.catalog.clearCache()
+
+
+def test_schedule_wave_exchanges_are_hash_minimal(spark):
+    """Round-4 tightening of the wave's shuffle shape (plans/wave.py):
+
+    - NO exchange carries ``_budget`` (broadcast-joined after each
+      politeness window) or the decoded ``parent_rank``/``offset``
+      columns (windows and rank order on ``shiftright(_pack, 5)``);
+    - the seen anti-join REUSES the dedup aggregate's url_hash
+      partitioning: exactly two url_hash-keyed exchanges exist in the
+      whole plan (the dedup shuffle + the seen side) — a third would
+      mean the candidate side re-exchanged, the regression a
+      pandas-UDF probe column in the join path causes (see
+      operators/dedup.anti_join_seen)."""
+    from docrawl_spark.plans.wave import schedule_wave
+
+    # NB: host_hash MUST be xxhash64 of the FULL host string — the
+    # budget dim recomputes url_hash_col(host) and joins on it
+    cands = spark.range(2000).select(
+        F.xxhash64((F.col("id") % 700).cast("string")).alias("url_hash"),
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".test/p"), (F.col("id") % 700).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"), F.lit(".test")).alias("host"),
+        F.xxhash64(
+            F.concat(F.lit("h"), (F.col("id") % 7).cast("string"), F.lit(".test"))
+        ).alias("host_hash"),
+        F.lit(1).alias("depth"),
+        F.col("id").alias("parent_rank"),
+        (F.col("id") % 31).cast("int").alias("offset"),
+        F.lit("x").alias("discovered_by"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+        F.lit(3).alias("budget"),
+        F.lit("").alias("robots_blob"),
+    )
+    seen = spark.range(0, 700, 5).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    out = schedule_wave(cands, hosts, seen=seen)
+    plan = plan_of(out)
+    blocks = plan.split("\n\n")
+    shuffles = [b for b in blocks if ") Exchange" in b]
+    assert shuffles, "expected shuffle exchanges in the wave plan"
+    for b in shuffles:
+        assert "_budget#" not in b, f"budget rides an exchange:\n{b}"
+        assert "parent_rank#" not in b, f"parent_rank rides an exchange:\n{b}"
+        assert "offset#" not in b, f"offset rides an exchange:\n{b}"
+    # explain("formatted") prints the AQE initial AND final plans, so
+    # the same logical exchange appears twice — dedupe on the
+    # (Input, partitioning) signature before counting
+    url_hash_keyed = {
+        re.sub(r"\(\d+\) |, \[plan_id=\d+\]|#\d+", "", b)
+        for b in shuffles
+        if "hashpartitioning(url_hash" in b
+    }
+    assert len(url_hash_keyed) == 2, (
+        f"expected exactly 2 distinct url_hash exchanges (dedup + seen "
+        f"side), got {len(url_hash_keyed)}:\n" + "\n---\n".join(url_hash_keyed)
+    )
+    # and the selection itself stays correct under the hash-only shape
+    rows = out.collect()
+    assert len(rows) == 7 * 3
     spark.catalog.clearCache()
