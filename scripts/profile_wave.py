@@ -29,6 +29,12 @@ bench.frontier_wave(spark, max(n_urls // 16, 50_000), 5_000)
 walls = []
 for _ in range(trials):
     walls.append(round(bench.frontier_wave(spark, n_urls, 20_000), 3))
+    # with_global_rank persists internal frames; a SECOND identical
+    # wave plan in the same session is otherwise served from the
+    # CacheManager (canonicalized-plan match) — a 32M "wave" measured
+    # 4 s that way. Bench's own legs are immune (fresh session per
+    # leg); the profiler must clear between trials.
+    spark.catalog.clearCache()
 prof = bench.frontier_wave_stage_profile(spark, n_urls, 20_000)
 print(
     json.dumps(
