@@ -34,6 +34,30 @@ def robots_allowed_col(url: Column, robots_blob: Column) -> Column:
     return ~F.exists(prefixes, lambda p: path.startswith(p))
 
 
+def robots_prefixes_col(robots_blob: Column) -> Column:
+    """The blob's non-empty Disallow-prefix array — computed ONCE PER
+    HOST on the (small) dim side instead of re-splitting the same blob
+    for every candidate row (``robots_allowed_col`` splits per row;
+    split/filter are interpreted HOFs, and at 10^7 rows/wave that work
+    is pure waste when it's a function of the ~10^4-row host dim)."""
+    return F.filter(
+        F.split(F.coalesce(robots_blob, F.lit("")), "\r?\n"), lambda p: p != ""
+    )
+
+
+def robots_allowed_prefixes_col(url: Column, prefixes: Column) -> Column:
+    """``robots_allowed_col`` against a pre-split prefix array (from
+    :func:`robots_prefixes_col` on the dim side). The ``size = 0``
+    short-circuit keeps the interpreted ``exists`` off the (typically
+    dominant) no-robots rows — CASE branches evaluate lazily, so only
+    rows of robots-bearing hosts pay the HOF. Null array (host absent
+    from the dim) → allow, matching robots_allowed_col's null-blob
+    rule."""
+    return F.when(
+        F.coalesce(F.size(prefixes), F.lit(0)) == 0, F.lit(True)
+    ).otherwise(~F.exists(prefixes, lambda p: path_of_col(url).startswith(p)))
+
+
 def gate_and_select(
     candidates: DataFrame,
     hosts: DataFrame,

@@ -34,7 +34,8 @@ from docrawl_spark.functions.canon import url_hash_col
 from docrawl_spark.operators.politeness import (
     DEFAULT_BUDGET,
     budget_topk,
-    robots_allowed_col,
+    robots_allowed_prefixes_col,
+    robots_prefixes_col,
 )
 from docrawl_spark.operators.ranking import with_global_rank
 
@@ -80,12 +81,14 @@ def schedule_candidates(
     order_cols = order_cols or ["parent_rank", "offset", "url_hash"]
     wide = candidates.persist() if persist_wide else candidates
     dim = hosts.select(
-        "host", F.col("budget").alias("_budget"), F.col("robots_blob").alias("_robots")
+        "host",
+        F.col("budget").alias("_budget"),
+        robots_prefixes_col(F.col("robots_blob")).alias("_robots_arr"),
     )
     gated = (
         wide.join(F.broadcast(dim), "host", "left")
         .withColumn("_budget", F.coalesce(F.col("_budget"), F.lit(DEFAULT_BUDGET)))
-        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+        .where(robots_allowed_prefixes_col(F.col("url"), F.col("_robots_arr")))
     )
     skinny_cols = list(dict.fromkeys(["url_hash", "host_hash", "_budget", *order_cols]))
     skinny = gated.select(*skinny_cols)
@@ -284,10 +287,12 @@ def schedule_wave_stages(
         unpack_order_cols,
     )
 
-    dim = hosts.select("host", F.col("robots_blob").alias("_robots"))
+    dim = hosts.select(
+        "host", robots_prefixes_col(F.col("robots_blob")).alias("_robots_arr")
+    )
     gated = (
         candidates.join(F.broadcast(dim), "host", "left")
-        .where(robots_allowed_col(F.col("url"), F.col("_robots")))
+        .where(robots_allowed_prefixes_col(F.col("url"), F.col("_robots_arr")))
         .withColumn("_pack", pack_order_col())
     )
     skinny = gated.select("url_hash", "host_hash", "_pack")

@@ -774,3 +774,50 @@ def test_delay_compliance_report_exact(spark):
     h3 = got["h3"]
     assert (h3["n_fetches"], h3["n_gaps"], h3["n_violations"], h3["violation_ppm"]) == (1, 0, 0, 0)
     assert h3["min_gap_us"] is None
+
+
+def test_robots_prefix_array_gate_equals_blob_gate(spark):
+    """The dim-side pre-split gate (robots_prefixes_col +
+    robots_allowed_prefixes_col — the integrated wave's form, splitting
+    once per host instead of once per candidate row) must agree with
+    robots_allowed_col on every edge: null/empty blob, CRLF line ends,
+    blank lines, multi-prefix blobs, query-string paths, and a NULL
+    prefix array (host absent from the dim → allow)."""
+    from pyspark.sql import functions as F
+
+    from docrawl_spark.operators.politeness import (
+        robots_allowed_col,
+        robots_allowed_prefixes_col,
+        robots_prefixes_col,
+    )
+
+    rows = [
+        ("https://h.test/p1", None),
+        ("https://h.test/p1", ""),
+        ("https://h.test/p1", "/p1"),
+        ("https://h.test/p1x", "/p1"),          # prefix match → blocked
+        ("https://h.test/q", "/p1\n/p3"),
+        ("https://h.test/p3/deep", "/p1\n/p3"),
+        ("https://h.test/p3", "/p1\r\n/p3"),    # CRLF split
+        ("https://h.test/p2", "\n\n/p2\n\n"),   # blank lines dropped
+        ("https://h.test/p1?a=1", "/p1"),
+        ("https://h.test/", "/"),
+    ]
+    df = spark.createDataFrame(rows, "url string, blob string")
+    got = df.select(
+        "url",
+        "blob",
+        robots_allowed_col(F.col("url"), F.col("blob")).alias("a"),
+        robots_allowed_prefixes_col(
+            F.col("url"), robots_prefixes_col(F.col("blob"))
+        ).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["url"], r["blob"], r["a"], r["b"])
+    # NULL array (left-join miss) → allow, like a null blob
+    miss = df.select(
+        robots_allowed_prefixes_col(
+            F.col("url"), F.lit(None).cast("array<string>")
+        ).alias("b")
+    ).collect()
+    assert all(r["b"] is True for r in miss)
