@@ -150,20 +150,20 @@ def write_artifacts(
     - ``kind_lines``: ``extract_kind`` output → O4 txt per doc.
     - ``multi_long``: ``extract_multiple_kinds`` output → O5 txt per
       doc, plus ``<short>.xlsx`` (row per kind, positional line
-      columns) when openpyxl is importable (docrawl_core.py:941-942).
+      columns — the reference's ``pd.DataFrame(result).to_excel``
+      shape, docrawl_core.py:941-942).
     - ``tables``: ``extract_tables`` long cells → O6
-      ``extracted_table_<id>.xlsx`` per table when openpyxl is
-      importable (docrawl_core.py:1007).
+      ``extracted_table_<id>.xlsx`` per table (docrawl_core.py:1007).
+
+    The .xlsx legs use the stdlib writer (``sources/xlsx.py`` —
+    deterministic bytes, no openpyxl dependency), laying cells out
+    exactly as ``DataFrame.to_excel`` defaults do (header row +
+    index column).
 
     ``write_in_file_mode`` mirrors the reference's O4 ``w+``/``a+``
     knob (docrawl_core.py:903-905). Returns counts per artifact type.
     """
-    try:
-        import openpyxl  # noqa: F401
-
-        have_xlsx = True
-    except Exception:
-        have_xlsx = False
+    from docrawl_spark.sources.xlsx import write_xlsx
 
     counts = {"o4_txt": 0, "o5_txt": 0, "o5_xlsx": 0, "o6_xlsx": 0}
     short = filename.split(".txt")[0]
@@ -185,39 +185,40 @@ def write_artifacts(
                 "w",
             )
             counts["o5_txt"] += 1
-        if have_xlsx:
-            import pandas as pd
-
-            rows_pk = (
-                multi_long.groupBy("doc_id", "kind_idx")
-                .agg(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("line_no"), F.col("line")))
-                        ),
-                        lambda e: e["line"],
-                    ).alias("lines")
-                )
-                .groupBy("doc_id")
-                .agg(
+        rows_pk = (
+            multi_long.groupBy("doc_id", "kind_idx")
+            .agg(
+                F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("kind_idx"), F.col("lines")))
-                    ).alias("kinds")
-                )
+                        F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                    ),
+                    lambda e: e["line"],
+                ).alias("lines")
             )
-            for r in rows_pk.toLocalIterator():
-                result = [list(e["lines"]) for e in r["kinds"]]
-                df = pd.DataFrame(result)
-                df.to_excel(
-                    os.path.join(out_dir, safe_doc_dir(r["doc_id"]), short + ".xlsx")
-                )
-                counts["o5_xlsx"] += 1
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("kind_idx"), F.col("lines")))
+                ).alias("kinds")
+            )
+        )
+        for r in rows_pk.toLocalIterator():
+            result = [list(e["lines"]) for e in r["kinds"]]
+            d = os.path.join(out_dir, safe_doc_dir(r["doc_id"]))
+            os.makedirs(d, exist_ok=True)
+            write_xlsx(os.path.join(d, short + ".xlsx"), result)
+            counts["o5_xlsx"] += 1
 
-    if tables is not None and have_xlsx:
+    if tables is not None:
         for doc_id, table_id, df in table_frames(tables):
             d = os.path.join(out_dir, safe_doc_dir(doc_id))
             os.makedirs(d, exist_ok=True)
-            df.to_excel(os.path.join(d, f"extracted_table_{table_id}.xlsx"))
+            write_xlsx(
+                os.path.join(d, f"extracted_table_{table_id}.xlsx"),
+                df.values.tolist(),
+                index=list(df.index),
+                columns=list(df.columns),
+            )
             counts["o6_xlsx"] += 1
 
     return counts
