@@ -614,3 +614,41 @@ def test_kmv_mins_is_k_smallest_distinct(spark):
         for r in df.select(_hash60(F.col("key")).alias("h")).distinct().collect()
     )[:10]
     assert hs == exact
+
+
+def test_pair_dot_batch_arrow_edges():
+    """Pure-pyarrow edges for the Arrow pair-dot kernel: chunked
+    arrays, sliced offsets (non-zero window start), empty lists, and
+    the ragged-dimension guard — no Spark session needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+
+    from docrawl_spark.datapipe.similarity import _pair_dot_batch
+
+    a = pa.array([[1.0, 2.0], [3.0, 4.0], [], [0.5, -1.0]])
+    b = pa.array([[2.0, 0.5], [1.0, 1.0], [], [4.0, 2.0]])
+    out = _pair_dot_batch(a, b).to_pylist()
+    assert out == [3.0, 7.0, 0.0, 0.0]
+
+    # sliced window: offsets no longer start at 0
+    out_s = _pair_dot_batch(a.slice(1, 2), b.slice(1, 2)).to_pylist()
+    assert out_s == [7.0, 0.0]
+
+    # chunked arrays combine before compute
+    ca = pa.chunked_array([a.slice(0, 2), a.slice(2, 2)])
+    cb = pa.chunked_array([b.slice(0, 2), b.slice(2, 2)])
+    assert _pair_dot_batch(ca, cb).to_pylist() == out
+
+    # ragged dims between sides must raise, not mis-sum
+    with _pt.raises(ValueError):
+        _pair_dot_batch(pa.array([[1.0, 2.0]]), pa.array([[1.0]]))
+
+    # numerically equal to numpy dot on a bigger random batch
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((50, 64))
+    n = rng.standard_normal((50, 64))
+    got = _pair_dot_batch(
+        pa.array(m.tolist()), pa.array(n.tolist())
+    ).to_numpy()
+    assert np.allclose(got, (m * n).sum(axis=1))
